@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text tokenization + dictionary filtering operators.
+  *
+  * Re-expresses the reference's stage-1 text handling
+  * (reference: extract_transform/MapperExtractTransform.java:74-84):
+  * lowercase → regex tokenize with sklearn's default token_pattern
+  * `(?u)\b\w\w+\b` → drop stopwords → keep only dictionary words,
+  * preserving duplicates and order.
+  *
+  * Everything here is pure Catalyst column expressions (codegen'd,
+  * no UDFs). Dictionaries are inlined as literal arrays when small;
+  * [[filterByDictDf]] gives the broadcast-join scale path for
+  * dictionaries too large to ship as literals.
+  */
+object TextOps {
+
+  /** sklearn's default `token_pattern`, byte-for-byte
+    * (reference: MapperExtractTransform.java:75): tokens are runs of
+    * ≥2 word chars. `(?u)` only toggles unicode case handling in
+    * java.util.regex; `\w` stays ASCII in both Spark and the DuckDB
+    * oracle (RE2), so parity holds.
+    */
+  val TokenPattern = "(?u)\\b\\w\\w+\\b"
+
+  /** Same pattern without the `(?u)` flag — RE2 (DuckDB) rejects the
+    * flag but has identical `\b\w\w+\b` semantics for ASCII text.
+    */
+  val TokenPatternRe2 = "\\b\\w\\w+\\b"
+
+  /** Lowercase + regex tokenize (reference: MapperExtractTransform.java:74-75). */
+  def tokenize(text: Column): Column =
+    regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
+
+  /** Drop tokens present in `stopwords` (reference: MapperExtractTransform.java:81,
+    * first predicate). Preserves duplicates + order, unlike array_except.
+    */
+  def removeStopwords(tokens: Column, stopwords: Seq[String]): Column =
+    filter(tokens, t => !t.isin(stopwords: _*))
+
+  /** Keep only tokens present in `dict` (reference: MapperExtractTransform.java:81,
+    * second predicate — the adjective dictionary). Preserves duplicates + order.
+    */
+  def keepDictionary(tokens: Column, dict: Seq[String]): Column =
+    filter(tokens, t => t.isin(dict: _*))
+
+  /** Full stage-1 token pipeline: tokenize → stopword-filter → dictionary-filter
+    * (reference: MapperExtractTransform.java:74-84). Pass `dict = Nil` to skip
+    * the dictionary restriction.
+    */
+  def tokenizeFiltered(text: Column, stopwords: Seq[String], dict: Seq[String]): Column = {
+    val noStop = removeStopwords(tokenize(text), stopwords)
+    if (dict.isEmpty) noStop else keepDictionary(noStop, dict)
+  }
+
+  /** Scale path for big dictionaries: explode tokens, broadcast-semi-join
+    * against the dictionary table, re-assemble in original order.
+    * Equivalent to [[keepDictionary]] but the dictionary can be billions
+    * of rows (it is still broadcast — pass a pre-filtered/bucketed dict
+    * at extreme sizes).
+    *
+    * @param dictDf single-column DataFrame of dictionary words ("word")
+    */
+  def filterByDictDf(
+      docs: DataFrame, idCol: String, tokensCol: String, dictDf: DataFrame): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), posexplode(col(tokensCol)).as(Seq("pos", "token")))
+    val kept = exploded.join(
+      broadcast(dictDf.withColumnRenamed(dictDf.columns.head, "token")),
+      Seq("token"), "left_semi")
+    val reassembled = kept
+      .groupBy(idCol)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+        s => s.getField("token")).as(tokensCol))
+    docs.drop(tokensCol).join(reassembled, Seq(idCol), "left")
+      .withColumn(tokensCol, coalesce(col(tokensCol), array()))
+  }
+}
