@@ -41,7 +41,7 @@ object SparkEntry {
       .select(col("word"), col("df"), col("idf"))
   }
 
-  private val all: Seq[Q] = Seq(
+  private lazy val all: Seq[Q] = Seq(
 
     // ---- M1: tokenization + document frequency + IDF (SURVEY §2.5 C1-C6, §2.4 A2-A3)
     Q("q_tokens",
@@ -125,8 +125,100 @@ object SparkEntry {
         |            sqrt(sum(w * w) OVER (PARTITION BY doc_id)) AS nrm FROM w)
         |SELECT doc_id, word,
         |       round(CASE WHEN nrm = 0 THEN 0.0 ELSE w / nrm END, 6) AS weight
-        |FROM norms ORDER BY doc_id, word""".stripMargin))
+        |FROM norms ORDER BY doc_id, word""".stripMargin)),
+
+    // ---- M3: stage-1 parity — global sort + sequential IDs, count-N, JSON field extract
+    //      (SURVEY §2.6 O1-O2, §2.4 A1, §2.5 C1)
+    Q("q_seq_ids",
+      (s, dir) => IdOps.sequentialIds(
+          Tables.table(s, dir, "customer"), Seq("c_name", "c_custkey"), "id")
+        .select(col("c_custkey"), col("id"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, row_number() OVER (ORDER BY c_name, c_custkey) AS id
+        |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    Q("q_count_n",
+      (s, dir) => Tables.table(s, dir, "documents").agg(count(lit(1)).as("n")),
+      Some("SELECT count(*) AS n FROM documents")),
+
+    Q("q_json_extract",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k").isNotNull)
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |ORDER BY event_id""".stripMargin)),
+
+    Q("q_sample_k",  // seeded sample — rand() differs across engines → rows-only check
+      (s, dir) => IdOps.sampleK(Tables.table(s, dir, "customer"), 10, seed = 42L)
+        .select(col("idx"), col("c_custkey"))
+        .orderBy("idx"),
+      None),
+
+    // ---- M4: K-Means — one Lloyd iteration decomposed (SURVEY §3.3, §2.3 J3, §2.6 O4, §2.4 A5-A7)
+    Q("q_kmeans_assign",
+      (s, dir) => {
+        val pts = embDouble(s, dir)
+        KMeansOps.assign(pts, "vec_id", "v", fixedCentroids(pts))
+          .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
+          .orderBy("vec_id")
+      },
+      Some(s"""$SqlKmeansAssign
+        |SELECT vec_id, cid AS cluster, round(dist, 6) AS dist
+        |FROM a WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    Q("q_kmeans_centroids",
+      (s, dir) => {
+        val pts = embDouble(s, dir)
+        KMeansOps.newCentroids(
+            KMeansOps.assign(pts, "vec_id", "v", fixedCentroids(pts)), "v", scale = 6)
+          .orderBy("cluster", "dim")
+      },
+      Some(s"""$SqlKmeansAssign,
+        |asg AS (SELECT vec_id, cid AS cluster FROM a WHERE rn = 1),
+        |ex AS (SELECT g.cluster, CAST(unnest(e.embedding) AS DOUBLE) AS x,
+        |              CAST(unnest(range(0, len(e.embedding))) AS INT) AS dim
+        |       FROM asg g JOIN embeddings e ON e.vec_id = g.vec_id)
+        |SELECT cluster, dim, round(avg(x), 6) AS c
+        |FROM ex GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin)),
+
+    Q("q_kmeans_sse",
+      (s, dir) => {
+        val pts = embDouble(s, dir)
+        KMeansOps.sse(KMeansOps.assign(pts, "vec_id", "v", fixedCentroids(pts)))
+          .select(col("cluster"), round(col("sse"), 3).as("sse"), col("n"))
+          .orderBy("cluster")
+      },
+      Some(s"""$SqlKmeansAssign
+        |SELECT cid AS cluster, round(sum(dist * dist), 3) AS sse, count(*) AS n
+        |FROM a WHERE rn = 1 GROUP BY cid ORDER BY cluster""".stripMargin))
   )
+
+  /** embeddings with float vectors cast to double (IEEE parity with the oracle). */
+  private def embDouble(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), KMeansOps.asDouble(col("embedding")).as("v"))
+
+  /** Deterministic k=8 "initial centroids": the vectors with vec_id < 8 —
+    * SQL-expressible on both sides (the seeded-random init is exercised by
+    * the lloyd() loop + scalatest, not the oracle). */
+  private def fixedCentroids(pts: DataFrame): DataFrame =
+    pts.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v").as("cvec"))
+
+  /** Shared oracle CTE: exploded Euclidean distances + per-point argmin rank.
+    * (lazy: referenced from `all`, which is declared above — a strict val
+    * here would still be null during `all`'s initialization.) */
+  private lazy val SqlKmeansAssign =
+    """WITH pts AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, CAST(unnest(embedding) AS DOUBLE) AS c,
+      |          unnest(range(0, len(embedding))) AS i FROM embeddings WHERE vec_id < 8),
+      |d AS (SELECT p.vec_id, c.cid, sqrt(sum((p.x - c.c) * (p.x - c.c))) AS dist
+      |      FROM pts p JOIN cents c ON p.i = c.i GROUP BY p.vec_id, c.cid),
+      |a AS (SELECT vec_id, cid, dist,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d)""".stripMargin
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

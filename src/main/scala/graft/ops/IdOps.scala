@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Global ordering + sequential ID assignment + seeded sampling.
+  *
+  * Reference: stage 1 totally orders output by `asin` through a
+  * 1-reducer shuffle and renumbers rows 1..N with a running counter
+  * (ReducerExtractTransform.java:34-48, ordering via Avro field order
+  * attributes, JobExtractTransform.java:33-41 — SURVEY §2.6 O1-O2);
+  * centroid init draws k random doc ids (JobExtractFeature.java:143-158,
+  * unseeded there — seeded here, SURVEY §7.5).
+  */
+object IdOps {
+
+  /** 1..N ids in `orderCols` order via a global window — exact reference
+    * semantics. The single-partition window IS the reference's
+    * single-reducer bottleneck; fine for oracle-checked runs, use
+    * [[sequentialIdsAtScale]] on big data.
+    */
+  def sequentialIds(df: DataFrame, orderCols: Seq[String], idCol: String): DataFrame =
+    df.withColumn(idCol, row_number().over(Window.orderBy(orderCols.map(col): _*)).cast(LongType))
+
+  /** Same contract (1..N dense ids in `orderCols` order) without a
+    * single-partition stage: range-repartition + in-partition sort, then
+    * per-partition counts → cumulative offsets (k-row driver reduction)
+    * → offset + local index per partition. Two jobs, no global shuffle
+    * to one task — survives 100 TB inputs.
+    */
+  def sequentialIdsAtScale(df: DataFrame, orderCols: Seq[String], idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .persist()
+    // k-row collect (k = #partitions), not data rows: cheap at any scale.
+    val counts = sorted.groupBy(spark_partition_id().as("pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = sorted.rdd.getNumPartitions
+    val offsets = (0 until nParts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val outSchema = StructType(sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var i = bOffsets.value(pid)
+      it.map { r => i += 1; Row.fromSeq(r.toSeq :+ i) }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Seeded uniform k-sample (reference draws unseeded random ids,
+    * JobExtractFeature.java:143-155; seeded here for determinism,
+    * deviation documented in SURVEY §7.5). Output adds a dense
+    * 0..k-1 `indexCol` like the reference's centroid indexes.
+    */
+  def sampleK(df: DataFrame, k: Int, seed: Long, indexCol: String = "idx"): DataFrame = {
+    val w = Window.orderBy(col("__r"), col(df.columns.head))
+    df.withColumn("__r", rand(seed))
+      .orderBy(col("__r")).limit(k)
+      .withColumn(indexCol, row_number().over(w) - lit(1))
+      .drop("__r")
+  }
+}
