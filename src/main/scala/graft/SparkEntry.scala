@@ -193,7 +193,157 @@ object SparkEntry {
       },
       Some(s"""$SqlKmeansAssign
         |SELECT cid AS cluster, round(sum(dist * dist), 3) AS sse, count(*) AS n
-        |FROM a WHERE rn = 1 GROUP BY cid ORDER BY cluster""".stripMargin))
+        |FROM a WHERE rn = 1 GROUP BY cid ORDER BY cluster""".stripMargin)),
+
+    // ---- M5: relational surface — hash agg, broadcast/semi/anti/multi joins,
+    //      top-k, union, rollup, event-time windows (SURVEY §2.3, §2.4, §2.6, §2.7, §2.8)
+    Q("q_agg_lineitem",  // TPC-H Q1 shape: partial-agg-friendly hash aggregation
+      (s, dir) => Tables.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS cnt
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("q_join_broadcast",  // small dim broadcast-joined to fact — no fact shuffle
+      (s, dir) => Tables.table(s, dir, "orders")
+        .join(broadcast(Tables.table(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    Q("q_join_multi",  // TPC-H Q5 shape: fact ⋈ chain of broadcast dims
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+        val o = Tables.table(s, dir, "orders")
+        val c = Tables.table(s, dir, "customer")
+        val n = Tables.table(s, dir, "nation")
+        val r = Tables.table(s, dir, "region")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    Q("q_semi_join",  // EXISTS: customers having at least one high-value order
+      (s, dir) => Tables.table(s, dir, "customer")
+        .join(Tables.table(s, dir, "orders").filter(col("o_totalprice") > 100000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q_anti_join",  // NOT EXISTS: customers with no very-large order
+      (s, dir) => Tables.table(s, dir, "customer")
+        .join(Tables.table(s, dir, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q_topk",  // global top-k: TakeOrderedAndProject, no full sort
+      (s, dir) => Tables.table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice")),
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    Q("q_union_distinct",
+      (s, dir) => Tables.table(s, dir, "region").select(col("r_name").as("name"))
+        .union(Tables.table(s, dir, "nation").select(col("n_name")))
+        .distinct()
+        .orderBy("name"),
+      Some("""SELECT r_name AS name FROM region UNION SELECT n_name FROM nation
+        |ORDER BY name""".stripMargin)),
+
+    Q("q_count_distinct",
+      (s, dir) => Tables.table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("q_rollup",
+      (s, dir) => Tables.table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    Q("q_window_hourly",  // tumbling event-time window as batch (SURVEY §2.9)
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(unix_timestamp(col("w.start")).as("hour_epoch"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy("hour_epoch", "event_type"),
+      Some("""SELECT epoch_ns(date_trunc('hour', ts)) // 1000000000 AS hour_epoch,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin)),
+
+    Q("q_window_rank",  // per-user event ordering: row_number window
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.events(s, dir)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))))
+          .select(col("user_id"), col("event_id"), col("rn"))
+          .orderBy("user_id", "rn")
+      },
+      Some("""SELECT user_id, event_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn
+        |FROM events ORDER BY user_id, rn""".stripMargin)),
+
+    Q("q_running_sum",  // frame-spec window: running total per user
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("running", round(sum(col("value")).over(w), 2))
+          .select(col("user_id"), col("event_id"), col("running"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM events ORDER BY user_id, event_id""".stripMargin))
   )
 
   /** embeddings with float vectors cast to double (IEEE parity with the oracle). */
