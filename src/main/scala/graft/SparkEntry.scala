@@ -434,6 +434,56 @@ object SparkEntry {
       (s, dir) => Dedup.simhashPairs(
           Dedup.simhash64(docsTokens(s, dir), "doc_id", "toks"), maxDist = 3)
         .orderBy("id1", "id2"),
+      None),
+
+    // ---- M7: similarity search over embeddings (beyond-reference)
+    Q("q_cosine_topk",  // brute-force cosine top-5, queries = every 50th vector
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        Similarity.bruteTopK(
+            emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", k = 5)
+          .withColumn("cos", round(col("cos"), 6))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+        |d AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id, sum(a.x * b.x) AS dp
+        |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |      WHERE a.vec_id % 50 = 0 GROUP BY 1, 2),
+        |c AS (SELECT d.query_id, d.vec_id, d.dp / (na.nrm * nb.nrm) AS cos
+        |      FROM d JOIN n na ON na.vec_id = d.query_id
+        |             JOIN n nb ON nb.vec_id = d.vec_id),
+        |r AS (SELECT query_id, vec_id, cos,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        |      FROM c)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, round(cos, 6) AS cos
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("q_cosine_pairs",  // embedding near-dup pairs: cosine ≥ 0.4, unblocked
+      (s, dir) => Similarity.cosinePairs(
+          Tables.table(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id1", "id2"),
+      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+        |d AS (SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.x * b.x) AS dp
+        |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+        |c AS (SELECT id1, id2, dp / (na.nrm * nb.nrm) AS cos
+        |      FROM d JOIN n na ON na.vec_id = id1 JOIN n nb ON nb.vec_id = id2)
+        |SELECT id1, id2, round(cos, 6) AS cos FROM c
+        |WHERE cos >= 0.4 ORDER BY id1, id2""".stripMargin)),
+
+    Q("q_ann_ivf",  // IVF ANN top-5 — K-Means init uses Spark rand → rows-only
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        Similarity.ivfTopK(
+            emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding",
+            k = 5, cells = 8, nprobe = 3)
+          .withColumn("cos", round(col("cos"), 6))
+          .orderBy("query_id", "rank")
+      },
       None)
   )
 

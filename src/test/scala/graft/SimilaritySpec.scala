@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val emb = Tables.table(spark, TestSpark.Sf, "embeddings")
+
+  test("cosine basics: self=1, orthogonal=0, zero-norm guarded") {
+    val df = Seq(
+      (1L, Seq(1.0, 0.0), Seq(1.0, 0.0)),
+      (2L, Seq(1.0, 0.0), Seq(0.0, 2.0)),
+      (3L, Seq(0.0, 0.0), Seq(1.0, 1.0)))
+      .toDF("id", "a", "b")
+      .select($"id", Similarity.cosine($"a", $"b").as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(df(1L) - 1.0) < 1e-12)
+    assert(math.abs(df(2L)) < 1e-12)
+    assert(df(3L) == 0.0)
+  }
+
+  test("IVF top-k: subset of brute-force result with reasonable recall@5") {
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val brute = Similarity.bruteTopK(queries, emb, "vec_id", "embedding", 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+      k = 5, cells = 8, nprobe = 3)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // unclustered gaussian data: nprobe 3/8 cells ≈ 3/8 of the corpus scanned
+    assert(recall >= 0.25, s"recall@5 = $recall")
+    assert(ivf.size <= brute.size)
+    info(s"IVF recall@5 = $recall")
+  }
+
+  test("bruteTopK: ranks are 1..k per query, cos within [-1,1], no self-pairs") {
+    val r = Similarity.bruteTopK(emb.filter($"vec_id" % 100 === 0), emb,
+      "vec_id", "embedding", 5).collect()
+    val byQ = r.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      rows.foreach { row =>
+        assert(row.getLong(2) != q)
+        val c = row.getDouble(3)
+        assert(c <= 1.0 + 1e-9 && c >= -1.0 - 1e-9)
+      }
+    }
+  }
+}
