@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops._
+import graft.multimodal.Multimodal
 
 /** Driver contract — named queries + DuckDB oracle SQL.
   * See SURVEY.md §7.6: every query orders its output, seeds all
@@ -484,6 +485,116 @@ object SparkEntry {
           .withColumn("cos", round(col("cos"), 6))
           .orderBy("query_id", "rank")
       },
+      None),
+
+    // ---- M8: text analysis + multimodal plumbing (beyond-reference)
+    Q("q_lang_id",
+      (s, dir) => {
+        val toks = TextOps.tokenize(col("text"))
+        val scores = TextStats.LangMarkers.map { case (lang, ms) =>
+          size(filter(toks, t => t.isin(ms: _*))).as(s"s_$lang")
+        }
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id") +: scores :+ TextStats.langId(toks).as("lang_pred"): _*)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |        regexp_extract_all(lower(text), '\b\w\w+\b') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('the','and','is','of','to','in'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','et','de','un'))) AS s_fr,
+        |  len(list_filter(toks, x -> x IN ('el','los','las','es','de','un'))) AS s_es,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) AS s_de
+        |  FROM t)
+        |SELECT doc_id, CAST(s_en AS INT) AS s_en, CAST(s_fr AS INT) AS s_fr,
+        |  CAST(s_es AS INT) AS s_es, CAST(s_de AS INT) AS s_de,
+        |  CASE WHEN greatest(s_en, s_fr, s_es, s_de) <= 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+        |       WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+        |       WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+        |       WHEN s_de = greatest(s_en, s_fr, s_es, s_de) THEN 'de'
+        |       ELSE 'und' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin)),
+
+    Q("q_quality",
+      (s, dir) => {
+        val toks = TextOps.tokenize(col("text"))
+        Tables.table(s, dir, "documents").select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          round(TextStats.distinctRatio(toks), 6).as("distinct_ratio"),
+          round(TextStats.stopwordRatio(toks, Stop), 6).as("stopword_ratio"),
+          round(TextStats.meanTokenLen(toks), 6).as("mean_len"),
+          round(TextStats.qualityScore(toks, Stop), 6).as("score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |        regexp_extract_all(lower(text), '\b\w\w+\b') AS toks FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS dr,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+        |            / len(toks) END AS sr,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |            / len(toks) END AS ml
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  round(dr, 6) AS distinct_ratio, round(sr, 6) AS stopword_ratio,
+        |  round(ml, 6) AS mean_len,
+        |  round(0.4 * dr + 0.3 * (1.0 - sr) + 0.3 * least(ml / 10.0, 1.0), 6) AS score
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
+    Q("q_token_stats",
+      (s, dir) => Tables.table(s, dir, "documents").select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          TextStats.wsTokenCount(col("text")).as("ws_tokens"),
+          size(TextOps.tokenize(col("text"))).as("re_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '\b\w\w+\b')) AS INT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("q_fingerprint",
+      (s, dir) => docsTokens(s, dir)
+        .select(col("doc_id"), TextStats.contentFingerprint(col("toks")).as("fp"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS ($SqlToks)
+        |SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
+    Q("q_multimodal_meta",  // binary payload + typed metadata plumbing
+      (s, dir) => Multimodal.fromText(
+          Tables.table(s, dir, "documents"), "doc_id", "text", "source")
+        .select(col("media_id"), col("modality"),
+          col("meta.byte_len").as("byte_len"), col("meta.sha256").as("sha256"),
+          col("meta.source").as("source"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id, 'text' AS modality,
+        |  CAST(length(text) AS BIGINT) AS byte_len, sha256(text) AS sha256, source
+        |FROM documents ORDER BY media_id""".stripMargin)),
+
+    Q("q_frame_sample",  // video-frame sampling plumbing: counts oracled
+      (s, dir) => Multimodal.sampleFrames(
+          Multimodal.fromText(Tables.table(s, dir, "documents"), "doc_id", "text", "source"),
+          frameBytes = 32, stride = 3)
+        .groupBy(col("media_id"), col("n_frames"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+        |  CAST(ceil(length(text) / 32.0) AS INT) AS n_frames,
+        |  CAST(ceil(ceil(length(text) / 32.0) / 3.0) AS BIGINT) AS n_kept
+        |FROM documents ORDER BY media_id""".stripMargin)),
+
+    Q("q_multimodal_features",  // stubbed decode — deterministic fake, rows-only
+      (s, dir) => Multimodal.decodeStub(
+          Multimodal.fromText(Tables.table(s, dir, "documents"), "doc_id", "text", "source"))
+        .select(col("media_id"), posexplode(col("features")).as(Seq("dim", "f")))
+        .withColumn("f", round(col("f"), 6))
+        .orderBy("media_id", "dim"),
       None)
   )
 
