@@ -108,11 +108,22 @@ object KMeansOps {
   def lloyd(
       points: DataFrame, idCol: String, vecCol: String,
       k: Int, seed: Long, maxIter: Int, scale: Int = 10): KMeansResult = {
+    val init = IdOps.sampleK(
+        points.select(col(idCol), asDouble(col(vecCol)).as(vecCol)), k, seed, "cid")
+      .select(col("cid").cast("long"), col(vecCol))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    lloydInit(points, idCol, vecCol, init, maxIter, scale)
+  }
+
+  /** Lloyd loop from caller-supplied initial centroids (the pipeline's
+    * stage-2 side-output path, SURVEY §3.2).
+    */
+  def lloydInit(
+      points: DataFrame, idCol: String, vecCol: String,
+      init: Array[(Long, Array[Double])], maxIter: Int, scale: Int = 10): KMeansResult = {
     val pts = points.select(col(idCol), asDouble(col(vecCol)).as(vecCol)).persist()
     try {
-      var centroids = IdOps.sampleK(pts, k, seed, "cid")
-        .select(col("cid").cast("long"), col(vecCol))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      var centroids = init
       def rounded(cs: Array[(Long, Array[Double])]) =
         cs.map { case (id, v) =>
           id -> v.map(x => BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble).toSeq

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.9 — absent in the batch-only
+  * reference; the testdata `events` table models the stream). Every
+  * transform here works identically on a batch DataFrame and a
+  * `readStream` DataFrame — the streaming/batch parity IS the test.
+  */
+object StreamOps {
+
+  final case class Ev(user_id: Long, value: Double, ts: java.sql.Timestamp)
+  final case class UserAgg(user_id: Long, n: Long, total: Double)
+
+  /** Tumbling 1-hour event-time aggregation with a 2-hour watermark —
+    * the streaming twin of SparkEntry.q_window_hourly.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Custom keyed state: running per-user totals via mapGroupsWithState
+    * (the KeyValueGroupedDataset state API the prompt calls for).
+    * Emits the updated running aggregate for each user seen in a batch.
+    */
+  def userRunningTotals(events: Dataset[Ev]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+          val cur = evs.foldLeft(prev)((a, e) => UserAgg(uid, a.n + 1, a.total + e.value))
+          state.update(cur)
+          cur
+      }
+  }
+
+  /** The output mode [[userRunningTotals]] requires when streamed. */
+  val UserTotalsOutputMode: OutputMode = OutputMode.Update()
+}

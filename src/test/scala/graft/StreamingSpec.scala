@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Ev, UserAgg}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+  test("hourlyCounts: streaming result == batch result on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      ("click", 1.0, ts(0)), ("click", 2.0, ts(10)), ("view", 3.0, ts(20)),
+      ("click", 4.0, ts(70)), ("view", 5.0, ts(80)))
+    val mem = MemoryStream[(String, Double, java.sql.Timestamp)]
+    val sdf = mem.toDF().toDF("event_type", "value", "ts")
+    val q = StreamOps.hourlyCounts(sdf).writeStream
+      .format("memory").queryName("hourly").outputMode("complete").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hourly")
+        .as[(Long, String, Long, Double)].collect().toSet
+      val batch = StreamOps.hourlyCounts(
+          evs.toDF("event_type", "value", "ts"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("userRunningTotals: mapGroupsWithState accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.userRunningTotals(mem.toDS()).writeStream
+      .format("memory").queryName("totals")
+      .outputMode(StreamOps.UserTotalsOutputMode).start()
+    try {
+      mem.addData(Ev(1L, 10.0, ts(0)), Ev(1L, 5.0, ts(1)), Ev(2L, 1.0, ts(2)))
+      q.processAllAvailable()
+      mem.addData(Ev(1L, 2.0, ts(3)))
+      q.processAllAvailable()
+      val finalByUser = spark.table("totals").as[UserAgg].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n) }
+      assert(finalByUser(1L) == UserAgg(1L, 3L, 17.0))
+      assert(finalByUser(2L) == UserAgg(2L, 1L, 1.0))
+    } finally q.stop()
+  }
+}
