@@ -380,7 +380,9 @@ object SparkEntry {
         val docs = Tables.table(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             TextOps.tokenizeFiltered(col("text"), Stop, Nil).as("toks"))
-        Dedup.jaccardPairs(docs, "doc_id", "toks", 0.9, Some("source"))
+        Dedup.jaccardPairsFromHashes(
+            Dedup.shingleHashes(docs, "doc_id", "toks", k = 1, Some("source")),
+            0.9, Some("source"))
           .withColumn("jaccard", round(col("jaccard"), 6))
           .orderBy("id1", "id2")
       },
@@ -399,13 +401,10 @@ object SparkEntry {
         |ORDER BY id1, id2""".stripMargin)),
 
     Q("q_ngram3_jaccard",  // exact word-3-shingle Jaccard ≥ 0.5, unblocked
-      (s, dir) => {
-        val docs = docsTokens(s, dir)
-          .withColumn("sh", Dedup.tokenShingles(col("toks"), 3))
-        Dedup.jaccardPairs(docs, "doc_id", "sh", 0.5, None)
-          .withColumn("jaccard", round(col("jaccard"), 6))
-          .orderBy("id1", "id2")
-      },
+      (s, dir) => Dedup.jaccardPairsFromHashes(
+          Dedup.shingleHashes(docsTokens(s, dir), "doc_id", "toks", k = 3), 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id1", "id2"),
       Some(s"""WITH t AS ($SqlToks),
         |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
         |        ELSE list_transform(range(1, len(toks) - 1),
@@ -425,8 +424,9 @@ object SparkEntry {
       (s, dir) => {
         // 3-shingles, not unigrams: the synthetic corpus shares one small
         // vocabulary, so unigram MinHash buckets nearly every pair.
-        val sh = docsTokens(s, dir).withColumn("sh", Dedup.tokenShingles(col("toks"), 3))
-        val sigs = Dedup.minhashSignatures(sh, "doc_id", "sh", numHashes = 128, seed = 42L)
+        val sigs = Dedup.minhashFromHashes(
+          Dedup.shingleHashes(docsTokens(s, dir), "doc_id", "toks", k = 3),
+          numHashes = 128, seed = 42L)
         Dedup.lshCandidates(sigs, bands = 32).orderBy("id1", "id2")
       },
       None),
@@ -462,7 +462,7 @@ object SparkEntry {
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     Q("q_cosine_pairs",  // embedding near-dup pairs: cosine ≥ 0.4, unblocked
-      (s, dir) => Similarity.cosinePairs(
+      (s, dir) => Similarity.cosinePairsFast(
           Tables.table(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id1", "id2"),

@@ -55,27 +55,73 @@ object Dedup {
         sequence(lit(1), size(tokens) - (k - 1)),
         i => concat_ws(" ", slice(tokens, i, lit(k)))))
 
-  /** Exact pairwise Jaccard over distinct shingle sets: all pairs
-    * sharing ≥1 shingle (plus optional equality blocking column) with
-    * jaccard ≥ minJ. Output: (id1, id2, jaccard). Small-data oracle
-    * path — see scale notes above.
+  /** Exploded distinct k-shingle hashes `(id[, block], h)` built with
+    * posexplode + window `lead` instead of per-doc array pipelines.
+    * Two reasons this is the canonical form at scale:
+    *  1. Catalyst textually duplicates unaliased array-building
+    *     expression trees (a `transform(sequence, slice…)` shingler gets
+    *     re-evaluated ~7× per row through the explode's implicit
+    *     size/null filter — measured 21 s vs <2 s on sf0.1), and the
+    *     lambda pipeline is interpreted, not codegen'd.
+    *  2. Downstream joins/aggs only ever need the 8-byte hash, never the
+    *     shingle string.
     */
-  def jaccardPairs(
-      docs: DataFrame, idCol: String, shinglesCol: String,
-      minJ: Double, blockCol: Option[String] = None): DataFrame = {
-    val e = docs.select(
-      (col(idCol).as("id") +: blockCol.map(col).toSeq) :+
-        explode(array_distinct(col(shinglesCol))).as("w") :+
-        size(array_distinct(col(shinglesCol))).as("sz"): _*)
+  def shingleHashes(
+      docs: DataFrame, idCol: String, tokensCol: String, k: Int,
+      blockCol: Option[String] = None): DataFrame = {
+    require(k >= 1, s"shingle size must be >= 1, got $k")
+    val keep = col(idCol).as("id") +: blockCol.map(col).toSeq
+    if (k == 1) {
+      // pre-explosion dedup (the reference's map-side distinct,
+      // MapperExtractFeatureDocument.java:24): explode O(distinct) rows,
+      // no post-explosion distinct shuffle needed
+      docs.select(keep :+ explode(array_distinct(col(tokensCol))).as("tok"): _*)
+        .select((col("id") +: blockCol.map(col).toSeq) :+ xxhash64(col("tok")).as("h"): _*)
+    } else {
+      val e0 = docs.select(keep :+ posexplode(col(tokensCol)).as(Seq("pos", "tok")): _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("pos"))
+      val parts = col("tok") +: (1 until k).map(j => lead(col("tok"), j).over(w))
+      e0.withColumn("__last", lead(col("tok"), k - 1).over(w))
+        .withColumn("h", xxhash64(concat_ws(" ", parts: _*)))
+        // concat_ws skips nulls — drop tail windows shorter than k
+        .filter(col("__last").isNotNull)
+        .select((col("id") +: blockCol.map(col).toSeq) :+ col("h"): _*)
+        .distinct()
+    }
+  }
+
+  /** Pair step shared by the Jaccard entry points: self-join the
+    * exploded hashes on (block,) h with id-only payload (8-24 bytes per
+    * shuffled row — the fan-out is Σ_h |docs_h|², so row width IS the
+    * cost), count intersections, join set sizes back onto the ~|pairs|
+    * aggregate. (Hash-collision risk ~|shingles|²/2⁶⁴ — negligible, and
+    * only perturbs one intersection count by 1.)
+    */
+  def jaccardPairsFromHashes(
+      e: DataFrame, minJ: Double, blockCol: Option[String] = None): DataFrame = {
+    val sizes = e.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val joinCond = blockCol.map(b => col(s"a.$b") === col(s"b.$b"))
-      .foldLeft(col("a.w") === col("b.w") && col("a.id") < col("b.id"))(_ && _)
+      .foldLeft(col("a.h") === col("b.h") && col("a.id") < col("b.id"))(_ && _)
     e.as("a").join(e.as("b"), joinCond)
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
-      .agg(count(lit(1)).as("inter"), first(col("a.sz")).as("s1"), first(col("b.sz")).as("s2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "s1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "s2"), "id2")
       .withColumn("jaccard", col("inter") / (col("s1") + col("s2") - col("inter")))
       .filter(col("jaccard") >= minJ)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
+
+  /** Exact pairwise Jaccard over distinct shingle sets: all pairs
+    * sharing ≥1 shingle (plus optional equality blocking column) with
+    * jaccard ≥ minJ. Output: (id1, id2, jaccard).
+    */
+  def jaccardPairs(
+      docs: DataFrame, idCol: String, shinglesCol: String,
+      minJ: Double, blockCol: Option[String] = None): DataFrame =
+    jaccardPairsFromHashes(
+      shingleHashes(docs, idCol, shinglesCol, k = 1, blockCol), minJ, blockCol)
 
   /** Seeded universal-hash parameters for MinHash: (a, b) pairs mod a
     * Mersenne prime. Deterministic for a seed.
@@ -94,13 +140,20 @@ object Dedup {
     */
   def minhashSignatures(
       docs: DataFrame, idCol: String, shinglesCol: String,
-      numHashes: Int = 128, seed: Long = 42L): DataFrame = {
-    val x = pmod(hash(col("w")).cast("long"), lit(MinhashPrime))
+      numHashes: Int = 128, seed: Long = 42L): DataFrame =
+    minhashFromHashes(shingleHashes(docs, idCol, shinglesCol, k = 1), numHashes, seed)
+
+  /** MinHash from pre-exploded shingle hashes (the [[shingleHashes]]
+    * form): h_j = (a_j·x + b_j) mod p minimized per doc, one wide
+    * groupBy with map-side partial min.
+    */
+  def minhashFromHashes(
+      e: DataFrame, numHashes: Int = 128, seed: Long = 42L): DataFrame = {
+    val x = pmod(col("h"), lit(MinhashPrime))
     val mins = hashParams(numHashes, seed).zipWithIndex.map { case ((a, b), j) =>
       min(pmod(lit(a) * x + lit(b), lit(MinhashPrime))).as(s"h$j")
     }
-    docs.select(col(idCol).as("id"), explode(array_distinct(col(shinglesCol))).as("w"))
-      .groupBy(col("id"))
+    e.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
   }

@@ -76,6 +76,38 @@ object Similarity {
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cos"))
   }
 
+  /** All-pairs cosine ≥ minCos via broadcast matrix + per-partition
+    * primitive-array loops — the O(n²·d) inner product is ~100× faster
+    * in tight JVM loops than per-pair Catalyst array allocation, and the
+    * broadcast side is only n·d doubles. Same output contract as
+    * [[cosinePairs]]; identical IEEE arithmetic order (sequential over
+    * dims) so round-6 results agree with the oracle. This is the
+    * mapPartitions escape hatch used deliberately: an all-pairs kernel
+    * is genuine per-partition imperative logic (SURVEY §1.1).
+    */
+  def cosinePairsFast(
+      corpus: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val unit = withUnitVec(
+      corpus.select(col(idCol).cast("long").as("id"),
+        KMeansOps.asDouble(col(vecCol)).as("v")), "v", "u")
+      .select(col("id"), col("u"))
+    val all = unit.as[(Long, Array[Double])].collect().sortBy(_._1)
+    val bcast = spark.sparkContext.broadcast(all)
+    unit.as[(Long, Array[Double])].mapPartitions { it =>
+      val mat = bcast.value
+      it.flatMap { case (id1, u1) =>
+        mat.iterator.filter(_._1 > id1).flatMap { case (id2, u2) =>
+          var s = 0.0
+          var i = 0
+          while (i < u1.length) { s += u1(i) * u2(i); i += 1 }
+          if (s >= minCos) Iterator.single((id1, id2, s)) else Iterator.empty
+        }
+      }
+    }.toDF("id1", "id2", "cos")
+  }
+
   /** IVF (inverted-file) ANN: cluster the corpus into `cells` K-Means
     * cells, then for each query scan only the `nprobe` nearest cells.
     * Returns (query_id, rank, vec_id, cos) like [[bruteTopK]]; recall
