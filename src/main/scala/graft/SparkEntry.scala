@@ -595,7 +595,23 @@ object SparkEntry {
         .select(col("media_id"), posexplode(col("features")).as(Seq("dim", "f")))
         .withColumn("f", round(col("f"), 6))
         .orderBy("media_id", "dim"),
-      None)
+      None),
+
+    Q("q_vocab_params",  // sklearn min_df/max_df/max_features vocabulary selection
+      (s, dir) => {
+        val base = docsTokens(s, dir)
+        Tfidf.selectVocab(
+            Tfidf.docFreqWithCounts(base, "doc_id", "toks"),
+            n = base.count(), minDf = 2.0, maxDf = 0.8, maxFeatures = 20)
+          .orderBy("word")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |f AS (SELECT word, count(DISTINCT doc_id) AS df, count(*) AS cnt
+        |      FROM (SELECT doc_id, unnest(toks) AS word FROM t) GROUP BY word),
+        |n AS (SELECT count(*) AS n FROM t),
+        |kept AS (SELECT word, df, cnt FROM f, n WHERE df >= 2 AND df <= 0.8 * n
+        |         QUALIFY row_number() OVER (ORDER BY cnt DESC, word) <= 20)
+        |SELECT word, df, cnt FROM kept ORDER BY word""".stripMargin))
   )
 
   /** embeddings with float vectors cast to double (IEEE parity with the oracle). */

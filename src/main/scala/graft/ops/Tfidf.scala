@@ -53,6 +53,38 @@ object Tfidf {
     docs.select(col(idCol), size(col(tokensCol)).as("len"), explode(col(tokensCol)).as("word"))
       .groupBy(col(idCol), col("len"), col("word")).agg(count(lit(1)).as("cnt"))
 
+  /** Vocabulary selection with sklearn's `min_df` / `max_df` /
+    * `max_features` semantics — the reference's vestigial `-mindf
+    * -maxdf -f` flags (run-job.sh:30, never parsed by App.java:40-46;
+    * implemented here as SURVEY §7.5 prescribes). Fractions are
+    * proportions of the corpus size n; max_features keeps the top words
+    * by corpus term count, ties broken alphabetically (sklearn order).
+    * Input must carry (word, df, cnt); see [[docFreqWithCounts]].
+    */
+  def selectVocab(
+      dfreqCnt: DataFrame, n: Long,
+      minDf: Double = 1.0, maxDf: Double = 1.0, maxFeatures: Int = Int.MaxValue): DataFrame = {
+    // values < 1.0 are fractions of n; >= 1.0 absolute counts
+    // (maxDf == 1.0 means "100% of docs", sklearn's default)
+    val lo = if (minDf < 1.0) minDf * n else minDf
+    val hi = if (maxDf <= 1.0) maxDf * n else maxDf
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("word"))
+    dfreqCnt
+      .filter(col("df") >= lo && col("df") <= hi)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= maxFeatures)
+      .drop("__r")
+  }
+
+  /** (word, df, cnt): document frequency plus corpus term count in one
+    * pass — two aggregates over one explode, no second scan.
+    */
+  def docFreqWithCounts(docs: DataFrame, idCol: String, tokensCol: String): DataFrame =
+    docs.select(col(idCol), explode(col(tokensCol)).as("word"))
+      .groupBy("word")
+      .agg(countDistinct(col(idCol)).as("df"), count(lit(1)).as("cnt"))
+
   /** Sparse L2-normalized TF-IDF vectors `(id, word, weight)`, weight
     * rounded HALF_UP to `scale` dp (Spark `round` is HALF_UP — exact
     * parity with the reference's BigDecimal rounding,
