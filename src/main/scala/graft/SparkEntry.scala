@@ -611,7 +611,84 @@ object SparkEntry {
         |n AS (SELECT count(*) AS n FROM t),
         |kept AS (SELECT word, df, cnt FROM f, n WHERE df >= 2 AND df <= 0.8 * n
         |         QUALIFY row_number() OVER (ORDER BY cnt DESC, word) <= 20)
-        |SELECT word, df, cnt FROM kept ORDER BY word""".stripMargin))
+        |SELECT word, df, cnt FROM kept ORDER BY word""".stripMargin)),
+
+    // ---- extended relational surface: skew salting, cube, lag, set ops, HLL
+    Q("q_salted_agg",  // two-phase salted aggregation == direct aggregation
+      (s, dir) => SkewOps.saltedAgg(
+          Tables.table(s, dir, "lineitem"), Seq("l_returnflag"),
+          Seq(SkewOps.AggSpec("sum", "l_quantity", "sum_qty"),
+            SkewOps.AggSpec("count", "", "cnt"),
+            SkewOps.AggSpec("min", "l_extendedprice", "min_price"),
+            SkewOps.AggSpec("max", "l_extendedprice", "max_price")))
+        .withColumn("sum_qty", round(col("sum_qty"), 2))
+        .withColumn("min_price", round(col("min_price"), 2))
+        .withColumn("max_price", round(col("max_price"), 2))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS cnt, round(min(l_extendedprice), 2) AS min_price,
+        |  round(max(l_extendedprice), 2) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q_cube",
+      (s, dir) => Tables.table(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    Q("q_window_lag",  // lead/lag: per-user inter-event gap in seconds
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+          .filter(col("prev_ns").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            expr("(ts_ns - prev_ns) div 1000000000").as("gap_s"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+        |  CAST((epoch_ns(ts) - epoch_ns(prev)) // 1000000000 AS BIGINT) AS gap_s
+        |FROM (SELECT user_id, event_id, ts,
+        |        lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |      FROM events)
+        |WHERE prev IS NOT NULL ORDER BY user_id, event_id""".stripMargin)),
+
+    Q("q_intersect",  // custkeys appearing in both halves of the order book
+      (s, dir) => {
+        val o = Tables.table(s, dir, "orders")
+        o.filter(col("o_totalprice") >= 250000).select(col("o_custkey"))
+          .intersect(o.filter(col("o_totalprice") < 250000).select(col("o_custkey")))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_totalprice >= 250000
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_totalprice < 250000
+        |ORDER BY o_custkey""".stripMargin)),
+
+    Q("q_except",  // custkeys with only-large orders
+      (s, dir) => {
+        val o = Tables.table(s, dir, "orders")
+        o.filter(col("o_totalprice") >= 250000).select(col("o_custkey"))
+          .except(o.filter(col("o_totalprice") < 250000).select(col("o_custkey")))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_totalprice >= 250000
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice < 250000
+        |ORDER BY o_custkey""".stripMargin)),
+
+    Q("q_approx_distinct",  // HLL++ sketch — engine-specific values → rows-only
+      (s, dir) => Tables.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag"),
+      None)
   )
 
   /** embeddings with float vectors cast to double (IEEE parity with the oracle). */

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot grouping keys: two-phase salted
+  * aggregation. A key receiving 1e9 rows melts one reducer; salting
+  * splits it across `salt` sub-keys for the expensive first shuffle,
+  * then combines the (keys × salt)-sized partials — the second shuffle
+  * is tiny by construction.
+  *
+  * Only algebraic aggregates decompose this way (sum, count, min, max —
+  * avg as sum/count). Spark's own partial aggregation already handles
+  * skew *within* a partition; salting handles skew *across* the shuffle
+  * — the case AQE's skew-join handling does not cover for aggregations.
+  */
+object SkewOps {
+
+  /** One aggregate spec: function ∈ {sum, count, min, max}, input
+    * column, output alias.
+    */
+  final case class AggSpec(fn: String, in: String, out: String)
+
+  private def phase1(a: AggSpec): Column = a.fn match {
+    case "sum"   => sum(col(a.in)).as(a.out)
+    case "count" => count(lit(1)).as(a.out)
+    case "min"   => min(col(a.in)).as(a.out)
+    case "max"   => max(col(a.in)).as(a.out)
+    case other   => throw new IllegalArgumentException(s"non-algebraic agg: $other")
+  }
+
+  private def phase2(a: AggSpec): Column = a.fn match {
+    case "sum" | "count" => sum(col(a.out)).as(a.out)
+    case "min"           => min(col(a.out)).as(a.out)
+    case "max"           => max(col(a.out)).as(a.out)
+    case other           => throw new IllegalArgumentException(s"non-algebraic agg: $other")
+  }
+
+  /** groupBy(keys).agg(aggs) computed via a salted first phase. Results
+    * are identical to the direct aggregation for the supported
+    * functions (floating-point sums may differ in association order —
+    * round outputs, as everywhere in the oracle discipline).
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], aggs: Seq[AggSpec],
+      salt: Int = 16, seed: Long = 42L): DataFrame = {
+    require(salt > 0)
+    val specs1 = aggs.map(phase1)
+    val specs2 = aggs.map(phase2)
+    df.withColumn("__salt", (rand(seed) * salt).cast("int"))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(specs1.head, specs1.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(specs2.head, specs2.tail: _*)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.SkewOps
+import graft.ops.SkewOps.AggSpec
+
+class SkewOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedAgg == direct agg for every salt factor (long/count/min/max)") {
+    val li = Tables.table(spark, TestSpark.Sf, "lineitem")
+    val direct = li.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"), min($"l_partkey").as("mn"), max($"l_partkey").as("mx"),
+        sum($"l_orderkey").as("s"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    for (salt <- Seq(1, 4, 64)) {
+      val salted = SkewOps.saltedAgg(li, Seq("l_returnflag"),
+        Seq(AggSpec("count", "", "cnt"), AggSpec("min", "l_partkey", "mn"),
+          AggSpec("max", "l_partkey", "mx"), AggSpec("sum", "l_orderkey", "s")),
+        salt = salt)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(salted == direct, s"salt=$salt")
+    }
+  }
+
+  test("saltedAgg rejects non-algebraic aggregates") {
+    val li = Tables.table(spark, TestSpark.Sf, "lineitem")
+    intercept[IllegalArgumentException] {
+      SkewOps.saltedAgg(li, Seq("l_returnflag"), Seq(AggSpec("avg", "l_quantity", "a")))
+        .collect()
+    }
+  }
+
+  test("approx_count_distinct within declared rsd of exact") {
+    val r = SparkEntry.queries("q_approx_distinct")(spark, TestSpark.Sf)
+      .as[(String, Long, Long)].collect()
+    r.foreach { case (flag, approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.1,
+        s"$flag: approx $approx vs exact $exact")
+    }
+  }
+}
