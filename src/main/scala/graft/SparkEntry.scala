@@ -688,7 +688,93 @@ object SparkEntry {
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag"),
-      None)
+      None),
+
+    // ---- event-sequence operators: sessionize, as-of join, range join, pivot
+    Q("q_sessionize",  // 30-min-gap sessions per user
+      (s, dir) => EventOps.sessionize(
+          Tables.events(s, dir), "user_id", "ts_ns", gapNs = 1800L * 1000000000L)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          expr("start_ns div 1000000000").as("start_s"),
+          expr("end_ns div 1000000000").as("end_s"))
+        .orderBy("user_id", "session_id"),
+      Some("""WITH g AS (SELECT user_id, epoch_ns(ts) AS tsn,
+        |        lag(epoch_ns(ts), 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |      FROM events),
+        |f AS (SELECT user_id, tsn,
+        |        CASE WHEN prev IS NULL OR tsn - prev > 1800000000000 THEN 1 ELSE 0 END AS nw
+        |      FROM g),
+        |sid AS (SELECT user_id, tsn,
+        |          sum(nw) OVER (PARTITION BY user_id ORDER BY tsn
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |        FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        |  CAST(min(tsn) // 1000000000 AS BIGINT) AS start_s,
+        |  CAST(max(tsn) // 1000000000 AS BIGINT) AS end_s
+        |FROM sid GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin)),
+
+    Q("q_asof_join",  // each click's most recent preceding purchase, per user
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        EventOps.asofJoin(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "purchase"),
+            Seq("user_id"), "ts_ns", "ts_ns", "event_id", "purchase_id")
+          .select(col("event_id"), col("user_id"), col("purchase_id"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT c.event_id, c.user_id, p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin)),
+
+    Q("q_range_join",  // signups by same user within the hour before each error
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        EventOps.rangeCount(
+            ev.filter(col("event_type") === "error"),
+            ev.filter(col("event_type") === "signup"),
+            Seq("user_id"), "ts_ns", "ts_ns", windowNs = 3600L * 1000000000L,
+            leftId = "event_id", outCol = "n_signups")
+          .select(col("event_id"), col("user_id"), col("n_signups"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, e.user_id, count(s.event_id) AS n_signups
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON s.user_id = e.user_id
+        |  AND epoch_ns(e.ts) - epoch_ns(s.ts) BETWEEN 1 AND 3600000000000
+        |GROUP BY e.event_id, e.user_id ORDER BY e.event_id""".stripMargin)),
+
+    Q("q_pivot",  // event-type counts pivoted to columns per user
+      (s, dir) => {
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        val p = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        types.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+          .orderBy("user_id")
+      },
+      Some("""PIVOT events ON event_type
+        |  IN ('click', 'view', 'purchase', 'signup', 'error')
+        |  USING count(*) GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("q_percentiles",  // exact interpolated quantiles per group
+      (s, dir) => Tables.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 
   /** embeddings with float vectors cast to double (IEEE parity with the oracle). */
