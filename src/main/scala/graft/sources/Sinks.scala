@@ -22,6 +22,27 @@ object Sinks {
     (if (format == "csv") w.option("header", "true") else w).save(path)
   }
 
+  /** Hive-style partitioned write: one directory per distinct value of
+    * `partCols`. Downstream filters on those columns become partition
+    * pruning (no data read at all for excluded values) — the coarse
+    * analog of parquet row-group pushdown.
+    */
+  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*)
+      .option("compression", "snappy").parquet(path)
+
+  /** Bucketed table write: pre-hash-partitioned and sorted on the join
+    * key, so equi-joins and aggregations on `bucketCols` plan with NO
+    * shuffle on this side. Requires a table catalog (`saveAsTable`) —
+    * buckets are metadata, plain files can't carry them.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, buckets: Int, bucketCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet").saveAsTable(table)
+
   /** Side/branch output (SURVEY §2.1 S5): the reference's
     * AvroMultipleOutputs writes a filtered branch of one reduce pass to
     * a second file set (ReducerExtractFeatureTFIDF.java:85-88). Spark
