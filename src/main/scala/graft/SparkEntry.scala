@@ -762,6 +762,19 @@ object SparkEntry {
         |  IN ('click', 'view', 'purchase', 'signup', 'error')
         |  USING count(*) GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    Q("q_json_roundtrip",  // C1/S1: serialize to JSON lines, parse back schema-fully
+      (s, dir) => {
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, lang STRING, n_chars BIGINT")
+        Tables.table(s, dir, "documents")
+          .select(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("line"))
+          .select(from_json(col("line"), schema).as("r"))
+          .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+            col("r.n_chars").as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id")),
+
     Q("q_percentiles",  // exact interpolated quantiles per group
       (s, dir) => Tables.table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
