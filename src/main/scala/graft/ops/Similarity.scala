@@ -117,7 +117,9 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, cells: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
     val pts = corpus.select(col(idCol), KMeansOps.asDouble(col(vecCol)).as(vecCol))
-    val km = KMeansOps.lloyd(pts, idCol, vecCol, cells, seed, maxIter = 5)
+    // coarse cells are enough for routing — 3 Lloyd iterations, not a
+    // converged clustering (each iteration is a full corpus pass)
+    val km = KMeansOps.lloyd(pts, idCol, vecCol, cells, seed, maxIter = 3)
     val spark = corpus.sparkSession
     import spark.implicits._
     val cdf = km.centroids.toSeq.toDF("cid", "cvec")
