@@ -762,6 +762,37 @@ object SparkEntry {
         |  IN ('click', 'view', 'purchase', 'signup', 'error')
         |  USING count(*) GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    Q("q_corpus_stats",  // dataset-card profile per source shard
+      (s, dir) => {
+        val toks = TextOps.tokenize(col("text"))
+        Tables.table(s, dir, "documents")
+          .select(col("source"), col("lang"), col("n_chars"), size(toks).as("nt"),
+            TextStats.qualityScore(toks, Stop).as("q"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("nt")).as("total_tokens"),
+            round(avg(col("n_chars")), 4).as("avg_chars"),
+            round(avg(col("q")), 6).as("avg_quality"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source, lang, n_chars,
+        |        regexp_extract_all(lower(text), '\b\w\w+\b') AS toks FROM documents),
+        |m AS (SELECT source, lang, n_chars, len(toks) AS nt,
+        |        0.4 * (CASE WHEN len(toks) = 0 THEN 0.0
+        |               ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END)
+        |      + 0.3 * (1.0 - CASE WHEN len(toks) = 0 THEN 0.0
+        |               ELSE CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
+        |                    AS DOUBLE) / len(toks) END)
+        |      + 0.3 * least((CASE WHEN len(toks) = 0 THEN 0.0
+        |               ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+        |                    AS DOUBLE) / len(toks) END) / 10.0, 1.0) AS q
+        |      FROM d)
+        |SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  round(avg(n_chars), 4) AS avg_chars, round(avg(q), 6) AS avg_quality
+        |FROM m GROUP BY source ORDER BY source""".stripMargin)),
+
     Q("q_json_roundtrip",  // C1/S1: serialize to JSON lines, parse back schema-fully
       (s, dir) => {
         val schema = org.apache.spark.sql.types.StructType.fromDDL(

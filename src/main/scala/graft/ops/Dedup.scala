@@ -113,6 +113,34 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Self-join-free variant of [[jaccardPairsFromHashes]]: group ids
+    * per shingle bucket and emit ordered pairs by in-bucket
+    * combination. One aggregation + one explode replaces the self-join,
+    * and the expensive shingle subtree is evaluated twice (buckets,
+    * sizes) instead of three times. `maxBucket` drops pathological
+    * buckets exactly like [[lshCandidates]] — at 100 TB a shingle
+    * shared by 1e6 docs must be dropped or df-filtered either way, or
+    * the pair space itself is the bottleneck.
+    */
+  def jaccardPairsBucketed(
+      e: DataFrame, minJ: Double, maxBucket: Int = 10000): DataFrame = {
+    val sizes = e.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val n = size(col("ids"))
+    val pairs = e.groupBy(col("h")).agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(n.between(2, maxBucket))
+      .select(explode(flatten(transform(
+        sequence(lit(1), n - 1),
+        i => transform(slice(col("ids"), i + 1, n - i),
+          x => struct(element_at(col("ids"), i).as("id1"), x.as("id2")))))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+    pairs.groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "s1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "s2"), "id2")
+      .withColumn("jaccard", col("inter") / (col("s1") + col("s2") - col("inter")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** Exact pairwise Jaccard over distinct shingle sets: all pairs
     * sharing ≥1 shingle (plus optional equality blocking column) with
     * jaccard ≥ minJ. Output: (id1, id2, jaccard).

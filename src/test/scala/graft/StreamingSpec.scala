@@ -35,6 +35,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark: late rows beyond the 2h bound are dropped in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double, java.sql.Timestamp)]
+    val q = StreamOps.hourlyCounts(mem.toDF().toDF("event_type", "value", "ts"))
+      .writeStream.format("memory").queryName("wm").outputMode("append").start()
+    try {
+      // batch 1: events in hour 0, then an hour-6 event to advance the watermark to 4h
+      mem.addData(("click", 1.0, ts(0)), ("click", 2.0, ts(10)), ("click", 9.0, ts(360)))
+      q.processAllAvailable()
+      // batch 2: a late hour-0 event — 4h behind the watermark → must be dropped
+      mem.addData(("click", 100.0, ts(5)))
+      q.processAllAvailable()
+      // batch 3: advance watermark past hour 6 so its window also finalizes
+      mem.addData(("click", 1.0, ts(600)))
+      q.processAllAvailable()
+      val rows = spark.table("wm").as[(Long, String, Long, Double)].collect()
+      val hour0Start = ts(0).getTime / 1000 / 3600 * 3600  // window start, not event time
+      val hour0 = rows.filter(_._1 == hour0Start)
+      assert(hour0.length == 1)
+      assert(hour0.head._3 == 2L && hour0.head._4 == 3.0,
+        s"late row must not be counted: ${hour0.toSeq}")
+    } finally q.stop()
+  }
+
   test("userRunningTotals: mapGroupsWithState accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
