@@ -60,6 +60,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream: hourlyCounts over streamed events parquet == batch") {
+    import spark.implicits._
+    val batchEvents = Tables.events(spark, TestSpark.Sf)
+      .select($"event_type", $"value", $"ts")
+    val schema = batchEvents.schema
+    // stage the table as a file-source dir (the production readStream path)
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    batchEvents.write.mode("overwrite").parquet(s"$dir/in")
+    val sdf = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = StreamOps.hourlyCounts(sdf).writeStream
+      .format("memory").queryName("filesrc").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("filesrc")
+        .as[(Long, String, Long, Double)].collect().toSet
+      val batch = StreamOps.hourlyCounts(batchEvents)
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.size > 10)
+    } finally q.stop()
+  }
+
   test("userRunningTotals: mapGroupsWithState accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
