@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, EventOps, KMeansOps}
+
+class EdgeCaseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("kmeans: k > distinct points — empty clusters vanish (reference semantics)") {
+    val pts = Seq(
+      (1L, Array(0.0, 0.0)), (2L, Array(0.1, 0.0)),
+      (3L, Array(10.0, 10.0))).toDF("id", "v")
+    val res = KMeansOps.lloyd(pts, "id", "v", k = 3, seed = 5L, maxIter = 10)
+    assert(res.assignments.count() == 3)
+    assert(res.centroids.length <= 3)
+    // every point still assigned exactly once even if k shrank
+    assert(res.assignments.select($"id").distinct().count() == 3)
+  }
+
+  test("lshCandidates: maxBucket drops pathological buckets, keeps normal ones") {
+    // 30 identical docs (one hot bucket per band) + 2 similar docs
+    val docs = ((1L to 30L).map(i => (i, Seq("x", "y", "z"))) ++
+      Seq((100L, Seq("p", "q", "r")), (101L, Seq("p", "q", "r"))))
+      .toDF("doc_id", "toks")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "toks", numHashes = 16, seed = 1L)
+    val capped = Dedup.lshCandidates(sigs, bands = 4, maxBucket = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(capped.contains((100L, 101L)), "normal bucket pair must survive")
+    assert(!capped.exists(p => p._1 <= 30 && p._2 <= 30),
+      s"hot-bucket pairs must be dropped, got ${capped.size}")
+    val uncapped = Dedup.lshCandidates(sigs, bands = 4, maxBucket = 1000)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.exists(p => p._1 <= 30 && p._2 <= 30))
+  }
+
+  test("rangeCount boundaries: [t-window, t) — lower inclusive, upper exclusive") {
+    val w = 1000L
+    val left = Seq((1L, 10L, 5000L)).toDF("event_id", "k", "ts")
+    val right = Seq(
+      (10L, 4000L),  // exactly t-window → included
+      (10L, 4999L),  // just inside → included
+      (10L, 5000L),  // exactly t → excluded
+      (10L, 3999L))  // just outside → excluded
+      .toDF("k", "ts")
+    val got = EventOps.rangeCount(left, right, Seq("k"), "ts", "ts", w, "event_id", "n")
+      .select($"event_id", $"n").as[(Long, Long)].head()
+    assert(got == ((1L, 2L)))
+  }
+
+  test("asofJoin: equal timestamp is matched (<=); later rows are not") {
+    val clicks = Seq((1L, 10L, 100L), (2L, 10L, 50L)).toDF("id", "k", "ts")
+    val purchases = Seq((900L, 10L, 100L), (901L, 10L, 150L)).toDF("pid", "k", "ts")
+    val got = EventOps.asofJoin(clicks, purchases, Seq("k"), "ts", "ts", "pid", "m")
+      .select($"id", $"m").as[(Long, Option[Long])].collect().toMap
+    assert(got(1L) == Some(900L), "equal-ts purchase must match")
+    assert(got(2L) == None, "future purchase must not match")
+  }
+
+  test("tfidf: doc whose tokens all miss the vocabulary gets a zero dense vector") {
+    val docs = Seq((1L, Seq("aa", "bb")), (2L, Seq("zz"))).toDF("id", "toks")
+    val vocab = Seq(("aa", 1.5), ("bb", 2.0)).toDF("word", "idf")
+    val w = graft.ops.Tfidf.tfidfVectors(docs, "id", "toks", vocab, 6, dense = true)
+      .as[(Long, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(w((2L, "aa")) == 0.0 && w((2L, "bb")) == 0.0)
+    assert(w((1L, "aa")) != 0.0)
+    assert(w.size == 4)
+  }
+}
