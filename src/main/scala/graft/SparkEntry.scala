@@ -762,6 +762,42 @@ object SparkEntry {
         |  IN ('click', 'view', 'purchase', 'signup', 'error')
         |  USING count(*) GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    Q("q_curation",  // full curation funnel: quality → exact dedup → near-dup drop
+      (s, dir) => graft.pipeline.Curation.curate(
+          Tables.table(s, dir, "documents"), "doc_id", "text",
+          graft.pipeline.Curation.Config())
+        .orderBy("doc_id"),
+      Some("""WITH raw AS (SELECT doc_id,
+        |        regexp_extract_all(lower(text), '\b\w\w+\b') AS rt FROM documents),
+        |ann AS (SELECT doc_id,
+        |        list_filter(rt, x -> x NOT IN ('the', 'a')) AS toks,
+        |        0.4 * (CASE WHEN len(rt) = 0 THEN 0.0
+        |               ELSE CAST(len(list_distinct(rt)) AS DOUBLE) / len(rt) END)
+        |      + 0.3 * (1.0 - CASE WHEN len(rt) = 0 THEN 0.0
+        |               ELSE CAST(len(list_filter(rt, x -> x IN ('the', 'a')))
+        |                    AS DOUBLE) / len(rt) END)
+        |      + 0.3 * least((CASE WHEN len(rt) = 0 THEN 0.0
+        |               ELSE CAST(list_sum(list_transform(rt, x -> length(x)))
+        |                    AS DOUBLE) / len(rt) END) / 10.0, 1.0) AS quality
+        |        FROM raw),
+        |kept AS (SELECT doc_id, toks,
+        |           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+        |         FROM ann WHERE quality >= 0.6),
+        |ex AS (SELECT doc_id, toks FROM kept
+        |       QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |         ELSE list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+        |       FROM ex),
+        |e AS (SELECT doc_id, unnest(s) AS w, len(s) AS sz FROM sh),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter,
+        |             max(a.sz) AS s1, max(b.sz) AS s2
+        |      FROM e a JOIN e b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |drops AS (SELECT DISTINCT id2 FROM p
+        |          WHERE CAST(inter AS DOUBLE) / (s1 + s2 - inter) >= 0.5)
+        |SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT id2 FROM drops)
+        |ORDER BY doc_id""".stripMargin)),
+
     Q("q_corpus_stats",  // dataset-card profile per source shard
       (s, dir) => {
         val toks = TextOps.tokenize(col("text"))
