@@ -431,6 +431,18 @@ object SparkEntry {
       },
       None),
 
+    Q("q_char_minhash_pairs",  // char-5-gram MinHash via the custom rolling-hash
+      (s, dir) => {               // Expression (CharShingleHashes) — rows-only
+        val e = Tables.table(s, dir, "documents")
+          .select(col("doc_id").as("id"),
+            explode(graft.functions.CharShingleHashes.char_shingle_hashes(
+              lower(col("text")), 5)).as("h"))
+          .distinct()
+        val sigs = Dedup.minhashFromHashes(e, numHashes = 128, seed = 42L)
+        Dedup.lshCandidates(sigs, bands = 32).orderBy("id1", "id2")
+      },
+      None),
+
     Q("q_simhash_pairs",  // SimHash near-dups (Hamming ≤ 3) — rows-only
       (s, dir) => Dedup.simhashPairs(
           Dedup.simhash64(docsTokens(s, dir), "doc_id", "toks"), maxDist = 3)
