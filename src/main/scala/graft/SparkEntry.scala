@@ -402,7 +402,8 @@ object SparkEntry {
 
     Q("q_ngram3_jaccard",  // exact word-3-shingle Jaccard ≥ 0.5, unblocked
       (s, dir) => Dedup.jaccardPairsFromHashes(
-          Dedup.shingleHashes(docsTokens(s, dir), "doc_id", "toks", k = 3), 0.5)
+          Dedup.shingleHashes(docsTokens(s, dir), "doc_id", "toks", k = 3), 0.5,
+          materialize = true)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id1", "id2"),
       Some(s"""WITH t AS ($SqlToks),

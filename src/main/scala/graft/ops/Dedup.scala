@@ -99,7 +99,12 @@ object Dedup {
     * only perturbs one intersection count by 1.)
     */
   def jaccardPairsFromHashes(
-      e: DataFrame, minJ: Double, blockCol: Option[String] = None): DataFrame = {
+      e0: DataFrame, minJ: Double, blockCol: Option[String] = None,
+      materialize: Boolean = false): DataFrame = {
+    // the exploded frame is referenced three times (two join sides +
+    // sizes); when its lineage is expensive (k>1 shingling = window +
+    // distinct), localCheckpoint computes it once and reuses the blocks
+    val e = if (materialize) e0.localCheckpoint() else e0
     val sizes = e.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val joinCond = blockCol.map(b => col(s"a.$b") === col(s"b.$b"))
       .foldLeft(col("a.h") === col("b.h") && col("a.id") < col("b.id"))(_ && _)

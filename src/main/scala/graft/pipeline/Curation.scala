@@ -53,7 +53,7 @@ object Curation {
     // near-dup: drop the higher id of every qualifying pair
     val pairs = Dedup.jaccardPairsFromHashes(
       Dedup.shingleHashes(keptExact, idCol, "toks", cfg.shingleK),
-      cfg.nearDupJaccard)
+      cfg.nearDupJaccard, materialize = true)
     keptExact.join(pairs.select(col("id2").as(idCol)).distinct(),
         Seq(idCol), "left_anti")
       .select(col(idCol))
