@@ -27,6 +27,15 @@ object SparkEntry {
       .select(col("doc_id"),
         TextOps.tokenizeFiltered(col("text"), Stop, Nil).as("toks"))
 
+  /** Integer-arithmetic quality score over a `toks` list column —
+    * bit-identical to TextStats.qualityScore (see its scaladoc). */
+  private val SqlQuality =
+    """(CASE WHEN len(toks) = 0 THEN 0.3
+      | ELSE (40 * len(list_distinct(toks))
+      |      + 30 * (len(toks) - len(list_filter(toks, x -> x IN ('the', 'a'))))
+      |      + 3 * least(list_sum(list_transform(toks, x -> length(x))), 10 * len(toks)))
+      |      / (100.0 * len(toks)) END)""".stripMargin.replace("\n", "")
+
   /** DuckDB fragment mirroring [[docsTokens]] (RE2 regex, same semantics). */
   private val SqlToks =
     """SELECT doc_id, list_filter(regexp_extract_all(lower(text), '\b\w\w+\b'),
@@ -456,7 +465,9 @@ object SparkEntry {
         val emb = Tables.table(s, dir, "embeddings")
         Similarity.bruteTopK(
             emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", k = 5)
-          .withColumn("cos", round(col("cos"), 6))
+          // 4dp, not 6: engines sum dims in different orders (~1e-15 apart)
+          // and at 10k+ values a round-6 boundary hit becomes likely
+          .withColumn("cos", round(col("cos"), 4))
           .orderBy("query_id", "rank")
       },
       Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -471,7 +482,7 @@ object SparkEntry {
         |r AS (SELECT query_id, vec_id, cos,
         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
         |      FROM c)
-        |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, round(cos, 6) AS cos
+        |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, round(cos, 4) AS cos
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     Q("q_cosine_pairs",  // embedding near-dup pairs: cosine ≥ 0.4, unblocked
@@ -541,8 +552,8 @@ object SparkEntry {
           round(TextStats.qualityScore(toks, Stop), 6).as("score"))
           .orderBy("doc_id")
       },
-      Some("""WITH t AS (SELECT doc_id,
-        |        regexp_extract_all(lower(text), '\b\w\w+\b') AS toks FROM documents),
+      Some(s"""WITH t AS (SELECT doc_id,
+        |        regexp_extract_all(lower(text), '\\b\\w\\w+\\b') AS toks FROM documents),
         |m AS (SELECT doc_id, len(toks) AS n_tokens,
         |  CASE WHEN len(toks) = 0 THEN 0.0
         |       ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS dr,
@@ -551,12 +562,12 @@ object SparkEntry {
         |            / len(toks) END AS sr,
         |  CASE WHEN len(toks) = 0 THEN 0.0
         |       ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-        |            / len(toks) END AS ml
+        |            / len(toks) END AS ml,
+        |  $SqlQuality AS q
         |  FROM t)
         |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
         |  round(dr, 6) AS distinct_ratio, round(sr, 6) AS stopword_ratio,
-        |  round(ml, 6) AS mean_len,
-        |  round(0.4 * dr + 0.3 * (1.0 - sr) + 0.3 * least(ml / 10.0, 1.0), 6) AS score
+        |  round(ml, 6) AS mean_len, round(q, 6) AS score
         |FROM m ORDER BY doc_id""".stripMargin)),
 
     Q("q_token_stats",
@@ -780,27 +791,20 @@ object SparkEntry {
           Tables.table(s, dir, "documents"), "doc_id", "text",
           graft.pipeline.Curation.Config())
         .orderBy("doc_id"),
-      Some("""WITH raw AS (SELECT doc_id,
-        |        regexp_extract_all(lower(text), '\b\w\w+\b') AS rt FROM documents),
+      Some(s"""WITH raw AS (SELECT doc_id,
+        |        regexp_extract_all(lower(text), '\\b\\w\\w+\\b') AS toks FROM documents),
         |ann AS (SELECT doc_id,
-        |        list_filter(rt, x -> x NOT IN ('the', 'a')) AS toks,
-        |        0.4 * (CASE WHEN len(rt) = 0 THEN 0.0
-        |               ELSE CAST(len(list_distinct(rt)) AS DOUBLE) / len(rt) END)
-        |      + 0.3 * (1.0 - CASE WHEN len(rt) = 0 THEN 0.0
-        |               ELSE CAST(len(list_filter(rt, x -> x IN ('the', 'a')))
-        |                    AS DOUBLE) / len(rt) END)
-        |      + 0.3 * least((CASE WHEN len(rt) = 0 THEN 0.0
-        |               ELSE CAST(list_sum(list_transform(rt, x -> length(x)))
-        |                    AS DOUBLE) / len(rt) END) / 10.0, 1.0) AS quality
+        |        list_filter(toks, x -> x NOT IN ('the', 'a')) AS ftoks,
+        |        $SqlQuality AS quality
         |        FROM raw),
-        |kept AS (SELECT doc_id, toks,
-        |           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+        |kept AS (SELECT doc_id, ftoks,
+        |           md5(array_to_string(list_sort(list_distinct(ftoks)), ' ')) AS fp
         |         FROM ann WHERE quality >= 0.6),
-        |ex AS (SELECT doc_id, toks FROM kept
+        |ex AS (SELECT doc_id, ftoks FROM kept
         |       QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
-        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
-        |         ELSE list_transform(range(1, len(toks) - 1),
-        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ftoks) < 3 THEN []
+        |         ELSE list_transform(range(1, len(ftoks) - 1),
+        |           i -> ftoks[i] || ' ' || ftoks[i+1] || ' ' || ftoks[i+2]) END) AS s
         |       FROM ex),
         |e AS (SELECT doc_id, unnest(s) AS w, len(s) AS sz FROM sh),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter,
@@ -825,18 +829,9 @@ object SparkEntry {
             round(avg(col("q")), 6).as("avg_quality"))
           .orderBy("source")
       },
-      Some("""WITH d AS (SELECT source, lang, n_chars,
-        |        regexp_extract_all(lower(text), '\b\w\w+\b') AS toks FROM documents),
-        |m AS (SELECT source, lang, n_chars, len(toks) AS nt,
-        |        0.4 * (CASE WHEN len(toks) = 0 THEN 0.0
-        |               ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END)
-        |      + 0.3 * (1.0 - CASE WHEN len(toks) = 0 THEN 0.0
-        |               ELSE CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
-        |                    AS DOUBLE) / len(toks) END)
-        |      + 0.3 * least((CASE WHEN len(toks) = 0 THEN 0.0
-        |               ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
-        |                    AS DOUBLE) / len(toks) END) / 10.0, 1.0) AS q
-        |      FROM d)
+      Some(s"""WITH d AS (SELECT source, lang, n_chars,
+        |        regexp_extract_all(lower(text), '\\b\\w\\w+\\b') AS toks FROM documents),
+        |m AS (SELECT source, lang, n_chars, len(toks) AS nt, $SqlQuality AS q FROM d)
         |SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
         |  CAST(sum(nt) AS BIGINT) AS total_tokens,
         |  round(avg(n_chars), 4) AS avg_chars, round(avg(q), 6) AS avg_quality

@@ -45,10 +45,13 @@ object Similarity {
   def bruteTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    val q = withUnitVec(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-      "qv", "qu").drop("qv")
-    val c = withUnitVec(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv")),
-      "cv", "cu").drop("cv")
+    // cast to double BEFORE any arithmetic: zip_with on float arrays
+    // multiplies in float precision (~1e-8 relative error) — enough to
+    // flip rounded outputs and rankings vs double-precision engines
+    val q = withUnitVec(queries.select(col(idCol).as("query_id"),
+      KMeansOps.asDouble(col(vecCol)).as("qv")), "qv", "qu").drop("qv")
+    val c = withUnitVec(corpus.select(col(idCol).as("vec_id"),
+      KMeansOps.asDouble(col(vecCol)).as("cv")), "cv", "cu").drop("cv")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("vec_id"))
@@ -66,7 +69,8 @@ object Similarity {
       minCos: Double, blockCol: Option[String] = None): DataFrame = {
     val c = withUnitVec(
       corpus.select(col(idCol).as("id") +: blockCol.map(col).toSeq: _*)
-        .join(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), Seq("id")),
+        .join(corpus.select(col(idCol).as("id"),
+          KMeansOps.asDouble(col(vecCol)).as("v")), Seq("id")),
       "v", "u").drop("v")
     val cond = blockCol.map(b => col(s"a.$b") === col(s"b.$b"))
       .foldLeft(col("a.id") < col("b.id"))(_ && _)

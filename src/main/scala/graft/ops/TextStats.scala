@@ -55,11 +55,26 @@ object TextStats {
   /** Composite quality score in [0,1]: rewards lexical diversity,
     * penalizes stopword stuffing, saturating credit for word length —
     * the standard shape of heuristic quality filters for LLM corpora.
+    *
+    * Mathematically `0.4·distinct_ratio + 0.3·(1−stopword_ratio) +
+    * 0.3·min(mean_len/10, 1)`, but computed as ONE division of exact
+    * integers: `(40·nd + 30·(n−ns) + 3·min(sl, 10n)) / (100n)`. A
+    * float-composed version produces exact decimal-boundary rationals
+    * (denominators 2^a·5^b) where Spark's BigDecimal rounding and the
+    * oracle's scale-multiply rounding disagree by 1 ulp — the
+    * single-division form is bit-identical across engines at any
+    * rounding scale. Empty docs score 0.3 (the middle term's floor).
     */
-  def qualityScore(tokens: Column, stopwords: Seq[String]): Column =
-    lit(0.4) * distinctRatio(tokens) +
-      lit(0.3) * (lit(1.0) - stopwordRatio(tokens, stopwords)) +
-      lit(0.3) * least(meanTokenLen(tokens) / 10.0, lit(1.0))
+  def qualityScore(tokens: Column, stopwords: Seq[String]): Column = {
+    val n = size(tokens).cast("long")
+    val nd = size(array_distinct(tokens)).cast("long")
+    val ns = size(filter(tokens, t => t.isin(stopwords: _*))).cast("long")
+    val sl = aggregate(transform(tokens, t => length(t).cast("long")), lit(0L), _ + _)
+    when(n === 0, lit(0.3))
+      .otherwise(
+        (lit(40L) * nd + lit(30L) * (n - ns) + lit(3L) * least(sl, n * 10L))
+          / (lit(100.0) * n))
+  }
 
   /** Whitespace token count — `size(split)` on the raw text (counts
     * empty string as 1 token on empty text, like split semantics in
