@@ -837,6 +837,49 @@ object SparkEntry {
         |  round(avg(n_chars), 4) AS avg_chars, round(avg(q), 6) AS avg_quality
         |FROM m GROUP BY source ORDER BY source""".stripMargin)),
 
+    Q("q_grouping_sets",  // SQL front-end: explicit GROUPING SETS
+      (s, dir) => {
+        Tables.table(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS cnt
+          FROM lineitem_v
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    Q("q_string_funcs",  // scalar string surface: case, substr, concat, length, edit distance
+      (s, dir) => Tables.table(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 8).as("name8"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("bt"),
+          length(col("p_name")).as("name_len"),
+          levenshtein(col("p_brand"), col("p_type")).as("edit_dist"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(p_brand) AS brand_u,
+        |  substring(p_name, 1, 8) AS name8,
+        |  concat_ws('/', p_brand, p_type) AS bt,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  CAST(levenshtein(p_brand, p_type) AS INT) AS edit_dist
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    Q("q_date_parts",  // temporal scalar surface over order dates
+      (s, dir) => Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          quarter(col("o_orderdate")).as("q"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS d,
+        |  CAST(quarter(o_orderdate) AS INT) AS q
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     Q("q_json_roundtrip",  // C1/S1: serialize to JSON lines, parse back schema-fully
       (s, dir) => {
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
