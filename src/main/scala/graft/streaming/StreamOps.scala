@@ -44,4 +44,50 @@ object StreamOps {
 
   /** The output mode [[userRunningTotals]] requires when streamed. */
   val UserTotalsOutputMode: OutputMode = OutputMode.Update()
+
+  final case class SEv(user_id: Long, ts: java.sql.Timestamp)
+  final case class OpenSession(start: Long, end: Long, n: Long)
+  final case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** Streaming gap sessionizer — the stream twin of
+    * EventOps.sessionize: a session closes when the next event of the
+    * key is more than `gapMs` later (emitted immediately on arrival of
+    * the closing event) or when the event-time watermark passes the
+    * open session's end + gap (event-time timeout — no closing event
+    * needed). flatMapGroupsWithState + EventTimeTimeout is the pattern;
+    * the input must carry a watermark (`withWatermark` on ts).
+    */
+  def sessionizeStream(events: Dataset[SEv], gapMs: Long,
+      watermarkDelay: String = "10 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[SEv], state: GroupState[OpenSession]) =>
+          if (evs.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(uid, s.start, s.end, s.n))
+          } else {
+            val sorted = evs.map(_.ts.getTime).toArray.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption.orNull
+            sorted.foreach { t =>
+              cur match {
+                case null => cur = OpenSession(t, t, 1)
+                case s if t - s.end > gapMs =>
+                  closed ::= Session(uid, s.start, s.end, s.n)
+                  cur = OpenSession(t, t, 1)
+                case s => cur = OpenSession(s.start, t, s.n + 1)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 }

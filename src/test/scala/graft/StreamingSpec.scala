@@ -82,6 +82,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeStream: closes on gap arrival and on event-time timeout") {
+    import spark.implicits._
+    import graft.streaming.StreamOps.{SEv, Session}
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def ev(u: Long, ms: Long) = SEv(u, new java.sql.Timestamp(t0 + ms))
+    val mem = MemoryStream[SEv]
+    val q = StreamOps.sessionizeStream(mem.toDS(), gapMs = 30000L, "1 second")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // session A: two events 1s apart
+      mem.addData(ev(1, 0), ev(1, 1000))
+      q.processAllAvailable()
+      // 60s later: closes session A by arrival-gap, opens session B
+      mem.addData(ev(1, 61000))
+      q.processAllAvailable()
+      // far-future event on another key advances the watermark past
+      // session B's end+gap → B closes by event-time timeout
+      mem.addData(ev(2, 300000))
+      q.processAllAvailable()
+      mem.addData(ev(2, 600000))
+      q.processAllAvailable()
+      val got = spark.table("sessions").as[Session].collect()
+        .map(s => (s.user_id, s.start_ms - t0, s.end_ms - t0, s.n_events)).toSet
+      assert(got.contains((1L, 0L, 1000L, 2L)), s"gap-closed session missing: $got")
+      assert(got.contains((1L, 61000L, 61000L, 1L)), s"timeout-closed session missing: $got")
+    } finally q.stop()
+  }
+
   test("userRunningTotals: mapGroupsWithState accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
