@@ -485,8 +485,8 @@ object SparkEntry {
         |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, round(cos, 4) AS cos
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)),
 
-    Q("q_cosine_pairs",  // embedding near-dup pairs: cosine ≥ 0.4, unblocked
-      (s, dir) => Similarity.cosinePairsFast(
+    Q("q_cosine_pairs",  // embedding pairs cosine ≥ 0.4 — exact distributed
+      (s, dir) => Similarity.cosinePairsBlocked(  // kernel, no driver collect
           Tables.table(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id1", "id2"),
@@ -499,6 +499,32 @@ object SparkEntry {
         |      FROM d JOIN n na ON na.vec_id = id1 JOIN n nb ON nb.vec_id = id2)
         |SELECT id1, id2, round(cos, 6) AS cos FROM c
         |WHERE cos >= 0.4 ORDER BY id1, id2""".stripMargin)),
+
+    Q("q_cosine_pairs_lsh",  // near-dup pairs ≥ 0.9 via hyperplane LSH + exact
+      (s, dir) => {           // verify; corpus = embeddings ∪ perturbed copies
+        Similarity.cosinePairsLsh(perturbedEmb(s, dir), "vec_id", "v", 0.9)
+          .withColumn("cos", round(col("cos"), 6))
+          .orderBy("id1", "id2")
+      },
+      // oracle is EXACT all-pairs SQL — at cos≈0.999 the 8×16 LSH miss
+      // probability is ~1e-19 per pair, so full recall is certain and the
+      // hash must match. The perturbed copies (dim-dependent exact-double
+      // scale factors) are what puts near-dup pairs in the synthetic data.
+      Some("""WITH ex0 AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |ex AS (SELECT vec_id, x, i FROM ex0
+        |       UNION ALL
+        |       SELECT vec_id + 1000000,
+        |              x * (CAST(0.98 AS DOUBLE)
+        |                   + CAST(0.01 AS DOUBLE) * CAST(i % 3 AS DOUBLE)), i
+        |       FROM ex0),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+        |d AS (SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.x * b.x) AS dp
+        |      FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+        |c AS (SELECT id1, id2, dp / (na.nrm * nb.nrm) AS cos
+        |      FROM d JOIN n na ON na.vec_id = id1 JOIN n nb ON nb.vec_id = id2)
+        |SELECT id1, id2, round(cos, 6) AS cos FROM c
+        |WHERE cos >= 0.9 ORDER BY id1, id2""".stripMargin)),
 
     Q("q_ann_ivf",  // IVF ANN top-5 — K-Means init uses Spark rand → rows-only
       (s, dir) => {
@@ -912,6 +938,20 @@ object SparkEntry {
   private def embDouble(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), KMeansOps.asDouble(col("embedding")).as("v"))
+
+  /** embeddings ∪ a perturbed copy of each (vec_id + 1e6, dims scaled by
+    * exact-double factors 0.98/0.99/1.00 cycling by dim index). The
+    * synthetic embeddings have no high-cosine pairs (max ≈ 0.6), so this
+    * plants exactly one ≈0.999-cosine partner per vector — the near-dup
+    * regime LSH is built for — with arithmetic both engines reproduce
+    * bit-exactly. */
+  private def perturbedEmb(s: SparkSession, dir: String): DataFrame = {
+    val base = embDouble(s, dir)
+    base.unionByName(base.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("v"),
+        (x, i) => x * (lit(0.98) + lit(0.01) * (i % 3).cast("double"))).as("v")))
+  }
 
   /** Deterministic k=8 "initial centroids": the vectors with vec_id < 8 —
     * SQL-expressible on both sides (the seeded-random init is exercised by

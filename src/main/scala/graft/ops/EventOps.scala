@@ -84,6 +84,5 @@ object EventOps {
       .agg(count(lit(1)).as(outCol))
     left.join(cnt, Seq(leftId), "left")
       .withColumn(outCol, coalesce(col(outCol), lit(0L)))
-      .drop("__b")
   }
 }

@@ -88,6 +88,11 @@ object Similarity {
     * dims) so round-6 results agree with the oracle. This is the
     * mapPartitions escape hatch used deliberately: an all-pairs kernel
     * is genuine per-partition imperative logic (SURVEY §1.1).
+    *
+    * SMALL-CORPUS KERNEL ONLY: it collects the n×d matrix to the driver.
+    * The scale paths are [[cosinePairsBlocked]] (exact, distributed) and
+    * [[cosinePairsLsh]] (high-threshold near-dup); [[cosinePairsAuto]]
+    * routes.
     */
   def cosinePairsFast(
       corpus: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
@@ -110,6 +115,137 @@ object Similarity {
         }
       }
     }.toDF("id1", "id2", "cos")
+  }
+
+  /** Exact all-pairs cosine ≥ minCos with NO driver-side collect — the
+    * 100 TB form of [[cosinePairsFast]]. Vectors are hashed into
+    * `blocks` groups; each of the blocks·(blocks+1)/2 block pairs
+    * becomes one task that runs the same tight primitive-array kernel
+    * over its two blocks. Work is still O(n²·d) — exact all-pairs is
+    * quadratic by nature — but it is fully task-parallel, the driver
+    * never sees a vector, and per-task memory is 2·(n/blocks)·d doubles
+    * (pick blocks ≈ n·d·8B / 256 MB so two blocks fit an executor).
+    * Shuffle volume is O(n·blocks) — each block is replicated once per
+    * partner block.
+    */
+  def cosinePairsBlocked(
+      corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      blocks: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val unit = withUnitVec(
+      corpus.select(col(idCol).cast("long").as("id"),
+        KMeansOps.asDouble(col(vecCol)).as("v")), "v", "u")
+      .select(col("id"), col("u"))
+    val packed = unit
+      .withColumn("b", pmod(xxhash64(col("id")), lit(blocks.toLong)).cast("int"))
+      .groupBy(col("b"))
+      .agg(collect_list(struct(col("id"), col("u"))).as("vs"))
+    val bp = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+      .toDF("bi", "bj")
+    packed.select(col("b").as("bi"), col("vs").as("v1"))
+      .join(broadcast(bp), "bi")
+      .join(packed.select(col("b").as("bj"), col("vs").as("v2")), "bj")
+      .select(col("bi"), col("bj"), col("v1"), col("v2"))
+      .flatMap { row =>
+        def mat(i: Int) = row.getSeq[org.apache.spark.sql.Row](i)
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toArray
+        val same = row.getInt(0) == row.getInt(1)
+        val (m1, m2) = (mat(2), mat(3))
+        m1.iterator.flatMap { case (ida, ua) =>
+          m2.iterator.filter { case (idb, _) => if (same) idb > ida else idb != ida }
+            .flatMap { case (idb, ub) =>
+              var s = 0.0
+              var i = 0
+              while (i < ua.length) { s += ua(i) * ub(i); i += 1 }
+              if (s >= minCos)
+                Iterator.single((math.min(ida, idb), math.max(ida, idb), s))
+              else Iterator.empty
+            }
+        }
+      }.toDF("id1", "id2", "cos")
+      // each unordered block pair occurs exactly once (i <= j), and
+      // same-block pairs are halved by idb > ida — no distinct needed
+  }
+
+  /** Approximate all-pairs cosine ≥ minCos via random-hyperplane LSH
+    * (Charikar SimHash over real projections) + exact verify:
+    *  1. project each unit vector onto bands·bitsPerBand seeded Gaussian
+    *     hyperplanes; pack each band's sign bits into a long bucket key;
+    *  2. docs sharing any (band, bucket) become candidate pairs
+    *     (bucket-local joins, `maxBucket` caps boilerplate buckets);
+    *  3. candidates are verified with an exact unit-vector dot product —
+    *     so output pairs are exact; only recall is probabilistic.
+    * P(bit agrees) = 1 − θ/π, so per-pair miss = (1 − p^bits)^bands:
+    * at cos 0.9 the 8×16 default misses ~5e-20; at cos 0.8 ~6e-2 —
+    * use more bands (or fewer bits) for lower thresholds. No collect,
+    * no broadcast of the corpus; candidate joins ship 8-byte keys only.
+    */
+  def cosinePairsLsh(
+      corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      bitsPerBand: Int = 8, bands: Int = 16, seed: Long = 42L,
+      maxBucket: Int = 10000): DataFrame = {
+    val unit = withUnitVec(
+      corpus.select(col(idCol).cast("long").as("id"),
+        KMeansOps.asDouble(col(vecCol)).as("v")), "v", "u")
+      .select(col("id"), col("u"))
+    val dims = unit.select(size(col("u")).as("d")).limit(1).collect()
+    if (dims.isEmpty) {
+      val spark = corpus.sparkSession
+      return spark.range(0).select(col("id").as("id1"), col("id").as("id2"),
+        lit(0.0).as("cos"))
+    }
+    val dim = dims.head.getInt(0)
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(bands * bitsPerBand)(Seq.fill(dim)(rnd.nextGaussian()))
+    // bands·bits·dim doubles as one plan literal (8·16·64 = 8k here; at
+    // very high dim switch to a broadcast variable — same plan shape).
+    val planesLit = typedLit(planes)
+    // posexplode-band-first so each of the bands·bits projections is
+    // evaluated exactly once per row (an unaliased array-of-band-hashes
+    // would be re-evaluated through the explode's implicit filter —
+    // the measured ~7× tax documented at Dedup.shingleHashes).
+    val e = unit.select(col("id"), col("u"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+    val bits = (0 until bitsPerBand).map { i =>
+      val p = element_at(planesLit, col("band") * bitsPerBand + lit(i) + 1)
+      when(dot(col("u"), p) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    val buckets = e.select(col("id"), col("band"),
+      bits.reduce(_.bitwiseOR(_)).as("bh"))
+    val sized = buckets.withColumn("bsz",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("bsz") <= maxBucket)
+    val cand = sized.as("a").join(sized.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    cand
+      .join(unit.select(col("id").as("id1"), col("u").as("u1")), "id1")
+      .join(unit.select(col("id").as("id2"), col("u").as("u2")), "id2")
+      .withColumn("cos", dot(col("u1"), col("u2")))
+      .filter(col("cos") >= minCos)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
+  /** Routing wrapper for cosine pairs: small corpora take the
+    * broadcast-matrix kernel ([[cosinePairsFast]] — fastest when the
+    * n×d matrix fits the driver); large corpora take [[cosinePairsLsh]]
+    * when the threshold is high enough for strong recall (≥ lshMinCos),
+    * else the exact distributed [[cosinePairsBlocked]] — a low
+    * similarity threshold genuinely requires quadratic work, LSH cannot
+    * prune cos 0.4 from the cos 0 background (p = 0.63 vs 0.5 per bit).
+    */
+  def cosinePairsAuto(
+      corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      collectLimit: Long = 100000, lshMinCos: Double = 0.85): DataFrame = {
+    val n = corpus.count()
+    if (n <= collectLimit) cosinePairsFast(corpus, idCol, vecCol, minCos)
+    else if (minCos >= lshMinCos) cosinePairsLsh(corpus, idCol, vecCol, minCos)
+    else cosinePairsBlocked(corpus, idCol, vecCol, minCos,
+      blocks = math.max(16, (n / 4096L).toInt))
   }
 
   /** IVF (inverted-file) ANN: cluster the corpus into `cells` K-Means

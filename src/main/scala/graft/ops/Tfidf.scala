@@ -68,13 +68,13 @@ object Tfidf {
     // (maxDf == 1.0 means "100% of docs", sklearn's default)
     val lo = if (minDf < 1.0) minDf * n else minDf
     val hi = if (maxDf <= 1.0) maxDf * n else maxDf
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("word"))
-    dfreqCnt
-      .filter(col("df") >= lo && col("df") <= hi)
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= maxFeatures)
-      .drop("__r")
+    val kept = dfreqCnt.filter(col("df") >= lo && col("df") <= hi)
+    // top-k by (cnt desc, word) — sklearn's max_features order with its
+    // alphabetical tie-break. orderBy+limit plans as TakeOrderedAndProject
+    // (per-partition top-k, then a k-row merge) — no single-partition
+    // window over the whole vocabulary.
+    if (maxFeatures == Int.MaxValue) kept
+    else kept.orderBy(col("cnt").desc, col("word")).limit(maxFeatures)
   }
 
   /** (word, df, cnt): document frequency plus corpus term count in one

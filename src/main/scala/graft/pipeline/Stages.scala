@@ -25,7 +25,8 @@ object Stages {
     */
   def stage1(
       spark: SparkSession, inputJsonl: String,
-      stopwords: Seq[String], dict: Seq[String]): DataFrame = {
+      stopwords: Seq[String], dict: Seq[String],
+      parityIds: Boolean = false): DataFrame = {
     val raw = spark.read.text(inputJsonl)
       // header guard (MapperExtractTransform.java:66) — applied to the raw
       // line, pre-parse, exactly as the reference
@@ -39,12 +40,18 @@ object Stages {
         .map(col(_).isNotNull).reduce(_ && _))
       .withColumn("adjectiveWord",
         TextOps.tokenizeFiltered(col("reviewText"), stopwords, dict))
-    // total order by asin + renumber (SURVEY §2.6 O1-O2); at scale swap
-    // the window for IdOps.sequentialIdsAtScale (same contract)
-    parsed
-      .withColumn("id", row_number().over(Window.orderBy("asin")).cast("long"))
-      .select(col("id"), col("reviewerID"), col("asin"), col("reviewerName"),
-        col("adjectiveWord"), col("reviewText"))
+    // total order by asin + renumber (SURVEY §2.6 O1-O2). Default is the
+    // scale-safe path (range-repartition + per-partition offsets — no
+    // single-partition stage); parityIds=true keeps the reference's
+    // literal single-reducer window (ReducerExtractTransform.java:34-48)
+    // for bit-level plan parity. Both produce the identical id→asin map
+    // (PipelineSpec asserts it).
+    val withId =
+      if (parityIds)
+        parsed.withColumn("id", row_number().over(Window.orderBy("asin")).cast("long"))
+      else IdOps.sequentialIdsAtScale(parsed, Seq("asin"), "id")
+    withId.select(col("id"), col("reviewerID"), col("asin"), col("reviewerName"),
+      col("adjectiveWord"), col("reviewText"))
   }
 
   /** Stage-2 output bundle: the dense TF-IDF matrix in exploded form,

@@ -66,8 +66,7 @@ object AvroIO {
     Row.fromSeq(vals.toIndexedSeq)
   }
 
-  private def toRecord(row: Row, schemaJson: String): GenericRecord = {
-    val avroSchema = new Schema.Parser().parse(schemaJson)
+  private def toRecord(row: Row, avroSchema: Schema): GenericRecord = {
     val rec = new GenericData.Record(avroSchema)
     avroSchema.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
       // explicit java conversions: with a wildcard element type the
@@ -116,7 +115,15 @@ object AvroIO {
     val out = new org.apache.hadoop.fs.Path(path)
     out.getFileSystem(job.getConfiguration).delete(out, true)
     df.rdd
-      .map(row => (new AvroKey[GenericRecord](toRecord(row, schemaJson)), NullWritable.get()))
+      // one Schema.Parser per partition, not per row: schema parsing is a
+      // fresh Jackson parse + allocation — per-row it is a massive
+      // constant-factor tax on a large write. Only the JSON string
+      // travels into the closure (Schema itself is heavyweight to
+      // serialize).
+      .mapPartitions { rows =>
+        val avroSchema = new Schema.Parser().parse(schemaJson)
+        rows.map(row => (new AvroKey[GenericRecord](toRecord(row, avroSchema)), NullWritable.get()))
+      }
       .saveAsNewAPIHadoopFile(
         path,
         classOf[AvroKey[GenericRecord]],

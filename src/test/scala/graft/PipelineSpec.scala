@@ -33,6 +33,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(toks("B004") == Seq("great", "great", "fast")) // dups kept
   }
 
+  test("stage1: scale-safe id path (default) == reference window path (parityIds)") {
+    val atScale = s1.select($"id", $"asin").as[(Long, String)].collect().toMap
+    val parity = Stages.stage1(spark, jsonl, Stop, Dict, parityIds = true)
+      .select($"id", $"asin").as[(Long, String)].collect().toMap
+    assert(atScale == parity)
+  }
+
   test("stage2: smoothed idf incl. df=0 backfill; golden L2-normalized round-6 weights") {
     val s2 = Stages.stage2(s1, Dict, k = 2, seed = 7L)
     val idf = s2.idf.select($"word", $"df", $"idf").as[(String, Long, Double)]

@@ -38,6 +38,59 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"IVF recall@5 = $recall")
   }
 
+  /** embeddings ∪ near-dup perturbed copies — mirrors SparkEntry.perturbedEmb. */
+  def perturbed(sf: String) = {
+    val base = Tables.table(spark, sf, "embeddings")
+      .select($"vec_id", graft.ops.KMeansOps.asDouble($"embedding").as("v"))
+    base.unionByName(base.select(
+      ($"vec_id" + lit(1000000L)).as("vec_id"),
+      transform($"v", (x, i) => x * (lit(0.98) + lit(0.01) * (i % 3).cast("double"))).as("v")))
+  }
+
+  test("cosinePairsBlocked == cosinePairsFast (exact distributed kernel parity)") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val emb = Tables.table(spark, sf, "embeddings")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("cos", round($"cos", 9))
+          .as[(Long, Long, Double)].collect().toSet
+      val fast = canon(Similarity.cosinePairsFast(emb, "vec_id", "embedding", 0.4))
+      val blocked = canon(Similarity.cosinePairsBlocked(emb, "vec_id", "embedding", 0.4, blocks = 7))
+      assert(blocked == fast, s"$sf: blocked kernel diverges from collect kernel")
+      assert(fast.nonEmpty)
+    }
+  }
+
+  test("cosinePairsLsh: full recall vs exact pairs at the near-dup threshold (2 SFs)") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val corpus = perturbed(sf)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("cos", round($"cos", 9))
+          .as[(Long, Long, Double)].collect().toSet
+      val exact = canon(Similarity.cosinePairsBlocked(corpus, "vec_id", "v", 0.9))
+      val lsh = canon(Similarity.cosinePairsLsh(corpus, "vec_id", "v", 0.9))
+      assert(lsh == exact, s"$sf: LSH must recover every ≥0.9 pair (miss p ~1e-19)")
+      // one planted near-dup partner per original vector
+      val n = Tables.table(spark, sf, "embeddings").count()
+      assert(exact.size >= n, s"$sf: expected ≥ $n planted pairs, got ${exact.size}")
+    }
+  }
+
+  test("cosinePairsLsh: exact-verify step keeps only true ≥ minCos pairs (no false positives)") {
+    val corpus = perturbed(TestSpark.Sf)
+    val lsh = Similarity.cosinePairsLsh(corpus, "vec_id", "v", 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.forall(_._3 >= 0.9))
+    assert(lsh.forall(p => p._1 < p._2))
+  }
+
+  test("cosinePairsAuto: routes small corpora to the collect kernel with identical output") {
+    val emb = Tables.table(spark, TestSpark.Sf, "embeddings")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("cos", round($"cos", 9)).as[(Long, Long, Double)].collect().toSet
+    assert(canon(Similarity.cosinePairsAuto(emb, "vec_id", "embedding", 0.4))
+      == canon(Similarity.cosinePairsFast(emb, "vec_id", "embedding", 0.4)))
+  }
+
   test("bruteTopK: ranks are 1..k per query, cos within [-1,1], no self-pairs") {
     val r = Similarity.bruteTopK(emb.filter($"vec_id" % 100 === 0), emb,
       "vec_id", "embedding", 5).collect()
