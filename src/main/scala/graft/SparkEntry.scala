@@ -161,11 +161,16 @@ object SparkEntry {
         |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
         |ORDER BY event_id""".stripMargin)),
 
-    Q("q_sample_k",  // seeded sample — rand() differs across engines → rows-only check
-      (s, dir) => IdOps.sampleK(Tables.table(s, dir, "customer"), 10, seed = 42L)
-        .select(col("idx"), col("c_custkey"))
-        .orderBy("idx"),
-      None),
+    Q("q_sample_k",  // seeded sample via keyed-hash permutation (md5) — unlike
+      (s, dir) =>     // rand(seed), both engines reproduce it → fully oracled
+        IdOps.sampleKByHash(Tables.table(s, dir, "customer"), "c_custkey", 10, salt = "42")
+          .select(col("idx"), col("c_custkey"))
+          .orderBy("idx"),
+      Some("""SELECT CAST(row_number() OVER w - 1 AS INT) AS idx, c_custkey
+        |FROM customer
+        |WINDOW w AS (ORDER BY md5('42_' || CAST(c_custkey AS VARCHAR)), c_custkey)
+        |QUALIFY row_number() OVER w <= 10
+        |ORDER BY idx""".stripMargin)),
 
     // ---- M4: K-Means — one Lloyd iteration decomposed (SURVEY §3.3, §2.3 J3, §2.6 O4, §2.4 A5-A7)
     Q("q_kmeans_assign",
@@ -526,16 +531,42 @@ object SparkEntry {
         |SELECT id1, id2, round(cos, 6) AS cos FROM c
         |WHERE cos >= 0.9 ORDER BY id1, id2""".stripMargin)),
 
-    Q("q_ann_ivf",  // IVF ANN top-5 — K-Means init uses Spark rand → rows-only
-      (s, dir) => {
+    Q("q_ann_ivf",  // IVF ANN top-5 with a deterministic routing table (the
+      (s, dir) => {  // vec_id<8 centroids) — the full IVF mechanics, oracled
         val emb = Tables.table(s, dir, "embeddings")
+        val pts = embDouble(s, dir)
         Similarity.ivfTopK(
             emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding",
-            k = 5, cells = 8, nprobe = 3)
-          .withColumn("cos", round(col("cos"), 6))
+            k = 5, cells = 8, nprobe = 3,
+            centroids = Some(fixedCentroids(pts)))
+          // 4dp like q_cosine_topk: engines sum dims in different orders
+          .withColumn("cos", round(col("cos"), 4))
           .orderBy("query_id", "rank")
       },
-      None),
+      Some("""WITH pts AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, CAST(unnest(embedding) AS DOUBLE) AS c,
+        |          unnest(range(0, len(embedding))) AS i FROM embeddings WHERE vec_id < 8),
+        |ad AS (SELECT p.vec_id, c.cid, sqrt(sum((p.x - c.c) * (p.x - c.c))) AS dist
+        |       FROM pts p JOIN cents c ON p.i = c.i GROUP BY 1, 2),
+        |cell AS (SELECT vec_id, cid AS cell FROM ad
+        |         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+        |probe AS (SELECT vec_id AS query_id, cid AS cell FROM ad WHERE vec_id % 50 = 0
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) <= 3),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pts GROUP BY 1),
+        |d AS (SELECT q.query_id, v.vec_id, sum(qp.x * vp.x) AS dp
+        |      FROM probe q
+        |      JOIN cell v ON v.cell = q.cell AND v.vec_id <> q.query_id
+        |      JOIN pts qp ON qp.vec_id = q.query_id
+        |      JOIN pts vp ON vp.vec_id = v.vec_id AND vp.i = qp.i
+        |      GROUP BY 1, 2),
+        |c2 AS (SELECT query_id, d.vec_id, dp / (nq.nrm * nv.nrm) AS cos
+        |       FROM d JOIN n nq ON nq.vec_id = query_id JOIN n nv ON nv.vec_id = d.vec_id),
+        |r AS (SELECT query_id, vec_id, cos,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        |      FROM c2)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, round(cos, 4) AS cos
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     // ---- M8: text analysis + multimodal plumbing (beyond-reference)
     Q("q_lang_id",
@@ -732,12 +763,19 @@ object SparkEntry {
         |SELECT o_custkey FROM orders WHERE o_totalprice < 250000
         |ORDER BY o_custkey""".stripMargin)),
 
-    Q("q_approx_distinct",  // HLL++ sketch — engine-specific values → rows-only
+    Q("q_distinct_parts",  // the exact half of the distinct-count pair — oracled
       (s, dir) => Tables.table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q_approx_distinct",  // HLL++ sketch half — engine-specific values →
+      (s, dir) => Tables.table(s, dir, "lineitem")  // rows-only; error band
+        .groupBy(col("l_returnflag"))               // proven vs q_distinct_parts
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag"),                   // in InvariantSweepSpec (3 SFs)
       None),
 
     // ---- event-sequence operators: sessionize, as-of join, range join, pivot

@@ -62,4 +62,22 @@ object IdOps {
       .withColumn(indexCol, row_number().over(w) - lit(1))
       .drop("__r")
   }
+
+  /** Deterministic seeded k-sample: rank rows by `md5(salt || "_" || key)`
+    * — a keyed-hash permutation of the corpus. Unlike [[sampleK]]'s
+    * `rand(seed)` (whose stream is engine- and partitioning-specific),
+    * the hash is a pure function of the key, so any engine reproduces
+    * the same sample — and the orderBy+limit plans as TakeOrdered
+    * (per-partition top-k + k-row merge), no full sort. The trailing
+    * window ranks only the k survivors.
+    */
+  def sampleKByHash(
+      df: DataFrame, keyCol: String, k: Int, salt: String = "",
+      indexCol: String = "idx"): DataFrame = {
+    val w = Window.orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", md5(concat_ws("_", lit(salt), col(keyCol).cast("string"))))
+      .orderBy(col("__h"), col(keyCol)).limit(k)
+      .withColumn(indexCol, row_number().over(w) - lit(1))
+      .drop("__h")
+  }
 }

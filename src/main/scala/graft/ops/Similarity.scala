@@ -255,14 +255,19 @@ object Similarity {
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, cells: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
+      k: Int, cells: Int, nprobe: Int, seed: Long = 42L,
+      centroids: Option[DataFrame] = None): DataFrame = {
     val pts = corpus.select(col(idCol), KMeansOps.asDouble(col(vecCol)).as(vecCol))
-    // coarse cells are enough for routing — 3 Lloyd iterations, not a
-    // converged clustering (each iteration is a full corpus pass)
-    val km = KMeansOps.lloyd(pts, idCol, vecCol, cells, seed, maxIter = 3)
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cdf = km.centroids.toSeq.toDF("cid", "cvec")
+    // caller-supplied (cid, cvec) routing table skips clustering entirely
+    // (deterministic — the oracle-checked path); otherwise coarse cells
+    // from 2 Lloyd iterations — routing quality, not convergence (each
+    // iteration is a full corpus pass, so fewer is cheaper).
+    val cdf = centroids.getOrElse {
+      val km = KMeansOps.lloyd(pts, idCol, vecCol, cells, seed, maxIter = 2)
+      km.centroids.toSeq.toDF("cid", "cvec")
+    }
     // corpus side: cell assignment (one broadcast cross join, reused)
     val assigned = KMeansOps.assign(pts, idCol, vecCol, cdf)
       .select(col(idCol).as("vec_id"), col("cluster").as("cell"), col(vecCol).as("cv"))

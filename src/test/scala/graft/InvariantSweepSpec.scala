@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, TextOps}
+import graft.multimodal.Multimodal
+
+/** Invariant sweeps across all three SFs for every query the DuckDB
+  * oracle cannot express (engine-specific hashes / HLL / stubbed
+  * decode). Each no-oracle SparkEntry query gets a machine-checked
+  * invariant at sf0.001, sf0.01 AND sf0.1 — the two float-precision
+  * bugs of round 1 only surfaced off the sf0.01 gate, hence the sweep.
+  * Larger SFs restrict to a doc_id prefix where the check is quadratic;
+  * the invariant is per-pair, so a prefix loses no generality.
+  */
+class InvariantSweepSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val Sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  def docsTokens(sf: String, maxDocs: Long): org.apache.spark.sql.DataFrame =
+    Tables.table(spark, sf, "documents")
+      .filter($"doc_id" < maxDocs)
+      .select($"doc_id",
+        TextOps.tokenizeFiltered($"text", Dictionaries.Stopwords, Nil).as("toks"))
+
+  test("q_minhash_pairs invariant: LSH candidates ⊇ exact 3-shingle Jaccard ≥ 0.5 pairs (3 SFs)") {
+    for ((sf, cap) <- Sfs.zip(Seq(Long.MaxValue, Long.MaxValue, 1500L))) {
+      val docs = docsTokens(sf, cap)
+      val hashes = Dedup.shingleHashes(docs, "doc_id", "toks", k = 3).localCheckpoint()
+      val exact = Dedup.jaccardPairsFromHashes(hashes, 0.5)
+        .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+      val cand = Dedup.lshCandidates(
+          Dedup.minhashFromHashes(hashes, numHashes = 128, seed = 42L), bands = 32)
+        .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+      assert(exact.subsetOf(cand),
+        s"$sf: missed ${exact.diff(cand).size} of ${exact.size} true pairs")
+      assert(exact.nonEmpty || sf.endsWith("0.001"), s"$sf: fixture should contain pairs")
+    }
+  }
+
+  test("q_char_minhash_pairs invariant: LSH candidates ⊇ exact char-5-gram Jaccard ≥ 0.5 pairs (3 SFs)") {
+    for ((sf, cap) <- Sfs.zip(Seq(Long.MaxValue, Long.MaxValue, 800L))) {
+      val e = Tables.table(spark, sf, "documents")
+        .filter($"doc_id" < cap)
+        .select($"doc_id".as("id"),
+          explode(graft.functions.CharShingleHashes.char_shingle_hashes(
+            lower($"text"), 5)).as("h"))
+        .distinct()
+        .localCheckpoint()
+      val exact = Dedup.jaccardPairsBucketed(e, 0.5)
+        .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+      val cand = Dedup.lshCandidates(
+          Dedup.minhashFromHashes(e, numHashes = 128, seed = 42L), bands = 32)
+        .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+      assert(exact.subsetOf(cand),
+        s"$sf: missed ${exact.diff(cand).size} of ${exact.size} true pairs")
+    }
+  }
+
+  test("q_simhash_pairs invariant: pigeonhole blocking is COMPLETE — equals brute-force hamming ≤ 3 (3 SFs)") {
+    for (sf <- Sfs) {
+      val docs = Tables.table(spark, sf, "documents")
+        .select($"doc_id",
+          TextOps.tokenizeFiltered($"text", Dictionaries.Stopwords, Nil).as("toks"))
+      val sigs = Dedup.simhash64(docs, "doc_id", "toks")
+      val got = Dedup.simhashPairs(sigs, maxDist = 3)
+        .select($"id1", $"id2", $"hamming").as[(Long, Long, Int)].collect().toSet
+      // n 64-bit signatures fit any driver; the brute reference is O(n²)
+      // longs-only — cheap even at sf0.1 (5k docs = 12.5M XORs)
+      val all = sigs.as[(Long, Long)].collect().sortBy(_._1)
+      val brute = (for {
+        i <- all.indices.iterator
+        j <- (i + 1) until all.length
+        h = java.lang.Long.bitCount(all(i)._2 ^ all(j)._2)
+        if h <= 3
+      } yield (all(i)._1, all(j)._1, h)).toSet
+      assert(got == brute, s"$sf: blocked=${got.size} brute=${brute.size}")
+    }
+  }
+
+  test("q_approx_distinct invariant: HLL++ (rsd 0.02) within 5% of exact per group (3 SFs)") {
+    for (sf <- Sfs) {
+      val both = Tables.table(spark, sf, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey", 0.02).as("approx"),
+          countDistinct($"l_partkey").as("exact"))
+        .as[(String, Long, Long)].collect()
+      assert(both.nonEmpty)
+      both.foreach { case (flag, approx, exact) =>
+        val rel = math.abs(approx - exact).toDouble / exact
+        assert(rel <= 0.05, s"$sf/$flag: approx=$approx exact=$exact rel=$rel")
+      }
+    }
+  }
+
+  test("q_multimodal_features invariant: stub decode equals a driver-side recompute on a sample (3 SFs)") {
+    for (sf <- Sfs) {
+      val media = Multimodal.fromText(
+        Tables.table(spark, sf, "documents").filter($"doc_id" < 20),
+        "doc_id", "text", "source")
+      val got = Multimodal.decodeStub(media, dim = 8).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val texts = Tables.table(spark, sf, "documents").filter($"doc_id" < 20)
+        .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+      assert(got.keySet == texts.keySet && got.nonEmpty)
+      texts.foreach { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val exp = Array.tabulate(8) { d =>
+          if (bytes.isEmpty) 0.0
+          else {
+            var s = 0L; var i = d; var n = 0
+            while (i < bytes.length) { s += (bytes(i) & 0xff); i += 8; n += 1 }
+            if (n == 0) 0.0 else (s.toDouble / n) / 255.0
+          }
+        }
+        assert(got(id).toSeq == exp.toSeq, s"$sf doc $id")
+      }
+    }
+  }
+}

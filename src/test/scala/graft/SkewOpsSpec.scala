@@ -35,11 +35,14 @@ class SkewOpsSpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct within declared rsd of exact") {
-    val r = SparkEntry.queries("q_approx_distinct")(spark, TestSpark.Sf)
-      .as[(String, Long, Long)].collect()
-    r.foreach { case (flag, approx, exact) =>
-      assert(math.abs(approx - exact).toDouble / exact < 0.1,
-        s"$flag: approx $approx vs exact $exact")
+    val approx = SparkEntry.queries("q_approx_distinct")(spark, TestSpark.Sf)
+      .as[(String, Long)].collect().toMap
+    val exact = SparkEntry.queries("q_distinct_parts")(spark, TestSpark.Sf)
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    approx.foreach { case (flag, a) =>
+      assert(math.abs(a - exact(flag)).toDouble / exact(flag) < 0.1,
+        s"$flag: approx $a vs exact ${exact(flag)}")
     }
   }
 }
