@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops._
 import graft.multimodal.Multimodal
+import graft.sources.Sinks
 
 /** Driver contract — named queries + DuckDB oracle SQL.
   * See SURVEY.md §7.6: every query orders its output, seeds all
@@ -286,6 +287,33 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q_bucket_join",  // co-located join: both sides bucket-pre-hashed and
+      (s, dir) => {      // sorted on the key → SMJ with ZERO Exchange below it
+        val sfx = dir.replaceAll("[^0-9A-Za-z]", "_")
+        Sinks.writeBucketed(
+          Tables.table(s, dir, "orders").select(col("o_custkey").as("custkey"),
+            col("o_orderkey"), col("o_totalprice")),
+          s"orders_bkt$sfx", 8, Seq("custkey"))
+        Sinks.writeBucketed(
+          Tables.table(s, dir, "customer").select(col("c_custkey").as("custkey"),
+            col("c_mktsegment")),
+          s"customer_bkt$sfx", 8, Seq("custkey"))
+        // merge hint pins SMJ so the bucketed (shuffle-free, sort-free)
+        // join is what runs even when one side would auto-broadcast —
+        // this is the 100 TB fact-to-fact join shape; plan audited in
+        // PartitioningSpec
+        s.table(s"orders_bkt$sfx")
+          .hint("merge")
+          .join(s.table(s"customer_bkt$sfx"), "custkey")
+          .select(col("o_orderkey"), col("custkey"), col("c_mktsegment"),
+            round(col("o_totalprice"), 2).as("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey AS custkey, c_mktsegment,
+        |  round(o_totalprice, 2) AS o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin)),
 
     Q("q_topk",  // global top-k: TakeOrderedAndProject, no full sort
       (s, dir) => Tables.table(s, dir, "orders")

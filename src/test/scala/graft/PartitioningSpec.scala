@@ -24,6 +24,17 @@ class PartitioningSpec extends AnyFunSuite {
     assert(read.count() == docs.filter($"lang" === "en").count())
   }
 
+  test("q_bucket_join plan: SMJ over bucketed scans, no Exchange below the join") {
+    val df = SparkEntry.queries("q_bucket_join")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val below = plan.split("SortMergeJoin", 2)
+    assert(below.length == 2, s"expected a sort-merge join:\n$plan")
+    assert(!below(1).contains("Exchange"),
+      s"bucketed join inputs should not shuffle:\n$plan")
+    assert(plan.contains("Bucketed: true"))
+    assert(df.count() > 0)
+  }
+
   test("bucketed tables join with zero Exchange operators") {
     val orders = Tables.table(spark, TestSpark.Sf, "orders")
     val customer = Tables.table(spark, TestSpark.Sf, "customer")
