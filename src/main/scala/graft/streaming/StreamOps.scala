@@ -45,6 +45,36 @@ object StreamOps {
   /** The output mode [[userRunningTotals]] requires when streamed. */
   val UserTotalsOutputMode: OutputMode = OutputMode.Update()
 
+  /** Stream-stream interval join: each left event joined to the right
+    * events of the same key whose timestamp falls in
+    * [left ts − lagSeconds, left ts]. BOTH sides carry watermarks, so
+    * each side's join state is bounded to watermark + interval and
+    * evicted as event time advances — the condition every production
+    * stream-stream join must satisfy or state grows without bound.
+    * Works identically on batch frames (watermark is a no-op there) —
+    * the parity test in StreamingSpec exploits that.
+    */
+  def streamIntervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      lagSeconds: Long, watermark: String = "10 seconds"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$leftKey = $rightKey AND $rightTs >= $leftTs - INTERVAL $lagSeconds SECONDS" +
+          s" AND $rightTs <= $leftTs"))
+
+  /** Streaming exact dedup — the stream twin of Dedup.dropDupsByKey:
+    * keeps the first arrival of each key and drops re-arrivals while the
+    * key is inside the event-time watermark horizon; state for keys
+    * older than the watermark is evicted (dropDuplicatesWithinWatermark),
+    * so dedup state is bounded regardless of stream length.
+    */
+  def dedupStream(
+      events: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermark: String = "10 seconds"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class SEv(user_id: Long, ts: java.sql.Timestamp)
   final case class OpenSession(start: Long, end: Long, n: Long)
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)

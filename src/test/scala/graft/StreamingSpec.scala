@@ -111,6 +111,87 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamIntervalJoin: stream-stream watermarked join == batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq((1L, ts(10)), (1L, ts(30)), (2L, ts(20)), (3L, ts(40)))
+    val buys = Seq((1L, ts(8), 100.0), (1L, ts(29), 50.0), (2L, ts(5), 9.0), (3L, ts(41), 1.0))
+    val cm = MemoryStream[(Long, java.sql.Timestamp)]
+    val pm = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = StreamOps.streamIntervalJoin(
+      cm.toDF().toDF("c_user", "cts"), pm.toDF().toDF("p_user", "pts", "amount"),
+      "c_user", "p_user", "cts", "pts", lagSeconds = 600)
+    val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      // two micro-batches so the join state actually spans batches
+      cm.addData(clicks.take(2): _*); pm.addData(buys.take(2): _*)
+      q.processAllAvailable()
+      cm.addData(clicks.drop(2): _*); pm.addData(buys.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ssj")
+        .select($"c_user", $"cts", $"pts", $"amount")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Double)].collect().toSet
+      val batch = StreamOps.streamIntervalJoin(
+          clicks.toDF("c_user", "cts"), buys.toDF("p_user", "pts", "amount"),
+          "c_user", "p_user", "cts", "pts", lagSeconds = 600)
+        .select($"c_user", $"cts", $"pts", $"amount")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Double)].collect().toSet
+      assert(streamed == batch)
+      // exactly the in-interval matches survive: click@10←buy@8 and
+      // click@30←buy@29; user 2's buy is 15 min stale, user 3's is future
+      assert(streamed == Set(
+        (1L, ts(10), ts(8), 100.0),
+        (1L, ts(30), ts(29), 50.0)))
+    } finally q.stop()
+  }
+
+  test("dedupStream: watermarked dropDuplicates keeps first arrival across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamOps.dedupStream(
+        mem.toDF().toDF("id", "payload", "ts"), "ts", Seq("id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData((1L, "a", ts(0)), (1L, "a-dup", ts(1)), (2L, "b", ts(1)))
+      q.processAllAvailable()
+      // re-arrival of key 1 in a LATER micro-batch, still inside the horizon
+      mem.addData((1L, "a-dup2", ts(2)), (3L, "c", ts(3)))
+      q.processAllAvailable()
+      val got = spark.table("dedup").as[(Long, String, java.sql.Timestamp)]
+        .collect().map(r => r._1 -> r._2).toMap
+      assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c"),
+        s"one survivor per key, first arrival wins: $got")
+    } finally q.stop()
+  }
+
+  test("checkpoint restart: file sink resumes exactly-once (no re-emission, no loss)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val batch1 = Seq((1L, 10.0, ts(0)), (2L, 20.0, ts(1)))
+    val batch2 = Seq((3L, 30.0, ts(2)), (4L, 40.0, ts(3)))
+    batch1.toDF("user_id", "value", "ts").write.parquet(s"$root/in/b1")
+    val schema = batch1.toDF("user_id", "value", "ts").schema
+    def start() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in/*")
+      .filter($"value" > 0).select($"user_id", $"value")
+      .writeStream.format("parquet")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/chk")
+      .start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // "crash" happened between q1 and q2; new data lands meanwhile
+    batch2.toDF("user_id", "value", "ts").write.parquet(s"$root/in/b2")
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    // a third restart with NO new data must emit nothing new
+    val q3 = start()
+    try { q3.processAllAvailable() } finally q3.stop()
+    val out = spark.read.parquet(s"$root/out").as[(Long, Double)].collect().toSeq
+    assert(out.size == 4, s"exactly-once: every row once, none twice: $out")
+    assert(out.toSet == Set((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)))
+  }
+
   test("userRunningTotals: mapGroupsWithState accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
