@@ -474,14 +474,14 @@ object SparkEntry {
       },
       None),
 
-    Q("q_char_minhash_pairs",  // char-5-gram MinHash via the custom rolling-hash
-      (s, dir) => {               // Expression (CharShingleHashes) — rows-only
-        val e = Tables.table(s, dir, "documents")
-          .select(col("doc_id").as("id"),
-            explode(graft.functions.CharShingleHashes.char_shingle_hashes(
-              lower(col("text")), 5)).as("h"))
-          .distinct()
-        val sigs = Dedup.minhashFromHashes(e, numHashes = 128, seed = 42L)
+    Q("q_char_minhash_pairs",  // char-5-gram MinHash, fully fused: rolling-hash
+      (s, dir) => {               // Expression → MinHashSigs Expression → LSH.
+        val sigs = Tables.table(s, dir, "documents")  // One codegen'd pass per
+          .select(col("doc_id").as("id"),             // doc, no explode/agg —
+            Dedup.minhashSigsCol(                     // rows-only (engine hashes)
+              graft.functions.CharShingleHashes.char_shingle_hashes(
+                lower(col("text")), 5), numHashes = 128, seed = 42L).as("sig"))
+          .filter(col("sig").isNotNull)
         Dedup.lshCandidates(sigs, bands = 32).orderBy("id1", "id2")
       },
       None),

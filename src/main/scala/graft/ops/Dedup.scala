@@ -191,6 +191,20 @@ object Dedup {
       .select(col("id"), array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
   }
 
+  /** MinHash signature straight from a per-doc shingle-hash ARRAY column
+    * via the fused [[graft.functions.MinHashSigs]] codegen expression —
+    * no explode, no distinct shuffle, no numHashes-column aggregate.
+    * Same universal-hash family (and bit-identical output) as
+    * [[minhashFromHashes]]; a min is multiplicity-blind, so the dedup
+    * the agg path needs contributes nothing. Docs with empty shingle
+    * arrays get a null signature (filter before banding), matching the
+    * groupBy form where they simply have no row.
+    */
+  def minhashSigsCol(hashes: Column, numHashes: Int = 128, seed: Long = 42L): Column = {
+    val ps = hashParams(numHashes, seed)
+    graft.functions.MinHashSigs.minhash_sigs(hashes, ps.map(_._1), ps.map(_._2), MinhashPrime)
+  }
+
   /** LSH banding: split the signature into `bands` bands of
     * numHashes/bands rows, hash each band, and emit candidate pairs
     * sharing any band bucket. `maxBucket` drops pathological buckets

@@ -17,8 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Sequential (left-to-right) dot product — runs as the fused codegen
+    * [[graft.functions.DotProduct]] kernel; numerically identical to the
+    * `aggregate(zip_with(a, b, _*_), 0, _+_)` HOF form it replaces but
+    * without per-pair array allocation or interpreted lambda dispatch.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    graft.functions.DotProduct.dot_product(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -196,24 +201,19 @@ object Similarity {
         lit(0.0).as("cos"))
     }
     val dim = dims.head.getInt(0)
-    val rnd = new scala.util.Random(seed)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(bands * bitsPerBand)(Seq.fill(dim)(rnd.nextGaussian()))
-    // bands·bits·dim doubles as one plan literal (8·16·64 = 8k here; at
-    // very high dim switch to a broadcast variable — same plan shape).
-    val planesLit = typedLit(planes)
-    // posexplode-band-first so each of the bands·bits projections is
-    // evaluated exactly once per row (an unaliased array-of-band-hashes
-    // would be re-evaluated through the explode's implicit filter —
-    // the measured ~7× tax documented at Dedup.shingleHashes).
-    val e = unit.select(col("id"), col("u"),
-      explode(sequence(lit(0), lit(bands - 1))).as("band"))
-    val bits = (0 until bitsPerBand).map { i =>
-      val p = element_at(planesLit, col("band") * bitsPerBand + lit(i) + 1)
-      when(dot(col("u"), p) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    val buckets = e.select(col("id"), col("band"),
-      bits.reduce(_.bitwiseOR(_)).as("bh"))
+    // all bands·bits·dim multiply-adds run fused inside whole-stage
+    // codegen (HyperplaneSigns) — the zip_with/aggregate HOF form is
+    // interpreted per lambda and measured ~6× slower on this query.
+    // localCheckpoint: the signature frame is tiny (n × bands longs)
+    // and referenced through a posexplode, whose implicit filter would
+    // otherwise re-evaluate the scan+normalize+project lineage per
+    // exploded row (the Dedup.shingleHashes tax, measured 15× here).
+    val sigs = unit.select(col("id"),
+      graft.functions.HyperplaneSigns.hyperplane_signs(
+        col("u"), hyperplanes(bands, bitsPerBand, dim, seed), bands, bitsPerBand).as("bhs"))
+      .localCheckpoint()
+    val buckets = sigs.select(col("id"),
+      posexplode(col("bhs")).as(Seq("band", "bh")))
     val sized = buckets.withColumn("bsz",
       count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
       .filter(col("bsz") <= maxBucket)
@@ -228,6 +228,15 @@ object Similarity {
       .withColumn("cos", dot(col("u1"), col("u2")))
       .filter(col("cos") >= minCos)
       .select(col("id1"), col("id2"), col("cos"))
+  }
+
+  /** Seeded Gaussian hyperplane matrix, flattened row-major
+    * (plane index = band·bits + bit, then dim). Deterministic for a
+    * seed; shared by [[cosinePairsLsh]] and its parity test.
+    */
+  private[graft] def hyperplanes(bands: Int, bits: Int, dim: Int, seed: Long): Seq[Double] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bands * bits * dim)(rnd.nextGaussian())
   }
 
   /** Routing wrapper for cosine pairs: small corpora take the

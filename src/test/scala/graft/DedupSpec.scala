@@ -35,6 +35,21 @@ class DedupSpec extends AnyFunSuite {
       s"missed ${exact.diff(cand).size} of ${exact.size} true pairs")
   }
 
+  test("minhashSigsCol (fused expression) == minhashFromHashes (explode+agg) signatures") {
+    import graft.functions.CharShingleHashes.char_shingle_hashes
+    val base = Tables.table(spark, TestSpark.Sf, "documents")
+      .select($"doc_id".as("id"), char_shingle_hashes(lower($"text"), 5).as("hs"))
+    val fused = base
+      .select($"id", Dedup.minhashSigsCol($"hs", 64, 7L).as("sig"))
+      .filter($"sig".isNotNull)
+      .as[(Long, Seq[Long])].collect().toMap
+    val agg = Dedup.minhashFromHashes(
+        base.select($"id", explode($"hs").as("h")).distinct(), 64, 7L)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fused == agg)
+    assert(fused.nonEmpty)
+  }
+
   test("simhash: multiset-invariant, order-invariant; small edit => small hamming") {
     val base = Seq.tabulate(40)(i => s"tok${i % 12}")  // 40 tokens over 12 types
     val fixture = Seq(

@@ -75,6 +75,32 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("HyperplaneSigns expression == driver-side reference band hashes") {
+    val bands = 4; val bits = 8; val seed = 42L
+    val unit = Similarity.withUnitVec(
+      emb.select($"vec_id", graft.ops.KMeansOps.asDouble($"embedding").as("v")), "v", "u")
+      .select($"vec_id", $"u")
+    val dim = unit.select(size($"u")).as[Int].head()
+    val planes = Similarity.hyperplanes(bands, bits, dim, seed)
+    val got = unit.select($"vec_id",
+        graft.functions.HyperplaneSigns.hyperplane_signs($"u", planes, bands, bits).as("bhs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val vecs = unit.as[(Long, Seq[Double])].collect().toMap
+    vecs.foreach { case (id, u) =>
+      val exp = (0 until bands).map { b =>
+        (0 until bits).foldLeft(0L) { (bh, j) =>
+          val off = (b * bits + j) * dim
+          var s = 0.0
+          var k = 0
+          while (k < dim) { s += u(k) * planes(off + k); k += 1 }
+          if (s >= 0) bh | (1L << j) else bh
+        }
+      }
+      assert(got(id) == exp, s"vec $id")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("cosinePairsLsh: exact-verify step keeps only true ≥ minCos pairs (no false positives)") {
     val corpus = perturbed(TestSpark.Sf)
     val lsh = Similarity.cosinePairsLsh(corpus, "vec_id", "v", 0.9)
