@@ -739,6 +739,21 @@ object SparkEntry {
         |  round(max(l_extendedprice), 2) AS max_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    Q("q_salted_join",  // skew-safe fact-to-fact join: salted left, replicated
+      (s, dir) => SkewOps.saltedJoin(  // right — row set identical to plain join
+          Tables.table(s, dir, "lineitem"),
+          Tables.table(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey"),
+          Seq("l_orderkey"), salt = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     Q("q_cube",
       (s, dir) => Tables.table(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -830,6 +845,33 @@ object SparkEntry {
         |FROM sid GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin)),
 
+    Q("q_session_window",  // Spark's native session_window (gap sessions as a
+      (s, dir) => Tables.events(s, dir)  // first-class grouping key)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("start_s"),
+          unix_timestamp(col("w.end")).as("end_s"), col("n_events"))
+        .orderBy("user_id", "start_s"),
+      // session_window end = last event + gap; windows merge iff the gap
+      // to the previous event is < 30 min (break at >=, hence the >= in
+      // the oracle's new-session flag)
+      Some("""WITH g AS (SELECT user_id, epoch_ns(ts) AS tsn,
+        |        lag(epoch_ns(ts), 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |      FROM events),
+        |f AS (SELECT user_id, tsn,
+        |        CASE WHEN prev IS NULL OR tsn - prev >= 1800000000000 THEN 1 ELSE 0 END AS nw
+        |      FROM g),
+        |sid AS (SELECT user_id, tsn,
+        |          sum(nw) OVER (PARTITION BY user_id ORDER BY tsn
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |        FROM f)
+        |SELECT user_id,
+        |  CAST(min(tsn) // 1000000000 AS BIGINT) AS start_s,
+        |  CAST(max(tsn) // 1000000000 + 1800 AS BIGINT) AS end_s,
+        |  count(*) AS n_events
+        |FROM sid GROUP BY user_id, sess ORDER BY user_id, start_s""".stripMargin)),
+
     Q("q_asof_join",  // each click's most recent preceding purchase, per user
       (s, dir) => {
         val ev = Tables.events(s, dir)
@@ -906,6 +948,45 @@ object SparkEntry {
         |          WHERE CAST(inter AS DOUBLE) / (s1 + s2 - inter) >= 0.5)
         |SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT id2 FROM drops)
         |ORDER BY doc_id""".stripMargin)),
+
+    Q("q_curation_emb",  // cross-modal curation: quality filter, then drop docs
+      (s, dir) => {       // whose EMBEDDING has a lower-id near-dup (cos ≥ 0.4)
+        val toks = TextOps.tokenize(col("text"))
+        val qual = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), TextStats.qualityScore(toks, Stop).as("q"))
+          .filter(col("q") >= 0.6)
+        val emb = Tables.table(s, dir, "embeddings")
+          .join(qual.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        val pairs = Similarity.cosinePairsBlocked(emb, "vec_id", "embedding", 0.4)
+        qual.select(col("doc_id"))
+          .join(pairs.select(col("id2").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+        |        regexp_extract_all(lower(text), '\\b\\w\\w+\\b') AS toks FROM documents),
+        |q AS (SELECT doc_id FROM t WHERE $SqlQuality >= 0.6),
+        |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(0, len(embedding))) AS i
+        |      FROM embeddings WHERE vec_id IN (SELECT doc_id FROM q)),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+        |d AS (SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.x * b.x) AS dp
+        |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+        |drops AS (SELECT DISTINCT id2
+        |          FROM d JOIN n na ON na.vec_id = id1 JOIN n nb ON nb.vec_id = id2
+        |          WHERE dp / (na.nrm * nb.nrm) >= 0.4)
+        |SELECT doc_id FROM q WHERE doc_id NOT IN (SELECT id2 FROM drops)
+        |ORDER BY doc_id""".stripMargin)),
+
+    Q("q_csv_roundtrip",  // line-format sink/source: csv write + schema-full
+      (s, dir) => {        // read-back must be the identity
+        val out = java.nio.file.Files.createTempDirectory("graftcsv").toString
+        val d = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+        graft.sources.Sinks.writeLines(d, s"$out/docs", "csv")
+        s.read.option("header", "true").schema(d.schema).csv(s"$out/docs")
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, lang, n_chars, source FROM documents ORDER BY doc_id")),
 
     Q("q_corpus_stats",  // dataset-card profile per source shard
       (s, dir) => {

@@ -52,4 +52,23 @@ object SkewOps {
       .groupBy(keys.map(col): _*)
       .agg(specs2.head, specs2.tail: _*)
   }
+
+  /** Skew-safe inner equi-join: the large (skewed) left side gets a
+    * uniform random salt, the right side is replicated once per salt
+    * value, and the join key becomes (keys…, salt) — each hot key's
+    * rows spread over `salt` reducers instead of melting one. The
+    * output row set is identical to the plain equi-join (the salt only
+    * routes rows). Use when the right side is too big to broadcast but
+    * cheap to replicate salt× (the 100 MB–10 GB dim-table band), or
+    * when a known-hot key must not serialize one task; AQE's skew-join
+    * split covers many cases at runtime — salting is the static
+    * guarantee.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      salt: Int = 16, seed: Long = 42L): DataFrame = {
+    require(salt > 0)
+    val l = left.withColumn("__salt", (rand(seed) * salt).cast("int"))
+    val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -34,6 +34,22 @@ class SkewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoin == plain inner join (row multiset) for every salt factor") {
+    val li = Tables.table(spark, TestSpark.Sf, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice")
+    val o = Tables.table(spark, TestSpark.Sf, "orders")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+      .select($"l_orderkey", $"o_orderpriority")
+    val plain = li.join(o, "l_orderkey")
+      .as[(Long, Double, String)].collect().sorted.toSeq
+    for (salt <- Seq(1, 3, 16)) {
+      val salted = SkewOps.saltedJoin(li, o, Seq("l_orderkey"), salt)
+        .as[(Long, Double, String)].collect().sorted.toSeq
+      assert(salted == plain, s"salt=$salt")
+    }
+    assert(plain.nonEmpty)
+  }
+
   test("approx_count_distinct within declared rsd of exact") {
     val approx = SparkEntry.queries("q_approx_distinct")(spark, TestSpark.Sf)
       .as[(String, Long)].collect().toMap
