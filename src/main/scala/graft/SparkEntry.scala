@@ -422,7 +422,7 @@ object SparkEntry {
         val docs = Tables.table(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             TextOps.tokenizeFiltered(col("text"), Stop, Nil).as("toks"))
-        Dedup.jaccardPairsFromHashes(
+        Dedup.jaccardPairsPrefix(
             Dedup.shingleHashes(docs, "doc_id", "toks", k = 1, Some("source")),
             0.9, Some("source"))
           .withColumn("jaccard", round(col("jaccard"), 6))
@@ -442,12 +442,12 @@ object SparkEntry {
         |FROM p WHERE CAST(inter AS DOUBLE) / (s1 + s2 - inter) >= 0.9
         |ORDER BY id1, id2""".stripMargin)),
 
-    Q("q_ngram3_jaccard",  // exact word-3-shingle Jaccard ≥ 0.5, unblocked
-      (s, dir) => Dedup.jaccardPairsFromHashes(
+    Q("q_ngram3_jaccard",  // exact word-3-shingle Jaccard ≥ 0.5, unblocked.
+      (s, dir) => Dedup.jaccardPairsFromHashes(  // direct self-join: 3-shingles
           Dedup.shingleHashes(docsTokens(s, dir), "doc_id", "toks", k = 3), 0.5,
-          materialize = true)
-        .withColumn("jaccard", round(col("jaccard"), 6))
-        .orderBy("id1", "id2"),
+          materialize = true)  // are near-unique (no hot-token fan-out), so
+        .withColumn("jaccard", round(col("jaccard"), 6))  // prefix filtering's
+        .orderBy("id1", "id2"),  // rank+verify stages cost more than they save
       Some(s"""WITH t AS ($SqlToks),
         |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
         |        ELSE list_transform(range(1, len(toks) - 1),

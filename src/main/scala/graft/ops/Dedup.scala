@@ -118,6 +118,56 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Prefix-filtered EXACT Jaccard pairs (SSJoin/PPJoin-style prefix
+    * filtering): a pair with J ≥ θ shares ≥ ⌈θ·|x|⌉ tokens with either
+    * side x, so ordering each doc's tokens canonically (rarest-first by
+    * global df, ties by hash) and indexing only the first
+    * |x| − ⌈θ·|x|⌉ + 1 of them is guaranteed to surface every
+    * qualifying pair — at θ=0.9 the candidate-generating self-join
+    * shrinks to ~10% of the rows and the quadratic hot-token fan-out
+    * collapses. Candidates are then verified with a full intersection
+    * count, so results are EXACT — identical to
+    * [[jaccardPairsFromHashes]] (parity-tested).
+    *
+    * Same input/output contract as [[jaccardPairsFromHashes]]. The
+    * input is localCheckpointed by default: it is referenced four times
+    * (df rank, sizes, candidate prefixes, verify) and its lineage is
+    * usually an expensive shingling.
+    */
+  def jaccardPairsPrefix(
+      e0: DataFrame, minJ: Double, blockCol: Option[String] = None,
+      materialize: Boolean = true): DataFrame = {
+    val e = if (materialize) e0.localCheckpoint() else e0
+    val blockCols = blockCol.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(("id" +: blockCols).map(col): _*)
+      .orderBy(col("__df"), col("h"))
+    val dfreq = e.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+    val sizes = e.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val pref = e.join(dfreq, "h")
+      .withColumn("__r", row_number().over(w))
+      .join(sizes, "id")
+      // ε guards double noise: ceil(0.9·30) must be 27, not
+      // ceil(27.000000000000004)=28 — a too-short prefix loses recall,
+      // a too-long one only adds candidates, so err long
+      .filter(col("__r") <= col("sz") - ceil(lit(minJ) * col("sz") - lit(1e-9)) + 1)
+      .select(("id" +: blockCols :+ "h").map(col): _*)
+    val joinCond = blockCol.map(b => col(s"a.$b") === col(s"b.$b"))
+      .foldLeft(col("a.h") === col("b.h") && col("a.id") < col("b.id"))(_ && _)
+    val cand = pref.as("a").join(pref.as("b"), joinCond)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    cand
+      .join(e.select(col("id").as("id1"), col("h")), Seq("id1"))
+      .join(e.select(col("id").as("id2"), col("h")), Seq("id2", "h"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "s1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "s2"), "id2")
+      .withColumn("jaccard", col("inter") / (col("s1") + col("s2") - col("inter")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** Self-join-free variant of [[jaccardPairsFromHashes]]: group ids
     * per shingle bucket and emit ordered pairs by in-bucket
     * combination. One aggregation + one explode replaces the self-join,

@@ -50,7 +50,10 @@ object Curation {
           .partitionBy(col("fp")).orderBy(col(idCol))))
       .filter(col("__rk") === 1)
       .drop("__rk")
-    // near-dup: drop the higher id of every qualifying pair
+    // near-dup: drop the higher id of every qualifying pair. Direct
+    // self-join: k-shingles (k≥3) are near-unique so there is no
+    // hot-token fan-out to prefix-filter away; for unigram/hot-token
+    // inputs switch to Dedup.jaccardPairsPrefix (identical contract)
     val pairs = Dedup.jaccardPairsFromHashes(
       Dedup.shingleHashes(keptExact, idCol, "toks", cfg.shingleK),
       cfg.nearDupJaccard, materialize = true)

@@ -35,6 +35,25 @@ class DedupSpec extends AnyFunSuite {
       s"missed ${exact.diff(cand).size} of ${exact.size} true pairs")
   }
 
+  test("jaccardPairsPrefix == jaccardPairsFromHashes (exact prefix filtering) at several thresholds") {
+    val docsSrc = Tables.table(spark, TestSpark.Sf, "documents")
+      .select($"doc_id", $"source",
+        graft.ops.TextOps.tokenizeFiltered($"text", Dictionaries.Stopwords, Nil).as("toks"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("jaccard", round($"jaccard", 9))
+        .as[(Long, Long, Double)].collect().toSet
+    for (theta <- Seq(0.5, 0.7, 0.9)) {
+      // unigram, blocked by source
+      val e1 = Dedup.shingleHashes(docsSrc, "doc_id", "toks", k = 1, Some("source"))
+      assert(canon(Dedup.jaccardPairsPrefix(e1, theta, Some("source")))
+        == canon(Dedup.jaccardPairsFromHashes(e1, theta, Some("source"))), s"unigram theta=$theta")
+      // 3-shingle, unblocked
+      val e3 = Dedup.shingleHashes(docs, "doc_id", "sh", k = 1)
+      assert(canon(Dedup.jaccardPairsPrefix(e3, theta))
+        == canon(Dedup.jaccardPairsFromHashes(e3, theta)), s"3gram theta=$theta")
+    }
+  }
+
   test("minhashSigsCol (fused expression) == minhashFromHashes (explode+agg) signatures") {
     import graft.functions.CharShingleHashes.char_shingle_hashes
     val base = Tables.table(spark, TestSpark.Sf, "documents")
