@@ -920,6 +920,77 @@ object SparkEntry {
         |  IN ('click', 'view', 'purchase', 'signup', 'error')
         |  USING count(*) GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    Q("q_unpivot",  // melt: wide per-user event-type counts back to long form
+      (s, dir) => {
+        val types = Seq("click", "view", "purchase")
+        val p = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        val wide = types.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+        wide.unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+          .orderBy("user_id", "event_type")
+      },
+      Some("""WITH w AS (SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, event_type, CAST(n AS BIGINT) AS n
+        |FROM w UNPIVOT (n FOR event_type IN (click, view, purchase))
+        |ORDER BY user_id, event_type""".stripMargin)),
+
+    Q("q_window_ntile",  // ranking-family windows: ntile + percent_rank + cume_dist
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("q_regex",  // regex scalar surface: extract, replace, match predicate
+      (s, dir) => Tables.table(s, dir, "part")
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+          regexp_replace(col("p_type"), "[AEIOU]", "_").as("devowel"),
+          col("p_brand").rlike("#[0-9]+$").cast("int").as("numbered"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  regexp_replace(p_type, '[AEIOU]', '_', 'g') AS devowel,
+        |  CAST(regexp_matches(p_brand, '#[0-9]+$') AS INT) AS numbered
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    Q("q_date_arith",  // temporal arithmetic: trunc, add_months, datediff, dow
+      (s, dir) => Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          // dates travel as ISO strings: date-typed outputs hash as
+          // different physical types across engines
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+          datediff(to_date(lit("1998-12-31")), col("o_orderdate")).as("days_to_eoy"),
+          dayofweek(col("o_orderdate")).as("dow"))
+        .orderBy("o_orderkey"),
+      // DuckDB dayofweek: 0=Sunday; Spark: 1=Sunday → +1 aligns
+      Some("""SELECT o_orderkey,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        |  CAST(date_diff('day', o_orderdate, DATE '1998-12-31') AS INT) AS days_to_eoy,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     Q("q_curation",  // full curation funnel: quality → exact dedup → near-dup drop
       (s, dir) => graft.pipeline.Curation.curate(
           Tables.table(s, dir, "documents"), "doc_id", "text",

@@ -63,6 +63,15 @@ object StreamOps {
         expr(s"$leftKey = $rightKey AND $rightTs >= $leftTs - INTERVAL $lagSeconds SECONDS" +
           s" AND $rightTs <= $leftTs"))
 
+  /** Stream-static enrichment: every micro-batch joined against a
+    * static dimension table, broadcast so the stream side never
+    * shuffles. Stateless (the static side is re-resolvable per batch) —
+    * no watermark required; the standard "attach user/doc metadata to
+    * an event stream" shape.
+    */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
   /** Streaming exact dedup — the stream twin of Dedup.dropDupsByKey:
     * keeps the first arrival of each key and drops re-arrivals while the
     * key is inside the event-time watermark horizon; state for keys

@@ -20,6 +20,45 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(res.assignments.select($"id").distinct().count() == 3)
   }
 
+  test("cosine pair kernels: empty and single-vector corpora yield zero pairs") {
+    import graft.ops.Similarity
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    val one = Seq((1L, Seq(1.0, 2.0))).toDF("id", "v")
+    for (df <- Seq(empty, one)) {
+      assert(Similarity.cosinePairsBlocked(df, "id", "v", 0.1).count() == 0)
+      assert(Similarity.cosinePairsLsh(df, "id", "v", 0.1).count() == 0)
+    }
+    // two identical vectors: exactly one pair from every kernel
+    val two = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(1.0, 2.0))).toDF("id", "v")
+    assert(Similarity.cosinePairsBlocked(two, "id", "v", 0.99).count() == 1)
+    assert(Similarity.cosinePairsLsh(two, "id", "v", 0.99).count() == 1)
+    assert(Similarity.cosinePairsFast(two, "id", "v", 0.99).count() == 1)
+  }
+
+  test("jaccardPairsPrefix: degenerate inputs (empty, single doc, disjoint docs)") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "h")
+      .select($"id", xxhash64($"h").as("h"))
+    assert(Dedup.jaccardPairsPrefix(empty, 0.5).count() == 0)
+    val single = Seq((1L, "a"), (1L, "b")).toDF("id", "tok")
+      .select($"id", xxhash64($"tok").as("h"))
+    assert(Dedup.jaccardPairsPrefix(single, 0.5).count() == 0)
+    val disjoint = Seq((1L, "a"), (2L, "b")).toDF("id", "tok")
+      .select($"id", xxhash64($"tok").as("h"))
+    assert(Dedup.jaccardPairsPrefix(disjoint, 0.1).count() == 0)
+    // identical docs: J = 1 at any threshold
+    val twin = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b")).toDF("id", "tok")
+      .select($"id", xxhash64($"tok").as("h"))
+    assert(Dedup.jaccardPairsPrefix(twin, 1.0).count() == 1)
+  }
+
+  test("minhashSigsCol: empty shingle array gives null signature (doc-absent semantics)") {
+    import graft.functions.CharShingleHashes.char_shingle_hashes
+    val df = Seq((1L, "abcdefgh"), (2L, "ab")).toDF("id", "s") // "ab" < k=5 → no shingles
+      .select($"id", Dedup.minhashSigsCol(char_shingle_hashes($"s", 5)).as("sig"))
+    val rows = df.collect().map(r => r.getLong(0) -> (r.get(1) != null)).toMap
+    assert(rows == Map(1L -> true, 2L -> false))
+  }
+
   test("lshCandidates: maxBucket drops pathological buckets, keeps normal ones") {
     // 30 identical docs (one hot bucket per band) + 2 similar docs
     val docs = ((1L to 30L).map(i => (i, Seq("x", "y", "z"))) ++

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan invariants over the ENTIRE query suite — the "is this
+  * the plan you'd want at 100 TB" checks, automated:
+  *  - no plan may contain a shuffle cartesian product;
+  *  - any nested-loop join must be the broadcast form (small side
+  *    explicitly broadcast — k centroids, vocabularies, block tables);
+  *  - filters and projections must reach the parquet scans;
+  *  - top-k queries must plan as TakeOrderedAndProject, never a global
+  *    sort (guards the selectVocab/sampleK regressions).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.Sf).queryExecution.executedPlan.toString
+
+  test("no query plans a cartesian product; nested-loop joins are broadcast-only") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a shuffle cartesian product")
+      if (p.contains("BroadcastNestedLoopJoin"))
+        assert(p.contains("BroadcastExchange"),
+          s"$name has a nested-loop join without a broadcast side")
+    }
+  }
+
+  test("q_agg_lineitem: the shipdate filter is pushed into the parquet scan") {
+    val p = plan("q_agg_lineitem")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"expected pushed filters in:\n$p")
+  }
+
+  test("q_tokens: only (doc_id, text) are read from the documents scan") {
+    val p = plan("q_tokens")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"expected pruned ReadSchema in:\n$p")
+  }
+
+  test("q_count_n: a pure count reads zero data columns") {
+    val p = plan("q_count_n")
+    assert(p.contains("ReadSchema: struct<>"), s"expected empty ReadSchema in:\n$p")
+  }
+
+  test("top-k queries plan as TakeOrderedAndProject, not a global sort") {
+    for (q <- Seq("q_topk", "q_vocab_params", "q_sample_k")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q should TakeOrdered:\n$p")
+    }
+  }
+}

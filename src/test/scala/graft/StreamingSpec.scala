@@ -192,6 +192,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSet == Set((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)))
   }
 
+  test("enrichWithStatic: stream-static broadcast join == batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val evs = Seq((1L, 5.0, ts(0)), (2L, 7.0, ts(1)), (3L, 9.0, ts(2)))
+    val mem = MemoryStream[(Long, Double, java.sql.Timestamp)]
+    val q = StreamOps.enrichWithStatic(
+        mem.toDF().toDF("user_id", "value", "ts"), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("enrich").select($"user_id", $"value", $"tier")
+        .as[(Long, Double, String)].collect().toSet
+      assert(streamed == Set((1L, 5.0, "gold"), (2L, 7.0, "basic")))
+    } finally q.stop()
+  }
+
+  test("foreachBatch: batchId-keyed overwrite makes a retried sink idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("febatch").toString
+    val mem = MemoryStream[(Long, Double)]
+    def start() = mem.toDF().toDF("id", "value").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // batchId in the path: a replayed batch overwrites itself instead
+        // of appending duplicates — the standard exactly-once recipe for
+        // non-transactional sinks
+        df.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+      }
+      .option("checkpointLocation", s"$out/chk").start()
+    val q1 = start()
+    try { mem.addData((1L, 1.0), (2L, 2.0)); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { mem.addData((3L, 3.0)); q2.processAllAvailable() } finally q2.stop()
+    val rows = spark.read.option("basePath", out).parquet(s"$out/batch=*")
+      .select($"id", $"value").as[(Long, Double)].collect().toSet
+    assert(rows == Set((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
+
   test("userRunningTotals: mapGroupsWithState accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
