@@ -655,6 +655,28 @@ object SparkEntry {
         |  round(ml, 6) AS mean_len, round(q, 6) AS score
         |FROM m ORDER BY doc_id""".stripMargin)),
 
+    Q("q_repetition",  // Gopher/C4-style repetition signals: top-word share +
+      (s, dir) => {    // duplicate-bigram fraction
+        val toks = TextOps.tokenize(col("text"))
+        Tables.table(s, dir, "documents").select(
+          col("doc_id"),
+          round(TextStats.topTokenFraction(toks), 6).as("top_tok_frac"),
+          round(TextStats.dupBigramFraction(toks), 6).as("dup_bigram_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |        regexp_extract_all(lower(text), '\b\w\w+\b') AS toks FROM documents)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(list_max(list_transform(list_distinct(toks),
+        |      t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / len(toks) END,
+        |    6) AS top_tok_frac,
+        |  round(CASE WHEN len(toks) < 2 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+        |      / (len(toks) - 1) END, 6) AS dup_bigram_frac
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
     Q("q_token_stats",
       (s, dir) => Tables.table(s, dir, "documents").select(
           col("doc_id"),

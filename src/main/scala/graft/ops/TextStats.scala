@@ -76,6 +76,29 @@ object TextStats {
           / (lit(100.0) * n))
   }
 
+  /** Fraction of tokens taken by the single most frequent token
+    * (0 for empty docs) — the Gopher-style "top word share" repetition
+    * signal: boilerplate and keyword-stuffed docs score high. Computed
+    * as one integer division (see [[qualityScore]]'s rounding law).
+    */
+  def topTokenFraction(tokens: Column): Column = {
+    val counts = transform(array_distinct(tokens),
+      t => size(filter(tokens, x => x === t)).cast("long"))
+    when(size(tokens) === 0, 0.0)
+      .otherwise(array_max(counts) / size(tokens).cast("double"))
+  }
+
+  /** Duplicate-bigram fraction: 1 − distinct/total over adjacent token
+    * pairs (0 for docs with < 2 tokens) — the C4/Gopher repeated-n-gram
+    * signal; looping or templated text scores high.
+    */
+  def dupBigramFraction(tokens: Column): Column = {
+    val n = size(tokens)
+    val bigrams = Dedup.tokenShingles(tokens, 2)
+    when(n < 2, 0.0)
+      .otherwise(lit(1.0) - size(array_distinct(bigrams)) / size(bigrams).cast("double"))
+  }
+
   /** Whitespace token count — `size(split)` on the raw text (counts
     * empty string as 1 token on empty text, like split semantics in
     * both engines; callers guard if needed).
