@@ -843,6 +843,15 @@ object SparkEntry {
         .orderBy("l_returnflag"),                   // in InvariantSweepSpec (3 SFs)
       None),
 
+    Q("q_approx_percentiles",  // t-digest-style sketch quantiles — engine-
+      (s, dir) => Tables.table(s, dir, "lineitem")  // specific values → rows-
+        .groupBy(col("l_returnflag"))               // only; rank-error band
+        .agg(                                       // proven in InvariantSweepSpec
+          round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 4).as("p50_approx"),
+          round(expr("approx_percentile(l_extendedprice, 0.95, 1000)"), 4).as("p95_approx"))
+        .orderBy("l_returnflag"),
+      None),
+
     // ---- event-sequence operators: sessionize, as-of join, range join, pivot
     Q("q_sessionize",  // 30-min-gap sessions per user
       (s, dir) => EventOps.sessionize(

@@ -96,6 +96,27 @@ class InvariantSweepSpec extends AnyFunSuite {
     }
   }
 
+  test("q_approx_percentiles invariant: sketch quantiles land within a true quantile band (3 SFs)") {
+    for (sf <- Sfs) {
+      val li = Tables.table(spark, sf, "lineitem")
+      val rows = li.groupBy($"l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50a"),
+          expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("p95a"),
+          // band: the approx value must fall between nearby true quantiles
+          expr("percentile(l_extendedprice, 0.45)").as("p45"),
+          expr("percentile(l_extendedprice, 0.55)").as("p55"),
+          expr("percentile(l_extendedprice, 0.93)").as("p93"),
+          expr("percentile(l_extendedprice, 0.97)").as("p97"))
+        .as[(String, Double, Double, Double, Double, Double, Double)].collect()
+      assert(rows.nonEmpty)
+      rows.foreach { case (flag, p50a, p95a, p45, p55, p93, p97) =>
+        assert(p50a >= p45 && p50a <= p55, s"$sf/$flag p50 sketch out of band: $p50a !in [$p45,$p55]")
+        assert(p95a >= p93 && p95a <= p97, s"$sf/$flag p95 sketch out of band: $p95a !in [$p93,$p97]")
+      }
+    }
+  }
+
   test("q_multimodal_features invariant: stub decode equals a driver-side recompute on a sample (3 SFs)") {
     for (sf <- Sfs) {
       val media = Multimodal.fromText(
