@@ -477,8 +477,13 @@ object SparkEntry {
     Q("q_char_minhash_pairs",  // char-5-gram MinHash, fully fused: rolling-hash
       (s, dir) => {               // Expression → MinHashSigs Expression → LSH.
         val sigs = Tables.table(s, dir, "documents")  // One codegen'd pass per
-          .select(col("doc_id").as("id"),             // doc, no explode/agg —
-            Dedup.minhashSigsCol(                     // rows-only (engine hashes)
+          .select(col("doc_id").as("id"), col("text"))// doc, no explode/agg —
+          // the whole corpus is one parquet row group locally — spread the
+          // (chars·numHashes)-heavy expression across cores; at real scale
+          // the scan has thousands of splits and this shuffle is dropped
+          .repartition(col("id"))
+          .select(col("id"),                          // rows-only (engine hashes)
+            Dedup.minhashSigsCol(
               graft.functions.CharShingleHashes.char_shingle_hashes(
                 lower(col("text")), 5), numHashes = 128, seed = 42L).as("sig"))
           .filter(col("sig").isNotNull)
