@@ -733,6 +733,43 @@ object SparkEntry {
         .orderBy("media_id", "dim"),
       None),
 
+    Q("q_chunks",  // sliding-window context chunking: 32-token windows,
+      (s, dir) => docsTokens(s, dir)  // 8-token overlap, last partial kept
+        .select(col("doc_id"),
+          explode(TextOps.chunkTokens(col("toks"), size = 32, overlap = 8)).as("c"))
+        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+          size(col("c.toks")).as("n_toks"),
+          concat_ws(" ", col("c.toks")).as("chunk"))
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH t AS ($SqlToks),
+        |c AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |e AS (SELECT doc_id, toks, n, unnest(range(0, (n - 1) // 24 + 1)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |  CAST(least(32, n - i * 24) AS INT) AS n_toks,
+        |  array_to_string(list_slice(toks, i * 24 + 1, least(i * 24 + 32, n)), ' ') AS chunk
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    Q("q_pack",  // GPT-style sequence packing: global token offsets → the
+      (s, dir) => {  // 256-token sequence span each doc lands in
+        val d = docsTokens(s, dir).select(col("doc_id"), size(col("toks")).as("n_toks"))
+        TextOps.packSequences(d, "doc_id", "n_toks", budget = 256)
+          .select(col("doc_id"), col("n_toks"), col("tok_offset"),
+            col("seq_first"), col("seq_last"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |d AS (SELECT doc_id, len(toks) AS n_toks FROM t),
+        |o AS (SELECT doc_id, n_toks,
+        |        COALESCE(sum(n_toks) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |      FROM d)
+        |SELECT doc_id, CAST(n_toks AS INT) AS n_toks,
+        |  CAST(tok_offset AS BIGINT) AS tok_offset,
+        |  CAST(tok_offset // 256 AS BIGINT) AS seq_first,
+        |  CAST(CASE WHEN n_toks = 0 THEN tok_offset // 256
+        |       ELSE (tok_offset + n_toks - 1) // 256 END AS BIGINT) AS seq_last
+        |FROM o ORDER BY doc_id""".stripMargin)),
+
     Q("q_vocab_params",  // sklearn min_df/max_df/max_features vocabulary selection
       (s, dir) => {
         val base = docsTokens(s, dir)

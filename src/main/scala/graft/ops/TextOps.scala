@@ -78,4 +78,45 @@ object TextOps {
     docs.drop(tokensCol).join(reassembled, Seq(idCol), "left")
       .withColumn(tokensCol, coalesce(col(tokensCol), array()))
   }
+
+  /** Sliding-window document chunking for context-length-bounded
+    * training: windows of `size` tokens starting every
+    * `size - overlap` tokens; the final window may be shorter but is
+    * never empty. Pure column expression — (chunk_id, chunk tokens)
+    * pairs per doc; explode downstream. Docs with no tokens produce
+    * zero chunks.
+    */
+  def chunkTokens(tokens: Column, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    // chunk starts: 1, 1+stride, ... while start <= n (last partial kept)
+    val nChunks = when(org.apache.spark.sql.functions.size(tokens) === 0, 0)
+      .otherwise(((org.apache.spark.sql.functions.size(tokens) - lit(1)) / lit(stride))
+        .cast("int") + 1)
+    transform(sequence(lit(0), nChunks - 1),
+      i => struct(i.as("chunk_id"), slice(tokens, i * stride + 1, lit(size)).as("toks")))
+  }
+
+  /** GPT-style sequence packing: concatenate all docs in `orderCol`
+    * order and cut fixed `budget`-token sequences — each doc gets its
+    * global token offset (exclusive running sum) and the sequence ids
+    * its span covers. One window pass; at scale swap the global-order
+    * window for the range-partitioned running-sum construction used by
+    * IdOps.sequentialIdsAtScale (identical contract).
+    * Output columns added: `tok_offset`, `seq_first`, `seq_last`.
+    */
+  def packSequences(
+      docs: DataFrame, orderCol: String, nTokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .withColumn("tok_offset", coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
+      // integer division: double division of large offsets loses ulps
+      .withColumn("seq_first", expr(s"tok_offset div $budget"))
+      .withColumn("seq_last",
+        when(col(nTokensCol) === 0, col("seq_first"))
+          .otherwise(expr(s"(tok_offset + $nTokensCol - 1) div $budget")))
+  }
 }
