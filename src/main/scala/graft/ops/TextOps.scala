@@ -90,12 +90,16 @@ object TextOps {
     require(size > 0 && overlap >= 0 && overlap < size,
       s"need 0 <= overlap < size, got size=$size overlap=$overlap")
     val stride = size - overlap
-    // chunk starts: 1, 1+stride, ... while start <= n (last partial kept)
-    val nChunks = when(org.apache.spark.sql.functions.size(tokens) === 0, 0)
-      .otherwise(((org.apache.spark.sql.functions.size(tokens) - lit(1)) / lit(stride))
-        .cast("int") + 1)
-    transform(sequence(lit(0), nChunks - 1),
-      i => struct(i.as("chunk_id"), slice(tokens, i * stride + 1, lit(size)).as("toks")))
+    // chunk starts: 1, 1+stride, ... while start <= n (last partial kept).
+    // For n=0 the count formula yields 1 and the trailing filter drops
+    // the empty window — a `sequence(0, -1)` guard would instead produce
+    // a DESCENDING [0,-1] (Spark auto-steps) and two bogus chunks.
+    val nChunks =
+      ((org.apache.spark.sql.functions.size(tokens) - lit(1)) / lit(stride)).cast("int") + 1
+    filter(
+      transform(sequence(lit(0), nChunks - 1),
+        i => struct(i.as("chunk_id"), slice(tokens, i * stride + 1, lit(size)).as("toks"))),
+      c => org.apache.spark.sql.functions.size(c.getField("toks")) > 0)
   }
 
   /** GPT-style sequence packing: concatenate all docs in `orderCol`

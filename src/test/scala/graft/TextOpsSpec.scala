@@ -40,4 +40,36 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(Long, Seq[String])].collect().toMap
     assert(viaJoin == viaLit)
   }
+
+  test("chunkTokens: boundary sizes — exact fit, one over, short doc, empty doc") {
+    import org.apache.spark.sql.functions._
+    val toks = (1 to 8).map(i => s"t$i")
+    val got = Seq(
+      (1L, toks),            // 8 tokens, size 4 overlap 1 → starts 1,4,7 → 3 chunks
+      (2L, toks.take(4)),    // exact fit → 1 full + 1 partial? starts 1,4 → 2 chunks
+      (3L, toks.take(2)),    // shorter than size → 1 chunk
+      (4L, Seq.empty[String]))
+      .toDF("id", "toks")
+      .select($"id", TextOps.chunkTokens($"toks", size = 4, overlap = 1).as("cs"))
+      .as[(Long, Seq[(Int, Seq[String])])].collect().toMap
+    assert(got(1L) == Seq(
+      (0, Seq("t1", "t2", "t3", "t4")),
+      (1, Seq("t4", "t5", "t6", "t7")),
+      (2, Seq("t7", "t8"))))
+    assert(got(2L) == Seq((0, Seq("t1", "t2", "t3", "t4")), (1, Seq("t4"))))
+    assert(got(3L) == Seq((0, Seq("t1", "t2"))))
+    assert(got(4L) == Seq.empty)
+  }
+
+  test("packSequences: offsets are exclusive running sums; spans cover exactly the doc's tokens") {
+    val d = Seq((1L, 100), (2L, 200), (3L, 0), (4L, 300)).toDF("id", "n")
+    val got = TextOps.packSequences(d, "id", "n", budget = 256)
+      .select($"id", $"tok_offset", $"seq_first", $"seq_last")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 0L),      // tokens 0..99 → seq 0
+      (2L, 100L, 0L, 1L),    // tokens 100..299 → straddles seqs 0-1
+      (3L, 300L, 1L, 1L),    // empty doc pins to its offset's seq
+      (4L, 300L, 1L, 2L)))   // tokens 300..599 → seqs 1-2
+  }
 }
