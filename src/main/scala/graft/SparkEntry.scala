@@ -467,6 +467,11 @@ object SparkEntry {
       (s, dir) => {
         // 3-shingles, not unigrams: the synthetic corpus shares one small
         // vocabulary, so unigram MinHash buckets nearly every pair.
+        // Explode + partial-agg min is the measured winner here: a fused
+        // tokenShingles→xxhash64→MinHashSigs per-doc form is signature-
+        // identical (DedupSpec parity test) but ~2× slower — interpreted
+        // per-window slice/concat costs more than the map-side-combined
+        // shuffle it avoids.
         val sigs = Dedup.minhashFromHashes(
           Dedup.shingleHashes(docsTokens(s, dir), "doc_id", "toks", k = 3),
           numHashes = 128, seed = 42L)

@@ -69,6 +69,23 @@ class DedupSpec extends AnyFunSuite {
     assert(fused.nonEmpty)
   }
 
+  test("fused 3-shingle MinHash (tokenShingles→xxhash64→MinHashSigs) == explode+window+agg path") {
+    val base = Tables.table(spark, TestSpark.Sf, "documents")
+      .select($"doc_id",
+        graft.ops.TextOps.tokenizeFiltered($"text", Dictionaries.Stopwords, Nil).as("toks"))
+    val fused = base
+      .select($"doc_id".as("id"),
+        Dedup.minhashSigsCol(
+          transform(Dedup.tokenShingles($"toks", 3), t => xxhash64(t)), 128, 42L).as("sig"))
+      .filter($"sig".isNotNull)
+      .as[(Long, Seq[Long])].collect().toMap
+    val agg = Dedup.minhashFromHashes(
+        Dedup.shingleHashes(base, "doc_id", "toks", k = 3), 128, 42L)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fused == agg)
+    assert(fused.nonEmpty)
+  }
+
   test("simhash: multiset-invariant, order-invariant; small edit => small hamming") {
     val base = Seq.tabulate(40)(i => s"tok${i % 12}")  // 40 tokens over 12 types
     val fixture = Seq(
