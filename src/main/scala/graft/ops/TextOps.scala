@@ -105,10 +105,10 @@ object TextOps {
   /** GPT-style sequence packing: concatenate all docs in `orderCol`
     * order and cut fixed `budget`-token sequences — each doc gets its
     * global token offset (exclusive running sum) and the sequence ids
-    * its span covers. One window pass; at scale swap the global-order
-    * window for the range-partitioned running-sum construction used by
-    * IdOps.sequentialIdsAtScale (identical contract).
-    * Output columns added: `tok_offset`, `seq_first`, `seq_last`.
+    * its span covers. One global-window pass — the oracle-parity form;
+    * [[packSequencesAtScale]] is the same contract without the
+    * single-partition stage. Output columns added: `tok_offset`,
+    * `seq_first`, `seq_last`.
     */
   def packSequences(
       docs: DataFrame, orderCol: String, nTokensCol: String, budget: Long): DataFrame = {
@@ -122,5 +122,53 @@ object TextOps {
       .withColumn("seq_last",
         when(col(nTokensCol) === 0, col("seq_first"))
           .otherwise(expr(s"(tok_offset + $nTokensCol - 1) div $budget")))
+  }
+
+  /** [[packSequences]] without the single-partition window: range
+    * repartition on `orderCol`, per-partition token totals → cumulative
+    * offsets (a partition-count-row driver reduction, cheap at any
+    * scale), then a local running sum per partition — the same
+    * construction as IdOps.sequentialIdsAtScale. Identical output
+    * (parity-tested).
+    */
+  def packSequencesAtScale(
+      docs: DataFrame, orderCol: String, nTokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0)
+    val spark = docs.sparkSession
+    val sorted = docs
+      .repartitionByRange(col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .persist()
+    val counts = sorted
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col(nTokensCol).cast("long")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = sorted.rdd.getNumPartitions
+    val offsets = (0 until nParts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val nIdx = sorted.schema.fieldIndex(nTokensCol)
+    val outSchema = org.apache.spark.sql.types.StructType(sorted.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("tok_offset",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("seq_first",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("seq_last",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var running = bOffsets.value(pid)
+      it.map { r =>
+        val n = r.get(nIdx) match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case other => other.asInstanceOf[Number].longValue()
+        }
+        val off = running
+        running += n
+        val first = off / budget
+        val last = if (n == 0) first else (off + n - 1) / budget
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(off, first, last))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 }

@@ -72,4 +72,17 @@ class TextOpsSpec extends AnyFunSuite {
       (3L, 300L, 1L, 1L),    // empty doc pins to its offset's seq
       (4L, 300L, 1L, 2L)))   // tokens 300..599 → seqs 1-2
   }
+
+  test("packSequencesAtScale == packSequences (window) on the documents table") {
+    val d = Tables.table(spark, TestSpark.Sf, "documents")
+      .select($"doc_id",
+        size(TextOps.tokenizeFiltered($"text", Dictionaries.Stopwords, Nil)).as("n_toks"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"tok_offset", $"seq_first", $"seq_last")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val windowed = canon(TextOps.packSequences(d, "doc_id", "n_toks", budget = 256))
+    val atScale = canon(TextOps.packSequencesAtScale(d, "doc_id", "n_toks", budget = 256))
+    assert(atScale == windowed)
+    assert(windowed.nonEmpty)
+  }
 }
