@@ -9,8 +9,9 @@ import org.apache.spark.sql.types.DoubleType
   * Reference: clustering/ — one MapReduce job per iteration with
   * HDFS-materialized centroids (App.java:110-149). Here each iteration
   * is one declarative plan over a persisted points DataFrame; the k
-  * centroids live as a driver array, shipped as a broadcast cross-join
-  * side (k×dim doubles — tiny at any corpus scale).
+  * centroids live as a driver array, shipped inside the serialized plan
+  * as a codegen reference object (k×dim doubles — tiny at any corpus
+  * scale) and resolved map-side with zero shuffle.
   *
   *  - distance: full symmetric Euclidean over array vectors
   *    (reference iterates only the centroid's keys,
@@ -39,17 +40,32 @@ object KMeansOps {
   def euclid(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
 
-  /** Nearest-centroid assignment: broadcast cross join + argmin.
-    * `centroids` must be a small (cid, cvec: array<double>) table.
+  /** Nearest-centroid assignment, map-side: one fused codegen argmin per
+    * row over the driver-held centroid matrix ([[graft.functions.NearestCentroid]])
+    * — zero shuffle, zero join, matching the reference's in-mapper argmin
+    * (MapperKMean.java:86-97). The earlier composed form
+    * (crossJoin(broadcast) + groupBy(id).agg(min(struct), first(vec)))
+    * shuffled n·k rows with the full vector riding along — ~k× the corpus
+    * per Lloyd iteration at scale. Arithmetic and the (dist, cid)
+    * lexicographic tie-break are bit-identical to that form.
     * Output: (idCol, cluster, dist, vecCol).
     */
-  def assign(points: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame =
+  def assign(
+      points: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Long, Array[Double])]): DataFrame =
     points
-      .crossJoin(broadcast(centroids.select(col("cid"), col("cvec"))))
-      .withColumn("dist", euclid(col(vecCol), col("cvec")))
-      .groupBy(col(idCol))
-      .agg(min(struct(col("dist"), col("cid"))).as("m"), first(col(vecCol)).as(vecCol))
+      .withColumn("m", graft.functions.NearestCentroid.nearest_centroid(col(vecCol), centroids))
       .select(col(idCol), col("m.cid").as("cluster"), col("m.dist").as("dist"), col(vecCol))
+
+  /** Assignment from a small (cid, cvec: array<double>) DataFrame — the
+    * k rows are collected to the driver (k×dim doubles, tiny by
+    * contract) and resolved map-side as above.
+    */
+  def assign(points: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame =
+    assign(points, idCol, vecCol,
+      centroids.select(col("cid").cast("long"), col("cvec"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray))
 
   /** Per-cluster mean vector in exploded form (cluster, dim, c), rounded
     * HALF_UP to `scale` dp. Exploded groupBy gets map-side partial
@@ -83,12 +99,8 @@ object KMeansOps {
     */
   def iterate(
       points: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[(Long, Array[Double])]): DataFrame = {
-    val spark = points.sparkSession
-    import spark.implicits._
-    val cdf = centroids.toSeq.toDF("cid", "cvec")
-    assign(points, idCol, vecCol, cdf)
-  }
+      centroids: Array[(Long, Array[Double])]): DataFrame =
+    assign(points, idCol, vecCol, centroids)
 
   /** Result of a full seeded K-Means run. */
   final case class KMeansResult(

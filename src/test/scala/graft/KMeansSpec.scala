@@ -25,6 +25,24 @@ class KMeansSpec extends AnyFunSuite {
     assert(res.converged || res.iterations == 10)
   }
 
+  test("fused assign == composed crossJoin+groupBy argmin, bit-identically") {
+    val centroids = points.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"v".as("cvec"))
+    val cArr = centroids.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val fused = KMeansOps.assign(points, "vec_id", "v", cArr)
+    val composed = points
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist", KMeansOps.euclid($"v", $"cvec"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"dist", $"cid")).as("m"), first($"v").as("v"))
+      .select($"vec_id", $"m.cid".as("cluster"), $"m.dist".as("dist"), $"v")
+    val a = fused.orderBy("vec_id").collect()
+    val b = composed.orderBy("vec_id").collect()
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+  }
+
   test("L2-normalized tfidf vectors have unit norm per nonzero doc") {
     val tfidf = SparkEntry.queries("q_tfidf")(spark, TestSpark.Sf)
     val norms = tfidf.groupBy($"doc_id")

@@ -45,6 +45,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<>"), s"expected empty ReadSchema in:\n$p")
   }
 
+  test("kmeans assign is a zero-shuffle map-side argmin: no Exchange, no join") {
+    import org.apache.spark.sql.functions._
+    val pts = Tables.table(spark, TestSpark.Sf, "embeddings")
+      .select(col("vec_id"), graft.ops.KMeansOps.asDouble(col("embedding")).as("v"))
+    val centroids = Array(0L -> Array(1.0, 0.0, 0.0), 1L -> Array(0.0, 1.0, 0.0))
+    val p = graft.ops.KMeansOps.assign(pts, "vec_id", "v", centroids)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"assign must not shuffle:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"assign must not join:\n$p")
+  }
+
   test("top-k queries plan as TakeOrderedAndProject, not a global sort") {
     for (q <- Seq("q_topk", "q_vocab_params", "q_sample_k")) {
       val p = plan(q)
