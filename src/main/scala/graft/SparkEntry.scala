@@ -481,12 +481,17 @@ object SparkEntry {
 
     Q("q_char_minhash_pairs",  // char-5-gram MinHash, fully fused: rolling-hash
       (s, dir) => {               // Expression → MinHashSigs Expression → LSH.
-        val sigs = Tables.table(s, dir, "documents")  // One codegen'd pass per
-          .select(col("doc_id").as("id"), col("text"))// doc, no explode/agg —
-          // the whole corpus is one parquet row group locally — spread the
-          // (chars·numHashes)-heavy expression across cores; at real scale
-          // the scan has thousands of splits and this shuffle is dropped
-          .repartition(col("id"))
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id").as("id"), col("text"))
+        // locally the whole corpus can be one parquet row group — spread the
+        // (chars·numHashes)-heavy expression across cores ONLY then; at real
+        // scale the scan has thousands of splits and a repartition here would
+        // shuffle the corpus' widest column for nothing
+        val spread =
+          if (docs.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+            docs.repartition(col("id"))
+          else docs
+        val sigs = spread
           .select(col("id"),                          // rows-only (engine hashes)
             Dedup.minhashSigsCol(
               graft.functions.CharShingleHashes.char_shingle_hashes(
@@ -730,13 +735,23 @@ object SparkEntry {
         |  CAST(ceil(ceil(length(text) / 32.0) / 3.0) AS BIGINT) AS n_kept
         |FROM documents ORDER BY media_id""".stripMargin)),
 
-    Q("q_multimodal_features",  // stubbed decode — deterministic fake, rows-only
-      (s, dir) => Multimodal.decodeStub(
-          Multimodal.fromText(Tables.table(s, dir, "documents"), "doc_id", "text", "source"))
-        .select(col("media_id"), posexplode(col("features")).as(Seq("dim", "f")))
-        .withColumn("f", round(col("f"), 6))
-        .orderBy("media_id", "dim"),
-      None),
+    Q("q_multimodal_features",  // REAL ImageIO decode of synthetic PNGs —
+      // gradient construction gives the channel means closed forms the
+      // oracle can compute from doc_id alone (lossless PNG roundtrip)
+      (s, dir) => Multimodal.decodeImage(
+          Multimodal.syntheticPng(Tables.table(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("decoded"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id, TRUE AS decoded,
+        |  CAST(doc_id % 13 + 1 AS INT) AS width,
+        |  CAST(doc_id % 11 + 1 AS INT) AS height,
+        |  round((doc_id % 200) + (doc_id % 13) / 2.0, 6) AS mean_r,
+        |  round((doc_id * 7 % 200) + (doc_id % 11) / 2.0, 6) AS mean_g,
+        |  round(CAST(doc_id * 13 % 200 AS DOUBLE), 6) AS mean_b
+        |FROM documents ORDER BY media_id""".stripMargin)),
 
     Q("q_chunks",  // sliding-window context chunking: 32-token windows,
       (s, dir) => docsTokens(s, dir)  // 8-token overlap, last partial kept

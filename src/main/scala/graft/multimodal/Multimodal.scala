@@ -6,13 +6,13 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed
   * metadata, with decode/feature-extraction as per-partition batch
-  * stubs.
+  * kernels.
   *
-  * The Spark-side plumbing (schema, partitioning, batch iteration
-  * shape) is real and tested; the actual media decode is STUBBED with
-  * a deterministic fake — image/audio codecs are not available in this
-  * environment. A production deployment swaps [[decodeStub]]'s body
-  * for a real codec (or a pandas/Arrow UDF on PySpark) without
+  * Image decode is REAL — [[decodeImage]] runs `javax.imageio.ImageIO`
+  * (in the JDK, PNG/JPEG/GIF/BMP) per partition and emits dims +
+  * per-channel means. Audio/video decode remains STUBBED with a
+  * deterministic fake ([[decodeStub]]) — those codecs are not in this
+  * environment; a production deployment swaps the stub body without
   * touching any plan shape.
   */
 object Multimodal {
@@ -69,6 +69,94 @@ object Multimodal {
           }
         }
         Row(id, feats)
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic PNGs, one per input row: a (id%13+1) ×
+    * (id%11+1) RGB gradient where pixel (x,y) = (id%200 + x,
+    * (id·7)%200 + y, (id·13)%200). Bases ≤ 199 and offsets ≤ 12 keep
+    * every channel < 256 (no wraparound), so after the lossless PNG
+    * roundtrip the channel means have the closed forms
+    * base + (w−1)/2, base + (h−1)/2, base — which is what makes
+    * [[decodeImage]]'s real-codec output oracle-able in plain SQL.
+    * Encoding runs per-partition via `ImageIO.write` to a byte buffer.
+    */
+  def syntheticPng(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(MediaSchema)
+    df.select(col(idCol).cast(LongType).as("media_id")).mapPartitions { batch =>
+      batch.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 13 + 1).toInt
+        val h = (id % 11 + 1).toInt
+        val br = (id % 200).toInt
+        val bg = (id * 7 % 200).toInt
+        val bb = (id * 13 % 200).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((br + x) << 16) | ((bg + y) << 8) | bb)
+            x += 1
+          }
+          y += 1
+        }
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        val bytes = buf.toByteArray
+        val sha = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+          .map("%02x".format(_)).mkString
+        Row(id, "image", bytes, Row(bytes.length.toLong, sha, "synthetic"))
+      }
+    }(enc)
+  }
+
+  /** REAL image decode: `ImageIO.read` per payload (PNG/JPEG/GIF/BMP —
+    * the JDK's built-in readers), emitting dimensions and per-channel
+    * means. Runs as mapPartitions — one batch per partition, the same
+    * shape an Arrow-batch decoder would use. Undecodable or null
+    * payloads yield decoded=false with null features (decode failures
+    * must not kill a 100 TB pipeline — filter on `decoded`).
+    */
+  def decodeImage(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("mean_r", DoubleType, nullable = true),
+      StructField("mean_g", DoubleType, nullable = true),
+      StructField("mean_b", DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { batch =>
+      batch.map { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val img =
+          if (bytes.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+        if (img == null) Row(id, false, null, null, null, null, null)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          Row(id, true, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+        }
       }
     }(enc)
   }

@@ -178,16 +178,18 @@ object Dedup {
     * the pair space itself is the bottleneck.
     */
   def jaccardPairsBucketed(
-      e: DataFrame, minJ: Double, maxBucket: Int = 10000): DataFrame = {
+      e: DataFrame, minJ: Double, maxBucket: Int = 1000): DataFrame = {
     val sizes = e.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val n = size(col("ids"))
+    // Two-level explode: element i pairs with its suffix, so the largest
+    // intermediate value is one ≤ maxBucket-element array — never the
+    // full n(n−1)/2 pair array in a single row (an executor OOM at the
+    // old maxBucket=10000 default: ~5·10⁷ structs in one value).
     val pairs = e.groupBy(col("h")).agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(n.between(2, maxBucket))
-      .select(explode(flatten(transform(
-        sequence(lit(1), n - 1),
-        i => transform(slice(col("ids"), i + 1, n - i),
-          x => struct(element_at(col("ids"), i).as("id1"), x.as("id2")))))).as("p"))
-      .select(col("p.id1"), col("p.id2"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
+      .select(col("id1"),
+        explode(slice(col("ids"), col("i") + lit(2), n - col("i") - lit(1))).as("id2"))
     pairs.groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
       .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "s1"), "id1")
       .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "s2"), "id2")

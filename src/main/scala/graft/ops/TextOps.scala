@@ -56,20 +56,28 @@ object TextOps {
     if (dict.isEmpty) noStop else keepDictionary(noStop, dict)
   }
 
-  /** Scale path for big dictionaries: explode tokens, broadcast-semi-join
-    * against the dictionary table, re-assemble in original order.
-    * Equivalent to [[keepDictionary]] but the dictionary can be billions
-    * of rows (it is still broadcast — pass a pre-filtered/bucketed dict
-    * at extreme sizes).
+  /** Scale path for big dictionaries: explode tokens, semi-join against
+    * the dictionary table, re-assemble in original order. Equivalent to
+    * [[keepDictionary]] but the dictionary is a table, not a literal
+    * list. Dictionaries at or under `maxBroadcast` rows are broadcast
+    * (hash lookup, no shuffle of the exploded tokens); larger ones go
+    * through a shuffle left-semi join — force-broadcasting a
+    * billion-row dictionary would OOM every executor. The size probe is
+    * a `limit(maxBroadcast+1).count()`, which stops scanning at the
+    * threshold.
     *
     * @param dictDf single-column DataFrame of dictionary words ("word")
+    * @param maxBroadcast largest dictionary row count to broadcast
     */
   def filterByDictDf(
-      docs: DataFrame, idCol: String, tokensCol: String, dictDf: DataFrame): DataFrame = {
+      docs: DataFrame, idCol: String, tokensCol: String, dictDf: DataFrame,
+      maxBroadcast: Long = 1000000L): DataFrame = {
+    val dict = dictDf.withColumnRenamed(dictDf.columns.head, "token")
+    val small = dict.limit((maxBroadcast + 1).min(Int.MaxValue).toInt).count() <= maxBroadcast
     val exploded = docs
       .select(col(idCol), posexplode(col(tokensCol)).as(Seq("pos", "token")))
     val kept = exploded.join(
-      broadcast(dictDf.withColumnRenamed(dictDf.columns.head, "token")),
+      if (small) broadcast(dict) else dict,
       Seq("token"), "left_semi")
     val reassembled = kept
       .groupBy(idCol)

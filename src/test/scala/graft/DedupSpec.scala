@@ -103,6 +103,19 @@ class DedupSpec extends AnyFunSuite {
     assert(near <= 16, s"2-token edit moved $near bits")
   }
 
+  test("jaccardPairsBucketed: a hot 4000-doc bucket completes with bounded rows (no n²/2 single-row pair array)") {
+    // every doc shares shingle 0 and owns one unique shingle:
+    // one 4000-id bucket → 7,998,000 pairs, each with jaccard 1/3
+    val n = 4000
+    val e = spark.range(n).select($"id")
+      .select($"id", explode(array(lit(0L), $"id" + lit(1L))).as("h"))
+      .localCheckpoint()
+    val got = Dedup.jaccardPairsBucketed(e, minJ = 0.3, maxBucket = n)
+    assert(got.count() == n.toLong * (n - 1) / 2)
+    // the default cap drops the pathological bucket instead of exploding it
+    assert(Dedup.jaccardPairsBucketed(e, minJ = 0.3).count() == 0)
+  }
+
   test("dropDupsByKey keeps exactly one row per key, the min-id one") {
     val withFp = docs.withColumn("fp", Dedup.wordSetFingerprint($"toks"))
     val kept = Dedup.dropDupsByKey(withFp.select($"doc_id", $"fp"), "doc_id", "fp")

@@ -117,7 +117,7 @@ class InvariantSweepSpec extends AnyFunSuite {
     }
   }
 
-  test("q_multimodal_features invariant: stub decode equals a driver-side recompute on a sample (3 SFs)") {
+  test("audio/video stub decode equals a driver-side recompute on a sample (3 SFs)") {
     for (sf <- Sfs) {
       val media = Multimodal.fromText(
         Tables.table(spark, sf, "documents").filter($"doc_id" < 20),

@@ -32,6 +32,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a == c, "stub decode must be partitioning-invariant")
   }
 
+  test("decodeImage: real ImageIO roundtrip recovers exact dims and channel means") {
+    val png = Multimodal.syntheticPng(
+      Tables.table(spark, TestSpark.Sf, "documents").filter($"doc_id" < 30), "doc_id")
+    // payloads really are PNGs (magic bytes), not text
+    val magic = png.select($"payload").as[Array[Byte]].head()
+    assert(magic.take(8).toSeq == Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val got = Multimodal.decodeImage(png).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 30)
+    got.foreach { case (id, r) =>
+      assert(r.getBoolean(1), s"doc $id must decode")
+      val w = (id % 13 + 1).toInt; val h = (id % 11 + 1).toInt
+      assert(r.getInt(2) == w && r.getInt(3) == h, s"doc $id dims")
+      assert(r.getDouble(4) == (id % 200) + (w - 1) / 2.0, s"doc $id mean_r")
+      assert(r.getDouble(5) == (id * 7 % 200) + (h - 1) / 2.0, s"doc $id mean_g")
+      assert(r.getDouble(6) == (id * 13 % 200).toDouble, s"doc $id mean_b")
+    }
+  }
+
+  test("decodeImage: undecodable payloads yield decoded=false, not a task failure") {
+    val out = Multimodal.decodeImage(media.limit(5)).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(!r.getBoolean(1), "text bytes must not decode as an image")
+      assert(r.isNullAt(2) && r.isNullAt(4))
+    }
+  }
+
   test("sampleFrames: stride-1 frames reassemble the payload") {
     val one = media.limit(1).persist()
     val orig = new String(one.select($"payload").as[Array[Byte]].head())

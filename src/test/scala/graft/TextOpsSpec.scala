@@ -41,6 +41,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(viaJoin == viaLit)
   }
 
+  test("filterByDictDf: huge-dict route (no broadcast) is plan-distinct and result-identical") {
+    val docs = Tables.table(spark, TestSpark.Sf, "documents")
+      .select($"doc_id", TextOps.tokenize($"text").as("toks"))
+    val dictDf = Dictionaries.Adjectives.toDF("word")
+    // disable auto-broadcast so the plan shows filterByDictDf's OWN routing
+    // (a truly huge dict would fail the size estimate anyway; here it's tiny)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val small = TextOps.filterByDictDf(docs, "doc_id", "toks", dictDf)
+      val large = TextOps.filterByDictDf(docs, "doc_id", "toks", dictDf, maxBroadcast = 2L)
+      val pSmall = small.queryExecution.executedPlan.toString
+      val pLarge = large.queryExecution.executedPlan.toString
+      assert(pSmall.contains("BroadcastHashJoin") && pSmall.contains("LeftSemi"),
+        s"small dict must broadcast:\n$pSmall")
+      assert(!pLarge.contains("BroadcastHashJoin") && pLarge.contains("LeftSemi"),
+        s"over-threshold dict must NOT broadcast:\n$pLarge")
+      val a = small.select($"doc_id", $"toks").as[(Long, Seq[String])].collect().toMap
+      val b = large.select($"doc_id", $"toks").as[(Long, Seq[String])].collect().toMap
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("chunkTokens: boundary sizes — exact fit, one over, short doc, empty doc") {
     import org.apache.spark.sql.functions._
     val toks = (1 to 8).map(i => s"t$i")
