@@ -103,6 +103,29 @@ class DedupSpec extends AnyFunSuite {
     assert(near <= 16, s"2-token edit moved $near bits")
   }
 
+  test("BandHashes expression == driver-side chained-XXH64 reference") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val sigs = Dedup.minhashSignatures(docs.filter(size($"sh") > 0), "doc_id", "sh")
+    val got = sigs
+      .select($"id", graft.functions.BandHashes.band_hashes($"sig", 32).as("bh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val raw = sigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(got.nonEmpty && got.keySet == raw.keySet)
+    raw.foreach { case (id, sig) =>
+      val len = sig.length / 32
+      val exp = (0 until 32).map { b =>
+        var h = XXH64.hashLong(b.toLong, 42L)
+        (b * len until (b + 1) * len).foreach(i => h = XXH64.hashLong(sig(i), h))
+        h
+      }
+      assert(got(id) == exp, s"doc $id")
+    }
+    // short signature → null (degenerate all-docs-one-bucket is refused)
+    val short = Seq((1L, Seq(7L))).toDF("id", "sig")
+      .select(graft.functions.BandHashes.band_hashes($"sig", 32).as("bh"))
+    assert(short.head().isNullAt(0))
+  }
+
   test("jaccardPairsBucketed: a hot 4000-doc bucket completes with bounded rows (no n²/2 single-row pair array)") {
     // every doc shares shingle 0 and owns one unique shingle:
     // one 4000-id bucket → 7,998,000 pairs, each with jaccard 1/3
