@@ -838,6 +838,22 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    Q("q_skew_join_aqe",  // adaptive complement of q_salted_join: plain SMJ,
+      (s, dir) => SkewOps.aqeSkewJoin(  // hot keys left to AQE's runtime split
+          Tables.table(s, dir, "lineitem"),  // (skew-split plan-audited in
+          Tables.table(s, dir, "orders")     // SkewOpsSpec on a skewed fixture)
+            .withColumnRenamed("o_orderkey", "l_orderkey"),
+          Seq("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     Q("q_cube",
       (s, dir) => Tables.table(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))

@@ -71,4 +71,23 @@ object SkewOps {
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, keys :+ "__salt").drop("__salt")
   }
+
+  /** The adaptive complement of [[saltedJoin]]: a plain sort-merge
+    * equi-join that leaves hot keys to AQE's runtime skew split
+    * (`spark.sql.adaptive.skewJoin.*`, on by default) — no salt column,
+    * no right-side replication, no row-set change. The `merge` hint
+    * pins the sort-merge strategy AQE's skew handling applies to.
+    *
+    * Trade-off vs salting: AQE splits a skewed partition only after
+    * observing real map-output sizes, handles skew it could not have
+    * predicted, and costs nothing when data turns out uniform; but it
+    * will not split when the split would introduce an extra shuffle
+    * for a downstream stage (set
+    * `spark.sql.adaptive.forceOptimizeSkewedJoin=true` for join→agg
+    * pipelines), and it cannot help a skewed *aggregation* — that is
+    * [[saltedAgg]]'s territory. Static salting remains the guarantee
+    * for a known-pathological key.
+    */
+  def aqeSkewJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.hint("merge").join(right, keys)
 }

@@ -50,6 +50,40 @@ class SkewOpsSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("aqeSkewJoin: AQE splits the hot partition at runtime (skew=true in final plan)") {
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 95% of left rows hit key 0 → one shuffle partition dwarfs the rest
+      val left = spark.range(200000)
+        .select(when($"id" % 20 =!= 0, lit(0L)).otherwise($"id").as("k"), $"id".as("v"))
+      val right = spark.range(100).select($"id".as("k"), ($"id" * 2).as("w"))
+      val j = SkewOps.aqeSkewJoin(left, right, Seq("k"))
+      val n = j.count()
+      // row set identical to the plain join: key 0 (hot: the 190000
+      // non-multiples of 20, plus id=0 itself) and the right-side keys
+      // 1..99 that are ≡ 0 (mod 20)
+      val expected = 190001L + (1 to 99).count(_ % 20 == 0)
+      assert(n == expected, s"row count $n != $expected")
+      val materialized = SkewOps.aqeSkewJoin(left, right, Seq("k"))
+      materialized.collect()
+      val p = materialized.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"expected an AQE skew split in:\n$p")
+      assert(p.contains("SortMergeJoin"), s"expected SMJ (the hinted strategy) in:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("approx_count_distinct within declared rsd of exact") {
     val approx = SparkEntry.queries("q_approx_distinct")(spark, TestSpark.Sf)
       .as[(String, Long)].collect().toMap
