@@ -463,6 +463,77 @@ object SparkEntry {
         |FROM p WHERE CAST(inter AS DOUBLE) / (s1 + s2 - inter) >= 0.5
         |ORDER BY id1, id2""".stripMargin)),
 
+    Q("q_dedup_clusters",  // near-dup CLUSTERING: connected components over the
+      // exact 3-shingle Jaccard ≥ 0.5 pairs (min-label propagation) — A≈B≈C
+      // collapses to one survivor even when A≉C; oracled via recursive CTE
+      (s, dir) => Dedup.dedupClusters(
+          Dedup.jaccardPairsFromHashes(
+            Dedup.shingleHashes(docsTokens(s, dir), "doc_id", "toks", k = 3), 0.5,
+            materialize = true))
+        .orderBy("id"),
+      Some(s"""WITH RECURSIVE t AS ($SqlToks),
+        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |      FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS w, len(sh) AS sz FROM s),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |      FROM e a JOIN e b ON a.w = b.w AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2
+        |      HAVING CAST(count(*) AS DOUBLE)
+        |             / (max(a.sz) + max(b.sz) - count(*)) >= 0.5),
+        |ed AS (SELECT id1 AS a, id2 AS b FROM p UNION ALL SELECT id2, id1 FROM p),
+        |n AS (SELECT DISTINCT a AS id FROM ed),
+        |rr AS (SELECT id, id AS reach FROM n
+        |       UNION
+        |       SELECT rr.id, ed.b AS reach FROM rr JOIN ed ON ed.a = rr.reach)
+        |SELECT id, min(reach) AS rep FROM rr GROUP BY id ORDER BY id""".stripMargin)),
+
+    Q("q_dedup_canonical",  // the cluster-aware corpus after dedup: one
+      (s, dir) => {         // representative per near-dup cluster survives
+        val pairs = Dedup.jaccardPairsFromHashes(
+          Dedup.shingleHashes(docsTokens(s, dir), "doc_id", "toks", k = 3), 0.5,
+          materialize = true)
+        Dedup.dropClusterDuplicates(
+            Tables.table(s, dir, "documents"), "doc_id", Dedup.dedupClusters(pairs))
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE t AS ($SqlToks),
+        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |      FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS w, len(sh) AS sz FROM s),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |      FROM e a JOIN e b ON a.w = b.w AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2
+        |      HAVING CAST(count(*) AS DOUBLE)
+        |             / (max(a.sz) + max(b.sz) - count(*)) >= 0.5),
+        |ed AS (SELECT id1 AS a, id2 AS b FROM p UNION ALL SELECT id2, id1 FROM p),
+        |n AS (SELECT DISTINCT a AS id FROM ed),
+        |rr AS (SELECT id, id AS reach FROM n
+        |       UNION
+        |       SELECT rr.id, ed.b AS reach FROM rr JOIN ed ON ed.a = rr.reach),
+        |cl AS (SELECT id, min(reach) AS rep FROM rr GROUP BY id)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> rep)
+        |ORDER BY doc_id""".stripMargin)),
+
+    Q("q_stratified_sample",  // deterministic corpus rebalancing: per-source
+      // rates via the md5 keyed-hash permutation (q_sample_k's cross-engine
+      // trick applied to rate sampling) — even sources 25%, odd 50%
+      (s, dir) => IdOps.stratifiedSampleByHash(
+          Tables.table(s, dir, "documents"), "doc_id", "source",
+          rates = (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 0.25 else 0.5)).toMap,
+          salt = "strat7")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM documents
+        |WHERE substr(md5('strat7_' || CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN '40' ELSE '80' END
+        |ORDER BY doc_id""".stripMargin)),
+
     Q("q_minhash_pairs",  // MinHash+LSH candidates — Spark murmur3/xxhash64 not in DuckDB → rows-only
       (s, dir) => {
         // 3-shingles, not unigrams: the synthetic corpus shares one small

@@ -80,4 +80,30 @@ object IdOps {
       .withColumn(indexCol, row_number().over(w) - lit(1))
       .drop("__h")
   }
+
+  /** Deterministic per-stratum rate sampling — the corpus-rebalancing
+    * primitive of training-data pipelines (upsample curated sources,
+    * downsample crawl): keep a row iff the first two hex digits of
+    * `md5(salt || "_" || key)` fall below the stratum's threshold
+    * `⌊rate·256⌋`. Like [[sampleKByHash]], the keyed hash makes the
+    * sample a pure function of the key — any engine reproduces it, no
+    * sampling state, no extra pass, and the filter is a plain map-side
+    * predicate (no shuffle at any corpus size). Realized rate is the
+    * exact fraction `⌊rate·256⌋/256` of the hash space (granularity
+    * 1/256 — use more hex digits for finer rates). Strata missing from
+    * `rates` get `defaultRate`.
+    */
+  def stratifiedSampleByHash(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    def hex(r: Double): Column =
+      if (r >= 1.0) lit("zz")  // every 2-hex-digit prefix sorts below "zz"
+      else lit(f"${math.max(0.0, math.floor(r * 256)).toInt}%02x")
+    val thr = rates.foldLeft(hex(defaultRate)) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, hex(r)).otherwise(acc)
+    }
+    df.filter(
+      substring(md5(concat_ws("_", lit(salt), col(keyCol).cast("string"))), 1, 2) < thr)
+  }
 }

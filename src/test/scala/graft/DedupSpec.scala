@@ -139,6 +139,23 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairsBucketed(e, minJ = 0.3).count() == 0)
   }
 
+  test("dedupClusters: transitive chains collapse to the min-id rep; canonical keep = reps + untouched docs") {
+    // components: {1,2,3} star, {10,11} pair, {20,21,22,23} diameter-3 chain
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L), (22L, 21L), (23L, 22L))
+      .toDF("id1", "id2")
+    val cl = Dedup.dedupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L, 23L, 99L).toDF("doc_id")
+    val kept = Dedup.dropClusterDuplicates(docs, "doc_id", Dedup.dedupClusters(pairs))
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 20L, 99L))
+    // no pairs → nothing clustered, nothing dropped
+    assert(Dedup.dedupClusters(pairs.limit(0)).count() == 0)
+    assert(Dedup.dropClusterDuplicates(docs, "doc_id", Dedup.dedupClusters(pairs.limit(0)))
+      .count() == 10)
+  }
+
   test("dropDupsByKey keeps exactly one row per key, the min-id one") {
     val withFp = docs.withColumn("fp", Dedup.wordSetFingerprint($"toks"))
     val kept = Dedup.dropDupsByKey(withFp.select($"doc_id", $"fp"), "doc_id", "fp")

@@ -30,4 +30,22 @@ class IdOpsSpec extends AnyFunSuite {
     assert(s1.map(_._1) == (0 until 10))
     assert(s1.map(_._2).distinct.size == 10)
   }
+
+  test("stratifiedSampleByHash: rate 1 keeps all, rate 0 keeps none, unknown strata get defaultRate") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.table(spark, TestSpark.Sf, "documents")
+    val got = IdOps.stratifiedSampleByHash(docs, "doc_id", "source",
+        rates = Map("src0" -> 1.0, "src1" -> 0.0), salt = "t")
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    val all = docs.groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(got("src0") == all("src0"), "rate 1.0 must keep the whole stratum")
+    assert(!got.contains("src1"), "rate 0.0 must drop the whole stratum")
+    assert(got.keySet == Set("src0"), "strata not in rates must fall to defaultRate=0")
+    // deterministic: same inputs → same sample
+    val a = IdOps.stratifiedSampleByHash(docs, "doc_id", "source",
+      rates = Map("src2" -> 0.5), salt = "t").select($"doc_id").as[Long].collect().toSet
+    val b = IdOps.stratifiedSampleByHash(docs, "doc_id", "source",
+      rates = Map("src2" -> 0.5), salt = "t").select($"doc_id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
