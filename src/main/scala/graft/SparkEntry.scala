@@ -463,6 +463,38 @@ object SparkEntry {
         |FROM p WHERE CAST(inter AS DOUBLE) / (s1 + s2 - inter) >= 0.5
         |ORDER BY id1, id2""".stripMargin)),
 
+    Q("q_minhash_lsh_md5",  // the WHOLE MinHash+LSH pipeline, value-level
+      // oracled: md5-derived base hash + string band keys are portable SQL,
+      // so DuckDB reproduces sig -> band -> bucket-join candidates exactly
+      // (the xxhash64/BandHashes path is the scale twin, rows-only+swept)
+      (s, dir) => Dedup.minhashPairsPortable(
+          docsTokens(s, dir)
+            .select(col("doc_id"), Dedup.tokenShingles(col("toks"), 3).as("sh")),
+          "doc_id", "sh", numHashes = 16, bands = 4, seed = 42L)
+        .orderBy("id1", "id2"),
+      Some {
+        val ps = Dedup.hashParams(16, 42L).zipWithIndex
+          .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+        s"""WITH t AS ($SqlToks),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+        |      FROM t),
+        |x AS (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(unnest(sh)), 1, 8)) AS BIGINT) AS x
+        |      FROM s),
+        |pr(j, a, b) AS (VALUES $ps),
+        |sig AS (SELECT doc_id, j, min((a * (x % 2147483647) + b) % 2147483647) AS h
+        |        FROM x, pr GROUP BY doc_id, j),
+        |band AS (SELECT doc_id, j // 4 AS band,
+        |           string_agg(CAST(h AS VARCHAR), '_' ORDER BY j) AS bh
+        |         FROM sig GROUP BY doc_id, j // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |         FROM band a JOIN band b
+        |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        |SELECT id1, id2 FROM cand ORDER BY id1, id2""".stripMargin
+      }),
+
     Q("q_dedup_clusters",  // near-dup CLUSTERING: connected components over the
       // exact 3-shingle Jaccard ≥ 0.5 pairs (min-label propagation) — A≈B≈C
       // collapses to one survivor even when A≉C; oracled via recursive CTE

@@ -211,7 +211,7 @@ object Dedup {
   /** Seeded universal-hash parameters for MinHash: (a, b) pairs mod a
     * Mersenne prime. Deterministic for a seed.
     */
-  private def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+  private[graft] def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numHashes)((rnd.nextInt(MinhashPrime.toInt - 1).toLong + 1L,
       rnd.nextInt(MinhashPrime.toInt).toLong))
@@ -274,6 +274,44 @@ object Dedup {
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
       .filter(col("bsz") <= maxBucket)
     sized.as("a").join(sized.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+  }
+
+  /** Cross-engine-verifiable MinHash+LSH candidates: the same
+    * signature→band→bucket-join pipeline as [[minhashSignatures]] +
+    * [[lshCandidates]], but every step is portable SQL — base hash =
+    * the first 8 hex digits of md5(shingle) (not Spark-private
+    * murmur3/xxhash64), band keys = joined decimal strings (not
+    * XXH64). That lets a second engine reproduce the candidate set
+    * bit-for-bit, so the WHOLE LSH pipeline gets a value-level oracle
+    * (q_minhash_lsh_md5) — closing the only verification gap the
+    * production path necessarily has (its engine hashes are
+    * rows-only + invariant-swept). md5 costs ~10× murmur per shingle
+    * and string bands allocate — this is the correctness witness, not
+    * the scale path; run the xxhash64/[[graft.functions.BandHashes]]
+    * pipeline on real corpora.
+    */
+  def minhashPairsPortable(
+      docs: DataFrame, idCol: String, shinglesCol: String,
+      numHashes: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val e = docs
+      .select(col(idCol).as("id"), explode(col(shinglesCol)).as("w"))
+      .select(col("id"),
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("h"))
+    val sigs = minhashFromHashes(e, numHashes, seed)
+    val bandCol = transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        concat_ws("_", transform(
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+          _.cast("string"))).as("bh")))
+    val buckets = sigs.select(col("id"), explode(bandCol).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
