@@ -856,6 +856,23 @@ object SparkEntry {
         |  round(CAST(doc_id * 13 % 200 AS DOUBLE), 6) AS mean_b
         |FROM documents ORDER BY media_id""".stripMargin)),
 
+    Q("q_audio_features",  // REAL javax.sound decode of synthetic WAVs —
+      // alternating ±A 16-bit PCM gives n_samples and RMS closed forms
+      // the oracle computes from doc_id alone (lossless WAV roundtrip)
+      (s, dir) => Multimodal.decodeAudio(
+          Multimodal.syntheticWav(Tables.table(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("decoded"), col("sample_rate"),
+          col("channels"), col("n_samples"),
+          round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("rms"), 6).as("rms"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id, TRUE AS decoded,
+        |  8000 AS sample_rate, 1 AS channels,
+        |  CAST((doc_id % 5 + 1) * 800 AS BIGINT) AS n_samples,
+        |  round((doc_id % 5 + 1) * 100.0, 6) AS duration_ms,
+        |  round(CAST((doc_id % 1000 + 1) * 16 AS DOUBLE), 6) AS rms
+        |FROM documents ORDER BY media_id""".stripMargin)),
+
     Q("q_chunks",  // sliding-window context chunking: 32-token windows,
       (s, dir) => docsTokens(s, dir)  // 8-token overlap, last partial kept
         .select(col("doc_id"),

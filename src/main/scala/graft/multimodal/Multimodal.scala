@@ -10,7 +10,9 @@ import org.apache.spark.sql.types._
   *
   * Image decode is REAL — [[decodeImage]] runs `javax.imageio.ImageIO`
   * (in the JDK, PNG/JPEG/GIF/BMP) per partition and emits dims +
-  * per-channel means. Audio/video decode remains STUBBED with a
+  * per-channel means. Audio decode is REAL — [[decodeAudio]] runs
+  * `javax.sound.sampled.AudioSystem` (WAV/AIFF/AU PCM) and emits
+  * format + duration + RMS. Video decode remains STUBBED with a
   * deterministic fake ([[decodeStub]]) — those codecs are not in this
   * environment; a production deployment swaps the stub body without
   * touching any plan shape.
@@ -157,6 +159,105 @@ object Multimodal {
           val n = w.toLong * h
           Row(id, true, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
         }
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic WAVs, one per input row: mono 16-bit PCM at
+    * 8 kHz, `(id%5+1)·800` samples (0.1–0.5 s), alternating ±A with
+    * A = (id%1000+1)·16 — so after the lossless WAV roundtrip the
+    * decoded stream has the closed forms n_samples = (id%5+1)·800 and
+    * RMS = A exactly (every sample² = A²), which is what makes
+    * [[decodeAudio]]'s real-codec output oracle-able in plain SQL.
+    * Encoding runs per-partition via `AudioSystem.write` to a byte
+    * buffer — the same real encoder a production corpus went through.
+    */
+  def syntheticWav(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(MediaSchema)
+    df.select(col(idCol).cast(LongType).as("media_id")).mapPartitions { batch =>
+      batch.map { r =>
+        val id = r.getLong(0)
+        val nSamples = ((id % 5) + 1).toInt * 800
+        val amp = (((id % 1000) + 1) * 16).toInt  // ≤ 16000 < 2^15: no clip
+        val pcm = new Array[Byte](nSamples * 2)   // 16-bit LE mono
+        var i = 0
+        while (i < nSamples) {
+          val s = if (i % 2 == 0) amp else -amp
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+        val bytes = buf.toByteArray
+        val sha = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+          .map("%02x".format(_)).mkString
+        Row(id, "audio", bytes, Row(bytes.length.toLong, sha, "synthetic"))
+      }
+    }(enc)
+  }
+
+  /** REAL audio decode: `javax.sound.sampled.AudioSystem` (in the JDK —
+    * WAV/AIFF/AU containers, PCM codecs) per payload, emitting format
+    * (sample rate, channels), frame count, duration and the RMS of the
+    * PCM stream (all channels interleaved, raw sample units). Runs as
+    * mapPartitions like [[decodeImage]]. Undecodable, null, or
+    * non-16-bit payloads yield decoded=false with null features —
+    * decode failures must not kill a 100 TB pipeline; filter on
+    * `decoded`. MP3/AAC/Opus need codecs absent from this JDK — a
+    * production deployment swaps the reader, not the plan shape.
+    */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("duration_ms", DoubleType, nullable = true),
+      StructField("rms", DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { batch =>
+      batch.map { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val decodedRow =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 16 ||
+                fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) null
+            else {
+              val pcm = ais.readAllBytes()
+              val ch = fmt.getChannels
+              val bigEndian = fmt.isBigEndian
+              val n = pcm.length / 2  // samples across all channels
+              var sumSq = 0.0
+              var i = 0
+              while (i < n) {
+                val lo = pcm(2 * i) & 0xff
+                val hi = pcm(2 * i + 1)
+                val s = if (bigEndian) ((pcm(2 * i) << 8) | (pcm(2 * i + 1) & 0xff)).toShort.toInt
+                        else ((hi << 8) | lo).toShort.toInt
+                sumSq += s.toDouble * s
+                i += 1
+              }
+              val frames = n.toLong / ch
+              val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+              Row(id, true, fmt.getSampleRate.toInt, ch, frames,
+                frames * 1000.0 / fmt.getSampleRate, rms)
+            }
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => null
+            case _: java.io.IOException => null
+          }
+        if (decodedRow == null) Row(id, false, null, null, null, null, null)
+        else decodedRow
       }
     }(enc)
   }

@@ -307,7 +307,7 @@ object Dedup {
     val bandCol = transform(sequence(lit(0), lit(bands - 1)), b =>
       struct(b.as("band"),
         concat_ws("_", transform(
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+          slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
           _.cast("string"))).as("bh")))
     val buckets = sigs.select(col("id"), explode(bandCol).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
@@ -319,45 +319,66 @@ object Dedup {
   }
 
   /** Duplicate-cluster resolution: connected components over near-dup
-    * pairs by iterative min-label propagation. `pairs` is any pair
-    * generator's output ((id1, id2) + anything else); returns
-    * (id, rep) for every id that appears in a pair, where `rep` is the
-    * smallest id in its component — the canonical member
-    * [[dropClusterDuplicates]] keeps. Transitivity matters: A≈B and
-    * B≈C must collapse to ONE survivor even when A≉C directly, which
-    * pair-level dedup gets wrong.
+    * pairs via alternating large-star/small-star rounds (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14).
+    * `pairs` is any pair generator's output ((id1, id2) + anything
+    * else); returns (id, rep) for every id that appears in a pair,
+    * where `rep` is the smallest id in its component — the canonical
+    * member [[dropClusterDuplicates]] keeps. Transitivity matters:
+    * A≈B and B≈C must collapse to ONE survivor even when A≉C
+    * directly, which pair-level dedup gets wrong.
     *
-    * Scale: each iteration shuffles only the EDGE set — near-dup pairs
-    * are orders of magnitude smaller than the corpus — and the
-    * iteration count is the component diameter (near-dup components
-    * are star-like in practice; `maxIter` caps pathologies, where the
-    * alternating large-star/small-star rounds of Kiveris et al. would
-    * be the upgrade). Labels are localCheckpoint'd per iteration to
-    * cut the growing lineage.
+    * Scale: each round shuffles only the EDGE set — near-dup pairs are
+    * orders of magnitude smaller than the corpus — and the star
+    * operations contract components in O(log n) rounds even on
+    * pathological topologies (a length-L chain needs ~log L rounds,
+    * where plain min-label propagation needs L). Edges are
+    * localCheckpoint'd per round to cut the growing lineage; `maxIter`
+    * is a safety valve far above the log₂ of any real component.
     */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    // Large-star: per node u, hook every strictly-larger neighbor onto
+    // m = min(Γ(u) ∪ {u}). Operates on the symmetric edge list.
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // Small-star: edges arrive larger→smaller (u > v, large-star's
+    // postcondition); hook u and all its smaller neighbors onto the min.
+    def smallStar(edges: DataFrame): DataFrame = {
+      val m = edges.groupBy("u").agg(min("v").as("m"))
+      edges.join(m, Seq("u"))
+        .select(col("v").as("x"), col("m"))
+        .unionByName(m.select(col("u").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    var edges = pairs
+      .select(greatest(col("id1"), col("id2")).as("u"),
+        least(col("id1"), col("id2")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("rep")).localCheckpoint()
     var it = 0
-    var converged = false
+    var converged = edges.isEmpty
     while (it < maxIter && !converged) {
-      val viaNbr = edges
-        .join(labels.select(col("id").as("b"), col("rep").as("nrep")), Seq("b"))
-        .groupBy(col("a")).agg(min(col("nrep")).as("nmin"))
-        .withColumnRenamed("a", "id")
-      val next = labels.join(viaNbr, Seq("id"), "left")
-        .select(col("id"), least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
-        .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("rep", "prev"), Seq("id"))
-        .filter(col("rep") =!= col("prev")).count()
-      converged = changed == 0
-      labels = next
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // fixed point: the (u,v) sets are equal — both diffs empty
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
       it += 1
     }
-    labels
+    // at the fixed point every node points directly at its component min
+    edges.select(col("u").as("id"), col("v").as("rep"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("rep")).distinct())
   }
 
   /** Keep one document per duplicate cluster (the representative) plus

@@ -156,6 +156,21 @@ class DedupSpec extends AnyFunSuite {
       .count() == 10)
   }
 
+  test("dedupClusters: a 200-node path graph converges (star contraction, not diameter-bound propagation)") {
+    // chain 0-1-2-...-200: diameter 200 ≫ the default maxIter=50 — plain
+    // min-label propagation cannot finish; large/small-star needs ~log₂ rounds
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val cl = Dedup.dedupClusters(chain).as[(Long, Long)].collect().toMap
+    assert(cl.size == 201 && cl.values.forall(_ == 0L),
+      s"all 201 chain nodes must land on rep 0, got ${cl.values.toSet}")
+    // shuffled ids (rep is a mid-chain node numerically smallest): still one component
+    val perm = new scala.util.Random(7).shuffle((0 until 100).toList)
+    val chain2 = perm.sliding(2).map(p => (p(0).toLong + 1000, p(1).toLong + 1000))
+      .toSeq.toDF("id1", "id2")
+    val cl2 = Dedup.dedupClusters(chain2).as[(Long, Long)].collect().toMap
+    assert(cl2.size == 100 && cl2.values.forall(_ == 1000L))
+  }
+
   test("dropDupsByKey keeps exactly one row per key, the min-id one") {
     val withFp = docs.withColumn("fp", Dedup.wordSetFingerprint($"toks"))
     val kept = Dedup.dropDupsByKey(withFp.select($"doc_id", $"fp"), "doc_id", "fp")

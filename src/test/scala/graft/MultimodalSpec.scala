@@ -60,6 +60,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeAudio: real javax.sound WAV roundtrip recovers rate, frames and exact RMS") {
+    val wav = Multimodal.syntheticWav(
+      Tables.table(spark, TestSpark.Sf, "documents").filter($"doc_id" < 30), "doc_id")
+    // payloads really are WAVs (RIFF....WAVE), not text
+    val magic = wav.select($"payload").as[Array[Byte]].head()
+    assert(new String(magic.take(4)) == "RIFF" && new String(magic.slice(8, 12)) == "WAVE")
+    val got = Multimodal.decodeAudio(wav).collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 30)
+    got.foreach { case (id, r) =>
+      assert(r.getBoolean(1), s"doc $id must decode")
+      assert(r.getInt(2) == 8000 && r.getInt(3) == 1, s"doc $id format")
+      assert(r.getLong(4) == (id % 5 + 1) * 800, s"doc $id n_samples")
+      assert(r.getDouble(5) == (id % 5 + 1) * 100.0, s"doc $id duration_ms")
+      assert(r.getDouble(6) == ((id % 1000 + 1) * 16).toDouble, s"doc $id rms")
+    }
+  }
+
+  test("decodeAudio: undecodable payloads yield decoded=false, not a task failure") {
+    val out = Multimodal.decodeAudio(media.limit(5)).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(!r.getBoolean(1), "text bytes must not decode as audio")
+      assert(r.isNullAt(2) && r.isNullAt(6))
+    }
+  }
+
   test("sampleFrames: stride-1 frames reassemble the payload") {
     val one = media.limit(1).persist()
     val orig = new String(one.select($"payload").as[Array[Byte]].head())
