@@ -140,8 +140,10 @@ object SparkEntry {
 
     // ---- M3: stage-1 parity — global sort + sequential IDs, count-N, JSON field extract
     //      (SURVEY §2.6 O1-O2, §2.4 A1, §2.5 C1)
-    Q("q_seq_ids",
-      (s, dir) => IdOps.sequentialIds(
+    Q("q_seq_ids",  // at-scale form: range-repartition + per-partition
+      // offsets — no single-partition WindowExec (PlanAuditSpec asserts);
+      // parity with the window form is IdOpsSpec-tested
+      (s, dir) => IdOps.sequentialIdsAtScale(
           Tables.table(s, dir, "customer"), Seq("c_name", "c_custkey"), "id")
         .select(col("c_custkey"), col("id"))
         .orderBy("c_custkey"),
@@ -890,9 +892,12 @@ object SparkEntry {
         |FROM e ORDER BY doc_id, chunk_id""".stripMargin)),
 
     Q("q_pack",  // GPT-style sequence packing: global token offsets → the
-      (s, dir) => {  // 256-token sequence span each doc lands in
+      // 256-token sequence span each doc lands in. At-scale form: range
+      // repartition + per-partition running sums, no single-partition
+      // WindowExec (PlanAuditSpec asserts; parity TextOpsSpec-tested)
+      (s, dir) => {
         val d = docsTokens(s, dir).select(col("doc_id"), size(col("toks")).as("n_toks"))
-        TextOps.packSequences(d, "doc_id", "n_toks", budget = 256)
+        TextOps.packSequencesAtScale(d, "doc_id", "n_toks", budget = 256)
           .select(col("doc_id"), col("n_toks"), col("tok_offset"),
             col("seq_first"), col("seq_last"))
           .orderBy("doc_id")

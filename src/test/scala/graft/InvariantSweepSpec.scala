@@ -60,6 +60,30 @@ class InvariantSweepSpec extends AnyFunSuite {
     }
   }
 
+  test("portable md5 LSH witness ≡ production xxhash64 path: identical (full) recall of true pairs (3 SFs)") {
+    // q_minhash_lsh_md5's DuckDB oracle vouches for the md5-based twin;
+    // this sweep ties that witness to the scale path: at 128 hashes /
+    // 32 bands BOTH pipelines must recover EVERY exact-Jaccard ≥ 0.5
+    // pair — identical recall, so the value-level oracle on the
+    // portable path transfers to the engine-hash path it twins.
+    for ((sf, cap) <- Sfs.zip(Seq(Long.MaxValue, Long.MaxValue, 1500L))) {
+      val docs = docsTokens(sf, cap)
+      val hashes = Dedup.shingleHashes(docs, "doc_id", "toks", k = 3).localCheckpoint()
+      val exact = Dedup.jaccardPairsFromHashes(hashes, 0.5)
+        .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+      val prod = Dedup.lshCandidates(
+          Dedup.minhashFromHashes(hashes, numHashes = 128, seed = 42L), bands = 32)
+        .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+      val port = Dedup.minhashPairsPortable(
+          docs.select($"doc_id", Dedup.tokenShingles($"toks", 3).as("sh")),
+          "doc_id", "sh", numHashes = 128, bands = 32, seed = 42L)
+        .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+      val missProd = exact.diff(prod); val missPort = exact.diff(port)
+      assert(missProd.isEmpty && missPort.isEmpty,
+        s"$sf: production missed ${missProd.size}, portable missed ${missPort.size} of ${exact.size}")
+    }
+  }
+
   test("q_simhash_pairs invariant: pigeonhole blocking is COMPLETE — equals brute-force hamming ≤ 3 (3 SFs)") {
     for (sf <- Sfs) {
       val docs = Tables.table(spark, sf, "documents")

@@ -56,6 +56,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("join"), s"assign must not join:\n$p")
   }
 
+  test("q_seq_ids/q_pack: no single-partition window — the at-scale offset form is the gated plan") {
+    for (q <- Seq("q_seq_ids", "q_pack")) {
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q must use the per-partition-offset form, not a global WindowExec:\n$p")
+    }
+  }
+
   test("top-k queries plan as TakeOrderedAndProject, not a global sort") {
     for (q <- Seq("q_topk", "q_vocab_params", "q_sample_k")) {
       val p = plan(q)

@@ -38,6 +38,26 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"IVF recall@5 = $recall")
   }
 
+  test("IVF nprobe: fixed centroids, recall monotone in nprobe; nprobe=cells equals brute force") {
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val pts = emb.select($"vec_id", graft.ops.KMeansOps.asDouble($"embedding").as("v"))
+    val cents = pts.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"v".as("cvec"))
+    val brute = Similarity.bruteTopK(queries, emb, "vec_id", "embedding", 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    def recallAt(np: Int): Double = {
+      val got = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+        k = 5, cells = 8, nprobe = np, centroids = Some(cents))
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val r1 = recallAt(1); val r2 = recallAt(2); val r8 = recallAt(8)
+    info(s"IVF recall@5: nprobe=1 $r1, nprobe=2 $r2, nprobe=8 $r8")
+    assert(r2 >= r1, "widening the probe set must not lose neighbors")
+    assert(r2 >= 0.4, s"nprobe=2/8 cells must clear the recall floor, got $r2")
+    // probing every cell scans the whole corpus: IVF must equal brute force
+    assert(r8 == 1.0, s"nprobe=cells must have full recall, got $r8")
+  }
+
   /** embeddings ∪ near-dup perturbed copies — mirrors SparkEntry.perturbedEmb. */
   def perturbed(sf: String) = {
     val base = Tables.table(spark, sf, "embeddings")
