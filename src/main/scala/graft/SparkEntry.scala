@@ -468,16 +468,22 @@ object SparkEntry {
     Q("q_minhash_lsh_md5",  // the WHOLE MinHash+LSH pipeline, value-level
       // oracled: md5-derived base hash + string band keys are portable SQL,
       // so DuckDB reproduces sig -> band -> bucket-join candidates exactly
-      // (the xxhash64/BandHashes path is the scale twin, rows-only+swept)
+      // (the xxhash64/BandHashes path is the scale twin, rows-only+swept).
+      // Witness corpus capped at 500 docs (the full sf0.01 gate corpus):
+      // md5-per-shingle costs ~10× murmur BY DESIGN, and the witness's
+      // verification value doesn't grow with corpus size — the cap keeps
+      // the bench about the scale path, not the oracle twin
       (s, dir) => Dedup.minhashPairsPortable(
           docsTokens(s, dir)
+            .filter(col("doc_id") < 500)
             .select(col("doc_id"), Dedup.tokenShingles(col("toks"), 3).as("sh")),
           "doc_id", "sh", numHashes = 16, bands = 4, seed = 42L)
         .orderBy("id1", "id2"),
       Some {
         val ps = Dedup.hashParams(16, 42L).zipWithIndex
           .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
-        s"""WITH t AS ($SqlToks),
+        s"""WITH t0 AS ($SqlToks),
+        |t AS (SELECT * FROM t0 WHERE doc_id < 500),
         |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN []
         |        ELSE list_transform(range(1, len(toks) - 1),
         |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
@@ -553,6 +559,108 @@ object SparkEntry {
         |SELECT doc_id, source FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> rep)
         |ORDER BY doc_id""".stripMargin)),
+
+    Q("q_dedup_best",  // quality-priority canonicalization: per near-dup
+      // cluster keep the HIGHEST-quality member (ties → min doc_id), not
+      // the min-id one — survivors should be the best copy of a near-dup
+      (s, dir) => {
+        // tokenization feeds BOTH the pair generator and the scorer —
+        // checkpoint once instead of re-tokenizing the corpus twice
+        val toks = docsTokens(s, dir).localCheckpoint()
+        val pairs = Dedup.jaccardPairsFromHashes(
+          Dedup.shingleHashes(toks, "doc_id", "toks", k = 3), 0.5,
+          materialize = true)
+        val scored = toks.select(col("doc_id"),
+          TextStats.qualityScore(col("toks"), Stop).as("q"))
+        Dedup.dropClusterDuplicatesBy(scored, "doc_id", "q", Dedup.dedupClusters(pairs))
+          .select(col("doc_id"), round(col("q"), 6).as("q"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE t AS ($SqlToks),
+        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |      FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS w, len(sh) AS sz FROM s),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |      FROM e a JOIN e b ON a.w = b.w AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2
+        |      HAVING CAST(count(*) AS DOUBLE)
+        |             / (max(a.sz) + max(b.sz) - count(*)) >= 0.5),
+        |ed AS (SELECT id1 AS a, id2 AS b FROM p UNION ALL SELECT id2, id1 FROM p),
+        |n AS (SELECT DISTINCT a AS id FROM ed),
+        |rr AS (SELECT id, id AS reach FROM n
+        |       UNION
+        |       SELECT rr.id, ed.b AS reach FROM rr JOIN ed ON ed.a = rr.reach),
+        |cl AS (SELECT id, min(reach) AS rep FROM rr GROUP BY id),
+        |sc AS (SELECT doc_id, $SqlQuality AS q FROM t),
+        |lb AS (SELECT sc.doc_id, sc.q, COALESCE(cl.rep, sc.doc_id) AS rep
+        |       FROM sc LEFT JOIN cl ON cl.id = sc.doc_id),
+        |rk AS (SELECT doc_id, q, row_number() OVER
+        |         (PARTITION BY rep ORDER BY q DESC, doc_id) AS rk FROM lb)
+        |SELECT doc_id, round(q, 6) AS q FROM rk WHERE rk = 1
+        |ORDER BY doc_id""".stripMargin)),
+
+    Q("q_decontaminate",  // benchmark decontamination: corpus docs sharing
+      // any 5-gram with the doc_id%7 "eval set", + distinct-overlap counts;
+      // the benchmark gram set broadcasts, the corpus never shuffles
+      (s, dir) => {
+        val grams = docsTokens(s, dir)
+          .select(col("doc_id"), Dedup.tokenShingles(col("toks"), 5).as("g5"))
+          .localCheckpoint()
+        Dedup.contaminationHits(
+            grams.filter(col("doc_id") % 7 =!= 0), "doc_id", "g5",
+            grams.filter(col("doc_id") % 7 === 0), "g5")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) < 5 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 3),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+        |               || toks[i+3] || ' ' || toks[i+4]) END AS g5
+        |      FROM t),
+        |bg AS (SELECT DISTINCT unnest(g5) AS g FROM g WHERE doc_id % 7 = 0),
+        |cg AS (SELECT DISTINCT doc_id, g FROM
+        |        (SELECT doc_id, unnest(g5) AS g FROM g WHERE doc_id % 7 <> 0))
+        |SELECT cg.doc_id, count(*) AS n_hits FROM cg JOIN bg USING (g)
+        |GROUP BY cg.doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("q_shuffle_det",  // deterministic training-order shuffle: keyed-hash
+      // permutation of the whole corpus, dense 1..N positions, epoch = salt;
+      // at-scale offset form (no single-partition window — PlanAuditSpec)
+      (s, dir) => IdOps.shuffleDeterministic(
+          Tables.table(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", salt = "epoch1")
+        .select(col("doc_id"), col("pos"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, row_number() OVER
+        |  (ORDER BY md5('epoch1_' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("q_quantize_int8",  // symmetric per-vector int8 embedding codes:
+      // trunc (not round) makes double→int identical in both engines,
+      // so the codes get a full value-level oracle
+      (s, dir) => {
+        val z = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"),
+            Similarity.quantizeInt8(KMeansOps.asDouble(col("embedding"))).as("z"))
+          .localCheckpoint()
+        z.select(col("vec_id"), round(col("z.scale"), 6).as("scale"),
+            posexplode(col("z.q")).as(Seq("pos", "qv")))
+          .orderBy("vec_id", "pos")
+      },
+      Some("""WITH v AS (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
+        |q AS (SELECT vec_id, round(mx / 127.0, 6) AS scale,
+        |        CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+        |             ELSE list_transform(v, x -> CAST(trunc(x * 127.0 / mx) AS INT)) END AS qs
+        |      FROM m)
+        |SELECT vec_id, scale, CAST(unnest(range(0, len(qs))) AS INT) AS pos,
+        |       unnest(qs) AS qv
+        |FROM q ORDER BY vec_id, pos""".stripMargin)),
 
     Q("q_stratified_sample",  // deterministic corpus rebalancing: per-source
       // rates via the md5 keyed-hash permutation (q_sample_k's cross-engine

@@ -367,13 +367,24 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+    // one-job set fingerprint (count + order-free xor of edge hashes);
+    // equality is CONFIRMED with an exceptAll pass, so the hash only
+    // decides when to pay for that check, never correctness
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var fp = fingerprint(edges)
     var it = 0
-    var converged = edges.isEmpty
+    var converged = fp._1 == 0L
     while (it < maxIter && !converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // fixed point: the (u,v) sets are equal — both diffs empty
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      val nfp = fingerprint(next)
+      // fixed point: same count + same xor, confirmed by an empty diff
+      // (equal counts over distinct sets make one direction sufficient)
+      converged = nfp == fp && next.exceptAll(edges).isEmpty
       edges = next
+      fp = nfp
       it += 1
     }
     // at the fixed point every node points directly at its component min
@@ -388,6 +399,62 @@ object Dedup {
     docs.join(
       clusters.filter(col("id") =!= col("rep")).select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Cluster canonicalization by QUALITY instead of min-id: keep, per
+    * duplicate cluster, the member with the highest `scoreCol` (ties →
+    * smallest id), plus every unclustered document. The training-data
+    * variant of [[dropClusterDuplicates]] — when near-dups differ in
+    * quality (a clean article vs its boilerplate-wrapped mirror), the
+    * survivor should be the best copy, not the numerically-smallest id.
+    *
+    * Scale: one broadcast-able join against the cluster labels (pairs
+    * are tiny vs the corpus) and a window partitioned BY CLUSTER — many
+    * small partitions, no global ordering anywhere.
+    */
+  def dropClusterDuplicatesBy(
+      docs: DataFrame, idCol: String, scoreCol: String, clusters: DataFrame): DataFrame = {
+    val labeled = docs.join(
+      clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rep")).orderBy(col(scoreCol).desc, col(idCol))
+    labeled
+      .withColumn("__rk",
+        when(col("rep").isNull, lit(1))  // unclustered: always kept
+          .otherwise(row_number().over(w)))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "rep")
+  }
+
+  /** Benchmark decontamination — the eval-set-overlap filter every LLM
+    * training pipeline needs: a corpus document is contaminated when it
+    * shares ≥1 length-n token shingle with any benchmark/eval document.
+    * Inputs are pre-exploded or array gram columns ([[tokenShingles]]
+    * strings for the portable/oracled form; [[shingleHashes]] hashes for
+    * the scale form — both engines of the same pipeline shape). Returns
+    * (id, n_hits): contaminated corpus ids with their DISTINCT
+    * overlapping-gram counts; [[decontaminate]] anti-joins them away.
+    *
+    * Scale: eval sets are tiny next to a 100 TB corpus, so the gram
+    * join broadcasts the benchmark side (`broadcastBench`) — the corpus
+    * is filtered map-side, nothing shuffles but the hits (rows that
+    * matched, a vanishing fraction). A huge benchmark side flips to a
+    * plain shuffled join.
+    */
+  def contaminationHits(
+      corpus: DataFrame, idCol: String, gramsCol: String,
+      bench: DataFrame, benchGramsCol: String,
+      broadcastBench: Boolean = true): DataFrame = {
+    val bg0 = bench.select(explode(col(benchGramsCol)).as("g")).distinct()
+    val bg = if (broadcastBench) broadcast(bg0) else bg0
+    corpus
+      .select(col(idCol).as("id"), explode(array_distinct(col(gramsCol))).as("g"))
+      .join(bg, Seq("g"))
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** The cleaned corpus: drop every id [[contaminationHits]] flagged. */
+  def decontaminate(corpus: DataFrame, idCol: String, hits: DataFrame): DataFrame =
+    corpus.join(hits.select(col("id").as(idCol)), Seq(idCol), "left_anti")
 
   /** 64-bit SimHash over the token multiset (Charikar): per bit,
     * sum +cnt/−cnt by the bit of xxhash64(token); sign → bit. One

@@ -81,6 +81,24 @@ object IdOps {
       .drop("__h")
   }
 
+  /** Deterministic global shuffle — training-order randomization as a
+    * pure function of the key: rank every row by
+    * `md5(salt || "_" || key)` (a keyed-hash permutation, the
+    * [[sampleKByHash]] trick applied to the WHOLE corpus) and assign
+    * dense positions 1..N. Changing `salt` re-shuffles between epochs;
+    * any engine reproduces the same order, with no sampling state.
+    *
+    * Scale: delegates to [[sequentialIdsAtScale]] — range repartition on
+    * the hash + per-partition offsets, never a single-partition window.
+    * The hash column is dropped from the output.
+    */
+  def shuffleDeterministic(
+      df: DataFrame, keyCol: String, salt: String = "", posCol: String = "pos"): DataFrame =
+    sequentialIdsAtScale(
+      df.withColumn("__h", md5(concat_ws("_", lit(salt), col(keyCol).cast("string")))),
+      Seq("__h", keyCol), posCol)
+      .drop("__h")
+
   /** Deterministic per-stratum rate sampling — the corpus-rebalancing
     * primitive of training-data pipelines (upsample curated sources,
     * downsample crawl): keep a row iff the first two hex digits of

@@ -257,6 +257,24 @@ object Similarity {
       blocks = math.max(16, (n / 4096L).toInt))
   }
 
+  /** Symmetric per-vector int8 quantization — 4× smaller embeddings for
+    * ANN shortlists (exact re-rank reads the float column back):
+    * scale = max|x|/127, q_i = trunc(x_i·127/max|x|). Trunc toward
+    * zero, not round: double→int truncation is identical in every
+    * engine, while .5-tie rounding is dialect-specific — so the codes
+    * are cross-engine reproducible (value-level oracle q_quantize_int8).
+    * Reconstruction x̂ = q·scale has |x̂−x| ≤ scale per dim. Zero
+    * vectors quantize to scale 0 + all-zero codes. Pure column
+    * expression: codegen map-side, no shuffle at any corpus size.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val mx = array_max(transform(vec, x => abs(x)))
+    struct(
+      (mx / lit(127.0)).as("scale"),
+      when(mx === lit(0.0), transform(vec, _ => lit(0)))
+        .otherwise(transform(vec, x => (x * lit(127.0) / mx).cast("int"))).as("q"))
+  }
+
   /** IVF (inverted-file) ANN: cluster the corpus into `cells` K-Means
     * cells, then for each query scan only the `nprobe` nearest cells.
     * Returns (query_id, rank, vec_id, cos) like [[bruteTopK]]; recall

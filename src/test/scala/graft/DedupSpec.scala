@@ -171,6 +171,38 @@ class DedupSpec extends AnyFunSuite {
     assert(cl2.size == 100 && cl2.values.forall(_ == 1000L))
   }
 
+  test("contaminationHits: distinct-gram overlap counts; decontaminate drops exactly the flagged ids") {
+    val corpus = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),   // 2 grams hit
+      (2L, Seq("x y z", "a b c", "a b c")),   // duplicate gram counts once
+      (3L, Seq("p q r")))                     // clean
+      .toDF("doc_id", "g")
+    val bench = Seq((100L, Seq("a b c", "b c d", "m n o"))).toDF("doc_id", "g")
+    val hits = Dedup.contaminationHits(corpus, "doc_id", "g", bench, "g")
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 2L, 2L -> 1L))
+    val clean = Dedup.decontaminate(corpus, "doc_id",
+      Dedup.contaminationHits(corpus, "doc_id", "g", bench, "g"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(clean == Set(3L))
+    // broadcastBench=false (huge-eval-set route) must be result-identical
+    val hits2 = Dedup.contaminationHits(corpus, "doc_id", "g", bench, "g",
+      broadcastBench = false).as[(Long, Long)].collect().toMap
+    assert(hits2 == hits)
+  }
+
+  test("dropClusterDuplicatesBy keeps the best-scoring member per cluster, min-id on ties") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9),   // cluster {1,2,3}: 2 wins (tie w/ 3 → min id)
+      (10L, 0.5), (11L, 0.8),            // cluster {10,11}: 11 wins
+      (99L, 0.1))                        // unclustered: kept
+      .toDF("doc_id", "score")
+    val kept = Dedup.dropClusterDuplicatesBy(docs, "doc_id", "score",
+      Dedup.dedupClusters(pairs)).select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 11L, 99L))
+  }
+
   test("dropDupsByKey keeps exactly one row per key, the min-id one") {
     val withFp = docs.withColumn("fp", Dedup.wordSetFingerprint($"toks"))
     val kept = Dedup.dropDupsByKey(withFp.select($"doc_id", $"fp"), "doc_id", "fp")

@@ -20,6 +20,27 @@ class IdOpsSpec extends AnyFunSuite {
     assert(ids == (1L to a.size.toLong))
   }
 
+  test("shuffleDeterministic: a salt-keyed bijection 1..N, stable across partitionings, epoch-sensitive") {
+    val docs = Tables.table(spark, TestSpark.Sf, "documents").select($"doc_id")
+    val a = IdOps.shuffleDeterministic(docs, "doc_id", salt = "e1")
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+    assert(a.values.toSeq.sorted == (1L to a.size.toLong), "dense 1..N positions")
+    val b = IdOps.shuffleDeterministic(docs.repartition(7), "doc_id", salt = "e1")
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+    assert(a == b, "order is a pure function of (salt, key), not of partitioning")
+    val c = IdOps.shuffleDeterministic(docs, "doc_id", salt = "e2")
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+    assert(a != c, "a different epoch salt must permute differently")
+    // matches the driver-side md5 ranking exactly
+    val exp = a.keys.toSeq
+      .map { id =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"e1_$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (d, id)
+      }.sorted.zipWithIndex.map { case ((_, id), i) => id -> (i + 1L) }.toMap
+    assert(a == exp)
+  }
+
   test("sampleK: deterministic for a seed, k rows, dense 0..k-1 index") {
     val customer = Tables.table(spark, TestSpark.Sf, "customer")
     val s1 = IdOps.sampleK(customer, 10, 42L).select($"idx", $"c_custkey")

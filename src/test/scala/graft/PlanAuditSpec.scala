@@ -56,8 +56,8 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("join"), s"assign must not join:\n$p")
   }
 
-  test("q_seq_ids/q_pack: no single-partition window — the at-scale offset form is the gated plan") {
-    for (q <- Seq("q_seq_ids", "q_pack")) {
+  test("q_seq_ids/q_pack/q_shuffle_det: no single-partition window — the at-scale offset form is the gated plan") {
+    for (q <- Seq("q_seq_ids", "q_pack", "q_shuffle_det")) {
       val p = plan(q)
       assert(!p.contains("Window"),
         s"$q must use the per-partition-offset form, not a global WindowExec:\n$p")

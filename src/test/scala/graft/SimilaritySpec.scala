@@ -58,6 +58,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r8 == 1.0, s"nprobe=cells must have full recall, got $r8")
   }
 
+  test("quantizeInt8: codes in [-127,127], reconstruction within one scale step, zero vector safe") {
+    val rows = emb.select($"vec_id", graft.ops.KMeansOps.asDouble($"embedding").as("v"))
+      .unionByName(Seq((999999L, Seq(0.0, 0.0, 0.0))).toDF("vec_id", "v"))
+      .select($"vec_id", $"v", Similarity.quantizeInt8($"v").as("z"))
+      .select($"vec_id", $"v", $"z.scale".as("s"), $"z.q".as("q"))
+      .as[(Long, Seq[Double], Double, Seq[Int])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, v, s, q) =>
+      assert(v.length == q.length, s"vec $id dims")
+      assert(q.forall(c => c >= -127 && c <= 127), s"vec $id code range")
+      if (s == 0.0) assert(q.forall(_ == 0), s"zero vector $id")
+      else v.zip(q).foreach { case (x, c) =>
+        assert(math.abs(c * s - x) <= s + 1e-12, s"vec $id reconstruction error > scale")
+      }
+    }
+  }
+
   /** embeddings ∪ near-dup perturbed copies — mirrors SparkEntry.perturbedEmb. */
   def perturbed(sf: String) = {
     val base = Tables.table(spark, sf, "embeddings")
