@@ -638,6 +638,51 @@ object SparkEntry {
         |  (ORDER BY md5('epoch1_' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("q_dedup_incremental",  // cross-snapshot ingestion dedup: a new shard
+      // (source src1) keeps only docs whose content fingerprint is absent
+      // from the standing corpus — the per-ingest variant of exact dedup;
+      // anti-join hash-shuffles 16-byte fingerprints, never documents
+      (s, dir) => {
+        val fp = docsTokens(s, dir)
+          .select(col("doc_id"), TextStats.contentFingerprint(col("toks")).as("fp"))
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source")).join(fp, Seq("doc_id"))
+        docs.filter(col("source") === "src1")
+          .join(docs.filter(col("source") =!= "src1").select(col("fp")).distinct(),
+            Seq("fp"), "left_anti")
+          .select(col("doc_id"), col("fp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |f AS (SELECT t.doc_id, md5(array_to_string(toks, ' ')) AS fp, d.source
+        |      FROM t JOIN documents d ON d.doc_id = t.doc_id)
+        |SELECT doc_id, fp FROM f
+        |WHERE source = 'src1'
+        |  AND fp NOT IN (SELECT fp FROM f WHERE source <> 'src1')
+        |ORDER BY doc_id""".stripMargin)),
+
+    Q("q_mixture",  // domain-mixture report: per-source token totals and
+      // corpus fraction — the numbers a mixture/temperature-sampling
+      // plan starts from; one partial-agg groupBy + a 1-row broadcast
+      (s, dir) => {
+        val d = Tables.table(s, dir, "documents")
+          .select(col("source"),
+            size(TextOps.tokenizeFiltered(col("text"), Stop, Nil)).as("n"))
+        val tot = d.agg(sum(col("n")).as("tot"))
+        d.groupBy("source").agg(sum(col("n")).as("toks"))
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("toks"),
+            round(col("toks") / col("tot"), 6).as("frac"))
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |d AS (SELECT d.source, len(t.toks) AS n
+        |      FROM t JOIN documents d USING (doc_id)),
+        |g AS (SELECT source, CAST(sum(n) AS BIGINT) AS toks FROM d GROUP BY source)
+        |SELECT source, toks,
+        |  round(toks / (SELECT CAST(sum(n) AS DOUBLE) FROM d), 6) AS frac
+        |FROM g ORDER BY source""".stripMargin)),
+
     Q("q_quantize_int8",  // symmetric per-vector int8 embedding codes:
       // trunc (not round) makes double→int identical in both engines,
       // so the codes get a full value-level oracle

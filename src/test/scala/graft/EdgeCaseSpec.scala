@@ -98,6 +98,40 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(got(2L) == None, "future purchase must not match")
   }
 
+  test("contaminationHits: empty bench set, empty corpus, and no-gram docs all yield zero hits") {
+    import graft.ops.Dedup
+    val corpus = Seq((1L, Seq("a b", "b c")), (2L, Seq.empty[String])).toDF("id", "g")
+    val emptyB = corpus.limit(0)
+    assert(Dedup.contaminationHits(corpus, "id", "g", emptyB, "g").count() == 0)
+    assert(Dedup.contaminationHits(emptyB, "id", "g", corpus, "g").count() == 0)
+    // a doc with no grams can never be contaminated
+    val hits = Dedup.contaminationHits(corpus, "id", "g",
+      Seq((9L, Seq("a b"))).toDF("id", "g"), "g")
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 1L))
+    assert(Dedup.decontaminate(corpus, "id", hits.toSeq.toDF("id", "n"))
+      .select($"id").as[Long].collect().toSet == Set(2L))
+  }
+
+  test("dropClusterDuplicatesBy: empty cluster set keeps every doc; null-score rows sort last") {
+    import graft.ops.Dedup
+    val docs = Seq((1L, Some(0.5)), (2L, None), (3L, Some(0.1))).toDF("doc_id", "s")
+    val noClusters = Seq.empty[(Long, Long)].toDF("id", "rep")
+    assert(Dedup.dropClusterDuplicatesBy(docs, "doc_id", "s", noClusters).count() == 3)
+    // 1≈2: non-null 0.5 beats null score
+    val cl = Dedup.dedupClusters(Seq((1L, 2L)).toDF("id1", "id2"))
+    val kept = Dedup.dropClusterDuplicatesBy(docs, "doc_id", "s", cl)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("shuffleDeterministic and quantizeInt8: empty inputs yield empty outputs, not failures") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.IdOps.shuffleDeterministic(empty, "doc_id").count() == 0)
+    val emptyV = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v")
+    assert(emptyV.select(graft.ops.Similarity.quantizeInt8($"v")).count() == 0)
+  }
+
   test("tfidf: doc whose tokens all miss the vocabulary gets a zero dense vector") {
     val docs = Seq((1L, Seq("aa", "bb")), (2L, Seq("zz"))).toDF("id", "toks")
     val vocab = Seq(("aa", 1.5), ("bb", 2.0)).toDF("word", "idf")
