@@ -446,8 +446,8 @@ object SparkEntry {
 
     Q("q_ngram3_jaccard",  // exact word-3-shingle Jaccard ≥ 0.5, unblocked.
       (s, dir) => Dedup.jaccardPairsFromHashes(  // direct self-join: 3-shingles
-          Dedup.shingleHashes(docsTokens(s, dir), "doc_id", "toks", k = 3), 0.5,
-          materialize = true)  // are near-unique (no hot-token fan-out), so
+          Dedup.shingleHashesViaArrays(docsTokens(s, dir), "doc_id", "toks", k = 3), 0.5,
+          materialize = false)  // are near-unique (no hot-token fan-out), so
         .withColumn("jaccard", round(col("jaccard"), 6))  // prefix filtering's
         .orderBy("id1", "id2"),  // rank+verify stages cost more than they save
       Some(s"""WITH t AS ($SqlToks),
@@ -508,8 +508,8 @@ object SparkEntry {
       // collapses to one survivor even when A≉C; oracled via recursive CTE
       (s, dir) => Dedup.dedupClusters(
           Dedup.jaccardPairsFromHashes(
-            Dedup.shingleHashes(docsTokens(s, dir), "doc_id", "toks", k = 3), 0.5,
-            materialize = true))
+            Dedup.shingleHashesViaArrays(docsTokens(s, dir), "doc_id", "toks", k = 3), 0.5,
+            materialize = false))
         .orderBy("id"),
       Some(s"""WITH RECURSIVE t AS ($SqlToks),
         |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
@@ -532,8 +532,8 @@ object SparkEntry {
     Q("q_dedup_canonical",  // the cluster-aware corpus after dedup: one
       (s, dir) => {         // representative per near-dup cluster survives
         val pairs = Dedup.jaccardPairsFromHashes(
-          Dedup.shingleHashes(docsTokens(s, dir), "doc_id", "toks", k = 3), 0.5,
-          materialize = true)
+          Dedup.shingleHashesViaArrays(docsTokens(s, dir), "doc_id", "toks", k = 3), 0.5,
+          materialize = false)
         Dedup.dropClusterDuplicates(
             Tables.table(s, dir, "documents"), "doc_id", Dedup.dedupClusters(pairs))
           .select(col("doc_id"), col("source"))
@@ -568,8 +568,8 @@ object SparkEntry {
         // checkpoint once instead of re-tokenizing the corpus twice
         val toks = docsTokens(s, dir).localCheckpoint()
         val pairs = Dedup.jaccardPairsFromHashes(
-          Dedup.shingleHashes(toks, "doc_id", "toks", k = 3), 0.5,
-          materialize = true)
+          Dedup.shingleHashesViaArrays(toks, "doc_id", "toks", k = 3), 0.5,
+          materialize = false)
         val scored = toks.select(col("doc_id"),
           TextStats.qualityScore(col("toks"), Stop).as("q"))
         Dedup.dropClusterDuplicatesBy(scored, "doc_id", "q", Dedup.dedupClusters(pairs))
@@ -731,7 +731,7 @@ object SparkEntry {
         // per-window slice/concat costs more than the map-side-combined
         // shuffle it avoids.
         val sigs = Dedup.minhashFromHashes(
-          Dedup.shingleHashes(docsTokens(s, dir), "doc_id", "toks", k = 3),
+          Dedup.shingleHashesViaArrays(docsTokens(s, dir), "doc_id", "toks", k = 3),
           numHashes = 128, seed = 42L)
         Dedup.lshCandidates(sigs, bands = 32).orderBy("id1", "id2")
       },

@@ -91,6 +91,31 @@ object Dedup {
     }
   }
 
+  /** Exploded distinct k-shingle hashes via per-doc ARRAY construction
+    * instead of [[shingleHashes]]'s posexplode+window: one narrow
+    * select builds `array_distinct(xxhash64 ∘ shingle)` per doc, a
+    * localCheckpoint materializes it (WITHOUT the barrier Catalyst
+    * collapses the projection into the explode and re-evaluates the
+    * whole array expression per output row), then a plain explode.
+    * No per-doc window sort, no (id, pos, token) shuffle — measured at
+    * sf0.1 on the 3-shingle Jaccard pair oracle: cold 2.9 s vs 5.7 s,
+    * warm 1.9 s vs 2.2 s. Same hash values as [[shingleHashes]]
+    * (identical concat_ws construction), parity-asserted in tests.
+    * Trade-off: the checkpoint truncates lineage (executor loss ⇒ job
+    * retry, not partition recompute) — at 100 TB swap for a reliable
+    * checkpoint dir or accept stage retry; the data volume is the same
+    * hash set the window form would have shuffled anyway.
+    */
+  def shingleHashesViaArrays(
+      docs: DataFrame, idCol: String, tokensCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"shingle size must be >= 1, got $k")
+    val sh = if (k == 1) col(tokensCol) else tokenShingles(col(tokensCol), k)
+    docs.select(col(idCol).as("id"),
+        array_distinct(transform(sh, s => xxhash64(s))).as("hs"))
+      .localCheckpoint()
+      .select(col("id"), explode(col("hs")).as("h"))
+  }
+
   /** Pair step shared by the Jaccard entry points: self-join the
     * exploded hashes on (block,) h with id-only payload (8-24 bytes per
     * shuffled row — the fan-out is Σ_h |docs_h|², so row width IS the

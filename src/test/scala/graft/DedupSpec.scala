@@ -171,6 +171,16 @@ class DedupSpec extends AnyFunSuite {
     assert(cl2.size == 100 && cl2.values.forall(_ == 1000L))
   }
 
+  test("shingleHashesViaArrays == shingleHashes: identical (id, hash) sets at k=1 and k=3") {
+    for (k <- Seq(1, 3)) {
+      val a = Dedup.shingleHashes(docs, "doc_id", "toks", k)
+        .as[(Long, Long)].collect().toSet
+      val b = Dedup.shingleHashesViaArrays(docs, "doc_id", "toks", k)
+        .as[(Long, Long)].collect().toSet
+      assert(a == b, s"k=$k: window ${a.size} vs array ${b.size} hashes")
+    }
+  }
+
   test("contaminationHits: distinct-gram overlap counts; decontaminate drops exactly the flagged ids") {
     val corpus = Seq(
       (1L, Seq("a b c", "b c d", "c d e")),   // 2 grams hit
