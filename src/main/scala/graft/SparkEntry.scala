@@ -683,6 +683,30 @@ object SparkEntry {
         |  round(toks / (SELECT CAST(sum(n) AS DOUBLE) FROM d), 6) AS frac
         |FROM g ORDER BY source""".stripMargin)),
 
+    Q("q_pii_scrub",  // PII redaction: deterministic synthetic emails/phones
+      // appended per doc (the corpus has none), then scrubbed — redacted
+      // text value-oracled byte-for-byte via md5 (Java regex and RE2
+      // agree on the character-class-only patterns)
+      (s, dir) => {
+        val aug = concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com or call 555-123-4567"))
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            TextOps.piiCount(aug).cast("int").as("n_pii"),
+            md5(TextOps.redactPii(aug)).as("fp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH a AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |       || '@example.com or call 555-123-4567' AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '${TextOps.EmailRe}'))
+        |     + len(regexp_extract_all(t, '${TextOps.PhoneRe}')) AS INT) AS n_pii,
+        |  md5(regexp_replace(regexp_replace(t,
+        |    '${TextOps.EmailRe}', '<PII>', 'g'),
+        |    '${TextOps.PhoneRe}', '<PII>', 'g')) AS fp
+        |FROM a ORDER BY doc_id""".stripMargin)),
+
     Q("q_quantize_int8",  // symmetric per-vector int8 embedding codes:
       // trunc (not round) makes double→int identical in both engines,
       // so the codes get a full value-level oracle

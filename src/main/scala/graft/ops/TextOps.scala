@@ -87,6 +87,29 @@ object TextOps {
       .withColumn(tokensCol, coalesce(col(tokensCol), array()))
   }
 
+  /** Email/phone patterns for [[redactPii]] — deliberately built from
+    * explicit character classes and bounded quantifiers only (no \b,
+    * no lookaround), the regex subset on which Java regex (Spark) and
+    * RE2 (DuckDB, Go tooling) agree token-for-token, so redacted
+    * output is cross-engine byte-identical (value-level oracle
+    * q_pii_scrub).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+
+  /** PII redaction — the map-side scrub pass every training corpus
+    * goes through before anything else sees it: replace emails and
+    * phone numbers with `token`. Pure `regexp_replace` column
+    * expression (codegen'd, no shuffle, no UDF); extend by chaining
+    * more conservative patterns the same way.
+    */
+  def redactPii(text: Column, token: String = "<PII>"): Column =
+    regexp_replace(regexp_replace(text, EmailRe, token), PhoneRe, token)
+
+  /** Count of PII matches [[redactPii]] would scrub. */
+  def piiCount(text: Column): Column =
+    regexp_count(text, lit(EmailRe)) + regexp_count(text, lit(PhoneRe))
+
   /** Sliding-window document chunking for context-length-bounded
     * training: windows of `size` tokens starting every
     * `size - overlap` tokens; the final window may be shorter but is

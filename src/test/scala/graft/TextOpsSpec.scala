@@ -108,4 +108,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(atScale == windowed)
     assert(windowed.nonEmpty)
   }
+
+  test("redactPii: emails and phones scrubbed, counts match, clean text byte-identical") {
+    val got = Seq(
+      (1L, "mail a.b+c%x@ex-ample.co.uk or call 555-123-4567 twice: 999.867.5309"),
+      (2L, "no pii here, just 12345 and user at example dot com"))
+      .toDF("id", "t")
+      .select($"id", $"t", TextOps.redactPii($"t").as("r"),
+        TextOps.piiCount($"t").cast("int").as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getInt(3))).toMap
+    assert(got(1L)._2 == "mail <PII> or call <PII> twice: <PII>")
+    assert(got(1L)._3 == 3)
+    assert(got(2L)._2 == got(2L)._1, "clean text must pass through unchanged")
+    assert(got(2L)._3 == 0)
+  }
 }
