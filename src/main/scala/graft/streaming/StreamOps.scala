@@ -84,6 +84,51 @@ object StreamOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  final case class BandRow(id: Long, band: Int, bh: Long)
+  final case class BucketState(ids: List[Long])
+  final case class CandPair(id1: Long, id2: Long)
+
+  /** Streaming MinHash-LSH candidate pairs — the stream twin of
+    * Dedup.lshCandidates, for near-dup suppression at ingest time:
+    * docs arrive as exploded band rows (id, band, bh) — computed
+    * map-side with the same pure column expressions the batch path
+    * uses (Dedup.minhashSigsCol → functions.BandHashes → posexplode),
+    * all streaming-safe — and each (band, bh) bucket keeps the ids
+    * seen so far, emitting a candidate pair for every new arrival
+    * against every prior member. State is bounded per bucket by
+    * `maxBucket` exactly like the batch path drops pathological
+    * buckets (every-doc-identical boilerplate); ids beyond the cap
+    * neither emit nor enter state. NoTimeout state: ingest dedup wants
+    * the full corpus horizon — bound TOTAL state by the number of
+    * distinct band buckets, which is ≤ bands · corpus size but in
+    * practice collision-compressed; evict with a watermarked variant
+    * if the deployment only needs a rolling horizon.
+    *
+    * Pairs can repeat across bands (the batch op's `.distinct()`);
+    * dedup downstream — e.g. in the exact-verify foreachBatch — so the
+    * streaming stage stays single-stateful-operator.
+    */
+  def lshCandidatesStream(
+      bands: Dataset[BandRow], maxBucket: Int = 1000): Dataset[CandPair] = {
+    import bands.sparkSession.implicits._
+    bands.groupByKey(b => (b.band, b.bh))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), rows: Iterator[BandRow], state: GroupState[BucketState]) =>
+          val seen0 = state.getOption.map(_.ids).getOrElse(Nil)
+          var seen = seen0
+          val out = scala.collection.mutable.ListBuffer.empty[CandPair]
+          rows.foreach { r =>
+            if (!seen.contains(r.id) && seen.length < maxBucket) {
+              seen.foreach(s =>
+                out += CandPair(math.min(s, r.id), math.max(s, r.id)))
+              seen = r.id :: seen
+            }
+          }
+          if (seen ne seen0) state.update(BucketState(seen))
+          out.iterator
+      }
+  }
+
   final case class SEv(user_id: Long, ts: java.sql.Timestamp)
   final case class OpenSession(start: Long, end: Long, n: Long)
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)

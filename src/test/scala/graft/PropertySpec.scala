@@ -63,4 +63,49 @@ class PropertySpec extends AnyFunSuite {
     assert(norms.length == 50)
     norms.foreach { case (id, n2) => assert(math.abs(n2 - 1.0) < 1e-6, s"doc $id: $n2") }
   }
+
+  test("redactPii is idempotent and leaves PII-free strings untouched (generated inputs)") {
+    val word = Gen.alphaNumStr.map(_.take(6))
+    val pii = Gen.oneOf(
+      Gen.const("bob@x-corp.io"), Gen.const("a_1%z@m.co"),
+      Gen.const("555-123-4567"), Gen.const("123.456.7890"))
+    val part = Gen.frequency(4 -> word, 1 -> pii)
+    val texts = Gen.listOfN(200, Gen.listOfN(8, part).map(_.mkString(" "))).sample.get
+    val got = texts.toDF("t")
+      .select($"t", TextOps.redactPii($"t").as("r1"),
+        TextOps.redactPii(TextOps.redactPii($"t")).as("r2"),
+        TextOps.piiCount($"t").cast("int").as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
+    got.foreach { case (t, r1, r2, n) =>
+      assert(r1 == r2, s"not idempotent on: $t")
+      assert(!r1.contains("@x-corp.io") && !r1.contains("555-123-4567"), s"pii survived: $r1")
+      if (n == 0) assert(r1 == t, s"clean text mutated: $t")
+    }
+  }
+
+  test("quantizeInt8: codes bounded and reconstruction within one scale step for arbitrary vectors") {
+    val vec = Gen.listOfN(8, Gen.chooseNum(-1e3, 1e3))
+    val vs = Gen.listOfN(150, vec).sample.get :+ List.fill(8)(0.0)
+    val got = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+      .select($"id", $"v", graft.ops.Similarity.quantizeInt8($"v").as("z"))
+      .select($"id", $"v", $"z.scale".as("s"), $"z.q".as("q"))
+      .as[(Long, Seq[Double], Double, Seq[Int])].collect()
+    got.foreach { case (id, v, s, q) =>
+      assert(q.forall(c => c.abs <= 127), s"vec $id code out of range")
+      if (s == 0.0) assert(q.forall(_ == 0))
+      else v.zip(q).foreach { case (x, c) =>
+        assert(math.abs(c * s - x) <= s + 1e-9, s"vec $id error > scale") }
+    }
+  }
+
+  test("shuffleDeterministic: dense 1..N bijection for arbitrary distinct key sets") {
+    val keys = Gen.listOfN(300, Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2))
+      .sample.get.distinct
+    val out = keys.toDF("k")
+      .transform(df => graft.ops.IdOps.shuffleDeterministic(df, "k", salt = "p"))
+      .as[(Long, Long)].collect()
+    assert(out.map(_._1).toSet == keys.toSet, "keys preserved")
+    assert(out.map(_._2).sorted.toSeq == (1L to keys.length.toLong), "dense 1..N")
+  }
 }

@@ -35,6 +35,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("lshCandidatesStream: cumulative streamed candidates == batch lshCandidates on the same corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{Dedup, TextOps}
+    // the SAME map-side expressions as the batch path, applied to a stream
+    def toBands(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"),
+        Dedup.minhashSigsCol(
+          array_distinct(transform(
+            Dedup.tokenShingles(
+              TextOps.tokenizeFiltered(col("text"), Dictionaries.Stopwords, Nil), 3),
+            s => xxhash64(s))),
+          numHashes = 128, seed = 42L).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id"),
+        posexplode(graft.functions.BandHashes.band_hashes(col("sig"), 32))
+          .as(Seq("band", "bh")))
+      .as[StreamOps.BandRow]
+    val docs = Tables.table(spark, TestSpark.Sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.lshCandidatesStream(toBands(mem.toDF().toDF("id", "text")))
+      .writeStream.format("memory").queryName("lshcand").outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("lshcand").as[(Long, Long)].collect().toSet
+      val want = Dedup.lshCandidates(
+          Dedup.minhashFromHashes(
+            Dedup.shingleHashesViaArrays(
+              Tables.table(spark, TestSpark.Sf, "documents")
+                .select($"doc_id",
+                  TextOps.tokenizeFiltered($"text", Dictionaries.Stopwords, Nil).as("toks")),
+              "doc_id", "toks", k = 3),
+            numHashes = 128, seed = 42L), bands = 32)
+        .as[(Long, Long)].collect().toSet
+      assert(got == want, s"stream ${got.size} vs batch ${want.size} pairs")
+      assert(want.nonEmpty || got.isEmpty)
+    } finally q.stop()
+  }
+
   test("watermark: late rows beyond the 2h bound are dropped in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
