@@ -683,6 +683,87 @@ object SparkEntry {
         |  round(toks / (SELECT CAST(sum(n) AS DOUBLE) FROM d), 6) AS frac
         |FROM g ORDER BY source""".stripMargin)),
 
+    Q("q_llm_pipeline",  // the WHOLE training-data curation funnel in one
+      // composed plan, value-oracled end-to-end: PII scrub → tokenize →
+      // quality floor → exact dedup (min-id per fingerprint) →
+      // benchmark decontamination (%7 eval split) → stratified source
+      // rebalance (even 50%, odd 100%) → 128-token sequence packing via
+      // the at-scale offset form. Every stage is the already-oracled
+      // operator; this query proves they COMPOSE — the "switch your
+      // pipeline to this library" demonstration
+      (s, dir) => {
+        val toks = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextOps.tokenizeFiltered(
+              TextOps.redactPii(col("text")), Stop, Nil).as("toks"))
+          .localCheckpoint()
+        val quality = toks.filter(TextStats.qualityScore(col("toks"), Stop) >= 0.5)
+        val deduped = Dedup.dropDupsByKey(
+          quality.withColumn("fp", TextStats.contentFingerprint(col("toks"))),
+          "doc_id", "fp")
+        val grams = deduped
+          .withColumn("g5", Dedup.tokenShingles(col("toks"), 5))
+          .localCheckpoint()
+        val bench = toks.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), Dedup.tokenShingles(col("toks"), 5).as("g5"))
+        val corp = grams.filter(col("doc_id") % 7 =!= 0)
+        val clean = Dedup.decontaminate(
+          corp.drop("g5"), "doc_id",
+          Dedup.contaminationHits(corp, "doc_id", "g5", bench, "g5"))
+        val sampled = IdOps.stratifiedSampleByHash(
+          clean, "doc_id", "source",
+          rates = (0 until 20).map(i =>
+            s"src$i" -> (if (i % 2 == 0) 0.5 else 1.0)).toMap,
+          salt = "e2e")
+        TextOps.packSequencesAtScale(
+            sampled.select(col("doc_id"), col("source"), size(col("toks")).as("n_toks")),
+            "doc_id", "n_toks", budget = 128)
+          .select(col("doc_id"), col("source"), col("n_toks"),
+            col("tok_offset"), col("seq_first"), col("seq_last"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH s0 AS (SELECT doc_id, source,
+        |  regexp_replace(regexp_replace(text,
+        |    '${TextOps.EmailRe}', '<PII>', 'g'),
+        |    '${TextOps.PhoneRe}', '<PII>', 'g') AS text FROM documents),
+        |t AS (SELECT doc_id, source,
+        |  list_filter(regexp_extract_all(lower(text), '\\b\\w\\w+\\b'),
+        |    x -> x NOT IN ('the', 'a')) AS toks FROM s0),
+        |q AS (SELECT * FROM t WHERE $SqlQuality >= 0.5),
+        |f AS (SELECT *, md5(array_to_string(toks, ' ')) AS fp FROM q),
+        |d AS (SELECT doc_id, source, toks FROM f
+        |      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+        |g AS (SELECT doc_id, source, toks, CASE WHEN len(toks) < 5 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 3),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+        |               || toks[i+3] || ' ' || toks[i+4]) END AS g5
+        |      FROM d),
+        |bg AS (SELECT DISTINCT unnest(CASE WHEN len(toks) < 5 THEN []
+        |         ELSE list_transform(range(1, len(toks) - 3),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+        |                || toks[i+3] || ' ' || toks[i+4]) END) AS gg
+        |       FROM t WHERE doc_id % 7 = 0),
+        |cg AS (SELECT DISTINCT doc_id, gr FROM
+        |        (SELECT doc_id, unnest(g5) AS gr FROM g WHERE doc_id % 7 <> 0)),
+        |bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg ON cg.gr = bg.gg),
+        |clean AS (SELECT doc_id, source, toks FROM g
+        |          WHERE doc_id % 7 <> 0
+        |            AND doc_id NOT IN (SELECT doc_id FROM bad)),
+        |samp AS (SELECT doc_id, source, len(toks) AS n_toks FROM clean
+        |         WHERE substr(md5('e2e_' || CAST(doc_id AS VARCHAR)), 1, 2) <
+        |           CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        |                THEN '80' ELSE 'zz' END),
+        |o AS (SELECT doc_id, source, n_toks,
+        |        COALESCE(sum(n_toks) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |      FROM samp)
+        |SELECT doc_id, source, CAST(n_toks AS INT) AS n_toks,
+        |  CAST(tok_offset AS BIGINT) AS tok_offset,
+        |  CAST(tok_offset // 128 AS BIGINT) AS seq_first,
+        |  CAST(CASE WHEN n_toks = 0 THEN tok_offset // 128
+        |       ELSE (tok_offset + n_toks - 1) // 128 END AS BIGINT) AS seq_last
+        |FROM o ORDER BY doc_id""".stripMargin)),
+
     Q("q_pii_scrub",  // PII redaction: deterministic synthetic emails/phones
       // appended per doc (the corpus has none), then scrubbed — redacted
       // text value-oracled byte-for-byte via md5 (Java regex and RE2
