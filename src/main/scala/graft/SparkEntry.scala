@@ -764,6 +764,33 @@ object SparkEntry {
         |       ELSE (tok_offset + n_toks - 1) // 128 END AS BIGINT) AS seq_last
         |FROM o ORDER BY doc_id""".stripMargin)),
 
+    Q("q_novelty",  // per-doc n-gram novelty: fraction of a doc's distinct
+      // 3-grams appearing in NO other doc — the rarity/memorization
+      // signal corpus curation ranks on; one gram-docfreq groupBy +
+      // one per-doc avg, both partial-agg friendly
+      (s, dir) => {
+        val g = Dedup.shingleHashesViaArrays(docsTokens(s, dir), "doc_id", "toks", k = 3)
+        val dfreq = g.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        g.join(dfreq, Seq("h"))
+          .groupBy(col("id"))
+          .agg(round(avg(when(col("df") === 1, 1.0).otherwise(0.0)), 6).as("novelty"),
+            count(lit(1)).cast("int").as("n_grams"))
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |      FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS w FROM s),
+        |d AS (SELECT w, count(*) AS df FROM e GROUP BY w)
+        |SELECT e.doc_id,
+        |  round(avg(CAST(CASE WHEN d.df = 1 THEN 1 ELSE 0 END AS DOUBLE)), 6) AS novelty,
+        |  CAST(count(*) AS INT) AS n_grams
+        |FROM e JOIN d USING (w)
+        |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("q_pii_scrub",  // PII redaction: deterministic synthetic emails/phones
       // appended per doc (the corpus has none), then scrubbed — redacted
       // text value-oracled byte-for-byte via md5 (Java regex and RE2
