@@ -77,6 +77,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless curation stages (scrub, quality floor, stratified sample) run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{IdOps, TextOps, TextStats}
+    // every stage is a row-local expression — the SAME function body
+    // drives a readStream DataFrame with zero changes
+    def stage(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val toks = df.select(col("doc_id"), col("source"),
+        TextOps.tokenizeFiltered(
+          TextOps.redactPii(col("text")), Dictionaries.Stopwords, Nil).as("toks"))
+      IdOps.stratifiedSampleByHash(
+          toks.filter(TextStats.qualityScore(col("toks"), Dictionaries.Stopwords) >= 0.5),
+          "doc_id", "source",
+          rates = (0 until 20).map(i =>
+            s"src$i" -> (if (i % 2 == 0) 0.5 else 1.0)).toMap,
+          salt = "sc")
+        .select(col("doc_id"), size(col("toks")).as("n"))
+    }
+    val docs = Tables.table(spark, TestSpark.Sf, "documents")
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String, String)]
+    val q = stage(mem.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("curstream").outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("curstream").as[(Long, Int)].collect().toSet
+      val want = stage(docs.toDF("doc_id", "source", "text"))
+        .as[(Long, Int)].collect().toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark: late rows beyond the 2h bound are dropped in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
