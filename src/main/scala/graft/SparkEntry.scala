@@ -764,6 +764,32 @@ object SparkEntry {
         |       ELSE (tok_offset + n_toks - 1) // 128 END AS BIGINT) AS seq_last
         |FROM o ORDER BY doc_id""".stripMargin)),
 
+    Q("q_top_per_source",  // per-domain cap: the 10 best-quality docs per
+      // source (window partitioned BY SOURCE — many bounded partitions,
+      // no global ordering; ties broken by doc_id for determinism)
+      (s, dir) => {
+        val scored = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextStats.qualityScore(
+              TextOps.tokenizeFiltered(col("text"), Stop, Nil), Stop).as("q"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("q").desc, col("doc_id"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select(col("doc_id"), col("source"), round(col("q"), 6).as("q"), col("rk"))
+          .orderBy("source", "rk")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source,
+        |  list_filter(regexp_extract_all(lower(text), '\\b\\w\\w+\\b'),
+        |    x -> x NOT IN ('the', 'a')) AS toks FROM documents),
+        |sc AS (SELECT doc_id, source, $SqlQuality AS q FROM t),
+        |rk AS (SELECT doc_id, source, q,
+        |         CAST(row_number() OVER
+        |           (PARTITION BY source ORDER BY q DESC, doc_id) AS INT) AS rk
+        |       FROM sc)
+        |SELECT doc_id, source, round(q, 6) AS q, rk FROM rk
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin)),
+
     Q("q_novelty",  // per-doc n-gram novelty: fraction of a doc's distinct
       // 3-grams appearing in NO other doc — the rarity/memorization
       // signal corpus curation ranks on; one gram-docfreq groupBy +
