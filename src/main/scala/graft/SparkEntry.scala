@@ -790,6 +790,28 @@ object SparkEntry {
         |SELECT doc_id, source, round(q, 6) AS q, rk FROM rk
         |WHERE rk <= 10 ORDER BY source, rk""".stripMargin)),
 
+    Q("q_winnow",  // MOSS winnowing fingerprints: min-hash of each 4-wide
+      // window over 3-shingle hashes — substring-robust dedup keys at
+      // ~1/4 shingle density; md5 base hash makes it value-oracled
+      (s, dir) => Dedup.winnowFingerprints(
+          docsTokens(s, dir), "doc_id", "toks", k = 3, w = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "fp"),
+      Some(s"""WITH t AS ($SqlToks),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+        |      FROM t),
+        |h AS (SELECT doc_id, list_transform(sh,
+        |        x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+        |      FROM s WHERE len(sh) >= 1),
+        |f AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+        |        ELSE list_distinct(list_transform(range(1, len(hs) - 2),
+        |          i -> list_min(list_slice(hs, i, i + 3)))) END AS fps
+        |      FROM h)
+        |SELECT DISTINCT doc_id, unnest(fps) AS fp FROM f
+        |ORDER BY doc_id, fp""".stripMargin)),
+
     Q("q_novelty",  // per-doc n-gram novelty: fraction of a doc's distinct
       // 3-grams appearing in NO other doc — the rarity/memorization
       // signal corpus curation ranks on; one gram-docfreq groupBy +

@@ -116,6 +116,40 @@ object Dedup {
       .select(col("id"), explode(col("hs")).as("h"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    * the MOSS algorithm): hash every k-token shingle, then keep the
+    * MINIMUM hash of each w-wide sliding window of consecutive shingle
+    * hashes. Guarantee: any two documents sharing a token run of
+    * ≥ w+k−1 tokens share ≥1 fingerprint — robust substring-level
+    * dedup at a fraction of all-shingle cost (≈1/w density). Docs with
+    * fewer than w shingles contribute their single global-min hash.
+    * Base hash is the first 8 hex digits of md5 (portable SQL, like
+    * [[minhashPairsPortable]]) so the whole operator value-oracles
+    * cross-engine (q_winnow); swap xxhash64 in at scale the same way
+    * the MinHash path does. Output: (id, fp) distinct, one row per
+    * selected fingerprint. Pure column expressions — map-side, no
+    * shuffle until the consumer joins fingerprints.
+    */
+  def winnowFingerprints(
+      docs: DataFrame, idCol: String, tokensCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1)
+    val hs = transform(tokenShingles(col(tokensCol), k),
+      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+    val n = size(col("__hs"))
+    val nWin = n - (w - 1)
+    // sequence(1, x) with x<1 DESCENDS in Spark — the <w branch never
+    // uses this value, but both branches evaluate, so clamp to 1
+    val fps = array_distinct(transform(
+      sequence(lit(1), greatest(nWin, lit(1))),
+      i => array_min(slice(col("__hs"), i, lit(w)))))
+    docs.select(col(idCol).as("id"), hs.as("__hs"))
+      .filter(size(col("__hs")) >= 1)
+      .select(col("id"),
+        explode(when(n < w, array(array_min(col("__hs")))).otherwise(fps)).as("fp"))
+      .distinct()
+  }
+
   /** Pair step shared by the Jaccard entry points: self-join the
     * exploded hashes on (block,) h with id-only payload (8-24 bytes per
     * shuffled row — the fan-out is Σ_h |docs_h|², so row width IS the

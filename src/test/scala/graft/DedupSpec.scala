@@ -171,6 +171,30 @@ class DedupSpec extends AnyFunSuite {
     assert(cl2.size == 100 && cl2.values.forall(_ == 1000L))
   }
 
+  test("winnowFingerprints: shared token runs >= w+k-1 guarantee a shared fingerprint; short docs covered") {
+    // k=3, w=4: any shared run of >= 6 tokens must yield a common fp
+    val shared = "alpha beta gamma delta epsilon zeta"  // 6-token run
+    val d = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"five six seven $shared eight"),
+      (3L, "totally different words everywhere here now"),
+      (4L, "tiny doc"),          // 0 shingles of size 3 → filtered
+      (5L, "just three tokens"), // 1 shingle → single global-min fp
+      (6L, "just three tokens")) // identical short doc → same fp
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextOps.tokenize($"text").as("toks"))
+    val fps = Dedup.winnowFingerprints(d, "doc_id", "toks", k = 3, w = 4)
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared 6-token run must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty, "disjoint docs must not collide")
+    assert(!fps.contains(4L), "doc with no shingles has no fingerprints")
+    assert(fps(5L).size == 1 && fps(5L) == fps(6L), "identical short docs share their single fp")
+    // density: selected fps are a small subset of all shingle hashes
+    val allHashes = d.filter($"doc_id" === 1L)
+      .select(explode(Dedup.tokenShingles($"toks", 3))).count()
+    assert(fps(1L).size < allHashes)
+  }
+
   test("shingleHashesViaArrays == shingleHashes: identical (id, hash) sets at k=1 and k=3") {
     for (k <- Seq(1, 3)) {
       val a = Dedup.shingleHashes(docs, "doc_id", "toks", k)
