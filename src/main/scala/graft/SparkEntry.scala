@@ -792,12 +792,16 @@ object SparkEntry {
 
     Q("q_winnow",  // MOSS winnowing fingerprints: min-hash of each 4-wide
       // window over 3-shingle hashes — substring-robust dedup keys at
-      // ~1/4 shingle density; md5 base hash makes it value-oracled
+      // ~1/4 shingle density; md5 base hash makes it value-oracled.
+      // Witness capped at the 500-doc gate corpus (md5 is the oracle
+      // twin — the xxhash64 portable=false form is the scale path)
       (s, dir) => Dedup.winnowFingerprints(
-          docsTokens(s, dir), "doc_id", "toks", k = 3, w = 4)
+          docsTokens(s, dir).filter(col("doc_id") < 500),
+          "doc_id", "toks", k = 3, w = 4)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "fp"),
-      Some(s"""WITH t AS ($SqlToks),
+      Some(s"""WITH t0 AS ($SqlToks),
+        |t AS (SELECT * FROM t0 WHERE doc_id < 500),
         |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN []
         |        ELSE list_transform(range(1, len(toks) - 1),
         |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh

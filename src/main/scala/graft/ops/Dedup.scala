@@ -132,10 +132,14 @@ object Dedup {
     */
   def winnowFingerprints(
       docs: DataFrame, idCol: String, tokensCol: String,
-      k: Int = 3, w: Int = 4): DataFrame = {
+      k: Int = 3, w: Int = 4, portable: Boolean = true): DataFrame = {
     require(k >= 1 && w >= 1)
+    // portable=true → md5-derived base hash (cross-engine oracle
+    // witness, ~10× cost); portable=false → xxhash64 (the scale path,
+    // same selection structure — run THIS on real corpora)
     val hs = transform(tokenShingles(col(tokensCol), k),
-      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+      s => if (portable) conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+           else xxhash64(s))
     val n = size(col("__hs"))
     val nWin = n - (w - 1)
     // sequence(1, x) with x<1 DESCENDS in Spark — the <w branch never

@@ -193,6 +193,10 @@ class DedupSpec extends AnyFunSuite {
     val allHashes = d.filter($"doc_id" === 1L)
       .select(explode(Dedup.tokenShingles($"toks", 3))).count()
     assert(fps(1L).size < allHashes)
+    // the xxhash64 scale form (portable=false) upholds the same guarantee
+    val fpsX = Dedup.winnowFingerprints(d, "doc_id", "toks", k = 3, w = 4, portable = false)
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    assert((fpsX(1L) & fpsX(2L)).nonEmpty && (fpsX(1L) & fpsX(3L)).isEmpty)
   }
 
   test("shingleHashesViaArrays == shingleHashes: identical (id, hash) sets at k=1 and k=3") {
