@@ -213,6 +213,40 @@ object SparkEntry {
         |SELECT cid AS cluster, round(sum(dist * dist), 3) AS sse, count(*) AS n
         |FROM a WHERE rn = 1 GROUP BY cid ORDER BY cluster""".stripMargin)),
 
+    Q("q_kmeans_iter2",  // TWO unrolled Lloyd iterations in one plan: assign →
+      // recompute → REASSIGN to the recomputed centroids → recompute again.
+      // This value-oracles the centroid-update→reassignment COMPOSITION (the
+      // heart of the reference's loop, App.java:122-145) — q_kmeans_* cover
+      // one iteration; the multi-iteration lloyd() loop is the same driver
+      // hop repeated (spec-covered). Centroids are rounded to 6 dp between
+      // iterations (the reference's HALF_UP inter-iteration rounding, scale
+      // lowered so both engines agree on the rounded doubles).
+      (s, dir) => {
+        val pts = embDouble(s, dir)
+        val a1 = KMeansOps.assign(pts, "vec_id", "v", fixedCentroids(pts))
+        val c1 = KMeansOps.newCentroids(a1, "v", scale = 6)
+          .groupBy(col("cluster").as("cid"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("s"))
+          .select(col("cid"), transform(col("s"), x => x.getField("c")).as("cvec"))
+        val a2 = KMeansOps.assign(pts, "vec_id", "v", c1)
+        KMeansOps.newCentroids(a2, "v", scale = 6)
+          .orderBy("cluster", "dim")
+      },
+      Some(s"""$SqlKmeansAssign,
+        |asg1 AS (SELECT vec_id, cid AS cluster FROM a WHERE rn = 1),
+        |c1 AS (SELECT g.cluster, p.i AS dim, round(avg(p.x), 6) AS c
+        |       FROM asg1 g JOIN pts p ON p.vec_id = g.vec_id
+        |       GROUP BY g.cluster, p.i),
+        |d2 AS (SELECT p.vec_id, c1.cluster AS cid,
+        |              sqrt(sum((p.x - c1.c) * (p.x - c1.c))) AS dist
+        |       FROM pts p JOIN c1 ON p.i = c1.dim GROUP BY p.vec_id, c1.cluster),
+        |a2 AS (SELECT vec_id, cid, dist,
+        |       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2),
+        |asg2 AS (SELECT vec_id, cid AS cluster FROM a2 WHERE rn = 1),
+        |c2 AS (SELECT g.cluster, CAST(p.i AS INT) AS dim, round(avg(p.x), 6) AS c
+        |       FROM asg2 g JOIN pts p ON p.vec_id = g.vec_id GROUP BY g.cluster, p.i)
+        |SELECT cluster, dim, c FROM c2 ORDER BY cluster, dim""".stripMargin)),
+
     // ---- M5: relational surface — hash agg, broadcast/semi/anti/multi joins,
     //      top-k, union, rollup, event-time windows (SURVEY §2.3, §2.4, §2.6, §2.7, §2.8)
     Q("q_agg_lineitem",  // TPC-H Q1 shape: partial-agg-friendly hash aggregation
@@ -445,11 +479,46 @@ object SparkEntry {
         |ORDER BY id1, id2""".stripMargin)),
 
     Q("q_ngram3_jaccard",  // exact word-3-shingle Jaccard ≥ 0.5, unblocked.
-      (s, dir) => Dedup.jaccardPairsFromHashes(  // direct self-join: 3-shingles
+      // SMALL-DATA ORACLE WITNESS, deliberately the direct self-join: on
+      // this corpus 3-shingles are near-unique so there is no hot-token
+      // fan-out, and the unfiltered join is the cheapest exact plan. It is
+      // NOT the 100×-scale form — real crawl data has template headers
+      // shared by millions of docs; the gated scale twins are
+      // q_ngram3_jaccard_capped (bucket-capped) and the q_dedup_* trio
+      // (prefix-filtered), all three value-identical to this witness.
+      (s, dir) => Dedup.jaccardPairsFromHashes(
           Dedup.shingleHashesViaArrays(docsTokens(s, dir), "doc_id", "toks", k = 3), 0.5,
-          materialize = false)  // are near-unique (no hot-token fan-out), so
-        .withColumn("jaccard", round(col("jaccard"), 6))  // prefix filtering's
-        .orderBy("id1", "id2"),  // rank+verify stages cost more than they save
+          materialize = false)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id1", "id2"),
+      Some(s"""WITH t AS ($SqlToks),
+        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |      FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS w, len(sh) AS sz FROM s),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter,
+        |             max(a.sz) AS s1, max(b.sz) AS s2
+        |      FROM e a JOIN e b ON a.w = b.w AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |       round(CAST(inter AS DOUBLE) / (s1 + s2 - inter), 6) AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE) / (s1 + s2 - inter) >= 0.5
+        |ORDER BY id1, id2""".stripMargin)),
+
+    Q("q_ngram3_jaccard_capped",  // the 3-shingle Jaccard SCALE form: group
+      // ids per shingle bucket, cap pathological buckets at maxBucket
+      // (boilerplate shared corpus-wide must be dropped or the pair space
+      // itself is the bottleneck), emit in-bucket pairs by suffix explode —
+      // no self-join, no quadratic single-key shuffle fan-out. On the gate
+      // corpora no 3-shingle bucket exceeds the cap, so the output is
+      // value-identical to the q_ngram3_jaccard witness (same oracle).
+      (s, dir) => Dedup.jaccardPairsBucketed(
+          Dedup.shingleHashesViaArrays(docsTokens(s, dir), "doc_id", "toks", k = 3)
+            .localCheckpoint(),  // referenced twice (sizes + buckets)
+          0.5, maxBucket = 1000)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id1", "id2"),
       Some(s"""WITH t AS ($SqlToks),
         |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
         |        ELSE list_transform(range(1, len(toks) - 1),
@@ -504,12 +573,16 @@ object SparkEntry {
       }),
 
     Q("q_dedup_clusters",  // near-dup CLUSTERING: connected components over the
-      // exact 3-shingle Jaccard ≥ 0.5 pairs (min-label propagation) — A≈B≈C
-      // collapses to one survivor even when A≉C; oracled via recursive CTE
+      // exact 3-shingle Jaccard ≥ 0.5 pairs (star contraction) — A≈B≈C
+      // collapses to one survivor even when A≉C; oracled via recursive CTE.
+      // Pair generation is the PREFIX-FILTERED exact form: a hot shingle
+      // (template boilerplate shared by 10⁶ docs in real crawl data) makes
+      // the direct self-join's Σ_h |docs_h|² fan-out quadratic on one key;
+      // prefix filtering indexes only each doc's rarest tokens, so the
+      // candidate join never sees the hot keys. Exact ⇒ oracle unchanged.
       (s, dir) => Dedup.dedupClusters(
-          Dedup.jaccardPairsFromHashes(
-            Dedup.shingleHashesViaArrays(docsTokens(s, dir), "doc_id", "toks", k = 3), 0.5,
-            materialize = false))
+          Dedup.jaccardPairsPrefix(
+            Dedup.shingleHashesViaArrays(docsTokens(s, dir), "doc_id", "toks", k = 3), 0.5))
         .orderBy("id"),
       Some(s"""WITH RECURSIVE t AS ($SqlToks),
         |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
@@ -531,9 +604,9 @@ object SparkEntry {
 
     Q("q_dedup_canonical",  // the cluster-aware corpus after dedup: one
       (s, dir) => {         // representative per near-dup cluster survives
-        val pairs = Dedup.jaccardPairsFromHashes(
-          Dedup.shingleHashesViaArrays(docsTokens(s, dir), "doc_id", "toks", k = 3), 0.5,
-          materialize = false)
+        // prefix-filtered exact pairs — hot-shingle-safe (see q_dedup_clusters)
+        val pairs = Dedup.jaccardPairsPrefix(
+          Dedup.shingleHashesViaArrays(docsTokens(s, dir), "doc_id", "toks", k = 3), 0.5)
         Dedup.dropClusterDuplicates(
             Tables.table(s, dir, "documents"), "doc_id", Dedup.dedupClusters(pairs))
           .select(col("doc_id"), col("source"))
@@ -567,9 +640,9 @@ object SparkEntry {
         // tokenization feeds BOTH the pair generator and the scorer —
         // checkpoint once instead of re-tokenizing the corpus twice
         val toks = docsTokens(s, dir).localCheckpoint()
-        val pairs = Dedup.jaccardPairsFromHashes(
-          Dedup.shingleHashesViaArrays(toks, "doc_id", "toks", k = 3), 0.5,
-          materialize = false)
+        // prefix-filtered exact pairs — hot-shingle-safe (see q_dedup_clusters)
+        val pairs = Dedup.jaccardPairsPrefix(
+          Dedup.shingleHashesViaArrays(toks, "doc_id", "toks", k = 3), 0.5)
         val scored = toks.select(col("doc_id"),
           TextStats.qualityScore(col("toks"), Stop).as("q"))
         Dedup.dropClusterDuplicatesBy(scored, "doc_id", "q", Dedup.dedupClusters(pairs))
@@ -943,11 +1016,99 @@ object SparkEntry {
       },
       None),
 
+    Q("q_char_minhash_md5",  // char-5-gram MinHash+LSH, value-level oracled:
+      // the q_minhash_lsh_md5 portable-SQL trick (md5 base hash, decimal
+      // string band keys) applied to CHARACTER shingles — DuckDB reproduces
+      // the sig→band→bucket-join candidate set exactly. Witness capped at
+      // 500 docs; q_char_minhash_pairs (fused rolling-hash Expressions) is
+      // the scale twin, recall-tied in InvariantSweepSpec.
+      (s, dir) => {
+        val txt = lower(col("text"))
+        val docs = Tables.table(s, dir, "documents")
+          .filter(col("doc_id") < 500)
+          .select(col("doc_id"),
+            when(length(txt) < 5, array().cast("array<string>"))
+              .otherwise(transform(
+                sequence(lit(1), greatest(length(txt) - 4, lit(1))),
+                i => txt.substr(i, lit(5)))).as("sh"))
+        Dedup.minhashPairsPortable(docs, "doc_id", "sh",
+            numHashes = 16, bands = 4, seed = 42L)
+          .orderBy("id1", "id2")
+      },
+      Some {
+        val ps = Dedup.hashParams(16, 42L).zipWithIndex
+          .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+        s"""WITH d AS (SELECT doc_id, lower(text) AS txt FROM documents
+        |           WHERE doc_id < 500),
+        |s AS (SELECT doc_id, CASE WHEN length(txt) < 5 THEN []
+        |        ELSE list_transform(range(1, length(txt) - 3),
+        |          i -> substr(txt, i, 5)) END AS sh
+        |      FROM d),
+        |x AS (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(unnest(sh)), 1, 8)) AS BIGINT) AS x
+        |      FROM s),
+        |pr(j, a, b) AS (VALUES $ps),
+        |sig AS (SELECT doc_id, j, min((a * (x % 2147483647) + b) % 2147483647) AS h
+        |        FROM x, pr GROUP BY doc_id, j),
+        |band AS (SELECT doc_id, j // 4 AS band,
+        |           string_agg(CAST(h AS VARCHAR), '_' ORDER BY j) AS bh
+        |         FROM sig GROUP BY doc_id, j // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |         FROM band a JOIN band b
+        |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        |SELECT id1, id2 FROM cand ORDER BY id1, id2""".stripMargin
+      }),
+
     Q("q_simhash_pairs",  // SimHash near-dups (Hamming ≤ 3) — rows-only
+      // (engine xxhash64 base hash); the value-level oracle for the same
+      // sig→chunk→pair pipeline is q_simhash_md5 below
       (s, dir) => Dedup.simhashPairs(
           Dedup.simhash64(docsTokens(s, dir), "doc_id", "toks"), maxDist = 3)
         .orderBy("id1", "id2"),
       None),
+
+    Q("q_simhash_md5",  // the WHOLE SimHash pipeline value-level oracled:
+      // md5-derived 32-bit half-hashes + per-bit ±cnt majority vote +
+      // 16-bit-chunk blocking + bit_count(xor) distance are all portable
+      // SQL, so DuckDB reproduces signatures AND the pair set bit-for-bit.
+      // Witness capped at 500 docs (the full sf≤0.01 gate corpus) like the
+      // LSH witness: md5 costs ~10× the engine hash BY DESIGN and witness
+      // value doesn't grow with corpus size — q_simhash_pairs is the scale
+      // twin (recall-tied in InvariantSweepSpec).
+      (s, dir) => Dedup.simhashPairsPortable(
+          Dedup.simhashPortable(
+            docsTokens(s, dir).filter(col("doc_id") < 500), "doc_id", "toks"),
+          maxDist = 3)
+        .orderBy("id1", "id2"),
+      Some {
+        val lo = (0 until 32).map(i =>
+          s"sum(CASE WHEN (hlo >> $i) & 1 = 1 THEN cnt ELSE -cnt END) AS l$i").mkString(", ")
+        val hi = (0 until 32).map(i =>
+          s"sum(CASE WHEN (hhi >> $i) & 1 = 1 THEN cnt ELSE -cnt END) AS u$i").mkString(", ")
+        val wlo = (0 until 32).map(i => s"(CASE WHEN l$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+        val whi = (0 until 32).map(i => s"(CASE WHEN u$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+        s"""WITH t0 AS ($SqlToks),
+        |t AS (SELECT * FROM t0 WHERE doc_id < 500),
+        |c AS (SELECT doc_id, w, count(*) AS cnt
+        |      FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w),
+        |h AS (SELECT doc_id, cnt,
+        |        CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS hlo,
+        |        CAST(('0x' || substr(md5(w), 9, 8)) AS BIGINT) AS hhi FROM c),
+        |v AS (SELECT doc_id, $lo, $hi FROM h GROUP BY doc_id),
+        |s AS (SELECT doc_id, $wlo AS sim_lo, $whi AS sim_hi FROM v),
+        |ch AS (SELECT doc_id, sim_lo, sim_hi, 0 AS chunk, sim_lo & 65535 AS ch FROM s
+        |  UNION ALL SELECT doc_id, sim_lo, sim_hi, 1, (sim_lo >> 16) & 65535 FROM s
+        |  UNION ALL SELECT doc_id, sim_lo, sim_hi, 2, sim_hi & 65535 FROM s
+        |  UNION ALL SELECT doc_id, sim_lo, sim_hi, 3, (sim_hi >> 16) & 65535 FROM s),
+        |p AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+        |        a.sim_lo AS alo, a.sim_hi AS ahi, b.sim_lo AS blo, b.sim_hi AS bhi
+        |      FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.ch = b.ch
+        |                          AND a.doc_id < b.doc_id)
+        |SELECT id1, id2,
+        |       CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS INT) AS hamming
+        |FROM p WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 3
+        |ORDER BY id1, id2""".stripMargin
+      }),
 
     // ---- M7: similarity search over embeddings (beyond-reference)
     Q("q_cosine_topk",  // brute-force cosine top-5, queries = every 50th vector

@@ -450,6 +450,14 @@ object Dedup {
       fp = nfp
       it += 1
     }
+    // a non-star edge set is not a labeling — multiple conflicting
+    // (id, rep) rows per id and reps that aren't component minima.
+    // Surfacing beats silently returning corrupted cluster labels;
+    // maxIter=50 is far above log₂ of any real component diameter.
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxIter large-star/small-star rounds; " +
+          "the edge set is not a star — raise maxIter")
     // at the fixed point every node points directly at its component min
     edges.select(col("u").as("id"), col("v").as("rep"))
       .unionByName(edges.select(col("v").as("id"), col("v").as("rep")).distinct())
@@ -471,19 +479,22 @@ object Dedup {
     * survivor should be the best copy, not the numerically-smallest id.
     *
     * Scale: one broadcast-able join against the cluster labels (pairs
-    * are tiny vs the corpus) and a window partitioned BY CLUSTER — many
-    * small partitions, no global ordering anywhere.
+    * are tiny vs the corpus) and a window partitioned by
+    * coalesce(rep, id) — clustered docs group by cluster, unclustered
+    * docs (the vast majority of a corpus) form SINGLETON partitions, so
+    * no partition ever exceeds the largest near-dup cluster. (A window
+    * partitioned by bare `rep` would put every unclustered doc into one
+    * rep-IS-NULL partition — a near-whole-corpus single-partition sort.)
     */
   def dropClusterDuplicatesBy(
       docs: DataFrame, idCol: String, scoreCol: String, clusters: DataFrame): DataFrame = {
     val labeled = docs.join(
       clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("rep")).orderBy(col(scoreCol).desc, col(idCol))
+      .partitionBy(coalesce(col("rep"), col(idCol)))
+      .orderBy(col(scoreCol).desc, col(idCol))
     labeled
-      .withColumn("__rk",
-        when(col("rep").isNull, lit(1))  // unclustered: always kept
-          .otherwise(row_number().over(w)))
+      .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
       .drop("__rk", "rep")
   }
@@ -491,9 +502,10 @@ object Dedup {
   /** Benchmark decontamination — the eval-set-overlap filter every LLM
     * training pipeline needs: a corpus document is contaminated when it
     * shares ≥1 length-n token shingle with any benchmark/eval document.
-    * Inputs are pre-exploded or array gram columns ([[tokenShingles]]
-    * strings for the portable/oracled form; [[shingleHashes]] hashes for
-    * the scale form — both engines of the same pipeline shape). Returns
+    * Both gram columns must be ARRAY columns — [[tokenShingles]] string
+    * arrays for the portable/oracled form, or per-doc hash arrays (the
+    * [[shingleHashesViaArrays]] pre-explode shape) for the scale form;
+    * pre-exploded (id, h) row inputs are not accepted. Returns
     * (id, n_hits): contaminated corpus ids with their DISTINCT
     * overlapping-gram counts; [[decontaminate]] anti-joins them away.
     *
@@ -536,6 +548,60 @@ object Dedup {
       when(col(s"c$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
     counts.groupBy("id").agg(contribs.head, contribs.tail: _*)
       .select(col("id"), bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** Cross-engine-verifiable SimHash twin of [[simhash64]]: the base
+    * token hash is md5-derived (two 32-bit halves from the first 16 hex
+    * digits — a full 64-bit value would overflow DuckDB's signed BIGINT
+    * on cast, so the signature is kept as two 32-bit words `sim_lo` /
+    * `sim_hi`; Hamming over the pair equals Hamming over the
+    * concatenation). Every step — per-bit ± cnt majority vote, sign →
+    * bit, chunk blocking — is portable SQL, so a second engine
+    * reproduces the signatures and pair set bit-for-bit (q_simhash_md5).
+    * This is the correctness WITNESS for the sig→chunk→pair pipeline;
+    * [[simhash64]]+[[simhashPairs]] (xxhash64) is the scale path.
+    */
+  def simhashPortable(docs: DataFrame, idCol: String, tokensCol: String): DataFrame = {
+    val counts = docs
+      .select(col(idCol).as("id"), explode(col(tokensCol)).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("hlo", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
+      .withColumn("hhi", conv(substring(md5(col("w")), 9, 8), 16, 10).cast("long"))
+    def contribs(h: String, tag: String) = (0 until 32).map { i =>
+      sum(when(shiftright(col(h), i).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"$tag$i")
+    }
+    val cs = contribs("hlo", "l") ++ contribs("hhi", "u")
+    def word(tag: String) = (0 until 32)
+      .map(i => when(col(s"$tag$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    counts.groupBy("id").agg(cs.head, cs.tail: _*)
+      .select(col("id"), word("l").as("sim_lo"), word("u").as("sim_hi"))
+  }
+
+  /** Pair step for [[simhashPortable]] signatures: 16-bit-chunk blocking
+    * over the 4 chunks of (sim_lo, sim_hi) — any pair within Hamming
+    * distance 3 of 64 bits shares ≥1 of the 4 chunks (pigeonhole) —
+    * then the exact bit_count(xor) distance check. Output
+    * (id1, id2, hamming), same contract as [[simhashPairs]].
+    */
+  def simhashPairsPortable(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val chunks = array(
+      struct(lit(0).as("chunk"), col("sim_lo").bitwiseAND(lit(0xffffL)).as("ch")),
+      struct(lit(1).as("chunk"), shiftright(col("sim_lo"), 16).bitwiseAND(lit(0xffffL)).as("ch")),
+      struct(lit(2).as("chunk"), col("sim_hi").bitwiseAND(lit(0xffffL)).as("ch")),
+      struct(lit(3).as("chunk"), shiftright(col("sim_hi"), 16).bitwiseAND(lit(0xffffL)).as("ch")))
+    val b = sigs.select(col("id"), col("sim_lo"), col("sim_hi"), explode(chunks).as("c"))
+      .select(col("id"), col("sim_lo"), col("sim_hi"),
+        col("c.chunk").as("chunk"), col("c.ch").as("ch"))
+    b.as("a").join(b.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        (bit_count(col("a.sim_lo").bitwiseXOR(col("b.sim_lo"))) +
+          bit_count(col("a.sim_hi").bitwiseXOR(col("b.sim_hi")))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked on

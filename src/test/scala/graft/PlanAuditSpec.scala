@@ -64,6 +64,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_best: the canonicalization window partitions by coalesce(rep, id) — no whole-corpus null partition") {
+    // a window partitioned by bare `rep` puts every UNclustered doc (the
+    // vast majority of a corpus) into the single rep-IS-NULL partition —
+    // a near-whole-corpus single-partition sort at scale
+    val p = plan("q_dedup_best").toLowerCase
+    // a window partitioned directly by the (nullable) rep attribute would
+    // show the bare attribute as the partition key
+    assert(!p.contains("windowspecdefinition(rep#"),
+      s"q_dedup_best window partitions by bare rep — unclustered docs land in one null partition:\n$p")
+    // the coalesce(rep, doc_id) key is pre-projected (Catalyst names it _w0)
+    assert(p.contains("coalesce(rep#"),
+      s"expected a coalesce(rep, id) window partition key in q_dedup_best plan:\n$p")
+  }
+
   test("top-k queries plan as TakeOrderedAndProject, not a global sort") {
     for (q <- Seq("q_topk", "q_vocab_params", "q_sample_k")) {
       val p = plan(q)
