@@ -931,14 +931,14 @@ object SparkEntry {
       },
       Some(s"""WITH a AS (SELECT doc_id,
         |  text || ' contact user' || CAST(doc_id AS VARCHAR)
-        |       || '@example.com or call 555-123-4567' AS t FROM documents)
+        |       || '@example.com or call 555-123-4567' AS t FROM documents),
+        |r AS (SELECT doc_id, t,
+        |        regexp_replace(t, '${TextOps.EmailRe}', '<PII>', 'g') AS t1 FROM a)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(t, '${TextOps.EmailRe}'))
-        |     + len(regexp_extract_all(t, '${TextOps.PhoneRe}')) AS INT) AS n_pii,
-        |  md5(regexp_replace(regexp_replace(t,
-        |    '${TextOps.EmailRe}', '<PII>', 'g'),
-        |    '${TextOps.PhoneRe}', '<PII>', 'g')) AS fp
-        |FROM a ORDER BY doc_id""".stripMargin)),
+        |     + len(regexp_extract_all(t1, '${TextOps.PhoneRe}')) AS INT) AS n_pii,
+        |  md5(regexp_replace(t1, '${TextOps.PhoneRe}', '<PII>', 'g')) AS fp
+        |FROM r ORDER BY doc_id""".stripMargin)),
 
     Q("q_quantize_int8",  // symmetric per-vector int8 embedding codes:
       // trunc (not round) makes double→int identical in both engines,

@@ -1,9 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.LongType
 
 /** Global ordering + sequential ID assignment + seeded sampling.
   *
@@ -29,6 +29,15 @@ object IdOps {
     * per-partition counts → cumulative offsets (k-row driver reduction)
     * → offset + local index per partition. Two jobs, no global shuffle
     * to one task — survives 100 TB inputs.
+    *
+    * The final map stays fully in whole-stage codegen (no RDD node, no
+    * Row boxing): the in-partition local index comes from
+    * `monotonically_increasing_id()`'s documented layout (partition id
+    * in the upper 31 bits, consecutive in-partition record number in
+    * the lower 33 — sound here because the persisted sort fixes each
+    * partition's row order), and the per-partition offset arrives via a
+    * broadcast join against the k-row offset table (k = #partitions) —
+    * no shuffle, order-preserving.
     */
   def sequentialIdsAtScale(df: DataFrame, orderCols: Seq[String], idCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -41,13 +50,14 @@ object IdOps {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val nParts = sorted.rdd.getNumPartitions
     val offsets = (0 until nParts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
-    val bOffsets = spark.sparkContext.broadcast(offsets)
-    val outSchema = StructType(sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
-    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var i = bOffsets.value(pid)
-      it.map { r => i += 1; Row.fromSeq(r.toSeq :+ i) }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    import spark.implicits._
+    val offsetTable = (0 until nParts).map(p => p -> offsets(p)).toDF("__pid", "__off")
+    sorted
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__loc", monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .join(broadcast(offsetTable), Seq("__pid"))
+      .withColumn(idCol, (col("__off") + col("__loc") + lit(1L)).cast(LongType))
+      .select(sorted.columns.map(col) :+ col(idCol): _*)
   }
 
   /** Seeded uniform k-sample (reference draws unseeded random ids,

@@ -106,9 +106,16 @@ object TextOps {
   def redactPii(text: Column, token: String = "<PII>"): Column =
     regexp_replace(regexp_replace(text, EmailRe, token), PhoneRe, token)
 
-  /** Count of PII matches [[redactPii]] would scrub. */
-  def piiCount(text: Column): Column =
-    regexp_count(text, lit(EmailRe)) + regexp_count(text, lit(PhoneRe))
+  /** Count of substitutions [[redactPii]] performs: emails on the raw
+    * text, then phones on the EMAIL-REDACTED text — sequential, exactly
+    * like the replacement itself, so a phone-shaped substring inside an
+    * email local part (e.g. `555-123-4567@x.co`) counts once, not
+    * twice. `token` must match the one passed to [[redactPii]] (the
+    * replacement text participates in the second pattern's input).
+    */
+  def piiCount(text: Column, token: String = "<PII>"): Column =
+    regexp_count(text, lit(EmailRe)) +
+      regexp_count(regexp_replace(text, EmailRe, token), lit(PhoneRe))
 
   /** Sliding-window document chunking for context-length-bounded
     * training: windows of `size` tokens starting every

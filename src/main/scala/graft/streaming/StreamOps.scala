@@ -85,7 +85,7 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(keyCols)
 
   final case class BandRow(id: Long, band: Int, bh: Long)
-  final case class BucketState(ids: List[Long])
+  final case class BucketState(ids: List[Long], dead: Boolean = false)
   final case class CandPair(id1: Long, id2: Long)
 
   /** Streaming MinHash-LSH candidate pairs — the stream twin of
@@ -95,14 +95,20 @@ object StreamOps {
     * uses (Dedup.minhashSigsCol → functions.BandHashes → posexplode),
     * all streaming-safe — and each (band, bh) bucket keeps the ids
     * seen so far, emitting a candidate pair for every new arrival
-    * against every prior member. State is bounded per bucket by
-    * `maxBucket` exactly like the batch path drops pathological
-    * buckets (every-doc-identical boilerplate); ids beyond the cap
-    * neither emit nor enter state. NoTimeout state: ingest dedup wants
-    * the full corpus horizon — bound TOTAL state by the number of
-    * distinct band buckets, which is ≤ bands · corpus size but in
-    * practice collision-compressed; evict with a watermarked variant
-    * if the deployment only needs a rolling horizon.
+    * against every prior member. `maxBucket` matches the batch
+    * semantics (Dedup.lshCandidates drops an over-cap bucket
+    * ENTIRELY): the moment a bucket's distinct-id count would exceed
+    * the cap it is marked dead and its stored ids are purged — nothing
+    * further is emitted or stored for it. One divergence is inherent
+    * to append mode and documented here: pairs emitted in EARLIER
+    * micro-batches, before the bucket went over-cap, cannot be
+    * retracted (the batch path, seeing the whole corpus at once, emits
+    * none for that bucket). A bucket that crosses the cap within its
+    * first micro-batch matches the batch output exactly. NoTimeout
+    * state: ingest dedup wants the full corpus horizon — live buckets
+    * hold ≤ maxBucket ids, dead buckets a constant-size tombstone;
+    * evict with a watermarked variant if the deployment only needs a
+    * rolling horizon.
     *
     * Pairs can repeat across bands (the batch op's `.distinct()`);
     * dedup downstream — e.g. in the exact-verify foreachBatch — so the
@@ -114,18 +120,26 @@ object StreamOps {
     bands.groupByKey(b => (b.band, b.bh))
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: (Int, Long), rows: Iterator[BandRow], state: GroupState[BucketState]) =>
-          val seen0 = state.getOption.map(_.ids).getOrElse(Nil)
-          var seen = seen0
-          val out = scala.collection.mutable.ListBuffer.empty[CandPair]
-          rows.foreach { r =>
-            if (!seen.contains(r.id) && seen.length < maxBucket) {
-              seen.foreach(s =>
-                out += CandPair(math.min(s, r.id), math.max(s, r.id)))
-              seen = r.id :: seen
+          val st = state.getOption.getOrElse(BucketState(Nil))
+          if (st.dead) Iterator.empty
+          else {
+            val newIds = rows.map(_.id).filterNot(st.ids.contains).toList.distinct
+            if (st.ids.length + newIds.length > maxBucket) {
+              // over-cap: kill the bucket like the batch path drops it —
+              // purge stored ids, emit nothing, ignore all future arrivals
+              state.update(BucketState(Nil, dead = true))
+              Iterator.empty
+            } else {
+              var seen = st.ids
+              val out = scala.collection.mutable.ListBuffer.empty[CandPair]
+              newIds.foreach { id =>
+                seen.foreach(s => out += CandPair(math.min(s, id), math.max(s, id)))
+                seen = id :: seen
+              }
+              if (newIds.nonEmpty) state.update(BucketState(seen))
+              out.iterator
             }
           }
-          if (seen ne seen0) state.update(BucketState(seen))
-          out.iterator
       }
   }
 

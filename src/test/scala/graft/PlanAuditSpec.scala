@@ -62,6 +62,16 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("Window"),
         s"$q must use the per-partition-offset form, not a global WindowExec:\n$p")
     }
+    // the id-assignment plans also stay fully in whole-stage codegen
+    // (monotonically_increasing_id + broadcast offset join — no RDD node).
+    // q_pack is exempt: its per-partition running token SUM is a true
+    // scan, not a per-row map — the RDD mapPartitions is the no-shuffle
+    // form (a window-by-partition-id would add a full-corpus Exchange).
+    for (q <- Seq("q_seq_ids", "q_shuffle_det")) {
+      val p = plan(q)
+      assert(!p.contains("ExistingRDD"),
+        s"$q must stay in whole-stage codegen — no RDD node / Row boxing:\n$p")
+    }
   }
 
   test("q_dedup_best: the canonicalization window partitions by coalesce(rep, id) — no whole-corpus null partition") {

@@ -77,6 +77,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("lshCandidatesStream maxBucket: an over-cap bucket dies like the batch path drops it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def row(id: Long) = StreamOps.BandRow(id, 0, 7L)
+    // Case 1: the bucket crosses the cap within one micro-batch →
+    // exact batch parity (batch drops the 5-member bucket entirely).
+    val mem1 = MemoryStream[StreamOps.BandRow]
+    val q1 = StreamOps.lshCandidatesStream(mem1.toDS(), maxBucket = 3)
+      .writeStream.format("memory").queryName("hot1").outputMode("append").start()
+    try {
+      mem1.addData((1L to 5L).map(row): _*); q1.processAllAvailable()
+      assert(spark.table("hot1").count() == 0,
+        "bucket over cap in its first batch must emit nothing (batch parity)")
+    } finally q1.stop()
+    // Case 2: cap crossed in a LATER batch — pairs already emitted stand
+    // (append mode can't retract; documented divergence), but the bucket
+    // dies: purged state, nothing more emitted, later arrivals ignored.
+    val mem2 = MemoryStream[StreamOps.BandRow]
+    val q2 = StreamOps.lshCandidatesStream(mem2.toDS(), maxBucket = 3)
+      .writeStream.format("memory").queryName("hot2").outputMode("append").start()
+    try {
+      mem2.addData((1L to 3L).map(row): _*); q2.processAllAvailable()
+      assert(spark.table("hot2").count() == 3, "3 ids at cap: C(3,2) pairs emitted")
+      mem2.addData(row(4L)); q2.processAllAvailable()
+      assert(spark.table("hot2").count() == 3, "over-cap arrival emits nothing")
+      mem2.addData(row(5L), row(6L)); q2.processAllAvailable()
+      assert(spark.table("hot2").count() == 3, "dead bucket ignores all later arrivals")
+    } finally q2.stop()
+  }
+
   test("stateless curation stages (scrub, quality floor, stratified sample) run unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -122,4 +122,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(2L)._2 == got(2L)._1, "clean text must pass through unchanged")
     assert(got(2L)._3 == 0)
   }
+
+  test("piiCount equals the number of redactPii substitutions — phone inside an email local part counts once") {
+    // 555-123-4567@x.co matches the EMAIL pattern whole; the phone-shaped
+    // local part must not be counted again (redactPii performs ONE
+    // substitution). piiCount counts phones on the email-redacted text.
+    val got = Seq(
+      (1L, "reach 555-123-4567@x.co today"),
+      (2L, "reach 555-123-4567@x.co or 555-123-4567"))
+      .toDF("id", "t")
+      .select($"id", TextOps.redactPii($"t").as("r"),
+        TextOps.piiCount($"t").cast("int").as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(got(1L)._1 == "reach <PII> today")
+    assert(got(1L)._2 == 1)
+    assert(got(2L)._1 == "reach <PII> or <PII>")
+    assert(got(2L)._2 == 2)
+  }
 }
