@@ -674,6 +674,65 @@ object SparkEntry {
         |SELECT doc_id, round(q, 6) AS q FROM rk WHERE rk = 1
         |ORDER BY doc_id""".stripMargin)),
 
+    Q("q_dedup_clusters_lsh",  // the COMPLETE 100 TB near-dup funnel in ONE
+      // gated plan: MinHash signatures → LSH band buckets → candidate pairs
+      // → EXACT Jaccard verify on candidates only → connected components.
+      // At scale this composition is the whole point of LSH: banding prunes
+      // the pair space from Σ_h|docs_h|² to bucket-mates, verify touches
+      // only candidates, CC shuffles only verified edges. This gated
+      // witness uses the md5-portable hash family so DuckDB replays
+      // sig→band→candidates bit-for-bit (see q_minhash_lsh_md5); the
+      // xxhash64 fused-codegen twin (minhashSigsCol + lshCandidates) is
+      // the production path, rows-only + recall-swept. Same 500-doc cap
+      // rationale as q_minhash_lsh_md5: the witness verifies composition,
+      // its cost must not grow with the bench corpus.
+      (s, dir) => {
+        val docs = docsTokens(s, dir)
+          .filter(col("doc_id") < 500)
+          .select(col("doc_id"),
+            array_distinct(Dedup.tokenShingles(col("toks"), 3)).as("sh"))
+          .localCheckpoint()  // feeds both the signature path and verify
+        val cand = Dedup.minhashPairsPortable(
+          docs, "doc_id", "sh", numHashes = 16, bands = 4, seed = 42L)
+        val e = docs.select(col("doc_id").as("id"), explode(col("sh")).as("h"))
+        Dedup.dedupClusters(Dedup.verifyJaccard(cand, e, 0.5)).orderBy("id")
+      },
+      Some {
+        val ps = Dedup.hashParams(16, 42L).zipWithIndex
+          .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+        s"""WITH RECURSIVE t0 AS ($SqlToks),
+        |t AS (SELECT * FROM t0 WHERE doc_id < 500),
+        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |      FROM t),
+        |x AS (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(unnest(sh)), 1, 8)) AS BIGINT) AS x
+        |      FROM s),
+        |pr(j, a, b) AS (VALUES $ps),
+        |sig AS (SELECT doc_id, j, min((a * (x % 2147483647) + b) % 2147483647) AS h
+        |        FROM x, pr GROUP BY doc_id, j),
+        |band AS (SELECT doc_id, j // 4 AS band,
+        |           string_agg(CAST(h AS VARCHAR), '_' ORDER BY j) AS bh
+        |         FROM sig GROUP BY doc_id, j // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |         FROM band a JOIN band b
+        |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |e AS (SELECT doc_id, unnest(sh) AS w, len(sh) AS sz FROM s),
+        |v AS (SELECT c.id1, c.id2
+        |      FROM cand c JOIN e a ON a.doc_id = c.id1
+        |                  JOIN e b ON b.doc_id = c.id2 AND b.w = a.w
+        |      GROUP BY 1, 2
+        |      HAVING CAST(count(*) AS DOUBLE)
+        |             / (max(a.sz) + max(b.sz) - count(*)) >= 0.5),
+        |ed AS (SELECT id1 AS a, id2 AS b FROM v UNION ALL SELECT id2, id1 FROM v),
+        |n AS (SELECT DISTINCT a AS id FROM ed),
+        |rr AS (SELECT id, id AS reach FROM n
+        |       UNION
+        |       SELECT rr.id, ed.b AS reach FROM rr JOIN ed ON ed.a = rr.reach)
+        |SELECT id, min(reach) AS rep FROM rr GROUP BY id ORDER BY id""".stripMargin
+      }),
+
     Q("q_decontaminate",  // benchmark decontamination: corpus docs sharing
       // any 5-gram with the doc_id%7 "eval set", + distinct-overlap counts;
       // the benchmark gram set broadcasts, the corpus never shuffles
@@ -1788,6 +1847,21 @@ object SparkEntry {
         graft.sources.Sinks.writeLines(d, s"$out/docs", "csv")
         s.read.option("header", "true").schema(d.schema).csv(s"$out/docs")
           .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, lang, n_chars, source FROM documents ORDER BY doc_id")),
+
+    Q("q_avro_roundtrip",  // S2/S4 in the GATED surface: Avro+Snappy container
+      // sink → container scan must be the identity, value-oracled against
+      // the source table (DuckDB never reads the Avro file — the oracle is
+      // the identity contract, exactly like q_csv_roundtrip). The IO path
+      // is the hand-rolled avro-mapred bridge (ref sink config
+      // JobExtractTransform.java:67-68; no spark-avro jar in env).
+      (s, dir) => {
+        val out = java.nio.file.Files.createTempDirectory("graftavro").toString
+        val d = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+        graft.sources.AvroIO.writeAvro(d, s"$out/docs", "doc")
+        graft.sources.AvroIO.readAvro(s, s"$out/docs", d.schema).orderBy("doc_id")
       },
       Some("SELECT doc_id, lang, n_chars, source FROM documents ORDER BY doc_id")),
 

@@ -220,7 +220,23 @@ object Dedup {
     val cand = pref.as("a").join(pref.as("b"), joinCond)
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    cand
+    verifyJaccard(cand, e, minJ)
+  }
+
+  /** EXACT Jaccard verification of candidate pairs: join each
+    * (id1, id2) candidate back to the exploded distinct element frame
+    * `e` (id, h), count the intersection, and keep pairs with
+    * jaccard ≥ minJ. The verify tail every candidate generator
+    * composes with — a full-recall generator at θ (prefix filter)
+    * yields the globally exact pair set, a lossy one (LSH banding)
+    * yields exact-on-candidates semantics. Scale: shuffles only
+    * candidate ids and their element rows, never the corpus, and the
+    * per-pair cost is one hash-join probe per shared element.
+    * Output: (id1, id2, jaccard).
+    */
+  def verifyJaccard(cand: DataFrame, e: DataFrame, minJ: Double): DataFrame = {
+    val sizes = e.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    cand.select(col("id1"), col("id2"))
       .join(e.select(col("id").as("id1"), col("h")), Seq("id1"))
       .join(e.select(col("id").as("id2"), col("h")), Seq("id2", "h"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))

@@ -54,6 +54,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH funnel: verified candidates ⊆ exact pairs; full-recall settings reproduce exact clusters") {
+    val e = Dedup.shingleHashes(docs, "doc_id", "sh", k = 1)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("jaccard", round($"jaccard", 9))
+        .as[(Long, Long, Double)].collect().toSet
+    val exact = canon(Dedup.jaccardPairsFromHashes(e, 0.7))
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "sh", numHashes = 128, seed = 42L)
+    val cand = Dedup.lshCandidates(sigs, bands = 32)
+    val verified = canon(Dedup.verifyJaccard(cand, e, 0.7))
+    assert(verified.subsetOf(exact), "verify must never pass a non-qualifying pair")
+    assert(exact.subsetOf(verified), "128-hash/32-band LSH should recall every 0.7-pair here")
+    // composed funnel (candidates → verify → CC) == clusters over exact pairs
+    val exactCl = Dedup.dedupClusters(Dedup.jaccardPairsFromHashes(e, 0.7))
+      .as[(Long, Long)].collect().toSet
+    val funnelCl = Dedup.dedupClusters(Dedup.verifyJaccard(cand, e, 0.7))
+      .as[(Long, Long)].collect().toSet
+    assert(funnelCl == exactCl)
+  }
+
   test("minhashSigsCol (fused expression) == minhashFromHashes (explode+agg) signatures") {
     import graft.functions.CharShingleHashes.char_shingle_hashes
     val base = Tables.table(spark, TestSpark.Sf, "documents")
