@@ -1273,6 +1273,51 @@ object SparkEntry {
         |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, round(cos, 4) AS cos
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    Q("q_semantic_dedup",  // SemDeDup (arXiv:2303.09540) gated end-to-end:
+      // nearest-centroid cells → within-cell cosine pairs ≥ 0.9 →
+      // connected components → (id, rep) labels. The planted perturbed
+      // twins (≈0.999 cosine, see perturbedEmb) are the near-dups; the
+      // deterministic vec_id<8 routing table keeps both engines' cell
+      // assignment identical. Clustering prunes the pair space from
+      // O(n²) to Σ|cell|² — the whole reason SemDeDup works at web
+      // scale — and CC shuffles only the near-dup edges.
+      (s, dir) => {
+        val pts = perturbedEmb(s, dir)
+        Similarity.semanticDedup(pts, "vec_id", "v", fixedCentroids(pts), 0.9)
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE ex0 AS (SELECT vec_id,
+        |        CAST(unnest(embedding) AS DOUBLE) AS x,
+        |        unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |ex AS (SELECT vec_id, x, i FROM ex0
+        |       UNION ALL
+        |       SELECT vec_id + 1000000,
+        |              x * (CAST(0.98 AS DOUBLE)
+        |                   + CAST(0.01 AS DOUBLE) * CAST(i % 3 AS DOUBLE)), i
+        |       FROM ex0),
+        |cents AS (SELECT vec_id AS cid, x AS c, i FROM ex WHERE vec_id < 8),
+        |ad AS (SELECT p.vec_id, c.cid, sqrt(sum((p.x - c.c) * (p.x - c.c))) AS dist
+        |       FROM ex p JOIN cents c ON p.i = c.i GROUP BY 1, 2),
+        |cell AS (SELECT vec_id, cid AS cell FROM ad
+        |         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+        |pr AS (SELECT ca.vec_id AS id1, cb.vec_id AS id2
+        |       FROM cell ca JOIN cell cb
+        |         ON cb.cell = ca.cell AND ca.vec_id < cb.vec_id),
+        |d AS (SELECT pr.id1, pr.id2, sum(a.x * b.x) AS dp
+        |      FROM pr JOIN ex a ON a.vec_id = pr.id1
+        |              JOIN ex b ON b.vec_id = pr.id2 AND b.i = a.i
+        |      GROUP BY 1, 2),
+        |p AS (SELECT id1, id2 FROM d
+        |      JOIN n na ON na.vec_id = id1 JOIN n nb ON nb.vec_id = id2
+        |      WHERE dp / (na.nrm * nb.nrm) >= 0.9),
+        |ed AS (SELECT id1 AS a, id2 AS b FROM p UNION ALL SELECT id2, id1 FROM p),
+        |nn AS (SELECT DISTINCT a AS id FROM ed),
+        |rr AS (SELECT id, id AS reach FROM nn
+        |       UNION
+        |       SELECT rr.id, ed.b AS reach FROM rr JOIN ed ON ed.a = rr.reach)
+        |SELECT id, min(reach) AS rep FROM rr GROUP BY id ORDER BY id""".stripMargin)),
+
     // ---- M8: text analysis + multimodal plumbing (beyond-reference)
     Q("q_lang_id",
       (s, dir) => {
@@ -1331,6 +1376,50 @@ object SparkEntry {
         |  round(dr, 6) AS distinct_ratio, round(sr, 6) AS stopword_ratio,
         |  round(ml, 6) AS mean_len, round(q, 6) AS score
         |FROM m ORDER BY doc_id""".stripMargin)),
+
+    Q("q_lm_score",  // CCNet-style perplexity-filter signal
+      // (arXiv:1911.00359): per-doc unigram cross-entropy against the
+      // corpus's own unigram LM — filter both tails. One explode + one
+      // token-keyed join vs the vocab freq table; total joins in as a
+      // 1-row broadcast; empty docs emit no row on either engine.
+      (s, dir) => TextStats.lmScore(docsTokens(s, dir), "doc_id", "toks")
+        .withColumn("xent", round(col("xent"), 6))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS ($SqlToks),
+        |e AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |f AS (SELECT w, count(*) AS cnt FROM e GROUP BY w),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM f)
+        |SELECT doc_id, round(-avg(ln(CAST(cnt AS DOUBLE) / total)), 6) AS xent
+        |FROM e JOIN f USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("q_dsir_weights",  // DSIR-style domain-targeting importance weights
+      // (arXiv:2302.03169), add-1-smoothed unigram LMs: mean per-token
+      // log ratio of the src0 target distribution over the corpus
+      // distribution — resample on high dsir_logw to shift the mixture
+      // toward the target domain. Single conditional-agg pass builds
+      // both count columns; same token-keyed join shape as q_lm_score.
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextOps.tokenizeFiltered(col("text"), Stop, Nil).as("toks"))
+        TextStats.dsirWeights(docs, "doc_id", "toks", col("source") === "src0")
+          .withColumn("dsir_logw", round(col("dsir_logw"), 6))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source,
+        |        list_filter(regexp_extract_all(lower(text), '\\b\\w\\w+\\b'),
+        |          x -> x NOT IN ('the', 'a')) AS toks FROM documents),
+        |e AS (SELECT doc_id, source = 'src0' AS tgt, unnest(toks) AS w FROM t),
+        |f AS (SELECT w, count(*) AS c_all,
+        |        sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt FROM e GROUP BY w),
+        |tot AS (SELECT CAST(sum(c_all) AS DOUBLE) AS n_all,
+        |        CAST(sum(c_tgt) AS DOUBLE) AS n_tgt,
+        |        CAST(count(*) AS DOUBLE) AS vocab FROM f)
+        |SELECT doc_id, round(avg(ln((c_tgt + 1.0) / (n_tgt + vocab))
+        |                       - ln((c_all + 1.0) / (n_all + vocab))), 6) AS dsir_logw
+        |FROM e JOIN f USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     Q("q_repetition",  // Gopher/C4-style repetition signals: top-word share +
       (s, dir) => {    // duplicate-bigram fraction

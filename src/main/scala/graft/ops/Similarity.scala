@@ -316,4 +316,37 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): assign each embedding to its
+    * nearest centroid, compute cosine pairs ONLY within each cluster,
+    * and connect the cos ≥ tau near-dup pairs into components via
+    * [[Dedup.dedupClusters]]. Returns (id, rep) — the dedupClusters
+    * contract — for every vector in some near-dup pair; compose with
+    * [[Dedup.dropClusterDuplicates]] to thin the corpus.
+    *
+    * Scale: clustering prunes the pair space from O(n²) to
+    * Σ_c |cell_c|² — the entire point of SemDeDup at web scale. The
+    * centroid table broadcasts (k rows), the corpus shuffles ONCE on
+    * the cell key for the within-cell self-join, cosines run as the
+    * fused codegen [[dot]] over pre-normalized unit vectors, and CC
+    * shuffles only the near-dup edge set. A pathological mega-cell is
+    * the analogue of a hot LSH bucket: raise `cells` (k ≈ √n keeps
+    * E[|cell|²] ≈ n) or pre-split dense cells.
+    */
+  def semanticDedup(
+      emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, tau: Double): DataFrame = {
+    val pts = emb.select(col(idCol), KMeansOps.asDouble(col(vecCol)).as(vecCol))
+    val assigned = KMeansOps.assign(pts, idCol, vecCol, centroids)
+      .select(col(idCol).as("id"), col("cluster").as("cell"), col(vecCol).as("v"))
+    val u = withUnitVec(assigned, "v", "uv").select(col("id"), col("cell"), col("uv"))
+    val pairs = u.as("a").join(u.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .withColumn("cos", dot(col("a.uv"), col("b.uv")))
+      .filter(col("cos") >= tau)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    Dedup.dedupClusters(pairs)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: language ID,
@@ -109,4 +109,60 @@ object TextStats {
     * (vs Dedup.wordSetFingerprint which is set-based).
     */
   def contentFingerprint(tokens: Column): Column = md5(concat_ws(" ", tokens))
+
+  /** Unigram-LM cross-entropy per document — the CCNet-style
+    * "perplexity filter" signal (Wenzek et al., "CCNet: Extracting
+    * high quality monolingual datasets from web crawl data",
+    * arXiv:1911.00359) with the corpus itself as the LM: per doc,
+    * −mean ln p(w) where p(w) = corpus count(w) / total tokens.
+    * Low = stereotypical fluent text, high = rare-token soup; both
+    * tails are usually filtered. Documents with zero tokens emit no
+    * row (no distribution to score against).
+    *
+    * Scale: one explode + a token-keyed join of occurrences against
+    * the vocabulary frequency table (shuffle on the token key — hot
+    * stopword keys are classic AQE-skew-split territory), partial
+    * aggs on both sides, and the grand total joins in as a 1-row
+    * broadcast. Nothing is collected to the driver.
+    * Output: (idCol, xent).
+    */
+  def lmScore(docs: DataFrame, idCol: String, toksCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(col(toksCol)).as("w"))
+    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum("cnt").as("total"))
+    tok.join(freq, "w").crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg((-avg(log(col("cnt").cast("double") / col("total")))).as("xent"))
+  }
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169),
+    * simplified to add-1-smoothed unigram LMs: per doc, the mean log
+    * importance ratio ln(p_target(w) / p_corpus(w)) of its tokens,
+    * where the target distribution is estimated from the rows
+    * matching `isTarget` (e.g. a trusted domain) and the proposal
+    * from the whole corpus. Resample/filter on high `dsir_logw` to
+    * shift the corpus toward the target domain. Laplace smoothing
+    * over the joint vocabulary keeps unseen-in-target tokens finite.
+    *
+    * Same shuffle shape as [[lmScore]]: explode, one token-keyed
+    * join against a (corpus, target) count table built in a single
+    * conditional aggregation pass, totals broadcast as one row.
+    * Output: (idCol, dsir_logw).
+    */
+  def dsirWeights(
+      docs: DataFrame, idCol: String, toksCol: String, isTarget: Column): DataFrame = {
+    val tok = docs.select(col(idCol), isTarget.as("__t"), explode(col(toksCol)).as("w"))
+    val freq = tok.groupBy(col("w")).agg(
+      count(lit(1)).as("c_all"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("c_tgt"))
+    val tot = freq.agg(sum("c_all").as("n_all"), sum("c_tgt").as("n_tgt"),
+      count(lit(1)).as("vocab"))
+    tok.join(freq, "w").crossJoin(broadcast(tot))
+      .withColumn("lr",
+        log((col("c_tgt") + lit(1.0)) / (col("n_tgt") + col("vocab")))
+          - log((col("c_all") + lit(1.0)) / (col("n_all") + col("vocab"))))
+      .groupBy(col(idCol))
+      .agg(avg(col("lr")).as("dsir_logw"))
+  }
 }

@@ -154,6 +154,32 @@ class SimilaritySpec extends AnyFunSuite {
       == canon(Similarity.cosinePairsFast(emb, "vec_id", "embedding", 0.4)))
   }
 
+  test("semanticDedup: identical-direction twins in one cell collapse; cross-cell twins are NOT seen (recall contract)") {
+    // two centroids on the x and y axes; three x-ish near-dup vectors,
+    // one y-ish vector whose exact copy sits across the cell boundary
+    // cannot be caught — that is SemDeDup's documented recall tradeoff
+    val pts = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.999, 0.01)), (3L, Array(0.998, 0.02)),
+      (10L, Array(0.0, 1.0)), (11L, Array(0.05, 0.998))
+    ).toDF("id", "v")
+    val cents = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0))).toDF("cid", "cvec")
+    val labels = Similarity.semanticDedup(pts, "id", "v", cents, 0.99)
+      .as[(Long, Long)].collect().toMap
+    // 1,2,3 share cell 0 and are pairwise cos>0.99 -> one component, rep=1
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    // 10 and 11 share cell 1 and cos(10,11)>0.99 -> component rep=10
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+    // cross-cell pair is invisible by construction: put 11's copy in cell 0
+    val split = Seq(
+      (1L, Array(1.0, 0.0)), (20L, Array(0.6, 0.8)), (21L, Array(0.62, 0.785))
+    ).toDF("id", "v")
+    val cents2 = Seq((0L, Array(0.61, 0.79)), (1L, Array(0.0, 1.0))).toDF("cid", "cvec")
+    // 20 and 21 both route to cell 0 (closest) -> caught
+    val got = Similarity.semanticDedup(split, "id", "v", cents2, 0.99)
+      .as[(Long, Long)].collect().toMap
+    assert(got.get(20L).contains(20L) && got.get(21L).contains(20L))
+  }
+
   test("bruteTopK: ranks are 1..k per query, cos within [-1,1], no self-pairs") {
     val r = Similarity.bruteTopK(emb.filter($"vec_id" % 100 === 0), emb,
       "vec_id", "embedding", 5).collect()

@@ -3,11 +3,44 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.TextOps
+import graft.ops.{TextOps, TextStats}
 
 class TextOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  test("lmScore: closed-form unigram cross-entropy; empty docs emit no row") {
+    // corpus: [a a b] and [b c] -> p(a)=2/5, p(b)=2/5, p(c)=1/5
+    val docs = Seq(
+      (1L, Seq("a", "a", "b")), (2L, Seq("b", "c")), (3L, Seq.empty[String])
+    ).toDF("id", "toks")
+    val got = TextStats.lmScore(docs, "id", "toks")
+      .as[(Long, Double)].collect().toMap
+    val (pa, pb, pc) = (2.0 / 5, 2.0 / 5, 1.0 / 5)
+    assert(math.abs(got(1L) - -(2 * math.log(pa) + math.log(pb)) / 3) < 1e-12)
+    assert(math.abs(got(2L) - -(math.log(pb) + math.log(pc)) / 2) < 1e-12)
+    assert(!got.contains(3L), "empty doc has no distribution to score")
+  }
+
+  test("dsirWeights: target-typical tokens weigh positive, off-target negative; smoothing keeps unseen finite") {
+    // target doc is all 'x'; proposal adds 'y'-heavy docs. V=2.
+    val docs = Seq(
+      (1L, true, Seq("x", "x", "x")),
+      (2L, false, Seq("y", "y", "y")),
+      (3L, false, Seq("x", "y"))
+    ).toDF("id", "tgt", "toks")
+    val got = TextStats.dsirWeights(docs, "id", "toks", col("tgt"))
+      .as[(Long, Double)].collect().toMap
+    // closed form: c_all(x)=4, c_all(y)=4, c_tgt(x)=3, c_tgt(y)=0,
+    // n_all=8, n_tgt=3, V=2
+    def lr(cTgt: Long, cAll: Long) =
+      math.log((cTgt + 1.0) / (3 + 2.0)) - math.log((cAll + 1.0) / (8 + 2.0))
+    assert(math.abs(got(1L) - lr(3, 4)) < 1e-12)
+    assert(math.abs(got(2L) - lr(0, 4)) < 1e-12)
+    assert(got(1L) > 0, "all-target-token doc should be upweighted")
+    assert(got(2L) < 0, "never-in-target token doc should be downweighted")
+    assert(math.abs(got(3L) - (lr(3, 4) + lr(0, 4)) / 2) < 1e-12)
+  }
 
   test("tokenize: sklearn token_pattern semantics — >=2 word chars, lowercased, order+dups kept") {
     val got = Seq("The quick-quick a b bb X9 foo_bar")
