@@ -1283,8 +1283,12 @@ object SparkEntry {
       // scale — and CC shuffles only the near-dup edges.
       (s, dir) => {
         val pts = perturbedEmb(s, dir)
-        Similarity.semanticDedup(pts, "vec_id", "v", fixedCentroids(pts), 0.9)
-          .orderBy("id")
+        // 32 cells, not 8: SemDeDup wants k ≈ √n — more cells cuts the
+        // within-cell pair space quadratically AND lifts the cell-join's
+        // parallelism ceiling (one task per cell key)
+        val cents = pts.filter(col("vec_id") < 32)
+          .select(col("vec_id").as("cid"), col("v").as("cvec"))
+        Similarity.semanticDedup(pts, "vec_id", "v", cents, 0.9).orderBy("id")
       },
       Some("""WITH RECURSIVE ex0 AS (SELECT vec_id,
         |        CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -1295,7 +1299,7 @@ object SparkEntry {
         |              x * (CAST(0.98 AS DOUBLE)
         |                   + CAST(0.01 AS DOUBLE) * CAST(i % 3 AS DOUBLE)), i
         |       FROM ex0),
-        |cents AS (SELECT vec_id AS cid, x AS c, i FROM ex WHERE vec_id < 8),
+        |cents AS (SELECT vec_id AS cid, x AS c, i FROM ex WHERE vec_id < 32),
         |ad AS (SELECT p.vec_id, c.cid, sqrt(sum((p.x - c.c) * (p.x - c.c))) AS dist
         |       FROM ex p JOIN cents c ON p.i = c.i GROUP BY 1, 2),
         |cell AS (SELECT vec_id, cid AS cell FROM ad
