@@ -1993,6 +1993,70 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
+    Q("q_corr_subquery",  // SQL front-end, TPC-H Q17 shape: correlated
+      // SCALAR subquery (per-part average) in the WHERE — Catalyst
+      // rewrites it to an aggregate + join, no per-row re-execution;
+      // the demonstration is that the rewrite engine handles it, the
+      // plan stays shuffle-join-shaped
+      (s, dir) => {
+        Tables.table(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        Tables.table(s, dir, "part").createOrReplaceTempView("part_v")
+        s.sql("""SELECT p_brand, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+          FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+          WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+                              FROM lineitem_v l2 WHERE l2.l_partkey = p_partkey)
+          GROUP BY p_brand ORDER BY p_brand""")
+      },
+      Some("""SELECT p_brand, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    Q("q_exists_agg",  // SQL front-end, TPC-H Q4 shape: correlated EXISTS
+      // feeding an aggregate — planned as a left-semi hash join, the
+      // orders side aggregates after the probe (no subquery re-execution)
+      (s, dir) => {
+        Tables.table(s, dir, "orders").createOrReplaceTempView("orders_v")
+        Tables.table(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT o_orderpriority, count(*) AS order_count
+          FROM orders_v
+          WHERE EXISTS (SELECT 1 FROM lineitem_v
+                        WHERE l_orderkey = o_orderkey AND l_discount > 0.06)
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount > 0.06)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("q_range_frame",  // time-based RANGE window frame (not ROWS): per
+      // event, rolling sum/count of same-user event values in the
+      // preceding hour inclusive — tie-safe by definition (every row
+      // whose key falls in [cur-3600, cur] joins the frame regardless
+      // of physical order)
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("tss")
+          .rangeBetween(-3600L, org.apache.spark.sql.expressions.Window.currentRow)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            expr("ts_ns div 1000000000").as("tss"), col("value"))
+          .withColumn("sum_1h", round(sum("value").over(w), 6))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .select(col("event_id"), col("user_id"), col("sum_1h"), col("n_1h"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+        |  round(sum(value) OVER w, 6) AS sum_1h,
+        |  count(*) OVER w AS n_1h
+        |FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS tss, value
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tss
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)),
+
     Q("q_string_funcs",  // scalar string surface: case, substr, concat, length, edit distance
       (s, dir) => Tables.table(s, dir, "part")
         .select(col("p_partkey"),

@@ -132,6 +132,32 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(emptyV.select(graft.ops.Similarity.quantizeInt8($"v")).count() == 0)
   }
 
+  test("lmScore/dsirWeights: empty corpus and no-target-row corpus stay defined") {
+    import graft.ops.TextStats
+    val empty = Seq.empty[(Long, Seq[String])].toDF("id", "toks")
+    assert(TextStats.lmScore(empty, "id", "toks").count() == 0)
+    assert(TextStats.dsirWeights(empty, "id", "toks", lit(false)).count() == 0)
+    // no target rows: p_target is pure add-1 smoothing over V, still finite
+    val docs = Seq((1L, Seq("x", "y")), (2L, Seq("y", "z"))).toDF("id", "toks")
+    val w = TextStats.dsirWeights(docs, "id", "toks", lit(false))
+      .as[(Long, Double)].collect().toMap
+    assert(w.size == 2 && w.values.forall(v => !v.isNaN && !v.isInfinite))
+    // uniform-smoothed target: every token ratio is ln((0+1)/(0+3)) - ln((c+1)/(4+3))
+    def lr(cAll: Long) = math.log(1.0 / 3) - math.log((cAll + 1.0) / 7)
+    assert(math.abs(w(1L) - (lr(1) + lr(2)) / 2) < 1e-12)
+  }
+
+  test("verifyJaccard/semanticDedup: empty candidate/pair sets yield empty results, not failures") {
+    import graft.ops.{Dedup => D, Similarity}
+    val e = Seq((1L, 10L), (2L, 20L)).toDF("id", "h")
+    val noCand = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(D.verifyJaccard(noCand, e, 0.5).count() == 0)
+    // orthogonal vectors, one cell each: no within-cell pair survives
+    val pts = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0))).toDF("id", "v")
+    val cents = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0))).toDF("cid", "cvec")
+    assert(Similarity.semanticDedup(pts, "id", "v", cents, 0.9).count() == 0)
+  }
+
   test("tfidf: doc whose tokens all miss the vocabulary gets a zero dense vector") {
     val docs = Seq((1L, Seq("aa", "bb")), (2L, Seq("zz"))).toDF("id", "toks")
     val vocab = Seq(("aa", 1.5), ("bb", 2.0)).toDF("word", "idf")
