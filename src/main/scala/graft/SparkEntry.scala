@@ -1958,6 +1958,29 @@ object SparkEntry {
       },
       Some("SELECT doc_id, lang, n_chars, source FROM documents ORDER BY doc_id")),
 
+    Q("q_partitioned_scan",  // Hive-style partition pruning end-to-end:
+      // write documents partitionBy(source), read back with a source
+      // filter — the filter must become a PartitionFilter (whole
+      // directories skipped at planning, zero data rows read from the
+      // other 19 sources), not a post-scan predicate. The 100 TB
+      // analogue is date/source-partitioned lakes where pruning is the
+      // difference between scanning 1/20th and all of it.
+      // Value-oracled via the identity contract on the source table.
+      (s, dir) => {
+        val out = java.nio.file.Files.createTempDirectory("graftpart").toString
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+          .write.mode("overwrite").partitionBy("source").parquet(s"$out/docs")
+        s.read.parquet(s"$out/docs")
+          .filter(col("source") === "src0")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE source = 'src0'
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     Q("q_corpus_stats",  // dataset-card profile per source shard
       (s, dir) => {
         val toks = TextOps.tokenize(col("text"))

@@ -28,6 +28,12 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_partitioned_scan: the source predicate is a partition filter (directory pruning), not a data filter") {
+    val p = plan("q_partitioned_scan")
+    assert(p.contains("PartitionFilters: [isnotnull(source"),
+      s"expected the source predicate as a PartitionFilter in:\n$p")
+  }
+
   test("q_agg_lineitem: the shipdate filter is pushed into the parquet scan") {
     val p = plan("q_agg_lineitem")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
