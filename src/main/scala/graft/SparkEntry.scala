@@ -948,6 +948,45 @@ object SparkEntry {
         |SELECT DISTINCT doc_id, unnest(fps) AS fp FROM f
         |ORDER BY doc_id, fp""".stripMargin)),
 
+    Q("q_winnow_pairs",  // winnowing USED for dedup, composed end-to-end:
+      // doc pairs sharing ≥ 3 winnow fingerprints = substring-level
+      // near-dup candidates (MOSS's actual decision rule — shared token
+      // runs ≥ w+k−1 guarantee a shared fingerprint, so long cloned
+      // passages force multiple shared fps). Same md5 witness cap as
+      // q_winnow; the fingerprint join is the ~1/w-density analogue of
+      // the shingle join, so the at-scale form buckets/caps identically
+      // (fps are min-hashes — hot fps behave like hot shingles).
+      (s, dir) => {
+        val fps = Dedup.winnowFingerprints(
+            docsTokens(s, dir).filter(col("doc_id") < 500),
+            "doc_id", "toks", k = 3, w = 4)
+          .localCheckpoint()
+        fps.as("a").join(fps.as("b"),
+            col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .orderBy("id1", "id2")
+      },
+      Some(s"""WITH t0 AS ($SqlToks),
+        |t AS (SELECT * FROM t0 WHERE doc_id < 500),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+        |      FROM t),
+        |h AS (SELECT doc_id, list_transform(sh,
+        |        x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+        |      FROM s WHERE len(sh) >= 1),
+        |f AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+        |        ELSE list_distinct(list_transform(range(1, len(hs) - 2),
+        |          i -> list_min(list_slice(hs, i, i + 3)))) END AS fps
+        |      FROM h),
+        |e AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM f)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+        |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY id1, id2""".stripMargin)),
+
     Q("q_novelty",  // per-doc n-gram novelty: fraction of a doc's distinct
       // 3-grams appearing in NO other doc — the rarity/memorization
       // signal corpus curation ranks on; one gram-docfreq groupBy +
@@ -2015,6 +2054,29 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    Q("q_mode",  // deterministic per-group mode (most frequent value,
+      // smallest wins ties): count + argmax window — the portable form
+      // of a MODE() aggregate (engine-native modes differ on ties)
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag").orderBy(col("n").desc, col("l_quantity"))
+        Tables.table(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+            col("n").as("mode_n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n
+        |      FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, l_quantity, n, row_number() OVER
+        |        (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity) AS rk
+        |      FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n
+        |FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin)),
 
     Q("q_corr_subquery",  // SQL front-end, TPC-H Q17 shape: correlated
       // SCALAR subquery (per-part average) in the WHERE — Catalyst
