@@ -1316,7 +1316,7 @@ object SparkEntry {
       // nearest-centroid cells → within-cell cosine pairs ≥ 0.9 →
       // connected components → (id, rep) labels. The planted perturbed
       // twins (≈0.999 cosine, see perturbedEmb) are the near-dups; the
-      // deterministic vec_id<8 routing table keeps both engines' cell
+      // deterministic vec_id<32 routing table keeps both engines' cell
       // assignment identical. Clustering prunes the pair space from
       // O(n²) to Σ|cell|² — the whole reason SemDeDup works at web
       // scale — and CC shuffles only the near-dup edges.
@@ -1973,7 +1973,7 @@ object SparkEntry {
 
     Q("q_csv_roundtrip",  // line-format sink/source: csv write + schema-full
       (s, dir) => {        // read-back must be the identity
-        val out = java.nio.file.Files.createTempDirectory("graftcsv").toString
+        val out = Scratch.dir("graftcsv")
         val d = Tables.table(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
         graft.sources.Sinks.writeLines(d, s"$out/docs", "csv")
@@ -1989,7 +1989,7 @@ object SparkEntry {
       // is the hand-rolled avro-mapred bridge (ref sink config
       // JobExtractTransform.java:67-68; no spark-avro jar in env).
       (s, dir) => {
-        val out = java.nio.file.Files.createTempDirectory("graftavro").toString
+        val out = Scratch.dir("graftavro")
         val d = Tables.table(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
         graft.sources.AvroIO.writeAvro(d, s"$out/docs", "doc")
@@ -2006,7 +2006,7 @@ object SparkEntry {
       // difference between scanning 1/20th and all of it.
       // Value-oracled via the identity contract on the source table.
       (s, dir) => {
-        val out = java.nio.file.Files.createTempDirectory("graftpart").toString
+        val out = Scratch.dir("graftpart")
         Tables.table(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
           .write.mode("overwrite").partitionBy("source").parquet(s"$out/docs")
@@ -2044,9 +2044,9 @@ object SparkEntry {
 
     Q("q_grouping_sets",  // SQL front-end: explicit GROUPING SETS
       (s, dir) => {
-        Tables.table(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        Tables.table(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
         s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS cnt
-          FROM lineitem_v
+          FROM lineitem_gs
           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
           ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
       },
@@ -2084,12 +2084,14 @@ object SparkEntry {
       // the demonstration is that the rewrite engine handles it, the
       // plan stays shuffle-join-shaped
       (s, dir) => {
-        Tables.table(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
-        Tables.table(s, dir, "part").createOrReplaceTempView("part_v")
+        // temp-view names are query-unique: Verify runs queries
+        // concurrently, and a shared name would race in the catalog
+        Tables.table(s, dir, "lineitem").createOrReplaceTempView("lineitem_q17")
+        Tables.table(s, dir, "part").createOrReplaceTempView("part_q17")
         s.sql("""SELECT p_brand, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
-          FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+          FROM lineitem_q17 JOIN part_q17 ON p_partkey = l_partkey
           WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
-                              FROM lineitem_v l2 WHERE l2.l_partkey = p_partkey)
+                              FROM lineitem_q17 l2 WHERE l2.l_partkey = p_partkey)
           GROUP BY p_brand ORDER BY p_brand""")
       },
       Some("""SELECT p_brand, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
@@ -2102,11 +2104,11 @@ object SparkEntry {
       // feeding an aggregate — planned as a left-semi hash join, the
       // orders side aggregates after the probe (no subquery re-execution)
       (s, dir) => {
-        Tables.table(s, dir, "orders").createOrReplaceTempView("orders_v")
-        Tables.table(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        Tables.table(s, dir, "orders").createOrReplaceTempView("orders_q4")
+        Tables.table(s, dir, "lineitem").createOrReplaceTempView("lineitem_q4")
         s.sql("""SELECT o_orderpriority, count(*) AS order_count
-          FROM orders_v
-          WHERE EXISTS (SELECT 1 FROM lineitem_v
+          FROM orders_q4
+          WHERE EXISTS (SELECT 1 FROM lineitem_q4
                         WHERE l_orderkey = o_orderkey AND l_discount > 0.06)
           GROUP BY o_orderpriority ORDER BY o_orderpriority""")
       },
