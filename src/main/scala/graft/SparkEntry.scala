@@ -758,6 +758,52 @@ object SparkEntry {
         |SELECT cg.doc_id, count(*) AS n_hits FROM cg JOIN bg USING (g)
         |GROUP BY cg.doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("q_decontaminate_bloom",  // Bloom-filter decontamination: the same
+      // eval-overlap question as q_decontaminate answered by an m-bit
+      // filter (m=2^20, k=3) instead of a broadcast gram set — executor
+      // memory is m/8 bytes no matter how many benchmark grams, and the
+      // probe is one codegen expression (no join operator; nothing
+      // shuffles but per-doc hit counts). Hashes are md5-derived
+      // (Kirsch–Mitzenmacher double hashing), so DuckDB rebuilds the
+      // filter bit-for-bit and the value oracle covers the bloom FALSE
+      // POSITIVES too — the output is exact, including them.
+      (s, dir) => {
+        val grams = docsTokens(s, dir)
+          .select(col("doc_id"), Dedup.tokenShingles(col("toks"), 5).as("g5"))
+          .localCheckpoint()
+        val bits = Dedup.bloomBitsFromGrams(
+          grams.filter(col("doc_id") % 7 === 0), "g5", k = 3, mBits = 20)
+        Dedup.bloomContaminationHits(
+            grams.filter(col("doc_id") % 7 =!= 0), "doc_id", "g5", bits,
+            k = 3, mBits = 20)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) < 5 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 3),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+        |               || toks[i+3] || ' ' || toks[i+4]) END AS g5
+        |      FROM t),
+        |bg AS (SELECT DISTINCT unnest(g5) AS g FROM g WHERE doc_id % 7 = 0),
+        |bpos AS (SELECT DISTINCT
+        |          (CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+        |           + i * CAST(('0x' || substr(md5(g), 9, 8)) AS BIGINT))
+        |          % 1048576 AS pos
+        |         FROM bg CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
+        |cg AS (SELECT DISTINCT doc_id, g FROM
+        |        (SELECT doc_id, unnest(g5) AS g FROM g WHERE doc_id % 7 <> 0)),
+        |cp AS (SELECT doc_id, g,
+        |        (CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+        |         + i * CAST(('0x' || substr(md5(g), 9, 8)) AS BIGINT))
+        |        % 1048576 AS pos
+        |       FROM cg CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
+        |hit AS (SELECT c.doc_id, c.g FROM cp c
+        |        LEFT JOIN bpos b ON c.pos = b.pos
+        |        GROUP BY c.doc_id, c.g HAVING count(b.pos) = 3)
+        |SELECT doc_id, count(*) AS n_hits FROM hit
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("q_shuffle_det",  // deterministic training-order shuffle: keyed-hash
       // permutation of the whole corpus, dense 1..N positions, epoch = salt;
       // at-scale offset form (no single-partition window — PlanAuditSpec)
@@ -1428,6 +1474,27 @@ object SparkEntry {
       (s, dir) => TextStats.lmScore(docsTokens(s, dir), "doc_id", "toks")
         .withColumn("xent", round(col("xent"), 6))
         .orderBy("doc_id"),
+      Some(s"""WITH t AS ($SqlToks),
+        |e AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |f AS (SELECT w, count(*) AS cnt FROM e GROUP BY w),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM f)
+        |SELECT doc_id, round(-avg(ln(CAST(cnt AS DOUBLE) / total)), 6) AS xent
+        |FROM e JOIN f USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("q_lm_score_map",  // same CCNet signal, zero-shuffle form: the LM
+      // rides as ONE broadcast map row and each doc scores itself with a
+      // per-row fold — no explode, no token-keyed shuffle, no per-doc
+      // exchange; the corpus never leaves its input partitions. Same
+      // distribution as q_lm_score, so the oracle is the same SQL —
+      // the value equality of the two plans IS the demonstration.
+      (s, dir) => {
+        val docs = docsTokens(s, dir)
+        TextStats.lmScoreBroadcast(docs, "doc_id", "toks",
+            TextStats.unigramLogProbs(docs, "toks"), "w", "logp")
+          .withColumn("xent", round(col("xent"), 6))
+          .orderBy("doc_id")
+      },
       Some(s"""WITH t AS ($SqlToks),
         |e AS (SELECT doc_id, unnest(toks) AS w FROM t),
         |f AS (SELECT w, count(*) AS cnt FROM e GROUP BY w),

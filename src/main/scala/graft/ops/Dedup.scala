@@ -547,6 +547,56 @@ object Dedup {
   def decontaminate(corpus: DataFrame, idCol: String, hits: DataFrame): DataFrame =
     corpus.join(hits.select(col("id").as(idCol)), Seq(idCol), "left_anti")
 
+  /** md5-derived Kirsch–Mitzenmacher base-hash pair for Bloom probes —
+    * two 32-bit lanes of md5(gram), the same cross-engine-portable
+    * construction as [[simhashPortable]]'s hlo/hhi. An engine that can
+    * md5 a string reproduces the entire filter bit-for-bit.
+    */
+  private def bloomHashCols(g: org.apache.spark.sql.Column) = (
+    conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
+    conv(substring(md5(g), 9, 8), 16, 10).cast("long"))
+
+  /** Build the m-bit Bloom bitset over a benchmark's distinct grams.
+    * Distributed partial aggregation ([[graft.functions.BloomBitsAgg]]):
+    * each partition ORs its probes into a local buffer, buffers OR
+    * together, ONE m/64-long array reaches the driver — the k-row-scalar
+    * kind of collect (like K-Means centroids), not a data collect. Size
+    * m for the benchmark: fpp ≈ (1 − e^(−k·n/m))^k.
+    */
+  def bloomBitsFromGrams(
+      bench: DataFrame, gramsCol: String, k: Int = 3, mBits: Int = 20): Array[Long] = {
+    val spark = bench.sparkSession
+    import spark.implicits._
+    val (h1, h2) = bloomHashCols(col("g"))
+    val rows = bench.select(explode(col(gramsCol)).as("g")).distinct()
+      .select(h1.as("_1"), h2.as("_2")).as[(Long, Long)]
+    val agg = new graft.functions.BloomBitsAgg(k, mBits)
+    val out = rows.select(agg.toColumn).collect()
+    if (out.isEmpty) new Array[Long](1 << (mBits - 6)) else out(0)
+  }
+
+  /** Bloom-filter contamination flags — same contract as
+    * [[contaminationHits]] (id, n_hits over distinct grams) but the
+    * benchmark side is an m-bit filter instead of a broadcast hash set:
+    * memory per executor is m/8 bytes regardless of benchmark
+    * cardinality, and the corpus is filtered map-side by ONE codegen
+    * probe expression ([[graft.functions.BloomMightContain]]) — no join
+    * operator at all, so nothing shuffles but the per-doc hit counts.
+    * False positives are deterministic for a fixed hash family, so the
+    * output is exactly reproducible (and value-oracled) in any engine
+    * that can md5 — they merely flag extra docs, the safe direction for
+    * decontamination.
+    */
+  def bloomContaminationHits(
+      corpus: DataFrame, idCol: String, gramsCol: String,
+      bits: Array[Long], k: Int = 3, mBits: Int = 20): DataFrame = {
+    val (h1, h2) = bloomHashCols(col("g"))
+    corpus
+      .select(col(idCol).as("id"), explode(array_distinct(col(gramsCol))).as("g"))
+      .filter(graft.functions.Bloom.bloom_might_contain(h1, h2, bits, k, mBits))
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** 64-bit SimHash over the token multiset (Charikar): per bit,
     * sum +cnt/−cnt by the bit of xxhash64(token); sign → bit. One
     * explode + count + one wide groupBy.

@@ -135,6 +135,46 @@ object TextStats {
       .agg((-avg(log(col("cnt").cast("double") / col("total")))).as("xent"))
   }
 
+  /** Zero-shuffle twin of [[lmScore]]: the vocabulary LM rides to every
+    * task as ONE broadcast row holding a map<token, ln p(token)> —
+    * scoring becomes a per-row fold over the doc's own tokens. No
+    * explode, no token-keyed shuffle, no per-doc aggregation exchange:
+    * the corpus never leaves its input partitions. This is the serving
+    * shape at 100 TB whenever the model is bounded (vocab ≪ corpus),
+    * and because the scorer is a pure stateless column expression it
+    * runs unchanged on a stream
+    * ([[graft.streaming.StreamOps.scoreStream]]).
+    *
+    * `model` rows are (token, ln p); it must cover every scoreable
+    * token (e.g. built from the same corpus) — [[lmScore]] likewise has
+    * no out-of-vocabulary path. Tokens absent from the model null the
+    * doc's score rather than silently skewing it. Empty-token docs emit
+    * no row (parity with [[lmScore]]).
+    */
+  def lmScoreBroadcast(
+      docs: DataFrame, idCol: String, toksCol: String,
+      model: DataFrame, wCol: String, logpCol: String): DataFrame = {
+    val m = model.agg(
+      map_from_entries(collect_list(struct(col(wCol), col(logpCol)))).as("__lm"))
+    docs.filter(size(col(toksCol)) > 0)
+      .crossJoin(broadcast(m))
+      .select(col(idCol),
+        (-aggregate(col(toksCol), lit(0.0d),
+          (acc, w) => acc + element_at(col("__lm"), w))
+          / size(col(toksCol)).cast("double")).as("xent"))
+  }
+
+  /** The corpus's own unigram LM as (w, logp) — the model side of
+    * [[lmScoreBroadcast]] when scoring a corpus against itself, i.e.
+    * exactly [[lmScore]]'s distribution.
+    */
+  def unigramLogProbs(docs: DataFrame, toksCol: String): DataFrame = {
+    val freq = docs.select(explode(col(toksCol)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    freq.crossJoin(broadcast(freq.agg(sum("cnt").as("total"))))
+      .select(col("w"), log(col("cnt").cast("double") / col("total")).as("logp"))
+  }
+
   /** DSIR-style importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", arXiv:2302.03169),
     * simplified to add-1-smoothed unigram LMs: per doc, the mean log

@@ -188,4 +188,24 @@ object StreamOps {
           }
       }
   }
+
+  /** Streaming LM/perplexity scoring — the stream twin of
+    * TextStats.lmScoreBroadcast: the unigram LM is a FIXED artifact at
+    * query start (scoring streams against a moving self-distribution is
+    * ill-defined), inlined as one map literal, so each micro-batch row
+    * scores itself statelessly — no stream-stream join, no state store,
+    * works in append mode with no watermark. The model map is a bounded
+    * vocabulary (same boundedness argument as broadcast); build it with
+    * TextStats.unigramLogProbs on the reference corpus and collect.
+    */
+  def scoreStream(
+      docs: DataFrame, idCol: String, toksCol: String,
+      model: Map[String, Double]): DataFrame = {
+    val m = typedlit(model)
+    docs.filter(size(col(toksCol)) > 0)
+      .select(col(idCol),
+        (-aggregate(col(toksCol), lit(0.0d),
+          (acc, w) => acc + element_at(m, w))
+          / size(col(toksCol)).cast("double")).as("xent"))
+  }
 }

@@ -107,6 +107,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("LM scoring on a stream equals the batch shuffle-form scorer (fixed model)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{TextOps, TextStats}
+    val docs = Tables.table(spark, TestSpark.Sf, "documents")
+      .select($"doc_id",
+        TextOps.tokenizeFiltered($"text", Dictionaries.Stopwords, Nil).as("toks"))
+    val model = TextStats.unigramLogProbs(docs, "toks")
+      .as[(String, Double)].collect().toMap
+    val want = TextStats.lmScore(docs, "doc_id", "toks")
+      .as[(Long, Double)].collect().toMap
+    val rows = docs.as[(Long, Seq[String])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[String])]
+    val q = graft.streaming.StreamOps.scoreStream(
+        mem.toDF().toDF("doc_id", "toks"), "doc_id", "toks", model)
+      .writeStream.format("memory").queryName("lmstream").outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("lmstream").as[(Long, Double)].collect().toMap
+      assert(got.keySet == want.keySet && got.nonEmpty)
+      // fold-order vs partial-agg-order float noise only
+      val worst = got.map { case (k, v) => math.abs(v - want(k)) }.max
+      assert(worst < 1e-9, s"stream/batch scorer divergence: $worst")
+    } finally q.stop()
+  }
+
   test("stateless curation stages (scrub, quality floor, stratified sample) run unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -14,6 +14,8 @@ cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.01}"
 OUT="${2:-out/gate}"
 
+tools/warm_jars.sh || true
+
 echo "== gate: sbt compile + test =="
 sbt -batch "Test/compile" test
 
