@@ -28,8 +28,13 @@ object Bench {
     // read inputs from a tmpfs copy: one slow disk pass instead of one
     // per scan when the host's IO-stall episodes hit (see Scratch)
     val sfDir = Scratch.localize(sfDirOrig)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    // default 4, NOT the host's 32: every prior round's record (r1
+    // baseline, r4's 52 s, r5's 81 s) ran at this default, so the
+    // driver's cross-round comparison stays apples-to-apples — and
+    // under this host's scheduling-latency episodes a 32-thread pool
+    // with 32-way shuffles measured 3-5× SLOWER per query than 4 (tiny
+    // per-task data; wakeup latency dominates)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "360").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -74,6 +79,7 @@ object Bench {
           }
         }
       if (cold.isNaN || warm.isNaN) failures ::= name
+      System.err.println(f"[bench] $name cold=$cold%.2f warm=$warm%.2f t=$elapsedS%.0f")
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => before(id) }
         .values.foreach(_.unpersist(blocking = false))

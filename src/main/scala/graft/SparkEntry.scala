@@ -768,8 +768,14 @@ object SparkEntry {
       // filter bit-for-bit and the value oracle covers the bloom FALSE
       // POSITIVES too — the output is exact, including them.
       (s, dir) => {
+        // repartition BEFORE the checkpoint: the test parquet is one
+        // <128 MB file → a 1-partition scan, and the md5 double-hash
+        // over every gram would otherwise run on a single core (at
+        // real scale the scan is already thousands of splits and this
+        // spread is free — it rides the checkpoint materialization)
         val grams = docsTokens(s, dir)
           .select(col("doc_id"), Dedup.tokenShingles(col("toks"), 5).as("g5"))
+          .repartition(s.sparkContext.defaultParallelism)
           .localCheckpoint()
         val bits = Dedup.bloomBitsFromGrams(
           grams.filter(col("doc_id") % 7 === 0), "g5", k = 3, mBits = 20)
