@@ -845,6 +845,38 @@ object SparkEntry {
         |  AND fp NOT IN (SELECT fp FROM f WHERE source <> 'src1')
         |ORDER BY doc_id""".stripMargin)),
 
+    Q("q_split_leakage_safe",  // leakage-safe train/val/test split: the
+      // split key is the duplicate-cluster representative, so all copies
+      // of a document land in the SAME split — the train-test
+      // contamination path that per-doc random splits open and
+      // exact-match decontamination misses. Cluster provenance here is
+      // exact content groups (min-id rep per md5(text) group — cheap,
+      // fully deterministic); [[Dedup.splitByCluster]] accepts any
+      // cluster labeling incl. the CC output (DedupSpec covers the
+      // near-dup-cluster case). Corpus side is one broadcast join + a
+      // map-side md5 bucket: no corpus shuffle at any scale.
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val clusters = docs.select(col("doc_id").as("id"), col("text"))
+          .withColumn("rep", min(col("id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+          .select("id", "rep")
+        Dedup.splitByCluster(docs.select(col("doc_id")), "doc_id", clusters,
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "r7")
+          .select(col("doc_id"), col("split"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (SELECT doc_id,
+        |        min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+        |      FROM documents),
+        |h AS (SELECT doc_id,
+        |        substring(md5('r7' || '_' || CAST(rep AS VARCHAR)), 1, 4) AS hx
+        |      FROM g)
+        |SELECT doc_id, CASE WHEN hx < 'cccc' THEN 'train'
+        |                    WHEN hx < 'e666' THEN 'val'
+        |                    ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin)),
+
     Q("q_mixture",  // domain-mixture report: per-source token totals and
       // corpus fraction — the numbers a mixture/temperature-sampling
       // plan starts from; one partial-agg groupBy + a 1-row broadcast
@@ -2067,6 +2099,21 @@ object SparkEntry {
           .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
         graft.sources.AvroIO.writeAvro(d, s"$out/docs", "doc")
         graft.sources.AvroIO.readAvro(s, s"$out/docs", d.schema).orderBy("doc_id")
+      },
+      Some("SELECT doc_id, lang, n_chars, source FROM documents ORDER BY doc_id")),
+
+    Q("q_orc_roundtrip",  // columnar sink/source #3: ORC (zlib default) via
+      // Spark's built-in vectorized ORC reader — the other lake format a
+      // migrating user brings; identity-contract oracle like
+      // q_csv_roundtrip/q_avro_roundtrip (DuckDB never reads the ORC
+      // file). Predicate pushdown / column pruning on ORC scans come
+      // free from the same DataSource V2 path as parquet.
+      (s, dir) => {
+        val out = Scratch.dir("graftorc")
+        val d = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+        d.write.mode("overwrite").orc(s"$out/docs")
+        s.read.orc(s"$out/docs").orderBy("doc_id")
       },
       Some("SELECT doc_id, lang, n_chars, source FROM documents ORDER BY doc_id")),
 

@@ -440,12 +440,17 @@ object Dedup {
         .select(col("x").as("u"), col("m").as("v"))
         .distinct()
     }
+    // lazy checkpoint: the fingerprint's single aggregation job both
+    // materializes the cut lineage AND returns the convergence hash —
+    // an eager checkpoint would pay a separate materialization job per
+    // round (2-3 jobs/round → 1; job launch latency dominates the loop
+    // on small edge sets)
     var edges = pairs
       .select(greatest(col("id1"), col("id2")).as("u"),
         least(col("id1"), col("id2")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // one-job set fingerprint (count + order-free xor of edge hashes);
     // equality is CONFIRMED with an exceptAll pass, so the hash only
     // decides when to pay for that check, never correctness
@@ -457,7 +462,7 @@ object Dedup {
     var it = 0
     var converged = fp._1 == 0L
     while (it < maxIter && !converged) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nfp = fingerprint(next)
       // fixed point: same count + same xor, confirmed by an empty diff
       // (equal counts over distinct sets make one direction sufficient)
@@ -513,6 +518,39 @@ object Dedup {
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
       .drop("__rk", "rep")
+  }
+
+  /** Leakage-safe train/val/test assignment: the split key is the
+    * near-dup CLUSTER representative (the doc's own id when
+    * unclustered), so cluster members are assigned as a unit — a
+    * document can never land in train while its near-duplicate lands
+    * in eval, the train-test contamination path that exact-match
+    * decontamination misses. `cuts` are (name, weight) with weights
+    * summing to 1; assignment buckets the first 4 hex digits of
+    * `md5(salt || "_" || rep)` against cumulative hex thresholds
+    * (granularity 1/65536), the same engine-portable keyed-hash
+    * device as [[graft.ops.IdOps.stratifiedSampleByHash]]: pure
+    * function of the key, no sampling state, reproducible anywhere.
+    *
+    * Scale: one join of the corpus against the tiny cluster-label
+    * table (near-dup members only — broadcast-able at any corpus
+    * size) followed by a map-side hash bucket; no corpus shuffle.
+    */
+  def splitByCluster(
+      docs: DataFrame, idCol: String, clusters: DataFrame,
+      cuts: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(cuts.nonEmpty && math.abs(cuts.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: $cuts")
+    val labeled = docs.join(
+      broadcast(clusters.withColumnRenamed("id", idCol)), Seq(idCol), "left")
+    val key = coalesce(col("rep"), col(idCol))
+    val h = substring(md5(concat_ws("_", lit(salt), key.cast("string"))), 1, 4)
+    val cum = cuts.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assigned = cuts.init.zip(cum.init).foldRight(lit(cuts.last._1): Column) {
+      case (((name, _), c), acc) =>
+        when(h < lit(f"${math.floor(c * 65536).toInt}%04x"), lit(name)).otherwise(acc)
+    }
+    labeled.withColumn("split", assigned).drop("rep")
   }
 
   /** Benchmark decontamination — the eval-set-overlap filter every LLM

@@ -260,6 +260,32 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(2L, 11L, 99L))
   }
 
+  test("splitByCluster: near-dup cluster members share a split; weights roughly honored") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val clusters = Dedup.dedupClusters(pairs)
+    val ids = (1L to 500L).toDF("doc_id")
+    val split = Dedup.splitByCluster(ids, "doc_id", clusters,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s")
+    // leakage-safety: every cluster maps to exactly one split label
+    val perCluster = split.join(clusters.withColumnRenamed("id", "doc_id"), "doc_id")
+      .groupBy("rep").agg(countDistinct("split").as("n"))
+      .select($"n").as[Long].collect()
+    assert(perCluster.nonEmpty && perCluster.forall(_ == 1L))
+    // determinism: same salt → identical assignment
+    val again = Dedup.splitByCluster(ids, "doc_id", clusters,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s")
+    assert(split.exceptAll(again).isEmpty)
+    // weights: keyed-hash buckets over 500 ids land near 80/10/10
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 500L)
+    assert(counts("train") > 350L && counts("val") < 100L && counts("test") < 100L)
+    // a different salt re-deals the split
+    val resalted = Dedup.splitByCluster(ids, "doc_id", clusters,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "t")
+    assert(split.exceptAll(resalted).count() > 0)
+  }
+
   test("dropDupsByKey keeps exactly one row per key, the min-id one") {
     val withFp = docs.withColumn("fp", Dedup.wordSetFingerprint($"toks"))
     val kept = Dedup.dropDupsByKey(withFp.select($"doc_id", $"fp"), "doc_id", "fp")
