@@ -845,6 +845,36 @@ object SparkEntry {
         |  AND fp NOT IN (SELECT fp FROM f WHERE source <> 'src1')
         |ORDER BY doc_id""".stripMargin)),
 
+    Q("q_span_scrub",  // ExactSubstr-lite duplicated-span scrubbing (Lee et
+      // al. arXiv:2107.06499, RefinedWeb's boilerplate removal): every
+      // token covered by a 3-token span present in ≥5 distinct docs is
+      // dropped — substring-level dedup where whole-doc dedup can't see
+      // the shared template. Two shuffles (gram count + per-doc start
+      // lists), map-side HOF cover mask, no self-join at any scale.
+      (s, dir) => Dedup.scrubHotSpans(
+          docsTokens(s, dir).localCheckpoint(), "doc_id", "toks",
+          k = 3, minDocs = 5L)
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS ($SqlToks),
+        |g AS (SELECT doc_id, i AS s, md5(array_to_string(toks[i:i+2], ' ')) AS h
+        |      FROM t, LATERAL unnest(range(1, greatest(len(toks)-1, 1))) AS u(i)
+        |      WHERE len(toks) >= 3),
+        |hot AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 5),
+        |hs AS (SELECT doc_id, list(s) AS starts FROM g JOIN hot USING (h) GROUP BY doc_id),
+        |j AS (SELECT t.doc_id, t.toks, COALESCE(hs.starts, []) AS starts
+        |      FROM t LEFT JOIN hs ON hs.doc_id = t.doc_id),
+        |c AS (SELECT doc_id,
+        |        list_filter(list_transform(range(1, len(toks)+1),
+        |            p -> {'p': p, 'tok': toks[p]}),
+        |          x -> len(list_filter(starts, s -> s <= x.p AND x.p < s + 3)) = 0) AS kept,
+        |        len(toks) AS n0
+        |      FROM j)
+        |SELECT doc_id,
+        |       COALESCE(array_to_string(list_transform(kept, x -> x.tok), ' '), '')
+        |         AS cleaned,
+        |       CAST(n0 - len(kept) AS BIGINT) AS n_removed
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
     Q("q_split_leakage_safe",  // leakage-safe train/val/test split: the
       // split key is the duplicate-cluster representative, so all copies
       // of a document land in the SAME split — the train-test

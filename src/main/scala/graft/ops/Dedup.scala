@@ -520,6 +520,45 @@ object Dedup {
       .drop("__rk", "rep")
   }
 
+  /** Duplicated-span scrubbing — ExactSubstr-lite (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499; the substring-level counterpart to document
+    * dedup, RefinedWeb's boilerplate-removal step): drop every token
+    * covered by a k-token span occurring in ≥ `minDocs` distinct
+    * documents. Returns (idCol, cleaned, n_removed) — cleaned is the
+    * surviving tokens re-joined, order preserved.
+    *
+    * Scale: the gram table is corpus-token-sized but only
+    * (id, start, hash) wide; after the HAVING the hot-gram set is
+    * boilerplate-only (tiny → the back-join broadcasts); the cover
+    * mask is evaluated map-side with array HOFs over each doc's own
+    * hot-start list. Two shuffles total (gram count, per-doc start
+    * lists) at any corpus size — never a self-join.
+    */
+  def scrubHotSpans(
+      docs: DataFrame, idCol: String, toksCol: String,
+      k: Int, minDocs: Long): DataFrame = {
+    val gramArr =
+      s"""CASE WHEN size($toksCol) >= $k
+         | THEN transform(sequence(1, size($toksCol) - ${k - 1}),
+         |        i -> md5(array_join(slice($toksCol, i, $k), ' ')))
+         | ELSE array() END""".stripMargin
+    val grams = docs
+      .select(col(idCol), posexplode(expr(gramArr)).as(Seq("p0", "h")))
+      .select(col(idCol), (col("p0") + 1).as("s"), col("h"))
+    val hot = grams.groupBy("h").agg(countDistinct(idCol).as("nd"))
+      .filter(col("nd") >= minDocs).select("h")
+    val hotStarts = grams.join(hot, "h")
+      .groupBy(idCol).agg(collect_list("s").as("starts"))
+    docs.join(hotStarts, Seq(idCol), "left")
+      .withColumn("starts", coalesce(col("starts"), expr("cast(array() as array<int>)")))
+      .withColumn("kept", expr(
+        s"filter($toksCol, (t, pi) -> NOT exists(starts, s -> s <= pi + 1 AND pi + 1 < s + $k))"))
+      .select(col(idCol),
+        array_join(col("kept"), " ").as("cleaned"),
+        (size(col(toksCol)) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
   /** Leakage-safe train/val/test assignment: the split key is the
     * near-dup CLUSTER representative (the doc's own id when
     * unclustered), so cluster members are assigned as a unit — a

@@ -286,6 +286,26 @@ class DedupSpec extends AnyFunSuite {
     assert(split.exceptAll(resalted).count() > 0)
   }
 
+  test("scrubHotSpans removes exactly the tokens covered by cross-doc hot spans") {
+    // "x y z" appears in 3 docs (hot at minDocs=3); each doc's other
+    // tokens are unique filler. Overlap case: doc 3's "x y z w x y z"
+    // has hot starts 1 and 5 — positions 1-3 and 5-7 covered, 4 kept.
+    val docs = Seq(
+      (1L, Seq("p1", "x", "y", "z", "q1")),
+      (2L, Seq("x", "y", "z")),                          // fully scrubbed
+      (3L, Seq("x", "y", "z", "w", "x", "y", "z")),
+      (4L, Seq("p4", "q4", "r4")),                       // untouched
+      (5L, Seq("x", "y")))                               // too short for a 3-gram
+      .toDF("doc_id", "toks")
+    val out = Dedup.scrubHotSpans(docs, "doc_id", "toks", k = 3, minDocs = 3L)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ("p1 q1", 3L))
+    assert(out(2L) == ("", 3L))
+    assert(out(3L) == ("w", 6L))
+    assert(out(4L) == ("p4 q4 r4", 0L))
+    assert(out(5L) == ("x y", 0L))
+  }
+
   test("dropDupsByKey keeps exactly one row per key, the min-id one") {
     val withFp = docs.withColumn("fp", Dedup.wordSetFingerprint($"toks"))
     val kept = Dedup.dropDupsByKey(withFp.select($"doc_id", $"fp"), "doc_id", "fp")
