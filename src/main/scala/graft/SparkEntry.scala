@@ -875,6 +875,37 @@ object SparkEntry {
         |       CAST(n0 - len(kept) AS BIGINT) AS n_removed
         |FROM c ORDER BY doc_id""".stripMargin)),
 
+    Q("q_span_scrub_intra",  // within-doc repeated-span removal (the other
+      // half of ExactSubstr dedup): tokens covered by a 3-gram that
+      // already occurred EARLIER in the SAME doc are dropped, first
+      // occurrence kept — self-repetition loops fixed, not just flagged.
+      // ZERO shuffles: grams, first-occurrence duplicate starts, and the
+      // cover mask are array HOFs in one projection, map-side at any SF.
+      (s, dir) => Dedup.scrubRepeatedSpans(docsTokens(s, dir), "doc_id", "toks", k = 3)
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS ($SqlToks),
+        |d AS (SELECT doc_id, toks,
+        |        CASE WHEN len(toks) >= 3
+        |          THEN list_transform(range(1, len(toks)-1),
+        |                 i -> md5(array_to_string(toks[i:i+2], ' ')))
+        |          ELSE [] END AS grams
+        |      FROM t),
+        |e AS (SELECT doc_id, toks,
+        |        list_filter(range(1, len(grams)+1),
+        |          s -> list_position(grams, grams[s]) < s) AS ds
+        |      FROM d),
+        |c AS (SELECT doc_id,
+        |        list_filter(list_transform(range(1, len(toks)+1),
+        |            p -> {'p': p, 'tok': toks[p]}),
+        |          x -> len(list_filter(ds, s -> s <= x.p AND x.p < s + 3)) = 0) AS kept,
+        |        len(toks) AS n0
+        |      FROM e)
+        |SELECT doc_id,
+        |       COALESCE(array_to_string(list_transform(kept, x -> x.tok), ' '), '')
+        |         AS cleaned,
+        |       CAST(n0 - len(kept) AS BIGINT) AS n_removed
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
     Q("q_split_leakage_safe",  // leakage-safe train/val/test split: the
       // split key is the duplicate-cluster representative, so all copies
       // of a document land in the SAME split — the train-test

@@ -559,6 +559,41 @@ object Dedup {
         (size(col(toksCol)) - size(col("kept"))).cast("long").as("n_removed"))
   }
 
+  /** Intra-document repeated-span removal — the within-doc case of
+    * ExactSubstr dedup (Lee et al. arXiv:2107.06499): every token
+    * covered by a k-token span that already occurred EARLIER in the
+    * same document is dropped (first occurrence survives). Catches
+    * self-repetitive generation/boilerplate loops that corpus-level
+    * stats only flag, not fix.
+    *
+    * Scale: ZERO shuffles — grams, duplicate starts (array_position
+    * finds each gram's first occurrence) and the cover mask are all
+    * array HOFs inside one projection, embarrassingly parallel at any
+    * corpus size. Per-doc cost is O(g²) in gram count (array_position
+    * scan per gram) — bounded by document length, not corpus size.
+    */
+  def scrubRepeatedSpans(
+      docs: DataFrame, idCol: String, toksCol: String, k: Int): DataFrame = {
+    val gramArr =
+      s"""CASE WHEN size($toksCol) >= $k
+         | THEN transform(sequence(1, size($toksCol) - ${k - 1}),
+         |        i -> md5(array_join(slice($toksCol, i, $k), ' ')))
+         | ELSE array() END""".stripMargin
+    docs
+      .withColumn("grams", expr(gramArr))
+      .withColumn("dup_starts", expr(
+        // guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, and
+        // ANSI element_at would throw on the empty gram array
+        """CASE WHEN size(grams) = 0 THEN cast(array() as array<int>)
+          | ELSE filter(sequence(1, size(grams)),
+          |        s -> array_position(grams, element_at(grams, s)) < s) END""".stripMargin))
+      .withColumn("kept", expr(
+        s"filter($toksCol, (t, pi) -> NOT exists(dup_starts, s -> s <= pi + 1 AND pi + 1 < s + $k))"))
+      .select(col(idCol),
+        array_join(col("kept"), " ").as("cleaned"),
+        (size(col(toksCol)) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
   /** Leakage-safe train/val/test assignment: the split key is the
     * near-dup CLUSTER representative (the doc's own id when
     * unclustered), so cluster members are assigned as a unit — a

@@ -306,6 +306,21 @@ class DedupSpec extends AnyFunSuite {
     assert(out(5L) == ("x y", 0L))
   }
 
+  test("scrubRepeatedSpans keeps first span occurrence, scrubs later repeats") {
+    val docs = Seq(
+      (1L, Seq("x", "y", "z", "w", "x", "y", "z")),  // repeat at 5: 5-7 scrubbed
+      (2L, Seq("u", "u", "u", "u", "u")),            // self-overlap: starts 2,3 dup → 2-5 scrubbed
+      (3L, Seq("p", "q", "r")),                      // no repeats
+      (4L, Seq("s", "t")))                           // too short
+      .toDF("doc_id", "toks")
+    val out = Dedup.scrubRepeatedSpans(docs, "doc_id", "toks", k = 3)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ("x y z w", 3L))
+    assert(out(2L) == ("u", 4L))
+    assert(out(3L) == ("p q r", 0L))
+    assert(out(4L) == ("s t", 0L))
+  }
+
   test("dropDupsByKey keeps exactly one row per key, the min-id one") {
     val withFp = docs.withColumn("fp", Dedup.wordSetFingerprint($"toks"))
     val kept = Dedup.dropDupsByKey(withFp.select($"doc_id", $"fp"), "doc_id", "fp")
