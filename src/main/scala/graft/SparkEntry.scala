@@ -960,6 +960,36 @@ object SparkEntry {
         |  round(toks / (SELECT CAST(sum(n) AS DOUBLE) FROM d), 6) AS frac
         |FROM g ORDER BY source""".stripMargin)),
 
+    Q("q_temperature_mix",  // Gopher/PaLM-style temperature mixture
+      // resampling: per-source token shares flattened toward uniform
+      // with T=2 (q_s ∝ p_s^(1/2)); the most over-target source keeps
+      // everything, the rest downsample by keyed hash. Rate table =
+      // one tiny groupBy broadcast back; keep/drop is map-side — no
+      // corpus shuffle, no driver collect, reproducible on any engine.
+      (s, dir) => {
+        val d = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(TextOps.tokenizeFiltered(col("text"), Stop, Nil))
+              .cast("double").as("w"))
+        IdOps.temperatureSample(d, "doc_id", "source", "w",
+            temperature = 2.0, salt = "mix")
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |d AS (SELECT t.doc_id, dd.source, len(t.toks) AS n
+        |      FROM t JOIN documents dd ON dd.doc_id = t.doc_id),
+        |g AS (SELECT source, CAST(sum(n) AS DOUBLE) AS ns FROM d GROUP BY source),
+        |z AS (SELECT sum(ns) AS ntot, sum(pow(ns, 0.5)) AS zz FROM g),
+        |r AS (SELECT source, pow(ns, -0.5) * ntot / zz AS qp FROM g, z),
+        |r2 AS (SELECT source, qp / (SELECT max(qp) FROM r) AS rate FROM r),
+        |thr AS (SELECT source, CASE WHEN rate >= 1.0 - 1e-9 THEN 'zz'
+        |          ELSE printf('%02x', CAST(floor(rate * 256 + 1e-9) AS INT)) END AS th
+        |        FROM r2)
+        |SELECT dd.doc_id, dd.source FROM documents dd JOIN thr USING (source)
+        |WHERE substring(md5('mix' || '_' || CAST(dd.doc_id AS VARCHAR)), 1, 2) < th
+        |ORDER BY doc_id""".stripMargin)),
+
     Q("q_llm_pipeline",  // the WHOLE training-data curation funnel in one
       // composed plan, value-oracled end-to-end: PII scrub → tokenize →
       // quality floor → exact dedup (min-id per fingerprint) →

@@ -121,6 +121,44 @@ object IdOps {
     * 1/256 — use more hex digits for finer rates). Strata missing from
     * `rates` get `defaultRate`.
     */
+  /** Temperature-based mixture resampling (the domain-rebalancing step
+    * of Gopher/PaLM-style data recipes): given per-row weights (token
+    * counts) and a stratum (source/domain), flatten the mixture toward
+    * uniform with temperature `T` — target share q_s ∝ p_s^(1/T) — and
+    * keep each stratum at rate (q_s/p_s) / max_t(q_t/p_t), so the most
+    * over-target stratum is kept whole and the rest downsample
+    * proportionally. Row-level keep/drop is the same engine-portable
+    * keyed-hash device as [[stratifiedSampleByHash]] (first 2 hex
+    * digits of md5 vs a per-stratum threshold, granularity 1/256, an
+    * epsilon inside the floor guards cross-engine pow() ulp wobble).
+    *
+    * Scale: the rate table is one partial-agg groupBy over strata
+    * (tiny) joined back by broadcast; the keep decision is a map-side
+    * predicate — no corpus shuffle, no driver collect.
+    */
+  def temperatureSample(
+      df: DataFrame, keyCol: String, stratumCol: String, weightCol: String,
+      temperature: Double, salt: String = ""): DataFrame = {
+    require(temperature > 0, s"temperature must be positive: $temperature")
+    val stats = df.groupBy(stratumCol).agg(sum(col(weightCol)).as("__ns"))
+    // all aggregates below run over the tiny per-stratum frame
+    val tot = stats.agg(sum(col("__ns")).as("__n"),
+      sum(pow(col("__ns"), lit(1.0 / temperature))).as("__z"))
+    val rates = stats.crossJoin(broadcast(tot))
+      // q/p = (ns^(1/T)/z) / (ns/n); rate = (q/p) / max(q/p)
+      .withColumn("__qp", pow(col("__ns"), lit(1.0 / temperature - 1.0)) * col("__n") / col("__z"))
+      .withColumn("__rate", col("__qp") / max(col("__qp")).over(Window.partitionBy()))
+      .withColumn("__thr",
+        when(col("__rate") >= 1.0 - 1e-9, lit("zz"))
+          .otherwise(format_string("%02x",
+            floor(col("__rate") * 256 + lit(1e-9)).cast("int"))))
+      .select(col(stratumCol), col("__thr"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(substring(
+        md5(concat_ws("_", lit(salt), col(keyCol).cast("string"))), 1, 2) < col("__thr"))
+      .drop("__thr")
+  }
+
   def stratifiedSampleByHash(
       df: DataFrame, keyCol: String, stratumCol: String,
       rates: Map[String, Double], defaultRate: Double = 0.0,

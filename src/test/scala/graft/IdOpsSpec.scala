@@ -69,4 +69,29 @@ class IdOpsSpec extends AnyFunSuite {
       rates = Map("src2" -> 0.5), salt = "t").select($"doc_id").as[Long].collect().toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("temperatureSample keeps the rarest stratum whole, downsamples the dominant") {
+    // heavy: 900 rows of weight 10; rare: 100 rows of weight 1.
+    // T=2 → q ∝ √p pulls shares toward uniform, so `rare` keeps rate 1
+    // (it is the most under-represented) and `heavy` drops a chunk.
+    val rows = (1L to 900L).map(i => (i, "heavy", 10.0)) ++
+      (901L to 1000L).map(i => (i, "rare", 1.0))
+    val df = rows.toDF("id", "src", "w")
+    val kept = IdOps.temperatureSample(df, "id", "src", "w",
+        temperature = 2.0, salt = "s")
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(kept("rare") == 100L, s"rare stratum must be kept whole: $kept")
+    assert(kept("heavy") < 900L && kept("heavy") > 0L, s"heavy must downsample: $kept")
+    // expected heavy rate: (q/p)/(max q/p) with p=9000/9100, q=√p-normalized
+    val (ph, pr) = (9000.0 / 9100.0, 100.0 / 9100.0)
+    val (qh, qr) = (math.sqrt(ph), math.sqrt(pr))
+    val rate = (qh / ph) / (qr / pr)
+    val expected = math.floor(rate * 256 + 1e-9) / 256.0
+    assert(math.abs(kept("heavy").toDouble / 900.0 - expected) < 0.08,
+      s"heavy keep fraction ${kept("heavy") / 900.0} vs expected ~$expected")
+    // deterministic under the same salt
+    val again = IdOps.temperatureSample(df, "id", "src", "w", 2.0, "s")
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(again == kept)
+  }
 }
