@@ -552,8 +552,10 @@ object Dedup {
       .groupBy(idCol).agg(collect_list("s").as("starts"))
     docs.join(hotStarts, Seq(idCol), "left")
       .withColumn("starts", coalesce(col("starts"), expr("cast(array() as array<int>)")))
-      .withColumn("kept", expr(
-        s"filter($toksCol, (t, pi) -> NOT exists(starts, s -> s <= pi + 1 AND pi + 1 < s + $k))"))
+      // fused codegen sweep (O(n + m log m)) instead of the interpreted
+      // filter/exists HOF pair (O(n·m)); identical kept set
+      .withColumn("kept",
+        graft.functions.SpanCoverMask.span_kept(col(toksCol), col("starts"), k))
       .select(col(idCol),
         array_join(col("kept"), " ").as("cleaned"),
         (size(col(toksCol)) - size(col("kept"))).cast("long").as("n_removed"))
@@ -587,8 +589,9 @@ object Dedup {
         """CASE WHEN size(grams) = 0 THEN cast(array() as array<int>)
           | ELSE filter(sequence(1, size(grams)),
           |        s -> array_position(grams, element_at(grams, s)) < s) END""".stripMargin))
-      .withColumn("kept", expr(
-        s"filter($toksCol, (t, pi) -> NOT exists(dup_starts, s -> s <= pi + 1 AND pi + 1 < s + $k))"))
+      // same fused codegen sweep as scrubHotSpans — identical kept set
+      .withColumn("kept",
+        graft.functions.SpanCoverMask.span_kept(col(toksCol), col("dup_starts"), k))
       .select(col(idCol),
         array_join(col("kept"), " ").as("cleaned"),
         (size(col(toksCol)) - size(col("kept"))).cast("long").as("n_removed"))

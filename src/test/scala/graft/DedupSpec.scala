@@ -321,6 +321,38 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == ("s t", 0L))
   }
 
+  test("SpanCoverMask codegen kernel ≡ interpreted filter/exists HOF on the real corpus") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val k = 3
+    val grams = Dedup.scrubHotSpans(docs, "doc_id", "toks", k = k, minDocs = 3L)
+    // rebuild the pre-mask frame: toks + hot starts per doc, then apply both kernels
+    val gramArr =
+      s"""CASE WHEN size(toks) >= $k
+         | THEN transform(sequence(1, size(toks) - ${k - 1}),
+         |        i -> md5(array_join(slice(toks, i, $k), ' ')))
+         | ELSE array() END""".stripMargin
+    val g = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.posexplode(expr(gramArr)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + org.apache.spark.sql.functions.lit(1)).as("s"), col("h"))
+    val hot = g.groupBy("h").agg(
+      org.apache.spark.sql.functions.countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 3).select("h")
+    val hs = g.join(hot, "h").groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.collect_list("s").as("starts"))
+    val frame = docs.join(hs, Seq("doc_id"), "left")
+      .withColumn("starts",
+        org.apache.spark.sql.functions.coalesce(col("starts"),
+          expr("cast(array() as array<int>)")))
+    val fused = frame.withColumn("kept",
+      graft.functions.SpanCoverMask.span_kept(col("toks"), col("starts"), k))
+      .select(col("doc_id"), col("kept"))
+    val hof = frame.withColumn("kept", expr(
+      s"filter(toks, (t, pi) -> NOT exists(starts, s -> s <= pi + 1 AND pi + 1 < s + $k))"))
+      .select(col("doc_id"), col("kept"))
+    assert(fused.exceptAll(hof).isEmpty && hof.exceptAll(fused).isEmpty)
+    assert(grams.count() == docs.count())
+  }
+
   test("dropDupsByKey keeps exactly one row per key, the min-id one") {
     val withFp = docs.withColumn("fp", Dedup.wordSetFingerprint($"toks"))
     val kept = Dedup.dropDupsByKey(withFp.select($"doc_id", $"fp"), "doc_id", "fp")
