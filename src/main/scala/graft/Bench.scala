@@ -39,6 +39,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pinned like Verify/TestSpark: the events adapter casts NTZ
+      // wall-clock through the session zone — a non-UTC host default
+      // would shift ts/ts_ns and break oracle parity (ADVICE r7)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", scratchDir())
@@ -74,7 +78,20 @@ object Bench {
           if (c.isNaN) (c, c)
           else {
             val w1 = once(name, fn)
-            val w = if (!w1.isNaN && w1 > math.max(c, 2.0)) math.min(w1, once(name, fn)) else w1
+            // r7's driver run showed up to 13× single-sample jitter vs the
+            // local per-query median (host neighbor-contention stalls), so
+            // take TWO warm samples and keep the min whenever the suite is
+            // comfortably inside budget; past 70% of budget fall back to
+            // the conditional stall-retry (warm slower than cold = stall
+            // signature) so the run never overstays the driver's timeout.
+            val w =
+              if (w1.isNaN) w1
+              else if (elapsedS < budgetS * 0.7) {
+                val w2 = once(name, fn)
+                if (w2.isNaN) w1 else math.min(w1, w2)
+              }
+              else if (w1 > math.max(c, 2.0)) math.min(w1, once(name, fn))
+              else w1
             (c, w)
           }
         }
@@ -100,9 +117,16 @@ object Bench {
     val (degraded, warmed) = ok.partition(r => singleSet(r._1))
     val warmTotal = warmed.map(_._3).sum
     val singleTotal = degraded.map(_._3).sum
+    // ADVICE r7: "value" covers n_warm_measured queries, NOT n_queries —
+    // publish the denominator explicitly, and flag any run whose warm
+    // set shrank (budget-tripped queries) as degraded so cross-run
+    // comparisons never silently mix different query sets.
+    val nWarm = warmed.size
+    val isDegraded = singlePass.nonEmpty || failures.nonEmpty
     def arr(xs: List[String]) = xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$warmTotal,"unit":"sec",""" +
       s""""cold_total":${ok.map(_._2).sum},"warm_total_measured":$warmTotal,""" +
+      s""""n_warm_measured":$nWarm,"degraded":$isDegraded,""" +
       s""""single_pass_total":$singleTotal,"n_queries":${results.size},""" +
       s""""n_failed":${failures.size},"failures":${arr(failures)},""" +
       s""""single_pass":${arr(singlePass)},"elapsed_s":$elapsedS,""" +
@@ -114,7 +138,8 @@ object Bench {
     // line always fits inside that tail window.
     println(s"""{"metric":"total","value":$warmTotal,"unit":"sec",""" +
       s""""cold_total":${ok.map(_._2).sum},"single_pass_total":$singleTotal,""" +
-      s""""n_queries":${results.size},"n_failed":${failures.size},""" +
+      s""""n_queries":${results.size},"n_warm_measured":$nWarm,""" +
+      s""""degraded":$isDegraded,"n_failed":${failures.size},""" +
       s""""n_single_pass":${singlePass.size},"elapsed_s":$elapsedS,""" +
       s""""summary_of":"preceding full line","sf":"$sfDirOrig"}""")
     System.out.flush()

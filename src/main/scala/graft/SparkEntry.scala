@@ -906,6 +906,231 @@ object SparkEntry {
         |       CAST(n0 - len(kept) AS BIGINT) AS n_removed
         |FROM c ORDER BY doc_id""".stripMargin)),
 
+    Q("q_span_scrub_exact",  // TRUE ExactSubstr (Lee et al. arXiv:2107.06499
+      // §3): every token inside ANY duplicated substring of ≥5 tokens
+      // (occurrence threshold 2, counted by position corpus-wide) is
+      // dropped — variable-length spans, no ≥minDocs popularity floor;
+      // the 2-doc shared-block case q_span_scrub's minDocs=5 provably
+      // misses is scrubbed here (DedupSpec). Coverage equivalence to the
+      // paper's suffix array: a position is inside a duplicated span of
+      // length ≥ L iff inside a duplicated L-window (see scaladoc). The
+      // duplicated-gram set is NOT assumed tiny, so the back-join
+      // hash-shuffles on doc id — two shuffles, never a self-join, and
+      // the cover sweep is the O(n + m log m) SpanCoverMask kernel.
+      (s, dir) => Dedup.scrubDupSpans(
+          docsTokens(s, dir).localCheckpoint(), "doc_id", "toks",
+          minLen = 5, minOcc = 2L)
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS ($SqlToks),
+        |g AS (SELECT doc_id, i AS s, md5(array_to_string(toks[i:i+4], ' ')) AS h
+        |      FROM t, LATERAL unnest(range(1, greatest(len(toks)-3, 1))) AS u(i)
+        |      WHERE len(toks) >= 5),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |hs AS (SELECT doc_id, list(s) AS starts FROM g JOIN dup USING (h) GROUP BY doc_id),
+        |j AS (SELECT t.doc_id, t.toks, COALESCE(hs.starts, []) AS starts
+        |      FROM t LEFT JOIN hs ON hs.doc_id = t.doc_id),
+        |c AS (SELECT doc_id,
+        |        list_filter(list_transform(range(1, len(toks)+1),
+        |            p -> {'p': p, 'tok': toks[p]}),
+        |          x -> len(list_filter(starts, s -> s <= x.p AND x.p < s + 5)) = 0) AS kept,
+        |        len(toks) AS n0
+        |      FROM j)
+        |SELECT doc_id,
+        |       COALESCE(array_to_string(list_transform(kept, x -> x.tok), ' '), '')
+        |         AS cleaned,
+        |       CAST(n0 - len(kept) AS BIGINT) AS n_removed
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
+    Q("q_span_dups",  // the audit twin of q_span_scrub_exact: the maximal
+      // duplicated-coverage intervals themselves as (doc_id, start, len)
+      // — what WOULD be removed, with positions; gaps-and-islands merge
+      // of duplicated 5-window starts, window partitioned per doc (span
+      // count bounded by doc length, never corpus-wide).
+      (s, dir) => Dedup.dupSpans(
+          docsTokens(s, dir).localCheckpoint(), "doc_id", "toks",
+          minLen = 5, minOcc = 2L)
+        .orderBy("doc_id", "start"),
+      Some(s"""WITH t AS ($SqlToks),
+        |g AS (SELECT doc_id, i AS s, md5(array_to_string(toks[i:i+4], ' ')) AS h
+        |      FROM t, LATERAL unnest(range(1, greatest(len(toks)-3, 1))) AS u(i)
+        |      WHERE len(toks) >= 5),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |ds AS (SELECT doc_id, s FROM g JOIN dup USING (h)),
+        |m AS (SELECT doc_id, s,
+        |        max(s + 4) OVER (PARTITION BY doc_id ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |      FROM ds),
+        |i AS (SELECT doc_id, s, sum(CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY doc_id ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |      FROM m)
+        |SELECT doc_id, CAST(min(s) AS INT) AS start,
+        |       CAST(max(s) - min(s) + 5 AS INT) AS len
+        |FROM i GROUP BY doc_id, isl ORDER BY doc_id, start""".stripMargin)),
+
+    Q("q_line_dedup",  // RefinedWeb/MassiveText line-level dedup (Penedo et
+      // al. arXiv:2306.01116): lines occurring verbatim in ≥2 distinct
+      // docs are removed from every doc, survivors rejoined in order —
+      // document structure preserved, boilerplate gone. "Line" = segment
+      // between literal ' the ' separators (this corpus has no newlines;
+      // the operator takes any separator). Hot-line set is found with one
+      // explode+count shuffle, then rides to every task as ONE broadcast
+      // array row — the scrub is a map-side array filter, the corpus
+      // never shuffles or regroups.
+      (s, dir) => Dedup.scrubHotLines(
+          Tables.table(s, dir, "documents"), "doc_id", "text",
+          sep = " the ", minDocs = 2L)
+        .orderBy("doc_id"),
+      Some("""WITH p AS (SELECT doc_id, str_split(text, ' the ') AS parts FROM documents),
+        |l AS (SELECT doc_id, i, parts[i] AS line
+        |      FROM p, LATERAL unnest(range(1, len(parts)+1)) AS u(i)),
+        |hot AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+        |k AS (SELECT l.doc_id, l.i, l.line FROM l ANTI JOIN hot USING (line)),
+        |g AS (SELECT doc_id, list(line ORDER BY i) AS kept FROM k GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |       COALESCE(array_to_string(g.kept, ' the '), '') AS cleaned,
+        |       CAST(len(p.parts) - COALESCE(len(g.kept), 0) AS BIGINT) AS n_removed
+        |FROM p LEFT JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    Q("q_token_budget",  // token-budget mixture sampling — "sample down to
+      // N tokens under this mixture", the form data recipes are actually
+      // specified in: budget = 15% of corpus tokens, mixture 40/30/20/10
+      // over src0-3 (all other sources dropped). Per-stratum rates are
+      // 1/256-quantized with LARGEST-REMAINDER correction toward the
+      // budget; src0's allocation exceeds its supply → capped at keep-all
+      // (the mixture caps, it does not redistribute). Rate table = one
+      // tiny groupBy + windows over THAT table, broadcast back; keep is a
+      // map-side keyed-hash predicate — no corpus shuffle. The only
+      // driver value is the 1-row corpus token total (k-row-scalar
+      // family, like centroids/offsets).
+      (s, dir) => {
+        val d = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(TextOps.tokenizeFiltered(col("text"), Stop, Nil))
+              .cast("double").as("w"))
+        val total = d.agg(sum(col("w"))).head().getDouble(0)
+        val b = math.floor(0.15 * total).toLong
+        IdOps.sampleToTokenBudget(d, "doc_id", "source", "w", b,
+            Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+            salt = "tb")
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |d AS (SELECT t.doc_id, dd.source, CAST(len(t.toks) AS DOUBLE) AS w
+        |      FROM t JOIN documents dd USING (doc_id)),
+        |bb AS (SELECT floor(0.15 * sum(w)) AS b FROM d),
+        |g AS (SELECT source, sum(w) AS w FROM d GROUP BY source),
+        |m AS (SELECT * FROM (VALUES ('src0', 0.4), ('src1', 0.3),
+        |        ('src2', 0.2), ('src3', 0.1)) AS mm(source, share)),
+        |r AS (SELECT g.source, g.w, least(b * share / g.w, 1.0) AS rate
+        |      FROM g JOIN m USING (source) CROSS JOIN bb),
+        |q AS (SELECT source, w, floor(rate*256 + 1e-9) AS t0,
+        |        rate*256 - floor(rate*256 + 1e-9) AS frac FROM r),
+        |df AS (SELECT (SELECT b FROM bb) - sum(w * t0 / 256.0) AS deficit FROM q),
+        |c AS (SELECT source, w, t0, frac,
+        |        COALESCE(sum(CASE WHEN frac > 1e-12 THEN w / 256.0 END)
+        |          OVER (ORDER BY frac DESC, source
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |      FROM q),
+        |b2 AS (SELECT source,
+        |        CASE WHEN frac > 1e-12 AND cb < (SELECT deficit FROM df) - 1e-9
+        |             THEN t0 + 1 ELSE t0 END AS t
+        |       FROM c),
+        |thr AS (SELECT source, CASE WHEN t >= 256 THEN 'zz'
+        |          ELSE printf('%02x', CAST(t AS INT)) END AS th FROM b2)
+        |SELECT dd.doc_id, dd.source
+        |FROM documents dd JOIN thr USING (source)
+        |WHERE substring(md5('tb' || '_' || CAST(dd.doc_id AS VARCHAR)), 1, 2) < th
+        |ORDER BY doc_id""".stripMargin)),
+
+    Q("q_quality_clf",  // trained-classifier-style quality score: logistic
+      // model over the heuristic feature set (diversity, stopword
+      // density, word length, bigram repetition, top-token domination)
+      // with fixed public weights — the fastText/logreg quality-filter
+      // plan shape with deterministic coefficients, so the score
+      // value-oracles. Pure codegen column expressions over RAW tokens
+      // (stopwords kept — the stopword-density feature needs them);
+      // zero shuffles beyond the scan.
+      (s, dir) => Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenizeFiltered(col("text"), Nil, Nil).as("toks"))
+        .select(col("doc_id"),
+          round(TextStats.qualityLogit(col("toks"), Stop), 6).as("quality"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+        |        regexp_extract_all(lower(text), '\b\w\w+\b') AS toks FROM documents),
+        |f AS (SELECT doc_id, len(toks) AS n,
+        |        CASE WHEN len(toks) = 0 THEN 0.0
+        |          ELSE len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) END AS d,
+        |        CASE WHEN len(toks) = 0 THEN 0.0
+        |          ELSE len(list_filter(toks, x -> x IN ('the', 'a')))
+        |               / CAST(len(toks) AS DOUBLE) END AS s,
+        |        CASE WHEN len(toks) = 0 THEN 0.0
+        |          ELSE list_sum(list_transform(toks, x -> length(x)))
+        |               / CAST(len(toks) AS DOUBLE) END AS ml,
+        |        CASE WHEN len(toks) < 2 THEN 0.0
+        |          ELSE 1.0 - len(list_distinct(list_transform(range(1, len(toks)),
+        |                 i -> toks[i] || ' ' || toks[i+1])))
+        |               / CAST(len(toks) - 1 AS DOUBLE) END AS r,
+        |        CASE WHEN len(toks) = 0 THEN 0.0
+        |          ELSE list_max(list_transform(list_distinct(toks),
+        |                 u -> len(list_filter(toks, x -> x = u))))
+        |               / CAST(len(toks) AS DOUBLE) END AS tp
+        |      FROM t)
+        |SELECT doc_id,
+        |  round(1.0 / (1.0 + exp(-(-1.5 + 2.0 * d + (1.0 - s) * 1.0
+        |    + 1.5 * least(ml / 10.0, 1.0) - 2.0 * r - 1.0 * tp))), 6) AS quality
+        |FROM f ORDER BY doc_id""".stripMargin)),
+
+    Q("q_stream_score",  // the first ORACLED streaming row: the CCNet
+      // scorer as a Structured Streaming query — parquet file source →
+      // stateless score (the broadcast-LM shape of q_lm_score_map, model
+      // inlined as one map literal) → exactly-once parquet SINK, then the
+      // sink is read back and checked against the same DuckDB oracle as
+      // q_lm_score. Exactly-once + stateless ⇒ the sink is deterministic,
+      // which is precisely what the hash compare asserts. Model = corpus
+      // unigram LM collected once (bounded vocab — k-row scalar family).
+      (s, dir) => {
+        val docs = docsTokens(s, dir)
+        val model = TextStats.unigramLogProbs(docs, "toks").collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val out = Scratch.dir("stream-score-out")
+        val cp = Scratch.dir("stream-score-cp")
+        val schema = Tables.table(s, dir, "documents").schema
+        // FileStreamSource lists a DIRECTORY; the testdata table may be a
+        // single parquet file — stage it into scratch when it is
+        val src = new java.io.File(s"$dir/documents.parquet")
+        val streamDir =
+          if (src.isDirectory) src.toString
+          else {
+            val d = new java.io.File(Scratch.dir("stream-score-src"))
+            java.nio.file.Files.copy(src.toPath,
+              new java.io.File(d, "documents.parquet").toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            d.toString
+          }
+        val stream = s.readStream.schema(schema).parquet(streamDir)
+        val toks = stream.select(col("doc_id"),
+          TextOps.tokenizeFiltered(col("text"), Stop, Nil).as("toks"))
+        graft.streaming.StreamOps.scoreStream(toks, "doc_id", "toks", model)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.parquet(out)
+          .select(col("doc_id"), round(col("xent"), 6).as("xent"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |e AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |f AS (SELECT w, count(*) AS cnt FROM e GROUP BY w),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM f)
+        |SELECT doc_id, round(-avg(ln(CAST(cnt AS DOUBLE) / total)), 6) AS xent
+        |FROM e JOIN f USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("q_split_leakage_safe",  // leakage-safe train/val/test split: the
       // split key is the duplicate-cluster representative, so all copies
       // of a document land in the SAME split — the train-test

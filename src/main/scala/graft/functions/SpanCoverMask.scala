@@ -32,7 +32,13 @@ case class SpanCoverMask(left: Expression, right: Expression, k: Int)
         TypeCheckResult.TypeCheckFailure(
           s"span_cover_mask requires (array<string>, array<int>) and k >= 1, got ($l, $r, k=$k)")
     }
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // propagate the token array's element nullability — declaring
+  // containsNull=false over a nullable-element child would let a null
+  // token flow into an array Spark believes non-null (ADVICE r7)
+  override def dataType: DataType = left.dataType match {
+    case ArrayType(_, containsNull) => ArrayType(StringType, containsNull)
+    case _ => ArrayType(StringType, containsNull = true)
+  }
   override def prettyName: String = "span_cover_mask"
 
   override def nullSafeEval(t: Any, s: Any): Any = {
@@ -54,7 +60,8 @@ case class SpanCoverMask(left: Expression, right: Expression, k: Int)
         if (end > coveredUntil) coveredUntil = end
         j += 1
       }
-      if (p > coveredUntil) kept.add(toks.getUTF8String(p - 1))
+      if (p > coveredUntil)
+        kept.add(if (toks.isNullAt(p - 1)) null else toks.getUTF8String(p - 1))
       p += 1
     }
     new GenericArrayData(kept.toArray)
@@ -85,7 +92,8 @@ case class SpanCoverMask(left: Expression, right: Expression, k: Int)
             if ($end > $cov) $cov = $end;
             $j++;
           }
-          if ($p > $cov) $kept.add($t.getUTF8String($p - 1));
+          if ($p > $cov)
+            $kept.add($t.isNullAt($p - 1) ? null : (Object) $t.getUTF8String($p - 1));
         }
         ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($kept.toArray());
       """

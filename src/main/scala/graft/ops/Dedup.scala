@@ -535,22 +535,41 @@ object Dedup {
     * hot-start list. Two shuffles total (gram count, per-doc start
     * lists) at any corpus size — never a self-join.
     */
-  def scrubHotSpans(
-      docs: DataFrame, idCol: String, toksCol: String,
-      k: Int, minDocs: Long): DataFrame = {
+  /** The (id, s, h) k-gram position stream every span-dedup operator
+    * starts from: one row per 1-based window start `s` with the md5 of
+    * the k tokens at [s, s+k) — md5 so the whole family value-oracles
+    * cross-engine. Corpus-token-sized but only (id, int, 32-hex) wide.
+    */
+  private def gramStream(
+      docs: DataFrame, idCol: String, toksCol: String, k: Int): DataFrame = {
     val gramArr =
       s"""CASE WHEN size($toksCol) >= $k
          | THEN transform(sequence(1, size($toksCol) - ${k - 1}),
          |        i -> md5(array_join(slice($toksCol, i, $k), ' ')))
          | ELSE array() END""".stripMargin
-    val grams = docs
+    docs
       .select(col(idCol), posexplode(expr(gramArr)).as(Seq("p0", "h")))
       .select(col(idCol), (col("p0") + 1).as("s"), col("h"))
+  }
+
+  def scrubHotSpans(
+      docs: DataFrame, idCol: String, toksCol: String,
+      k: Int, minDocs: Long): DataFrame = {
+    val grams = gramStream(docs, idCol, toksCol, k)
     val hot = grams.groupBy("h").agg(countDistinct(idCol).as("nd"))
       .filter(col("nd") >= minDocs).select("h")
-    val hotStarts = grams.join(hot, "h")
+    // both joins broadcast the hot side explicitly (PlanAuditSpec
+    // asserts the q_span_scrub plan is SortMergeJoin-free): the
+    // ≥minDocs HAVING makes the hot-gram set boilerplate-only — tiny
+    // at any corpus size. The dedup family whose duplicated set is NOT
+    // tiny is [[scrubDupSpans]], which deliberately shuffles instead.
+    val hotStarts = grams.join(broadcast(hot), "h")
       .groupBy(idCol).agg(collect_list("s").as("starts"))
-    docs.join(hotStarts, Seq(idCol), "left")
+    // the hint is explicit, not AQE-dependent: with a ≥minDocs HAVING the
+    // hot set is boilerplate-only, so the per-doc start lists are tiny —
+    // a skewed corpus where that stops holding should use the ≥2-occurrence
+    // [[scrubDupSpans]] whose back-join deliberately shuffles instead
+    docs.join(broadcast(hotStarts), Seq(idCol), "left")
       .withColumn("starts", coalesce(col("starts"), expr("cast(array() as array<int>)")))
       // fused codegen sweep (O(n + m log m)) instead of the interpreted
       // filter/exists HOF pair (O(n·m)); identical kept set
@@ -597,6 +616,124 @@ object Dedup {
         (size(col(toksCol)) - size(col("kept"))).cast("long").as("n_removed"))
   }
 
+  /** TRUE ExactSubstr duplicated-span scrubbing (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 §3): drop every token lying inside ANY duplicated
+    * substring of length ≥ `minLen` tokens — variable-length spans,
+    * occurrence threshold 2, closing the two gaps of the
+    * [[scrubHotSpans]] approximation (fixed span length, ≥minDocs
+    * popularity: a 200-token block shared by just 2 docs passes
+    * [[scrubHotSpans]] untouched and is fully scrubbed here).
+    *
+    * The paper builds a suffix array; for COVERAGE purposes that
+    * reduces to minLen-gram duplication: a position lies inside a
+    * duplicated substring of length ≥ L iff it lies inside some
+    * L-window whose content occurs ≥ `minOcc` times corpus-wide —
+    * every duplicated span of length ≥ L is a union of duplicated
+    * L-windows (align the two occurrences window by window), and every
+    * duplicated L-window is itself a duplicated span. The kept-token
+    * set therefore equals the suffix-array algorithm's exactly,
+    * computed as one sorted-gram self-count. Occurrences are counted
+    * by POSITION across the whole corpus (another doc, or elsewhere —
+    * even overlapping — in the same doc), matching the paper.
+    *
+    * Scale: the gram table is corpus-token-sized but (id, int, hash)
+    * narrow; unlike [[scrubHotSpans]]'s boilerplate-only hot set, the
+    * duplicated-gram set is NOT assumed tiny, so the back-join is a
+    * plain hash-shuffle on doc id (no broadcast assumption). Two
+    * shuffles (gram count, per-doc start lists) at any corpus size —
+    * never a self-join. The cover sweep is the same O(n + m log m)
+    * [[graft.functions.SpanCoverMask]] codegen kernel.
+    */
+  def scrubDupSpans(
+      docs: DataFrame, idCol: String, toksCol: String,
+      minLen: Int, minOcc: Long = 2L): DataFrame = {
+    val grams = gramStream(docs, idCol, toksCol, minLen)
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minOcc).select("h")
+    val dupStarts = grams.join(dup, "h")
+      .groupBy(idCol).agg(collect_list("s").as("starts"))
+    docs.join(dupStarts, Seq(idCol), "left")
+      .withColumn("starts", coalesce(col("starts"), expr("cast(array() as array<int>)")))
+      .withColumn("kept",
+        graft.functions.SpanCoverMask.span_kept(col(toksCol), col("starts"), minLen))
+      .select(col(idCol),
+        array_join(col("kept"), " ").as("cleaned"),
+        (size(col(toksCol)) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
+  /** Maximal duplicated-coverage intervals as explicit spans
+    * (id, start, len) — the audit/report twin of [[scrubDupSpans]]:
+    * merge the duplicated minLen-window starts into maximal contiguous
+    * covered intervals per document (gaps-and-islands). `start` is
+    * 1-based, `len` in tokens; every emitted span is ≥ minLen long,
+    * every token inside it is covered by a duplicated substring, and
+    * the union of the spans is exactly what [[scrubDupSpans]] removes.
+    *
+    * Scale: same two shuffles as the scrub; the island window
+    * partitions by doc id, so partition size is a doc's duplicated
+    * window count — bounded by document length, never corpus-wide.
+    */
+  def dupSpans(
+      docs: DataFrame, idCol: String, toksCol: String,
+      minLen: Int, minOcc: Long = 2L): DataFrame = {
+    val grams = gramStream(docs, idCol, toksCol, minLen)
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minOcc).select("h")
+    val ds = grams.join(dup, "h").select(col(idCol), col("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("s"))
+    // islands: a window start opens a new interval iff it leaves a gap
+    // after the furthest coverage of all earlier starts ([s, s+L-1]
+    // intervals touching or overlapping merge)
+    val prevEnd = max(col("s") + lit(minLen - 1))
+      .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    ds.withColumn("__new",
+        when(prevEnd.isNull || col("s") > prevEnd + lit(1), 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("s")).cast("int").as("start"),
+        (max(col("s")) - min(col("s")) + lit(minLen)).cast("int").as("len"))
+      .select(col(idCol), col("start"), col("len"))
+  }
+
+  /** Line-level exact dedup (the RefinedWeb/MassiveText line-dedup
+    * step, Penedo et al. arXiv:2306.01116 — the document-STRUCTURE
+    * counterpart of [[scrubHotSpans]]): every line occurring verbatim
+    * in ≥ `minDocs` distinct documents (navigation chrome, cookie
+    * banners, license footers) is removed from EVERY document, with
+    * the surviving lines rejoined in order — document structure
+    * preserved, boilerplate gone. "Line" = maximal `sep`-separated
+    * segment (literal separator, regex-quoted); all occurrences of a
+    * hot line are dropped, including repeats within one document.
+    * Output: (idCol, cleaned, n_removed).
+    *
+    * Scale: one explode+count shuffle finds the hot-line set; by the
+    * ≥minDocs threshold it is boilerplate-only (tiny), so it rides to
+    * every task as ONE broadcast array row and the scrub itself is a
+    * map-side array filter — the corpus never shuffles and never
+    * regroups (no per-doc collect_list), the [[graft.ops.TextStats]]
+    * broadcast-model shape applied to dedup.
+    */
+  def scrubHotLines(
+      docs: DataFrame, idCol: String, textCol: String,
+      sep: String, minDocs: Long): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val lines = docs.select(col(idCol), explode(split(col(textCol), sepRe)).as("line"))
+    val hot = lines.groupBy("line").agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs).select("line")
+    val hotArr = hot.agg(collect_list(col("line")).as("__hot"))
+    docs.crossJoin(broadcast(hotArr))
+      .withColumn("__parts", split(col(textCol), sepRe))
+      .withColumn("__kept",
+        filter(col("__parts"), l => !array_contains(col("__hot"), l)))
+      .select(col(idCol),
+        array_join(col("__kept"), sep).as("cleaned"),
+        (size(col("__parts")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   /** Leakage-safe train/val/test assignment: the split key is the
     * near-dup CLUSTER representative (the doc's own id when
     * unclustered), so cluster members are assigned as a unit — a
@@ -609,17 +746,23 @@ object Dedup {
     * device as [[graft.ops.IdOps.stratifiedSampleByHash]]: pure
     * function of the key, no sampling state, reproducible anywhere.
     *
-    * Scale: one join of the corpus against the tiny cluster-label
-    * table (near-dup members only — broadcast-able at any corpus
-    * size) followed by a map-side hash bucket; no corpus shuffle.
+    * Scale: the broadcast side is pre-filtered to MULTI-MEMBER cluster
+    * rows (id ≠ rep) — a caller may pass a labeling with one row per
+    * document (e.g. a corpus-wide window output), and broadcasting
+    * that unfiltered would be a corpus-sized driver collect (ADVICE
+    * r7). Singleton members coalesce to their own id on the left-join
+    * miss, so the result is identical and the broadcast side is only
+    * the near-dup members — tiny at any corpus size. One broadcast
+    * join + a map-side hash bucket; no corpus shuffle.
     */
   def splitByCluster(
       docs: DataFrame, idCol: String, clusters: DataFrame,
       cuts: Seq[(String, Double)], salt: String = ""): DataFrame = {
     require(cuts.nonEmpty && math.abs(cuts.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1: $cuts")
+    val members = clusters.filter(col("id") =!= col("rep"))
     val labeled = docs.join(
-      broadcast(clusters.withColumnRenamed("id", idCol)), Seq(idCol), "left")
+      broadcast(members.withColumnRenamed("id", idCol)), Seq(idCol), "left")
     val key = coalesce(col("rep"), col(idCol))
     val h = substring(md5(concat_ws("_", lit(salt), key.cast("string"))), 1, 4)
     val cum = cuts.map(_._2).scanLeft(0.0)(_ + _).tail

@@ -121,6 +121,20 @@ object IdOps {
     * 1/256 — use more hex digits for finer rates). Strata missing from
     * `rates` get `defaultRate`.
     */
+  def stratifiedSampleByHash(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    def hex(r: Double): Column =
+      if (r >= 1.0) lit("zz")  // every 2-hex-digit prefix sorts below "zz"
+      else lit(f"${math.max(0.0, math.floor(r * 256)).toInt}%02x")
+    val thr = rates.foldLeft(hex(defaultRate)) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, hex(r)).otherwise(acc)
+    }
+    df.filter(
+      substring(md5(concat_ws("_", lit(salt), col(keyCol).cast("string"))), 1, 2) < thr)
+  }
+
   /** Temperature-based mixture resampling (the domain-rebalancing step
     * of Gopher/PaLM-style data recipes): given per-row weights (token
     * counts) and a stratum (source/domain), flatten the mixture toward
@@ -159,17 +173,70 @@ object IdOps {
       .drop("__thr")
   }
 
-  def stratifiedSampleByHash(
-      df: DataFrame, keyCol: String, stratumCol: String,
-      rates: Map[String, Double], defaultRate: Double = 0.0,
+  /** Token-budget mixture sampling — "sample down to N tokens under
+    * this mixture", the form real data recipes are specified in:
+    * given per-row token counts (`weightCol`), a stratum (source /
+    * domain), a total token budget and target mixture shares m_s
+    * (summing to 1), keep each stratum s at the 1/256-quantized rate
+    * nearest-from-below to r_s = min(1, B·m_s / w_s), then distribute
+    * the leftover expected tokens by LARGEST REMAINDER: strata ranked
+    * by quantization remainder receive +1/256 until the expected total
+    * reaches the budget. Expected kept tokens land within
+    * max_s(w_s)/256 of the achievable target (a stratum with fewer
+    * tokens than its B·m_s allocation keeps everything — the mixture
+    * caps, it does not redistribute; strata absent from `mixture` are
+    * dropped). Row keep/drop is the same engine-portable keyed-hash
+    * device as [[stratifiedSampleByHash]], so any engine reproduces
+    * the exact kept set.
+    *
+    * Scale: the rate table is one partial-agg groupBy over strata
+    * (tiny) with the remainder ranking as windows over THAT table,
+    * joined back by broadcast; the keep decision is a map-side
+    * predicate — no corpus shuffle, no driver collect.
+    */
+  def sampleToTokenBudget(
+      df: DataFrame, keyCol: String, stratumCol: String, weightCol: String,
+      targetTokens: Long, mixture: Map[String, Double],
       salt: String = ""): DataFrame = {
-    def hex(r: Double): Column =
-      if (r >= 1.0) lit("zz")  // every 2-hex-digit prefix sorts below "zz"
-      else lit(f"${math.max(0.0, math.floor(r * 256)).toInt}%02x")
-    val thr = rates.foldLeft(hex(defaultRate)) { case (acc, (k, r)) =>
-      when(col(stratumCol) === k, hex(r)).otherwise(acc)
+    require(mixture.nonEmpty && math.abs(mixture.values.sum - 1.0) < 1e-9,
+      s"mixture shares must sum to 1: $mixture")
+    require(targetTokens >= 0, s"targetTokens must be >= 0: $targetTokens")
+    val share = mixture.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
     }
-    df.filter(
-      substring(md5(concat_ws("_", lit(salt), col(keyCol).cast("string"))), 1, 2) < thr)
+    val b = lit(targetTokens.toDouble)
+    val stats = df.groupBy(stratumCol)
+      .agg(sum(col(weightCol).cast("double")).as("__w"))
+      .withColumn("__share", share)
+      .filter(col("__share") > 0)
+      // ε inside the floor guards cross-engine double wobble, as in
+      // temperatureSample; floor(double) is LongType in Spark
+      .withColumn("__rate", least(b * col("__share") / col("__w"), lit(1.0)))
+      .withColumn("__t0", floor(col("__rate") * 256 + lit(1e-9)))
+      .withColumn("__frac", col("__rate") * 256 - col("__t0"))
+    val wAll = Window.partitionBy()
+    val wOrd = Window.orderBy(col("__frac").desc, col(stratumCol))
+    // expected-token deficit left by flooring, and each stratum's
+    // cumulative +1/256 gain in remainder order — all over the tiny
+    // per-stratum frame, never the corpus
+    val withDeficit = stats
+      .withColumn("__deficit",
+        b - sum(col("__w") * col("__t0") / lit(256.0)).over(wAll))
+      .withColumn("__cb", coalesce(
+        sum(when(col("__frac") > 1e-12, col("__w") / lit(256.0)))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0.0)))
+    val bumped = when(
+      col("__frac") > 1e-12 && col("__cb") < col("__deficit") - lit(1e-9),
+      col("__t0") + 1).otherwise(col("__t0"))
+    val rates = withDeficit
+      .withColumn("__thr",
+        when(bumped >= 256, lit("zz"))
+          .otherwise(format_string("%02x", bumped.cast("int"))))
+      .select(col(stratumCol), col("__thr"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(substring(
+        md5(concat_ws("_", lit(salt), col(keyCol).cast("string"))), 1, 2) < col("__thr"))
+      .drop("__thr")
   }
 }

@@ -99,6 +99,37 @@ object TextStats {
       .otherwise(lit(1.0) - size(array_distinct(bigrams)) / size(bigrams).cast("double"))
   }
 
+  /** Trained-classifier-style quality score: a logistic model over the
+    * heuristic feature set (lexical diversity, stopword density, word
+    * length, bigram repetition, top-token domination) with FIXED
+    * public weights — the plan shape of a fastText/logreg quality
+    * classifier (CCNet, GPT-3's WebText scorer) with the learned
+    * coefficients replaced by published-in-source constants, so the
+    * score is deterministic math and value-oracles cross-engine. In a
+    * real deployment only [[QualityClfWeights]] changes; the Spark
+    * plan — pure codegen column expressions, zero shuffles, zero UDFs
+    * — is identical.
+    *
+    * z = b₀ + w_d·distinct_ratio + w_s·(1 − stopword_ratio)
+    *       + w_l·min(mean_len/10, 1) − w_r·dup_bigram_frac
+    *       − w_t·top_token_frac ;  score = σ(z) ∈ (0, 1).
+    * Monotone: ↑diversity/↑word-length raise it, ↑repetition/
+    * ↑stopword-stuffing/↑top-token-share lower it (PropertySpec).
+    */
+  val QualityClfWeights: (Double, Double, Double, Double, Double, Double) =
+    (-1.5, 2.0, 1.0, 1.5, 2.0, 1.0)  // b0, w_d, w_s, w_l, w_r, w_t
+
+  def qualityLogit(tokens: Column, stopwords: Seq[String]): Column = {
+    val (b0, wd, ws, wl, wr, wt) = QualityClfWeights
+    val z = lit(b0) +
+      lit(wd) * distinctRatio(tokens) +
+      (lit(1.0) - stopwordRatio(tokens, stopwords)) * lit(ws) +
+      lit(wl) * least(meanTokenLen(tokens) / lit(10.0), lit(1.0)) -
+      lit(wr) * dupBigramFraction(tokens) -
+      lit(wt) * topTokenFraction(tokens)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
   /** Whitespace token count — `size(split)` on the raw text (counts
     * empty string as 1 token on empty text, like split semantics in
     * both engines; callers guard if needed).

@@ -353,6 +353,73 @@ class DedupSpec extends AnyFunSuite {
     assert(grams.count() == docs.count())
   }
 
+  test("scrubDupSpans: a 200-token block shared by just TWO docs is fully scrubbed (the case scrubHotSpans minDocs=5 provably misses)") {
+    val block = (1 to 200).map(i => s"blk$i")
+    val docs2 = Seq(
+      (1L, block ++ Seq("axx", "bxx", "cxx", "dxx", "exx")),
+      (2L, Seq("fyy", "gyy", "hyy", "iyy", "jyy") ++ block))
+      .toDF("doc_id", "toks")
+    // the old approximation: 2 docs < minDocs=5 → untouched
+    val approx = Dedup.scrubHotSpans(docs2, "doc_id", "toks", k = 3, minDocs = 5L)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(approx(1L) == 0L && approx(2L) == 0L,
+      "fixture invalid: minDocs=5 should leave a 2-doc block untouched")
+    // true ExactSubstr at minLen=50: every block token sits inside a
+    // 50-window fully contained in the block (block length 200 ≥ 50),
+    // duplicated at the aligned position of the other doc → scrubbed;
+    // the unique 5-token tails survive (their windows are not duplicated)
+    val exact = Dedup.scrubDupSpans(docs2, "doc_id", "toks", minLen = 50)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(exact(1L) == ("axx bxx cxx dxx exx", 200L))
+    assert(exact(2L) == ("fyy gyy hyy iyy jyy", 200L))
+  }
+
+  test("scrubDupSpans counts occurrences by POSITION — overlapping within-doc repeats are duplicated spans") {
+    val docs2 = Seq(
+      (1L, Seq("p", "q", "p", "q", "p", "q")),  // every 2-gram occurs ≥2× (overlap) → all covered
+      (2L, Seq("m", "n", "o", "r", "s", "t")))  // all 2-grams unique corpus-wide
+      .toDF("doc_id", "toks")
+    val out = Dedup.scrubDupSpans(docs2, "doc_id", "toks", minLen = 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ("", 6L))
+    assert(out(2L) == ("m n o r s t", 0L))
+  }
+
+  test("dupSpans merges duplicated windows into maximal coverage intervals (start, len)") {
+    val docs2 = Seq(
+      (1L, Seq("A", "B", "C", "D", "E", "F", "G", "H", "I", "J")),
+      (2L, Seq("A", "B", "C", "D", "E", "Z", "Y", "X", "W", "V")),
+      // shares A..E with the others twice, with a gap between the copies
+      (3L, Seq("A", "B", "C", "D", "E", "M", "N", "O", "A", "B", "C", "D", "E")))
+      .toDF("doc_id", "toks")
+    val got = Dedup.dupSpans(docs2, "doc_id", "toks", minLen = 3)
+      .as[(Long, Int, Int)].collect().toSet
+    // dup 3-grams: ABC/BCD/CDE → starts {1,2,3} cover [1,5] in docs 1, 2;
+    // doc 3 additionally at starts {9,10,11} → second interval [9,13]
+    assert(got == Set((1L, 1, 5), (2L, 1, 5), (3L, 1, 5), (3L, 9, 5)))
+    // the intervals are exactly what scrubDupSpans removes
+    val scrub = Dedup.scrubDupSpans(docs2, "doc_id", "toks", minLen = 3)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(scrub(1L) == ("F G H I J", 5L))
+    assert(scrub(2L) == ("Z Y X W V", 5L))
+    assert(scrub(3L) == ("M N O", 10L))
+  }
+
+  test("scrubHotLines removes every occurrence of a ≥minDocs cross-doc line, preserving structure") {
+    val docs2 = Seq(
+      (1L, "keep one\nCOMMON\nkeep two"),
+      (2L, "COMMON\nother"),
+      (3L, "solo only"),
+      (4L, "COMMON\nmid\nCOMMON"))  // within-doc repeats of a hot line all go
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubHotLines(docs2, "doc_id", "text", sep = "\n", minDocs = 2L)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ("keep one\nkeep two", 1L))
+    assert(out(2L) == ("other", 1L))
+    assert(out(3L) == ("solo only", 0L))
+    assert(out(4L) == ("mid", 2L))
+  }
+
   test("dropDupsByKey keeps exactly one row per key, the min-id one") {
     val withFp = docs.withColumn("fp", Dedup.wordSetFingerprint($"toks"))
     val kept = Dedup.dropDupsByKey(withFp.select($"doc_id", $"fp"), "doc_id", "fp")

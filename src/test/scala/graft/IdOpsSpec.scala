@@ -94,4 +94,57 @@ class IdOpsSpec extends AnyFunSuite {
       .groupBy("src").count().as[(String, Long)].collect().toMap
     assert(again == kept)
   }
+
+  test("sampleToTokenBudget == independent largest-remainder reimplementation (exact kept set); budget property holds") {
+    // strata A/B/C by id%3 with varied weights; mixture gives C more than
+    // its supply (cap → keep-all) and leaves stratum absent entirely via
+    // rows with src "D" (dropped). Exact-set check against a from-scratch
+    // driver-side reimplementation — thresholds, tie-breaks and the
+    // md5-prefix keep rule all re-derived independently.
+    val rows = (0L until 900L).map { id =>
+      val src =
+        if (id % 9 == 8) "D"
+        else if (id % 3 == 2) { if (id < 30) "C" else "A" }  // C supply ≈ 27 tokens < its 60-token allocation → capped
+        else if (id % 3 == 0) "A" else "B"
+      (id, src, (id % 7 + 1).toDouble)
+    }
+    val df = rows.toDF("id", "src", "w")
+    val budget = 600L
+    val mix = Map("A" -> 0.45, "B" -> 0.45, "C" -> 0.10)
+    val got = IdOps.sampleToTokenBudget(df, "id", "src", "w", budget, mix, salt = "tb")
+      .select($"id").as[Long].collect().toSet
+
+    // --- independent reimplementation ---
+    val w = rows.filter(r => mix.contains(r._2)).groupBy(_._2)
+      .map { case (s, rs) => s -> rs.map(_._3).sum }
+    val rate = w.map { case (s, ws) => s -> math.min(budget.toDouble * mix(s) / ws, 1.0) }
+    val t0 = rate.map { case (s, r) => s -> math.floor(r * 256 + 1e-9).toLong }
+    val frac = rate.map { case (s, r) => s -> (r * 256 - t0(s)) }
+    val deficit = budget.toDouble - w.keys.toSeq.map(s => w(s) * t0(s) / 256.0).sum
+    val order = w.keys.toSeq.sortBy(s => (-frac(s), s))
+    var cum = 0.0
+    val t = order.map { s =>
+      val bump = frac(s) > 1e-12 && cum < deficit - 1e-9
+      if (frac(s) > 1e-12) cum += w(s) / 256.0
+      s -> (if (bump) t0(s) + 1 else t0(s))
+    }.toMap
+    val thr = t.map { case (s, tv) => s -> (if (tv >= 256) "zz" else f"$tv%02x") }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex2(key: String): String =
+      md.digest(s"tb_$key".getBytes("UTF-8")).take(1).map(b => f"$b%02x").mkString
+    val expect = rows.filter(r => mix.contains(r._2) && hex2(r._1.toString) < thr(r._2))
+      .map(_._1).toSet
+    assert(got == expect)
+    assert(!got.exists(id => rows(id.toInt)._2 == "D"), "absent strata must be dropped")
+    // cap: C's 60-token allocation exceeds its ~27-token supply → keep-all
+    assert(thr("C") == "zz", s"fixture should cap stratum C, thresholds=$thr")
+    assert(rows.filter(_._2 == "C").map(_._1).toSet.subsetOf(got))
+    // largest-remainder budget property: each stratum's expected kept
+    // tokens sit within one 1/256 step of its min(B·m_s, w_s) target, so
+    // the total lands within Σ_s w_s/256 of the achievable budget
+    val expTok = w.keys.toSeq.map(s => w(s) * math.min(t(s), 256L) / 256.0).sum
+    val achievable = w.keys.toSeq.map(s => math.min(budget * mix(s), w(s))).sum
+    assert(math.abs(expTok - achievable) <= w.values.sum / 256.0 + 1e-6,
+      s"expected tokens $expTok vs achievable $achievable (budget $budget)")
+  }
 }

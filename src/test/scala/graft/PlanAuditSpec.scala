@@ -94,6 +94,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected a coalesce(rep, id) window partition key in q_dedup_best plan:\n$p")
   }
 
+  test("q_span_scrub / q_line_dedup: the hot-side joins broadcast — no SortMergeJoin in either plan") {
+    // scrubHotSpans' hot-gram set and scrubHotLines' hot-line set are
+    // boilerplate-only (≥minDocs HAVING) and hinted broadcast explicitly;
+    // a SortMergeJoin here would mean a full corpus shuffle at 100 TB
+    // (the scaladoc's claim, now plan-asserted — ADVICE r7). The
+    // deliberately-shuffling variant is scrubDupSpans (q_span_scrub_exact),
+    // whose duplicated set is NOT tiny.
+    for (q <- Seq("q_span_scrub", "q_line_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q plans a SortMergeJoin:\n$p")
+      assert(p.contains("BroadcastExchange"), s"$q should broadcast its hot side:\n$p")
+    }
+  }
+
   test("top-k queries plan as TakeOrderedAndProject, not a global sort") {
     for (q <- Seq("q_topk", "q_vocab_params", "q_sample_k")) {
       val p = plan(q)

@@ -99,6 +99,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("qualityLogit: monotone in each documented feature direction; scores in (0,1)") {
+    import graft.ops.TextStats
+    val stop = Dictionaries.Stopwords
+    def score(toks: Seq[String]): Double =
+      Seq(Tuple1(toks)).toDF("toks")
+        .select(TextStats.qualityLogit($"toks", stop).as("q")).head().getDouble(0)
+    // diversity ↑ (same lengths, no stopwords, same size): distinct beats repeated
+    assert(score(Seq("aa", "bb", "cc", "dd")) > score(Seq("aa", "aa", "aa", "aa")))
+    // stopword stuffing ↓ — only the stopword feature differs ("the" is
+    // 3 chars like the replaced token; diversity/top-frac/bigrams equal)
+    assert(score(Seq("abc", "def", "ghi", "jkl")) > score(Seq("the", "def", "ghi", "jkl")))
+    // longer words ↑ (identical diversity/stopword/repetition profiles)
+    assert(score(Seq("abcd", "efgh")) > score(Seq("ab", "cd")))
+    // bigram repetition ↓
+    assert(score(Seq("ab", "cd", "ef", "gh", "ij")) > score(Seq("ab", "cd", "ab", "cd", "ab")))
+    // bounded, defined on empty docs (σ(-1.5 + 1.0) at all-zero features)
+    val e = score(Seq.empty)
+    assert(e > 0.0 && e < 1.0 && math.abs(e - 1.0 / (1.0 + math.exp(0.5))) < 1e-12)
+    for (toks <- Seq(Seq("zz"), Seq("the", "the"), (1 to 50).map(i => s"w$i")))
+      { val s = score(toks); assert(s > 0.0 && s < 1.0) }
+  }
+
   test("shuffleDeterministic: dense 1..N bijection for arbitrary distinct key sets") {
     val keys = Gen.listOfN(300, Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2))
       .sample.get.distinct
