@@ -536,16 +536,24 @@ object Dedup {
     * lists) at any corpus size — never a self-join.
     */
   /** The (id, s, h) k-gram position stream every span-dedup operator
-    * starts from: one row per 1-based window start `s` with the md5 of
-    * the k tokens at [s, s+k) — md5 so the whole family value-oracles
-    * cross-engine. Corpus-token-sized but only (id, int, 32-hex) wide.
+    * starts from: one row per 1-based window start `s` with a hash of
+    * the k tokens at [s, s+k). `portable=true` hashes with md5 (32-hex
+    * string — the cross-engine oracle witness, like
+    * [[minhashPairsPortable]]); `portable=false` with xxhash64 (8-byte
+    * long — the scale path: 4× narrower shuffle rows and ~10× cheaper
+    * hashing; run THIS on real corpora). Only the hash constants
+    * differ — the duplicated-position set, and therefore every
+    * downstream scrub/span result, is identical (parity-asserted in
+    * DedupSpec; a 2⁻⁶⁴ gram collision would only over-scrub one span).
     */
   private def gramStream(
-      docs: DataFrame, idCol: String, toksCol: String, k: Int): DataFrame = {
+      docs: DataFrame, idCol: String, toksCol: String, k: Int,
+      portable: Boolean = true): DataFrame = {
+    val hashFn = if (portable) "md5" else "xxhash64"
     val gramArr =
       s"""CASE WHEN size($toksCol) >= $k
          | THEN transform(sequence(1, size($toksCol) - ${k - 1}),
-         |        i -> md5(array_join(slice($toksCol, i, $k), ' ')))
+         |        i -> $hashFn(array_join(slice($toksCol, i, $k), ' ')))
          | ELSE array() END""".stripMargin
     docs
       .select(col(idCol), posexplode(expr(gramArr)).as(Seq("p0", "h")))
@@ -647,8 +655,8 @@ object Dedup {
     */
   def scrubDupSpans(
       docs: DataFrame, idCol: String, toksCol: String,
-      minLen: Int, minOcc: Long = 2L): DataFrame = {
-    val grams = gramStream(docs, idCol, toksCol, minLen)
+      minLen: Int, minOcc: Long = 2L, portable: Boolean = true): DataFrame = {
+    val grams = gramStream(docs, idCol, toksCol, minLen, portable)
     val dup = grams.groupBy("h").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minOcc).select("h")
     val dupStarts = grams.join(dup, "h")
@@ -676,8 +684,8 @@ object Dedup {
     */
   def dupSpans(
       docs: DataFrame, idCol: String, toksCol: String,
-      minLen: Int, minOcc: Long = 2L): DataFrame = {
-    val grams = gramStream(docs, idCol, toksCol, minLen)
+      minLen: Int, minOcc: Long = 2L, portable: Boolean = true): DataFrame = {
+    val grams = gramStream(docs, idCol, toksCol, minLen, portable)
     val dup = grams.groupBy("h").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minOcc).select("h")
     val ds = grams.join(dup, "h").select(col(idCol), col("s"))

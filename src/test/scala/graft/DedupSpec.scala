@@ -405,6 +405,21 @@ class DedupSpec extends AnyFunSuite {
     assert(scrub(3L) == ("M N O", 10L))
   }
 
+  test("scrubDupSpans/dupSpans: xxhash64 scale path ≡ md5 portable witness on the real corpus") {
+    // only the gram-hash constants differ between the two paths — the
+    // duplicated-position sets must be identical, so the oracle on the
+    // portable form transfers to the scale form (the minhash-family
+    // verification pattern applied to span dedup)
+    val corpus = docs.select($"doc_id", $"toks")
+    val a = Dedup.scrubDupSpans(corpus, "doc_id", "toks", minLen = 5, portable = true)
+    val b = Dedup.scrubDupSpans(corpus, "doc_id", "toks", minLen = 5, portable = false)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val sa = Dedup.dupSpans(corpus, "doc_id", "toks", minLen = 5, portable = true)
+    val sb = Dedup.dupSpans(corpus, "doc_id", "toks", minLen = 5, portable = false)
+    assert(sa.exceptAll(sb).isEmpty && sb.exceptAll(sa).isEmpty)
+    assert(sa.count() > 0, "fixture should contain duplicated spans")
+  }
+
   test("scrubHotLines removes every occurrence of a ≥minDocs cross-doc line, preserving structure") {
     val docs2 = Seq(
       (1L, "keep one\nCOMMON\nkeep two"),
