@@ -1919,6 +1919,28 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text), '\b\w\w+\b')) AS INT) AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("q_bpe_tokens",  // BPE-ish LLM-token counting (the GPT-2 pre-tokenizer
+      // segmentation rule reduced to its regex core: letter runs / digit
+      // runs / other-symbol runs) — the cheap upper-anchor every token-
+      // budgeted data recipe starts from, next to the ws/word counts of
+      // q_token_stats. Map-side regexp count, no shuffle beyond the scan.
+      (s, dir) => Tables.table(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("__len"),
+          TextStats.bpeishTokenCount(col("text")).as("bpe_tokens"))
+        .select(col("doc_id"), col("bpe_tokens"),
+          round(when(col("bpe_tokens") === 0, lit(0.0))
+            .otherwise(col("__len") / col("bpe_tokens").cast("double")), 4)
+            .as("chars_per_token"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS INT)
+        |    AS bpe_tokens,
+        |  round(CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) = 0
+        |    THEN 0.0 ELSE length(text)
+        |      / CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS DOUBLE)
+        |    END, 4) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("q_fingerprint",
       (s, dir) => docsTokens(s, dir)
         .select(col("doc_id"), TextStats.contentFingerprint(col("toks")).as("fp"))

@@ -673,14 +673,21 @@ object Dedup {
   /** Maximal duplicated-coverage intervals as explicit spans
     * (id, start, len) — the audit/report twin of [[scrubDupSpans]]:
     * merge the duplicated minLen-window starts into maximal contiguous
-    * covered intervals per document (gaps-and-islands). `start` is
-    * 1-based, `len` in tokens; every emitted span is ≥ minLen long,
-    * every token inside it is covered by a duplicated substring, and
-    * the union of the spans is exactly what [[scrubDupSpans]] removes.
+    * covered intervals per document. `start` is 1-based, `len` in
+    * tokens; every emitted span is ≥ minLen long, every token inside
+    * it is covered by a duplicated substring, and the union of the
+    * spans is exactly what [[scrubDupSpans]] removes.
     *
-    * Scale: same two shuffles as the scrub; the island window
-    * partitions by doc id, so partition size is a doc's duplicated
-    * window count — bounded by document length, never corpus-wide.
+    * All windows share one constant length L, so coverage ends are
+    * monotone in the sorted starts and the classic max-prev-end
+    * gaps-and-islands window reduces to an ADJACENT-GAP test: a start
+    * opens a new interval iff it exceeds its predecessor by more than
+    * L. That turns the per-doc WindowExec (exchange + sort) the first
+    * formulation paid — measured ~1.6 s of q_span_dups' 1.85 s at
+    * sf0.1 — into array expressions inside the same per-doc groupBy
+    * the scrub already does: same two shuffles as [[scrubDupSpans]],
+    * no window, no extra exchange. Island count per doc is bounded by
+    * document length, never corpus-wide.
     */
   def dupSpans(
       docs: DataFrame, idCol: String, toksCol: String,
@@ -688,23 +695,25 @@ object Dedup {
     val grams = gramStream(docs, idCol, toksCol, minLen, portable)
     val dup = grams.groupBy("h").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minOcc).select("h")
-    val ds = grams.join(dup, "h").select(col(idCol), col("s"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("s"))
-    // islands: a window start opens a new interval iff it leaves a gap
-    // after the furthest coverage of all earlier starts ([s, s+L-1]
-    // intervals touching or overlapping merge)
-    val prevEnd = max(col("s") + lit(minLen - 1))
-      .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
-    ds.withColumn("__new",
-        when(prevEnd.isNull || col("s") > prevEnd + lit(1), 1).otherwise(0))
-      .withColumn("__isl", sum(col("__new")).over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)))
-      .groupBy(col(idCol), col("__isl"))
-      .agg(min(col("s")).cast("int").as("start"),
-        (max(col("s")) - min(col("s")) + lit(minLen)).cast("int").as("len"))
-      .select(col(idCol), col("start"), col("len"))
+    val perDoc = grams.join(dup, "h")
+      .groupBy(idCol).agg(sort_array(collect_list(col("s"))).as("ss"))
+    // heads = 1-based positions in ss that open an interval; interval j
+    // runs from ss[heads[j]] to ss[heads[j+1] - 1] + L - 1 (last island
+    // extends to the final start). IF/OR short-circuit guards the
+    // ANSI element_at(ss, 0) edge at i = 1 / j = size(heads).
+    perDoc
+      .withColumn("__heads", expr(
+        s"""filter(sequence(1, size(ss)),
+           | i -> i = 1 OR element_at(ss, i) > element_at(ss, i - 1) + $minLen)""".stripMargin))
+      .select(col(idCol), expr(
+        s"""explode(transform(sequence(1, size(__heads)), j -> named_struct(
+           |  'start', element_at(ss, element_at(__heads, j)),
+           |  'last', element_at(ss, IF(j = size(__heads), size(ss),
+           |                            element_at(__heads, j + 1) - 1)))))""".stripMargin)
+        .as("sp"))
+      .select(col(idCol),
+        col("sp.start").cast("int").as("start"),
+        (col("sp.last") - col("sp.start") + lit(minLen)).cast("int").as("len"))
   }
 
   /** Line-level exact dedup (the RefinedWeb/MassiveText line-dedup

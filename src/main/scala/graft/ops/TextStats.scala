@@ -136,6 +136,19 @@ object TextStats {
     */
   def wsTokenCount(text: Column): Column = size(split(text, "\\s+"))
 
+  /** BPE-ish token count: the GPT-2 pre-tokenizer's segmentation rule
+    * simplified to its cross-engine regex core — maximal runs of
+    * letters, runs of digits, or runs of other non-space characters
+    * each count as one unit (real BPE then merges inside those units,
+    * so this is the standard cheap upper-anchor for "how many LLM
+    * tokens is this corpus"). Pure regexp_extract_all count: the
+    * pattern uses only literal character classes, identical semantics
+    * in java.util.regex and RE2, so the count value-oracles.
+    */
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpeishPattern), lit(0)))
+
   /** Ordered-content fingerprint: md5 over the exact token sequence
     * (vs Dedup.wordSetFingerprint which is set-based).
     */
