@@ -1131,6 +1131,195 @@ object SparkEntry {
         |FROM e JOIN f USING (w) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("q_allpairs_tfidf",  // exact tf-idf weighted-cosine ALL-PAIRS over
+      // the corpus — the inverted-index APSS plan (Bayardo et al.
+      // WWW'07) in Similarity.cosinePairsSparse: candidates from each
+      // doc's rarest-first indexed prefix (suffix bound < θ ⇒ tail
+      // can't carry a qualifying pair), exact dot-product verify.
+      // Vocab is max_df-capped at 30% — the standard near-dup setting,
+      // and the scale lever that keeps hot-term postings out of the
+      // quadratic candidate join. Weights are the oracled q_tfidf
+      // pipeline's (smoothed idf, L2-normalized, 6dp HALF_UP).
+      (s, dir) => {
+        val base = docsTokens(s, dir)
+        val n = base.agg(count(lit(1)).as("n"))
+        val vocab = Tfidf.docFreq(base, "doc_id", "toks")
+          .crossJoin(n)
+          .filter(col("df") <= lit(0.3) * col("n"))
+          .withColumn("idf", log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0))
+          .select(col("word"), col("idf"))
+        val e = Tfidf.tfidfVectors(base, "doc_id", "toks", vocab, scale = 6)
+          .filter(col("weight") > 0)
+          .select(col("doc_id").as("id"), col("word"), col("weight").as("w"))
+        Similarity.cosinePairsSparse(e, minCos = 0.5)
+          .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+          .orderBy("id1", "id2")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |b AS (SELECT doc_id, toks, len(toks) AS len FROM t),
+        |n AS (SELECT count(*) AS n FROM b),
+        |dfreq AS (SELECT word, count(*) AS df FROM
+        |  (SELECT doc_id, unnest(list_distinct(toks)) AS word FROM b) GROUP BY word),
+        |vocab AS (SELECT word, ln((n + 1.0) / (df + 1.0)) + 1.0 AS idf
+        |          FROM dfreq, n WHERE df <= 0.3 * n),
+        |counts AS (SELECT doc_id, word, count(*) AS cnt FROM
+        |  (SELECT doc_id, unnest(toks) AS word FROM b) GROUP BY doc_id, word),
+        |w AS (SELECT c.doc_id, c.word,
+        |        (CASE WHEN d.len = 0 THEN 0.0 ELSE CAST(c.cnt AS DOUBLE) / d.len END)
+        |          * v.idf AS w
+        |      FROM counts c JOIN vocab v USING (word)
+        |      JOIN (SELECT doc_id, len FROM b) d USING (doc_id)),
+        |u AS (SELECT doc_id, word,
+        |        round(CASE WHEN nrm = 0 THEN 0.0 ELSE w / nrm END, 6) AS w
+        |      FROM (SELECT doc_id, word, w,
+        |              sqrt(sum(w * w) OVER (PARTITION BY doc_id)) AS nrm FROM w)),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, sum(a.w * b.w) AS cos
+        |      FROM (SELECT * FROM u WHERE w > 0) a
+        |      JOIN (SELECT * FROM u WHERE w > 0) b
+        |        ON a.word = b.word AND a.doc_id < b.doc_id
+        |      GROUP BY a.doc_id, b.doc_id)
+        |SELECT id1, id2, round(cos, 6) AS cos FROM p WHERE cos >= 0.5
+        |ORDER BY id1, id2""".stripMargin)),
+
+    Q("q_contamination_frac",  // per-doc benchmark-overlap FRACTION (the
+      // WIMBD/GPT-3-report contamination METRIC, vs q_decontaminate's
+      // boolean drop): distinct 5-grams per corpus doc, fraction present
+      // in the doc_id%7 eval set. The benchmark gram set broadcasts;
+      // the corpus never shuffles — per-doc counts aggregate map-side.
+      // Zero-hit docs are part of the contract (left join, count 0).
+      (s, dir) => {
+        val grams = docsTokens(s, dir)
+          .select(col("doc_id"),
+            array_distinct(Dedup.tokenShingles(col("toks"), 5)).as("g5"))
+          .filter(size(col("g5")) > 0)
+          .localCheckpoint()
+        val bench = grams.filter(col("doc_id") % 7 === 0)
+          .select(explode(col("g5")).as("g")).distinct()
+          .withColumn("__hit", lit(1))
+        grams.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), size(col("g5")).as("n_grams"), explode(col("g5")).as("g"))
+          .join(broadcast(bench), Seq("g"), "left")
+          .groupBy(col("doc_id"), col("n_grams"))
+          .agg(count(col("__hit")).as("n_hits"))
+          .select(col("doc_id"), col("n_grams"), col("n_hits"),
+            round(col("n_hits") / col("n_grams"), 6).as("frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 3),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+        |               || toks[i+3] || ' ' || toks[i+4]) END) AS g5
+        |      FROM t),
+        |g2 AS (SELECT doc_id, g5 FROM g WHERE len(g5) > 0),
+        |bg AS (SELECT DISTINCT unnest(g5) AS g FROM g2 WHERE doc_id % 7 = 0),
+        |cg AS (SELECT doc_id, CAST(len(g5) AS INT) AS n_grams, unnest(g5) AS g
+        |       FROM g2 WHERE doc_id % 7 <> 0)
+        |SELECT cg.doc_id, cg.n_grams, count(bg.g) AS n_hits,
+        |       round(CAST(count(bg.g) AS DOUBLE) / cg.n_grams, 6) AS frac
+        |FROM cg LEFT JOIN bg ON cg.g = bg.g
+        |GROUP BY cg.doc_id, cg.n_grams ORDER BY doc_id""".stripMargin)),
+
+    Q("q_snapshot_diff",  // corpus snapshot diff (CDC between two crawl
+      // snapshots): old = docs ∉ id%7=3, new = docs ∉ id%11=5 with
+      // id%13=1 texts rewritten — full outer join on id comparing
+      // content hashes → added/removed/changed rows. Scale: both sides
+      // hash-partition on doc_id (one co-partitioned shuffle join, AQE
+      // handles skew); the texts themselves never move, only id+md5.
+      (s, dir) => {
+        val d = Tables.table(s, dir, "documents")
+        val old = d.filter(col("doc_id") % 7 =!= 3)
+          .select(col("doc_id"), md5(col("text")).as("h_old"), lit(1).as("in_old"))
+        val nw = d.filter(col("doc_id") % 11 =!= 5)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 13 === 1, upper(col("text")))
+              .otherwise(col("text"))).as("h_new"),
+            lit(1).as("in_new"))
+        old.join(nw, Seq("doc_id"), "full_outer")
+          .withColumn("status",
+            when(col("in_new").isNull, lit("removed"))
+              .when(col("in_old").isNull, lit("added"))
+              .when(col("h_old") =!= col("h_new"), lit("changed")))
+          .filter(col("status").isNotNull)
+          .select(col("doc_id"), col("status"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH o AS (SELECT doc_id, md5(text) AS h_old FROM documents
+        |        WHERE doc_id % 7 <> 3),
+        |n AS (SELECT doc_id, md5(CASE WHEN doc_id % 13 = 1 THEN upper(text)
+        |        ELSE text END) AS h_new FROM documents WHERE doc_id % 11 <> 5)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN o.h_old <> n.h_new THEN 'changed' END AS status
+        |FROM o FULL JOIN n ON o.doc_id = n.doc_id
+        |WHERE n.doc_id IS NULL OR o.doc_id IS NULL OR o.h_old <> n.h_new
+        |ORDER BY doc_id""".stripMargin)),
+
+    Q("q_dedup_report",  // dedup observability: the duplication-profile
+      // histogram every dedup run reports before anything is dropped —
+      // at DOC granularity (exact-dup group sizes over the content
+      // hash) and LINE granularity (segments shared by k distinct
+      // docs, the q_line_dedup threshold-tuning curve), unioned as
+      // (level, sz, n_groups). Cheap chained aggregations, partial
+      // map-side; the histogram inputs are one row per group/line.
+      (s, dir) => {
+        val d = Tables.table(s, dir, "documents")
+        val doc = d.groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz")).agg(count(lit(1)).as("n_groups"))
+          .withColumn("level", lit("doc"))
+        val line = d
+          .select(col("doc_id"), explode(split(col("text"), " the ")).as("line"))
+          .distinct()
+          .groupBy(col("line")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz")).agg(count(lit(1)).as("n_groups"))
+          .withColumn("level", lit("line"))
+        doc.unionByName(line)
+          .select(col("level"), col("sz"), col("n_groups"))
+          .orderBy("level", "sz")
+      },
+      Some("""WITH gd AS (SELECT md5(text) AS h, count(*) AS sz
+        |        FROM documents GROUP BY md5(text)),
+        |hd AS (SELECT 'doc' AS level, sz, count(*) AS n_groups FROM gd GROUP BY sz),
+        |p AS (SELECT doc_id, str_split(text, ' the ') AS parts FROM documents),
+        |l AS (SELECT DISTINCT doc_id, unnest(parts) AS line FROM p),
+        |gl AS (SELECT line, count(*) AS sz FROM l GROUP BY line),
+        |hl AS (SELECT 'line' AS level, sz, count(*) AS n_groups FROM gl GROUP BY sz)
+        |SELECT level, sz, n_groups FROM hd UNION ALL
+        |SELECT level, sz, n_groups FROM hl ORDER BY level, sz""".stripMargin)),
+
+    Q("q_stream_dedup",  // second ORACLED streaming row, this one
+      // STATEFUL: exact dedup as dropDuplicates on the content hash
+      // over a parquet file source → exactly-once parquet sink. The
+      // emitted key SET is arrival-order-free (same keys whichever
+      // duplicate wins), so the sink is deterministic and DuckDB's
+      // SELECT DISTINCT oracles a stateful streaming query end-to-end.
+      (s, dir) => {
+        val out = Scratch.dir("stream-dedup-out")
+        val cp = Scratch.dir("stream-dedup-cp")
+        val schema = Tables.table(s, dir, "documents").schema
+        val src = new java.io.File(s"$dir/documents.parquet")
+        val streamDir =
+          if (src.isDirectory) src.toString
+          else {
+            val d = new java.io.File(Scratch.dir("stream-dedup-src"))
+            java.nio.file.Files.copy(src.toPath,
+              new java.io.File(d, "documents.parquet").toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            d.toString
+          }
+        s.readStream.schema(schema).parquet(streamDir)
+          .select(md5(col("text")).as("h"))
+          .dropDuplicates("h")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.parquet(out).select(col("h")).orderBy("h")
+      },
+      Some("SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h")),
+
     Q("q_split_leakage_safe",  // leakage-safe train/val/test split: the
       // split key is the duplicate-cluster representative, so all copies
       // of a document land in the SAME split — the train-test

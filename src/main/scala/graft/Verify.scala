@@ -14,7 +14,11 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDirOrig, outDir) = args
+    // optional 3rd arg: comma-separated query-name filter (debug aid)
+    val (sfDirOrig, outDir, only) = args match {
+      case Array(sf, out)    => (sf, out, None)
+      case Array(sf, out, f) => (sf, out, Some(f.split(",").toSet))
+    }
     // tmpfs input copy — one slow disk pass, RAM-speed scans after (Scratch)
     val sfDir = Scratch.localize(sfDirOrig)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -53,7 +57,9 @@ object Verify {
 
     val queue = new java.util.concurrent.ConcurrentLinkedQueue[
       (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach(queue.add)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach(queue.add)
     // No per-query unpersist here: with concurrent queries in flight a
     // blanket release would yank another query's localCheckpoint blocks
     // mid-job. Gate-SF checkpoint blocks are a few MB each; the session

@@ -349,4 +349,57 @@ object Similarity {
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
     Dedup.dedupClusters(pairs)
   }
+
+  /** EXACT weighted-cosine all-pairs over a SPARSE relation — the
+    * inverted-index APSS family (Bayardo, Ma & Srikant, WWW'07,
+    * "Scaling Up All Pairs Similarity Search"). Input `e0` is the
+    * exploded sparse matrix `(id, word, w)` with each document's
+    * weights L2-normalized, so cosine = Σ_shared w₁·w₂.
+    *
+    * Candidate generation indexes only each document's PREFIX under a
+    * fixed global term order (rarest-first by df, ties by term — the
+    * same canonical order as [[Dedup.jaccardPairsPrefix]]): with
+    * `mw(t) = max_d w_d(t)` the corpus-wide max weight of t, a
+    * document's suffix S satisfies Σ_{t∈S} w(t)·mw(t) ≥ cos(x,y) for
+    * any y meeting x only inside S — so once that suffix bound drops
+    * below θ the tail cannot by itself carry a qualifying pair, and
+    * every pair with cos ≥ θ shares at least one INDEXED term of each
+    * side. Candidates join the indexed prefix against the full
+    * postings, then a full dot-product verify makes the result exact.
+    *
+    * Scale: the df-ordered prefix drops hot terms (low idf ⇒ low
+    * w·mw tail contributions) from the index, collapsing the
+    * Σ_t df(t)² hot-term fan-out exactly where it explodes; the
+    * verify shuffles only candidate ids and their sparse rows. The
+    * input is localCheckpointed by default — it feeds term stats,
+    * prefixes, and the two verify probes.
+    * Output: (id1, id2, cos) with id1 < id2, cos ≥ minCos, unrounded.
+    */
+  def cosinePairsSparse(
+      e0: DataFrame, minCos: Double, materialize: Boolean = true): DataFrame = {
+    val e = if (materialize) e0.localCheckpoint() else e0
+    val stats = e.groupBy(col("word"))
+      .agg(max(col("w")).as("__mw"), count(lit(1)).as("__df"))
+    val ord = Window.partitionBy(col("id")).orderBy(col("__df"), col("word"))
+    val pref = e.join(stats, "word")
+      // suffix bound INCLUSIVE of the current term; ε errs toward
+      // indexing one term too many, never one too few
+      .withColumn("__sb", sum(col("w") * col("__mw"))
+        .over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("__sb") >= lit(minCos) - lit(1e-9))
+      .select(col("id"), col("word"))
+    val cand = pref.as("a")
+      .join(e.select(col("id"), col("word")).as("b"),
+        col("a.word") === col("b.word") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    cand
+      .join(e.select(col("id").as("id1"), col("word"), col("w").as("__w1")), Seq("id1"))
+      .join(e.select(col("id").as("id2"), col("word"), col("w").as("__w2")),
+        Seq("id2", "word"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(sum(col("__w1") * col("__w2")).as("cos"))
+      .filter(col("cos") >= minCos)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
 }

@@ -180,6 +180,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.get(20L).contains(20L) && got.get(21L).contains(20L))
   }
 
+  test("cosinePairsSparse: prefix-filtered APSS ≡ brute inverted-index join on the real corpus") {
+    // tf-idf sparse vectors over the documents corpus — the exact input
+    // family q_allpairs_tfidf runs on
+    val docs = Tables.table(spark, TestSpark.Sf, "documents")
+      .select($"doc_id", graft.ops.TextOps.tokenizeFiltered(
+        $"text", graft.Dictionaries.Stopwords, Nil).as("toks"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val vocab = graft.ops.Tfidf.docFreq(docs, "doc_id", "toks")
+      .crossJoin(n)
+      .filter($"df" <= lit(0.3) * $"n")
+      .withColumn("idf", log(($"n" + lit(1.0)) / ($"df" + lit(1.0))) + lit(1.0))
+      .select($"word", $"idf")
+    val e = graft.ops.Tfidf.tfidfVectors(docs, "doc_id", "toks", vocab, scale = 6)
+      .filter($"weight" > 0)
+      .select($"doc_id".as("id"), $"word", $"weight".as("w"))
+      .localCheckpoint()
+    val theta = 0.3  // lower than the gated 0.5 — more boundary pairs exercised
+    val brute = e.as("a")
+      .join(e.as("b"), $"a.word" === $"b.word" && $"a.id" < $"b.id")
+      .groupBy($"a.id".as("id1"), $"b.id".as("id2"))
+      .agg(sum($"a.w" * $"b.w").as("cos"))
+      .filter($"cos" >= theta)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val pref = Similarity.cosinePairsSparse(e, theta, materialize = false)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(pref == brute, s"prefix ${pref.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty)  // the parity must witness actual pairs
+  }
+
   test("bruteTopK: ranks are 1..k per query, cos within [-1,1], no self-pairs") {
     val r = Similarity.bruteTopK(emb.filter($"vec_id" % 100 === 0), emb,
       "vec_id", "embedding", 5).collect()
