@@ -1189,6 +1189,11 @@ object SparkEntry {
       // Zero-hit docs are part of the contract (left join, count 0).
       (s, dir) => {
         val grams = docsTokens(s, dir)
+          // spread FIRST: the gate parquet is one file → a 1-partition
+          // scan, and without this the gram build AND the broadcast
+          // probe (which preserves partitioning) run on a single core
+          // (same note as q_decontaminate_bloom)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"),
             array_distinct(Dedup.tokenShingles(col("toks"), 5)).as("g5"))
           .filter(size(col("g5")) > 0)
@@ -1319,6 +1324,182 @@ object SparkEntry {
         s.read.parquet(out).select(col("h")).orderBy("h")
       },
       Some("SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h")),
+
+    Q("q_containment_pairs",  // Broder CONTAINMENT ≥ 0.8 over word-3-
+      // shingles — the quote/sub-document duplication detector (a short
+      // doc fully embedded in a long one is ~1.0 containment but ~0.01
+      // Jaccard, invisible to every Jaccard-thresholded query). Bucketed
+      // in-bucket pair-gen with hot-bucket caps (Dedup.containmentPairs).
+      (s, dir) => Dedup.containmentPairs(
+          Dedup.shingleHashesViaArrays(docsTokens(s, dir), "doc_id", "toks", k = 3)
+            .localCheckpoint(),  // referenced twice (sizes + buckets)
+          minC = 0.8)
+        .withColumn("containment", round(col("containment"), 6))
+        .orderBy("id1", "id2"),
+      Some(s"""WITH t AS ($SqlToks),
+        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |      FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS w, len(sh) AS sz FROM s),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter,
+        |             max(a.sz) AS s1, max(b.sz) AS s2
+        |      FROM e a JOIN e b ON a.w = b.w AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |       round(CAST(inter AS DOUBLE) / least(s1, s2), 6) AS containment
+        |FROM p WHERE CAST(inter AS DOUBLE) / least(s1, s2) >= 0.8
+        |ORDER BY id1, id2""".stripMargin)),
+
+    Q("q_cms_counts",  // Count-Min sketch (Cormode & Muthukrishnan 2003)
+      // term-frequency estimation, VALUE-ORACLED: buckets are md5-derived
+      // (Kirsch–Mitzenmacher double hashing, the q_decontaminate_bloom
+      // device), so DuckDB rebuilds the d=4 × m cell table bit-for-bit —
+      // the output is exact INCLUDING the sketch's overcounts. m=16 here
+      // (not a production 2^20): the synthetic corpus has a 29-word
+      // vocabulary, and only a width below it makes the oracle actually
+      // exercise the collision/min-over-rows math rather than degenerate
+      // to exact counts. Scale shape: the BUILD aggregates the raw token
+      // stream straight into ≤ d·m cells (map-side partial agg into a
+      // constant-size table — the vocabulary never shuffles to build the
+      // sketch); only the evaluation harness (top-50 true counts) runs a
+      // word-level aggregation, and the cell table broadcasts back.
+      (s, dir) => {
+        val d = 4; val m = 16
+        val toks = docsTokens(s, dir).select(explode(col("toks")).as("w"))
+          .localCheckpoint()  // two consumers: cells + true counts
+        val cells = Sketches.cmsCells(toks, d, m)
+        val top = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("w")).limit(50)
+        Sketches.cmsEstimate(top, cells, d, m)
+          .withColumn("over", col("est") - col("cnt"))
+          .orderBy(col("cnt").desc, col("w"))
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |e AS (SELECT unnest(toks) AS w FROM t),
+        |hp AS (SELECT w,
+        |         CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substr(md5(w), 9, 8)) AS BIGINT) AS h2
+        |       FROM e),
+        |cells AS (SELECT j, (h1 + j * h2) % 16 AS pos, count(*) AS cell
+        |          FROM hp CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
+        |          GROUP BY 1, 2),
+        |top AS (SELECT w, count(*) AS cnt FROM e GROUP BY w
+        |        ORDER BY cnt DESC, w LIMIT 50),
+        |probe AS (SELECT t2.w, t2.cnt, j,
+        |            (CAST(('0x' || substr(md5(t2.w), 1, 8)) AS BIGINT)
+        |             + j * CAST(('0x' || substr(md5(t2.w), 9, 8)) AS BIGINT))
+        |            % 16 AS pos
+        |          FROM top t2 CROSS JOIN (SELECT unnest(range(0, 4)) AS j))
+        |SELECT p.w, p.cnt, min(c.cell) AS est, min(c.cell) - p.cnt AS over
+        |FROM probe p JOIN cells c ON p.j = c.j AND p.pos = c.pos
+        |GROUP BY p.w, p.cnt ORDER BY p.cnt DESC, p.w""".stripMargin)),
+
+    Q("q_source_kl",  // corpus-drift analytics: per-source unigram KL
+      // divergence from the whole-corpus distribution — the quantitative
+      // "how different is this domain" number behind mixture decisions
+      // (the measurement side of DSIR's importance weighting). One
+      // corpus explode into (source, word) counts; every join after that
+      // is on vocabulary-sized frames, the corpus never moves again.
+      (s, dir) => {
+        val toks = Tables.table(s, dir, "documents")
+          .select(col("source"),
+            explode(TextOps.tokenizeFiltered(col("text"), Stop, Nil)).as("w"))
+        val sw = toks.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+          .localCheckpoint()  // feeds all three frames below
+        val srcTot = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+        val corp = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+        val tot = corp.agg(sum(col("c_w")).as("n"))
+        sw.join(srcTot, "source").join(corp, "w").crossJoin(tot)
+          .withColumn("term", (col("c_sw") / col("n_s"))
+            * log((col("c_sw") / col("n_s")) / (col("c_w") / col("n"))))
+          .groupBy(col("source"), col("n_s"))
+          .agg(round(sum(col("term")), 6).as("kl"))
+          .select(col("source"), col("n_s").as("n_tokens"), col("kl"))
+          .orderBy("source")
+      },
+      Some("""WITH e AS (SELECT source, unnest(list_filter(
+        |        regexp_extract_all(lower(text), '\b\w\w+\b'),
+        |        x -> x NOT IN ('the', 'a'))) AS w FROM documents),
+        |sw AS (SELECT source, w, count(*) AS c_sw FROM e GROUP BY source, w),
+        |st AS (SELECT source, sum(c_sw) AS n_s FROM sw GROUP BY source),
+        |cw AS (SELECT w, sum(c_sw) AS c_w FROM sw GROUP BY w),
+        |n AS (SELECT sum(c_w) AS n FROM cw)
+        |SELECT sw.source, CAST(max(st.n_s) AS BIGINT) AS n_tokens,
+        |       round(sum((CAST(c_sw AS DOUBLE) / st.n_s)
+        |         * ln((CAST(c_sw AS DOUBLE) / st.n_s) / (CAST(c_w AS DOUBLE) / n.n))), 6)
+        |         AS kl
+        |FROM sw JOIN st USING (source) JOIN cw USING (w) CROSS JOIN n
+        |GROUP BY sw.source ORDER BY source""".stripMargin)),
+
+    Q("q_script_mix",  // character-class composition per doc (the script-
+      // mixture screen run before lang-ID: a doc that is 40% digits or
+      // 30% punctuation is table dumps/markup, not prose). Pure map-side
+      // regexp arithmetic over the scan — zero shuffles past the sort.
+      (s, dir) => {
+        val d = Tables.table(s, dir, "documents")
+        val n = length(col("text"))
+        val letters = n - length(regexp_replace(col("text"), "[A-Za-z]", ""))
+        val digits = n - length(regexp_replace(col("text"), "[0-9]", ""))
+        val spaces = n - length(regexp_replace(col("text"), "[ \\t\\n]", ""))
+        d.select(col("doc_id"), n.as("n_chars"),
+            round(letters / n.cast("double"), 6).as("f_letter"),
+            round(digits / n.cast("double"), 6).as("f_digit"),
+            round(spaces / n.cast("double"), 6).as("f_space"),
+            round((n - letters - digits - spaces) / n.cast("double"), 6).as("f_other"))
+          .filter(col("n_chars") > 0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS l,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS d,
+        |  length(text) - length(regexp_replace(text, '[ \t\n]', '', 'g')) AS s
+        |FROM documents)
+        |SELECT doc_id, n_chars,
+        |  round(CAST(l AS DOUBLE) / n_chars, 6) AS f_letter,
+        |  round(CAST(d AS DOUBLE) / n_chars, 6) AS f_digit,
+        |  round(CAST(s AS DOUBLE) / n_chars, 6) AS f_space,
+        |  round(CAST(n_chars - l - d - s AS DOUBLE) / n_chars, 6) AS f_other
+        |FROM m WHERE n_chars > 0 ORDER BY doc_id""".stripMargin)),
+
+    Q("q_zipf_slope",  // corpus Zipf exponent: least-squares slope of
+      // ln(freq) on ln(rank) over the top-1000 vocabulary — the one-
+      // number sanity check that a corpus looks like natural language
+      // (≈ −1) rather than logs or tables. The vocabulary aggregation is
+      // the only corpus-sized step; the regression runs on 1000 rows
+      // (TakeOrdered top-k, then a single bounded 1000-row window).
+      (s, dir) => {
+        val counts = docsTokens(s, dir)
+          .select(explode(col("toks")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("w")).limit(1000)
+        val ranked = counts.withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("w"))))
+        val xy = ranked.select(log(col("r")).as("x"), log(col("cnt")).as("y"))
+        xy.agg(count(lit(1)).as("n_words"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+          .select(col("n_words"),
+            round((col("n_words") * col("sxy") - col("sx") * col("sy"))
+              / (col("n_words") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+            round((col("sy") - ((col("n_words") * col("sxy") - col("sx") * col("sy"))
+              / (col("n_words") * col("sxx") - col("sx") * col("sx"))) * col("sx"))
+              / col("n_words"), 6).as("intercept"))
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |c AS (SELECT w, count(*) AS cnt FROM
+        |        (SELECT unnest(toks) AS w FROM t) GROUP BY w
+        |      ORDER BY cnt DESC, w LIMIT 1000),
+        |r AS (SELECT ln(row_number() OVER (ORDER BY cnt DESC, w)) AS x,
+        |             ln(cnt) AS y FROM c),
+        |a AS (SELECT count(*) AS n_words, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx FROM r)
+        |SELECT n_words,
+        |  round((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx)) * sx)
+        |    / n_words, 6) AS intercept
+        |FROM a""".stripMargin)),
 
     Q("q_split_leakage_safe",  // leakage-safe train/val/test split: the
       // split key is the duplicate-cluster representative, so all copies

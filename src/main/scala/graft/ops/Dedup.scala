@@ -277,6 +277,35 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** CONTAINMENT near-dup pairs (Broder's containment — the quote /
+    * sub-document signal Jaccard misses): for pairs sharing ≥1 shingle,
+    * containment = |A∩B| / min(|A|,|B|), i.e. how fully the smaller
+    * doc's shingle set lies inside the larger, kept at ≥ minC. A
+    * 50-token quote embedded in a 5000-token article scores ≈1.0 here
+    * but ≈0.01 Jaccard — this is the embedded-duplication detector.
+    * Pair-gen is the same bucketed in-bucket suffix-explode as
+    * [[jaccardPairsBucketed]] (hot buckets capped: the identical
+    * 100 TB argument — a corpus-wide boilerplate shingle must be
+    * dropped or the pair space itself is the bottleneck).
+    * Output: (id1, id2, containment).
+    */
+  def containmentPairs(
+      e: DataFrame, minC: Double, maxBucket: Int = 1000): DataFrame = {
+    val sizes = e.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val n = size(col("ids"))
+    val pairs = e.groupBy(col("h")).agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(n.between(2, maxBucket))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
+      .select(col("id1"),
+        explode(slice(col("ids"), col("i") + lit(2), n - col("i") - lit(1))).as("id2"))
+    pairs.groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "s1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "s2"), "id2")
+      .withColumn("containment", col("inter") / least(col("s1"), col("s2")))
+      .filter(col("containment") >= minC)
+      .select(col("id1"), col("id2"), col("containment"))
+  }
+
   /** Exact pairwise Jaccard over distinct shingle sets: all pairs
     * sharing ≥1 shingle (plus optional equality blocking column) with
     * jaccard ≥ minJ. Output: (id1, id2, jaccard).

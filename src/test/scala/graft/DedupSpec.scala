@@ -15,6 +15,22 @@ class DedupSpec extends AnyFunSuite {
     .withColumn("sh", Dedup.tokenShingles($"toks", 3))
     .persist()
 
+  test("containmentPairs: an embedded quote is ~1.0 containment yet invisible to Jaccard") {
+    // doc 2 fully contains doc 1's 5-token vocabulary inside 50 tokens:
+    // containment = 5/5 = 1.0, jaccard = 5/50 = 0.1
+    val toy = Seq(
+      (1L, (1 to 5).map(i => s"w$i")),
+      (2L, (1 to 5).map(i => s"w$i") ++ (1 to 45).map(i => s"x$i")),
+      (3L, (1 to 40).map(i => s"y$i")))
+      .toDF("doc_id", "toks")
+    val e = Dedup.shingleHashesViaArrays(toy, "doc_id", "toks", k = 1)
+    val cont = Dedup.containmentPairs(e, minC = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)))
+    // the same pair is below any useful Jaccard threshold
+    assert(Dedup.jaccardPairsFromHashes(e, 0.5).count() == 0)
+  }
+
   test("tokenShingles: windows of 3, short docs shingle to nothing") {
     val got = Seq((1L, Seq("a", "b", "c", "d")), (2L, Seq("a", "b")))
       .toDF("doc_id", "toks")
