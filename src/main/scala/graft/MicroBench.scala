@@ -28,13 +28,67 @@ object MicroBench {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    def gramsRepart = docsTokens
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        array_distinct(transform(Dedup.tokenShingles(col("toks"), 5),
+          g => xxhash64(g))).as("g5"))
+      .filter(size(col("g5")) > 0)
+    def gramsPlain = docsTokens
+      .select(col("doc_id"), Dedup.tokenShingles(col("toks"), 5).as("g5"))
     for (round <- 1 to 3) {
       println(s"-- round $round")
-      time("direct")   { Dedup.jaccardPairsFromHashes(e3, 0.5, materialize = true).count() }
-      time("prefix")   { Dedup.jaccardPairsPrefix(e3, 0.5).count() }
-      time("bucketed") { Dedup.jaccardPairsBucketed(e3, 0.5).count() }
-      time("cc_prefix")   { Dedup.dedupClusters(Dedup.jaccardPairsPrefix(e3, 0.5)).count() }
-      time("cc_bucketed") { Dedup.dedupClusters(Dedup.jaccardPairsBucketed(e3, 0.5)).count() }
+      time("ckpt_repart_hash") { gramsRepart.localCheckpoint().count() }
+      time("ckpt_plain_str")   { gramsPlain.localCheckpoint().count() }
+      time("ckpt_hash_norepart") { docsTokens
+        .select(col("doc_id"),
+          array_distinct(transform(Dedup.tokenShingles(col("toks"), 5),
+            g => xxhash64(g))).as("g5"))
+        .filter(size(col("g5")) > 0).localCheckpoint().count() }
+      time("ckpt_repart_str") { docsTokens
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), Dedup.tokenShingles(col("toks"), 5).as("g5"))
+        .localCheckpoint().count() }
+      time("ckpt_hash_nodistinct") { docsTokens
+        .select(col("doc_id"),
+          transform(Dedup.tokenShingles(col("toks"), 5),
+            g => xxhash64(g)).as("g5"))
+        .localCheckpoint().count() }
+      time("e3_array_distinct") { e3.count() }
+      time("e3_row_distinct") { docsTokens
+        .select(col("doc_id").as("id"),
+          explode(Dedup.tokenShingles(col("toks"), 3)).as("gs"))
+        .select(col("id"), xxhash64(col("gs")).as("h"))
+        .distinct().localCheckpoint().count() }
+      time("frac_row_distinct") {
+        val e = docsTokens
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id"), explode(Dedup.tokenShingles(col("toks"), 5)).as("gs"))
+          .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+          .distinct().localCheckpoint()
+        val bench = e.filter(col("doc_id") % 7 === 0).select("g").distinct()
+        val corpus = e.filter(col("doc_id") % 7 =!= 0)
+        val counts = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        val hits = corpus.join(broadcast(bench), Seq("g"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        counts.join(hits, Seq("doc_id"), "left").count()
+      }
+      time("decontaminate") {
+        val g = gramsPlain.localCheckpoint()
+        Dedup.contaminationHits(g.filter(col("doc_id") % 7 =!= 0), "doc_id", "g5",
+          g.filter(col("doc_id") % 7 === 0), "g5").count()
+      }
+      time("frac_current") {
+        val g = gramsRepart.localCheckpoint()
+        val bench = g.filter(col("doc_id") % 7 === 0)
+          .select(explode(col("g5")).as("g")).distinct()
+        val corpus = g.filter(col("doc_id") % 7 =!= 0)
+        val hits = corpus.select(col("doc_id"), explode(col("g5")).as("g"))
+          .join(broadcast(bench), Seq("g"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        corpus.select(col("doc_id"), size(col("g5")).as("n_grams"))
+          .join(hits, Seq("doc_id"), "left").count()
+      }
     }
     spark.stop()
   }

@@ -1188,26 +1188,35 @@ object SparkEntry {
       // the corpus never shuffles — per-doc counts aggregate map-side.
       // Zero-hit docs are part of the contract (left join, count 0).
       (s, dir) => {
-        val grams = docsTokens(s, dir)
-          // spread FIRST: the gate parquet is one file → a 1-partition
-          // scan, and without this the gram build AND the broadcast
-          // probe (which preserves partitioning) run on a single core
-          // (same note as q_decontaminate_bloom)
+        // distinct grams as ROWS, not arrays: explode + hash + row-level
+        // distinct is 4-5× faster here than array_distinct over an
+        // unmaterialized transform (measured in MicroBench), and grams
+        // join as 8-byte longs (xxhash64 collisions ~1e-11 at this
+        // cardinality — the distinct-count contract is unchanged, the
+        // q_ngram3 device). repartition first: the gate parquet is one
+        // file → a 1-partition scan (same note as q_decontaminate_bloom).
+        val e = docsTokens(s, dir)
           .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"),
-            array_distinct(Dedup.tokenShingles(col("toks"), 5)).as("g5"))
-          .filter(size(col("g5")) > 0)
+          .select(col("doc_id"), explode(Dedup.tokenShingles(col("toks"), 5)).as("gs"))
+          .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+          .distinct()
           .localCheckpoint()
-        val bench = grams.filter(col("doc_id") % 7 === 0)
-          .select(explode(col("g5")).as("g")).distinct()
-          .withColumn("__hit", lit(1))
-        grams.filter(col("doc_id") % 7 =!= 0)
-          .select(col("doc_id"), size(col("g5")).as("n_grams"), explode(col("g5")).as("g"))
-          .join(broadcast(bench), Seq("g"), "left")
-          .groupBy(col("doc_id"), col("n_grams"))
-          .agg(count(col("__hit")).as("n_hits"))
-          .select(col("doc_id"), col("n_grams"), col("n_hits"),
-            round(col("n_hits") / col("n_grams"), 6).as("frac"))
+        val bench = e.filter(col("doc_id") % 7 === 0).select("g").distinct()
+        val corpus = e.filter(col("doc_id") % 7 =!= 0)
+        // inner-join first so only HITS reach the aggregate (the
+        // contaminationHits shape), then left-join the k-row hit counts
+        // back onto the per-doc counts — zero-hit docs stay in the
+        // contract without dragging every miss row through the agg;
+        // docs with no grams (< 5 tokens) have no rows, matching the
+        // oracle's len(g5) > 0 filter
+        val hits = corpus
+          .join(broadcast(bench), Seq("g"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        corpus.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n_grams"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            round(coalesce(col("n_hits"), lit(0L)) / col("n_grams"), 6).as("frac"))
           .orderBy("doc_id")
       },
       Some(s"""WITH t AS ($SqlToks),
@@ -1500,6 +1509,105 @@ object SparkEntry {
         |  round((sy - ((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx)) * sx)
         |    / n_words, 6) AS intercept
         |FROM a""".stripMargin)),
+
+    Q("q_lexical_diversity",  // per-doc lexical-diversity metrics: token
+      // count, type count, type-token ratio, and Shannon entropy of the
+      // in-doc word distribution — the richness screen next to the
+      // q_repetition redundancy signals. One explode into (doc, word)
+      // counts; the entropy normalizer is a per-doc window on that
+      // already-aggregated frame, so the corpus shuffles once.
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        docsTokens(s, dir)
+          .select(col("doc_id"), explode(col("toks")).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+          .withColumn("n", sum(col("cnt")).over(w))
+          .groupBy(col("doc_id"))
+          .agg(max(col("n")).as("n_toks"), count(lit(1)).as("n_types"),
+            round(count(lit(1)) / max(col("n")).cast("double"), 6).as("ttr"),
+            round(-sum((col("cnt") / col("n").cast("double"))
+              * log(col("cnt") / col("n").cast("double"))), 6).as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |c AS (SELECT doc_id, w, count(*) AS cnt FROM
+        |        (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w),
+        |x AS (SELECT doc_id, cnt,
+        |        CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM c)
+        |SELECT doc_id, max(n) AS n_toks, count(*) AS n_types,
+        |       round(CAST(count(*) AS DOUBLE) / max(n), 6) AS ttr,
+        |       round(-sum((CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n)), 6)
+        |         AS entropy
+        |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("q_cooccur_pmi",  // word co-occurrence PMI (Church & Hanks 1990):
+      // within-doc DISTINCT co-occurrence counts → pmi =
+      // ln(c_ab·N / (df_a·df_b)), top-100 by rounded pmi with a
+      // lexicographic tie-break (rounding BEFORE ordering keeps the
+      // LIMIT boundary engine-independent). Scale: co-occurrence is
+      // vocabulary-bounded, not corpus-bounded — real corpora cap to a
+      // top-V vocab first, and the per-doc self-join then emits ≤ V²/2
+      // rows per doc that collapse map-side into the ≤ V²/2-row global
+      // frame every later join runs on.
+      (s, dir) => {
+        val e = docsTokens(s, dir)
+          .select(col("doc_id"), explode(array_distinct(col("toks"))).as("w"))
+          .localCheckpoint()  // feeds pairs, dfs, and N
+        val n = e.select(col("doc_id")).distinct().agg(count(lit(1)).as("n"))
+        val dfreq = e.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        val pairs = e.as("a")
+          .join(e.as("b"),
+            col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+          .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+          .agg(count(lit(1)).as("c_ab"))
+        pairs
+          .join(dfreq.select(col("w").as("w1"), col("df").as("df1")), "w1")
+          .join(dfreq.select(col("w").as("w2"), col("df").as("df2")), "w2")
+          .crossJoin(n)
+          .select(col("w1"), col("w2"), col("c_ab"),
+            round(log((col("c_ab") * col("n")).cast("double")
+              / (col("df1") * col("df2"))), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))
+          .limit(100)
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |e AS (SELECT doc_id, unnest(list_distinct(toks)) AS w FROM t),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM e),
+        |dfreq AS (SELECT w, count(*) AS df FROM e GROUP BY w),
+        |p AS (SELECT a.w AS w1, b.w AS w2, count(*) AS c_ab
+        |      FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.w < b.w
+        |      GROUP BY a.w, b.w)
+        |SELECT w1, w2, c_ab,
+        |       round(ln(CAST(c_ab * n.n AS DOUBLE) / (d1.df * d2.df)), 6) AS pmi
+        |FROM p JOIN dfreq d1 ON p.w1 = d1.w JOIN dfreq d2 ON p.w2 = d2.w
+        |CROSS JOIN n
+        |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin)),
+
+    Q("q_embed_norm_stats",  // embedding-table hygiene: per-label L2-norm
+      // distribution (count/min/max/mean) — the "are these vectors even
+      // normalized" check run before any cosine pipeline. Norms via the
+      // sequential-IEEE DotProduct codegen kernel after the mandatory
+      // float→double cast; one map-side pass plus a 20-row aggregate.
+      (s, dir) => {
+        val nrm = Similarity.l2norm(KMeansOps.asDouble(col("embedding")))
+        Tables.table(s, dir, "embeddings")
+          .select(col("label"), nrm.as("nrm"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            round(min(col("nrm")), 6).as("min_norm"),
+            round(max(col("nrm")), 6).as("max_norm"),
+            round(avg(col("nrm")), 6).as("avg_norm"))
+          .orderBy("label")
+      },
+      Some("""WITH x AS (SELECT label,
+        |        sqrt(list_sum(list_transform(embedding,
+        |          v -> CAST(v AS DOUBLE) * v))) AS nrm
+        |      FROM embeddings)
+        |SELECT label, count(*) AS n,
+        |       round(min(nrm), 6) AS min_norm,
+        |       round(max(nrm), 6) AS max_norm,
+        |       round(avg(nrm), 6) AS avg_norm
+        |FROM x GROUP BY label ORDER BY label""".stripMargin)),
 
     Q("q_split_leakage_safe",  // leakage-safe train/val/test split: the
       // split key is the duplicate-cluster representative, so all copies

@@ -37,8 +37,11 @@ object Sketches {
     * at most d·m rows.
     */
   def cmsCells(toks: DataFrame, d: Int, m: Int): DataFrame =
-    toks.select(col("w"), explode(sequence(lit(0), lit(d - 1))).as("j"))
-      .select(col("j"), pos(col("w"), col("j"), m).as("pos"))
+    // hash BEFORE the ×d explode: one md5 per token occurrence (the two
+    // substrings CSE to a single digest), not d of them
+    toks.select(h1(col("w")).as("h1"), h2(col("w")).as("h2"))
+      .select(col("h1"), col("h2"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .select(col("j"), pmod(col("h1") + col("j") * col("h2"), lit(m)).as("pos"))
       .groupBy(col("j"), col("pos")).agg(count(lit(1)).as("cell"))
 
   /** Point-query the sketch for each word in `words` (column `w`,
