@@ -1334,6 +1334,51 @@ object SparkEntry {
       },
       Some("SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h")),
 
+    Q("q_stream_window",  // third ORACLED streaming row — WATERMARKED,
+      // WINDOWED, APPEND: hourly event-type counts with a 2 h watermark
+      // over a parquet file source into an exactly-once append sink.
+      // Append emits exactly the windows whose end is ≤ the FINAL
+      // watermark (max event time − 2 h; AvailableNow runs the trailing
+      // no-data batch that advances it); on static input that set is
+      // closed-form, so DuckDB oracles watermark semantics themselves —
+      // which windows a stateful streaming aggregation may finalize —
+      // not just a stateless pass-through.
+      (s, dir) => {
+        val out = Scratch.dir("stream-window-out")
+        val cp = Scratch.dir("stream-window-cp")
+        val src = new java.io.File(s"$dir/events.parquet")
+        val streamDir =
+          if (src.isDirectory) src.toString
+          else {
+            val d = new java.io.File(Scratch.dir("stream-window-src"))
+            java.nio.file.Files.copy(src.toPath,
+              new java.io.File(d, "events.parquet").toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            d.toString
+          }
+        val schema = s.read.parquet(streamDir).schema
+        val stream = s.readStream.schema(schema).parquet(streamDir)
+          // same NTZ-wall-clock → UTC-instant adaptation as Tables.events
+          // (sessions pin spark.sql.session.timeZone=UTC); watermarks
+          // need a TimestampType event-time column
+          .select(col("ts").cast(org.apache.spark.sql.types.TimestampType).as("ts"),
+            col("event_type"), col("value"))
+        graft.streaming.StreamOps.hourlyCounts(stream)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.parquet(out).orderBy("hour_epoch", "event_type")
+      },
+      Some("""WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+        |SELECT epoch_ns(date_trunc('hour', ts)) // 1000000000 AS hour_epoch,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events, wm
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+        |GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin)),
+
     Q("q_containment_pairs",  // Broder CONTAINMENT ≥ 0.8 over word-3-
       // shingles — the quote/sub-document duplication detector (a short
       // doc fully embedded in a long one is ~1.0 containment but ~0.01
