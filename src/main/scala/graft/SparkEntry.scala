@@ -1654,6 +1654,74 @@ object SparkEntry {
         |       round(avg(nrm), 6) AS avg_norm
         |FROM x GROUP BY label ORDER BY label""".stripMargin)),
 
+    Q("q_stream_session",  // fourth ORACLED streaming row — CUSTOM STATE
+      // with EVENT-TIME TIMEOUT: the flatMapGroupsWithState gap
+      // sessionizer over a parquet file source into an exactly-once
+      // append sink. The emitted set is closed-form on static input:
+      // a session closed by its successor event (any non-final session
+      // of a user — the whole corpus arrives in one batch) is emitted
+      // in the data batch; a user's FINAL session is emitted only if
+      // its timeout (end + gap) fell strictly before the final
+      // watermark (max event time − 10 s, advanced by AvailableNow's
+      // trailing no-data batch). The oracle re-derives exactly that
+      // union — so timeout semantics of custom keyed state are what is
+      // being hash-checked, not just session arithmetic.
+      (s, dir) => {
+        import s.implicits._
+        val out = Scratch.dir("stream-session-out")
+        val cp = Scratch.dir("stream-session-cp")
+        val src = new java.io.File(s"$dir/events.parquet")
+        val streamDir =
+          if (src.isDirectory) src.toString
+          else {
+            val d = new java.io.File(Scratch.dir("stream-session-src"))
+            java.nio.file.Files.copy(src.toPath,
+              new java.io.File(d, "events.parquet").toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            d.toString
+          }
+        val schema = s.read.parquet(streamDir).schema
+        val stream = s.readStream.schema(schema).parquet(streamDir)
+          .select(col("user_id"),
+            col("ts").cast(org.apache.spark.sql.types.TimestampType).as("ts"))
+          .as[graft.streaming.StreamOps.SEv]
+        graft.streaming.StreamOps
+          .sessionizeStream(stream, gapMs = 1800L * 1000, watermarkDelay = "10 seconds")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.parquet(out)
+          .select(col("user_id"),
+            expr("start_ms div 1000").as("start_s"),
+            expr("end_ms div 1000").as("end_s"),
+            col("n_events"))
+          .orderBy("user_id", "start_s")
+      },
+      Some("""WITH g AS (SELECT user_id, epoch_ms(ts) AS tm,
+        |        lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |      FROM events),
+        |f AS (SELECT user_id, tm,
+        |        CASE WHEN prev IS NULL OR tm - prev > 1800000 THEN 1 ELSE 0 END AS nw
+        |      FROM g),
+        |sid AS (SELECT user_id, tm,
+        |          sum(nw) OVER (PARTITION BY user_id ORDER BY tm
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |        FROM f),
+        |ses AS (SELECT user_id, s, count(*) AS n_events,
+        |          min(tm) AS start_ms, max(tm) AS end_ms
+        |        FROM sid GROUP BY user_id, s),
+        |mx AS (SELECT user_id, max(s) AS last_s FROM ses GROUP BY user_id),
+        |wm AS (SELECT max(epoch_ms(ts)) - 10000 AS w FROM events)
+        |SELECT ses.user_id,
+        |  CAST(start_ms // 1000 AS BIGINT) AS start_s,
+        |  CAST(end_ms // 1000 AS BIGINT) AS end_s, n_events
+        |FROM ses JOIN mx USING (user_id) CROSS JOIN wm
+        |WHERE ses.s < mx.last_s OR ses.end_ms + 1800000 < wm.w
+        |ORDER BY user_id, start_s""".stripMargin)),
+
     Q("q_split_leakage_safe",  // leakage-safe train/val/test split: the
       // split key is the duplicate-cluster representative, so all copies
       // of a document land in the SAME split — the train-test
