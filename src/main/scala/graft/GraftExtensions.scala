@@ -27,12 +27,15 @@ import graft.functions._
   * codegen.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
+    // textbook aggregate(zip_with(..)) dot products → the codegen kernel
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -89,9 +92,14 @@ object GraftExtensions {
   /** Inject every kernel into a LIVE session's function registry
     * (temp-function scope — the dynamic twin of the static-conf path).
     */
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "scala_udf")
     }
+    // the live-session twin of injectOptimizerRule
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.DotProductRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.DotProductRewrite
+  }
 }

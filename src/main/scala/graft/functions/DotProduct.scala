@@ -37,13 +37,32 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
+  // NULL on length mismatch or a null element — exactly the HOF
+  // formulation's semantics (zip_with null-pads the shorter side and a
+  // null element poisons the whole fold), which is what makes
+  // plans.DotProductRewrite semantics-preserving for ANY array<double>
+  // input. The per-element null test is emitted only when the child
+  // type admits nulls, so the tight loop survives on non-null arrays.
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elementsNullable
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -52,13 +71,24 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $s += $a.getDouble($i) * $b.getDouble($i);
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $nullCheck
+            $s += $a.getDouble($i) * $b.getDouble($i);
+          }
+          if (!${ev.isNull}) {
+            ${ev.value} = $s;
+          }
         }
-        ${ev.value} = $s;
       """
     })
 

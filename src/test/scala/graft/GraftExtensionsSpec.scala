@@ -50,6 +50,42 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(nc == 9L)
   }
 
+  test("DotProductRewrite: the textbook aggregate(zip_with) dot product is rewritten to the codegen kernel, value-identical") {
+    GraftExtensions.registerAll(spark)
+    // a TABLE source, not literals — constant folding would otherwise
+    // collapse the whole expression before the rewrite is observable
+    val emb = Tables.table(spark, TestSpark.Sf, "embeddings")
+      .select($"vec_id", graft.ops.KMeansOps.asDouble($"embedding").as("v"))
+      .limit(20)
+    val hof = emb.as("x").join(emb.as("y"), $"x.vec_id" === $"y.vec_id")
+      .selectExpr("x.vec_id AS vec_id",
+        "aggregate(zip_with(x.v, y.v, (p, q) -> p * q), 0.0D, (acc, w) -> acc + w) AS d")
+    assert(hof.queryExecution.optimizedPlan.toString.contains("dot_product"),
+      s"rewrite did not fire:\n${hof.queryExecution.optimizedPlan}")
+    // bit-identical to the kernel called directly
+    val direct = emb.select($"vec_id",
+      graft.ops.Similarity.dot($"v", $"v").as("d"))
+    val got = hof.orderBy("vec_id").as[(Long, Double)].collect().toSeq
+    val want = direct.orderBy("vec_id").as[(Long, Double)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // commuted operand orders still match; a non-product lambda is left alone
+    val commuted = emb.selectExpr(
+      "aggregate(zip_with(v, v, (x, y) -> y * x), 0.0D, (acc, w) -> w + acc) AS d")
+    assert(commuted.queryExecution.optimizedPlan.toString.contains("dot_product"))
+    val other = emb.selectExpr(
+      "aggregate(zip_with(v, v, (x, y) -> x + y), 0.0D, (acc, w) -> acc + w) AS d")
+    assert(!other.queryExecution.optimizedPlan.toString.contains("dot_product"))
+  }
+
+  test("DotProduct: NULL on length mismatch — identical to the HOF form's null-padding semantics") {
+    GraftExtensions.registerAll(spark)
+    val mismatch = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0))).toDF("a", "b")
+    val viaKernel = mismatch.selectExpr("dot_product(a, b) AS d").head()
+    val viaHof = mismatch.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v) AS d").head()
+    assert(viaKernel.isNullAt(0) && viaHof.isNullAt(0))
+  }
+
   test("withExtensions: a fresh session built with GraftExtensions resolves the kernels without registerAll") {
     val orig = spark  // force TestSpark init before touching default session
     SparkSession.clearActiveSession()
