@@ -1722,6 +1722,56 @@ object SparkEntry {
         |WHERE ses.s < mx.last_s OR ses.end_ms + 1800000 < wm.w
         |ORDER BY user_id, start_s""".stripMargin)),
 
+    Q("q_stream_join",  // fifth ORACLED streaming row — STREAM-STREAM
+      // interval join with double-sided watermarks: signup events joined
+      // to error events of the same user within the preceding hour,
+      // parquet file source on BOTH sides, exactly-once append sink.
+      // Inner stream-stream joins emit a match in the batch where both
+      // sides have arrived and watermark eviction only runs AFTER a
+      // batch; static input arrives in ONE batch, so the emitted set is
+      // exactly the batch join — the oracle is the plain SQL interval
+      // join, and what the hash compare asserts is that bounded join
+      // state drops nothing it shouldn't.
+      (s, dir) => {
+        val out = Scratch.dir("stream-join-out")
+        val cp = Scratch.dir("stream-join-cp")
+        val src = new java.io.File(s"$dir/events.parquet")
+        val streamDir =
+          if (src.isDirectory) src.toString
+          else {
+            val d = new java.io.File(Scratch.dir("stream-join-src"))
+            java.nio.file.Files.copy(src.toPath,
+              new java.io.File(d, "events.parquet").toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            d.toString
+          }
+        val schema = s.read.parquet(streamDir).schema
+        def side(tpe: String, p: String) =
+          s.readStream.schema(schema).parquet(streamDir)
+            .filter(col("event_type") === tpe)
+            .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_uid"),
+              col("ts").cast(org.apache.spark.sql.types.TimestampType).as(s"${p}_ts"))
+        graft.streaming.StreamOps.streamIntervalJoin(
+            side("error", "l"), side("signup", "r"),
+            "l_uid", "r_uid", "l_ts", "r_ts", lagSeconds = 3600)
+          .select(col("l_id").as("error_id"), col("r_id").as("signup_id"),
+            col("l_uid").as("user_id"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.parquet(out).orderBy("error_id", "signup_id")
+      },
+      Some("""SELECT e.event_id AS error_id, s.event_id AS signup_id,
+        |       e.user_id AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON s.user_id = e.user_id
+        |  AND epoch_ns(e.ts) - epoch_ns(s.ts) BETWEEN 0 AND 3600000000000
+        |ORDER BY error_id, signup_id""".stripMargin)),
+
     Q("q_split_leakage_safe",  // leakage-safe train/val/test split: the
       // split key is the duplicate-cluster representative, so all copies
       // of a document land in the SAME split — the train-test
