@@ -114,4 +114,24 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(p.contains("TakeOrderedAndProject"), s"$q should TakeOrdered:\n$p")
     }
   }
+
+  test("round-8 broadcast-probe queries: benchmark/cell side broadcasts, no SortMergeJoin on the probe") {
+    // q_contamination_frac's bench-gram set and q_cms_counts' cell table
+    // are k-row sides by construction — a SortMergeJoin would mean the
+    // corpus re-shuffles for the probe (the scaladocs' scale claims,
+    // plan-asserted)
+    for (q <- Seq("q_contamination_frac", "q_cms_counts")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange"), s"$q should broadcast its small side:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q plans a SortMergeJoin probe:\n$p")
+    }
+  }
+
+  test("q_allpairs_tfidf: candidate generation joins the indexed prefix, and top-k stages stay bounded") {
+    // the APSS plan must not degrade to a cartesian (suite-wide assert
+    // already covers that); here: the verify tail aggregates, it does
+    // not re-sort the corpus globally
+    val p = plan("q_allpairs_tfidf")
+    assert(p.contains("HashAggregate"), s"expected hash-aggregated verify tail:\n$p")
+  }
 }
