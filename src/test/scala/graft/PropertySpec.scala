@@ -13,6 +13,35 @@ class PropertySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("cosinePairsSparse ≡ brute inverted-index join on random sparse unit vectors") {
+    // randomized adversary for the APSS prefix bound: skewed term
+    // popularity (geometric-ish) so hot terms exercise the suffix-bound
+    // pruning, fixed seed for reproducibility
+    val rnd = new scala.util.Random(1234)
+    val rows = (1L to 120L).map { id =>
+      val nTerms = 3 + rnd.nextInt(8)
+      val terms = Seq.fill(nTerms)("t" + (math.pow(rnd.nextDouble(), 2) * 40).toInt)
+        .distinct
+      val ws = terms.map(_ => 0.1 + rnd.nextDouble())
+      val nrm = math.sqrt(ws.map(w => w * w).sum)
+      terms.zip(ws.map(w => math.rint(w / nrm * 1e6) / 1e6)).map {
+        case (t, w) => (id, t, w)
+      }
+    }
+    val e = rows.flatten.toDF("id", "word", "w").localCheckpoint()
+    for (theta <- Seq(0.2, 0.5, 0.8)) {
+      val brute = e.as("a")
+        .join(e.as("b"), $"a.word" === $"b.word" && $"a.id" < $"b.id")
+        .groupBy($"a.id".as("id1"), $"b.id".as("id2"))
+        .agg(sum($"a.w" * $"b.w").as("cos"))
+        .filter($"cos" >= theta)
+        .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+      val pref = graft.ops.Similarity.cosinePairsSparse(e, theta, materialize = false)
+        .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+      assert(pref == brute, s"theta=$theta: prefix ${pref.size} vs brute ${brute.size}")
+    }
+  }
+
   test("round(x, 6) == BigDecimal HALF_UP for arbitrary doubles") {
     val gen = Gen.chooseNum(-1e6, 1e6)
     val xs = Gen.listOfN(500, gen).sample.get
