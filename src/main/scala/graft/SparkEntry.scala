@@ -1772,6 +1772,152 @@ object SparkEntry {
         |  AND epoch_ns(e.ts) - epoch_ns(s.ts) BETWEEN 0 AND 3600000000000
         |ORDER BY error_id, signup_id""".stripMargin)),
 
+    Q("q_bm25",  // Okapi BM25 retrieval scoring (Robertson & Walker,
+      // SIGIR'94; k1=1.2, b=0.75) for a fixed 3-term query — the
+      // classic-IR ranker next to the tf-idf/cosine family. One corpus
+      // explode into per-doc term counts; df/avglen are k-row side
+      // aggregates that broadcast. Top-50 by rounded score (rounded
+      // BEFORE ordering, doc_id tie-break — engine-independent LIMIT).
+      (s, dir) => {
+        val qTerms = Seq("join", "hash", "filter")
+        val base = docsTokens(s, dir)
+        val lens = base.select(col("doc_id"), size(col("toks")).as("len"))
+        val stats = lens.agg(avg(col("len")).as("avglen"),
+          count(lit(1)).as("n"))
+        val tf = base
+          .select(col("doc_id"), explode(col("toks")).as("w"))
+          .filter(col("w").isin(qTerms: _*))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfreq), "w")
+          .join(lens, "doc_id").crossJoin(broadcast(stats))
+          .withColumn("idf",
+            log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+          .withColumn("s", col("idf") * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("len") / col("avglen"))))
+          .groupBy(col("doc_id")).agg(round(sum(col("s")), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |lens AS (SELECT doc_id, CAST(len(toks) AS INT) AS len FROM t),
+        |a AS (SELECT avg(len) AS avglen, count(*) AS n FROM lens),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM
+        |         (SELECT doc_id, unnest(toks) AS w FROM t)
+        |       WHERE w IN ('join', 'hash', 'filter') GROUP BY doc_id, w),
+        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |sc AS (SELECT tf.doc_id,
+        |         ln((a.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |           * (tf.tf * 2.2)
+        |           / (tf.tf + 1.2 * (0.25 + 0.75 * l.len / a.avglen)) AS s
+        |       FROM tf JOIN dfreq d USING (w) JOIN lens l USING (doc_id)
+        |       CROSS JOIN a)
+        |SELECT doc_id, round(sum(s), 6) AS score FROM sc
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50""".stripMargin)),
+
+    Q("q_rrf_fusion",  // reciprocal-rank fusion (Cormack et al.,
+      // SIGIR'09: Σ 1/(60+rank)) of two independent text rankers —
+      // BM25 and normalized-tf-idf query cosine — for the same 3-term
+      // query. The two rank lists are k-row frames (per-ranker top-100);
+      // fusion is a tiny outer join, absent ranks contribute nothing.
+      // Rounded-before-ordered top-20 with doc_id tie-break.
+      (s, dir) => {
+        val qTerms = Seq("join", "hash", "filter")
+        val base = docsTokens(s, dir)
+        val lens = base.select(col("doc_id"), size(col("toks")).as("len"))
+        val stats = lens.agg(avg(col("len")).as("avglen"), count(lit(1)).as("n"))
+        val tf = base
+          .select(col("doc_id"), explode(col("toks")).as("w"))
+          .filter(col("w").isin(qTerms: _*))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
+        val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        val bm25 = tf.join(broadcast(dfreq), "w")
+          .join(lens, "doc_id").crossJoin(broadcast(stats))
+          .withColumn("s",
+            log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+              * (col("tf") * lit(2.2))
+              / (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("len") / col("avglen"))))
+          .groupBy(col("doc_id")).agg(round(sum(col("s")), 6).as("score"))
+        // ranker 2: plain query-overlap tf/len weight (a cosine-lite
+        // lexical scorer deliberately DIFFERENT from bm25)
+        val lex = tf.join(lens, "doc_id")
+          .groupBy(col("doc_id"))
+          .agg(round(sum(col("tf") / col("len").cast("double")), 6).as("score"))
+        def ranks(df: DataFrame) = df
+          .orderBy(col("score").desc, col("doc_id")).limit(100)
+          .withColumn("r", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("score").desc, col("doc_id"))))
+          .select(col("doc_id"), col("r"))
+        ranks(bm25).withColumnRenamed("r", "r1")
+          .join(ranks(lex).withColumnRenamed("r", "r2"), Seq("doc_id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0) / (lit(60) + col("r1")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("r2")), lit(0.0)), 6))
+          .select(col("doc_id"), col("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |lens AS (SELECT doc_id, CAST(len(toks) AS INT) AS len FROM t),
+        |a AS (SELECT avg(len) AS avglen, count(*) AS n FROM lens),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM
+        |         (SELECT doc_id, unnest(toks) AS w FROM t)
+        |       WHERE w IN ('join', 'hash', 'filter') GROUP BY doc_id, w),
+        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |bm AS (SELECT doc_id, round(sum(
+        |         ln((a.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |           * (tf.tf * 2.2)
+        |           / (tf.tf + 1.2 * (0.25 + 0.75 * l.len / a.avglen))), 6) AS score
+        |       FROM tf JOIN dfreq d USING (w) JOIN lens l USING (doc_id)
+        |       CROSS JOIN a GROUP BY doc_id),
+        |lx AS (SELECT tf.doc_id,
+        |         round(sum(CAST(tf.tf AS DOUBLE) / l.len), 6) AS score
+        |       FROM tf JOIN lens l USING (doc_id) GROUP BY tf.doc_id),
+        |r1 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        |       FROM (SELECT * FROM bm ORDER BY score DESC, doc_id LIMIT 100)),
+        |r2 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        |       FROM (SELECT * FROM lx ORDER BY score DESC, doc_id LIMIT 100))
+        |SELECT COALESCE(r1.doc_id, r2.doc_id) AS doc_id,
+        |  round(COALESCE(1.0 / (60 + r1.r), 0) + COALESCE(1.0 / (60 + r2.r), 0), 6)
+        |    AS rrf
+        |FROM r1 FULL JOIN r2 ON r1.doc_id = r2.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)),
+
+    Q("q_dp_counts",  // differential-privacy-style noisy release: per-
+      // source doc counts + seeded Laplace noise (inverse-CDF transform
+      // of a KEYED-HASH uniform — the q_stratified_sample device, so the
+      // "randomness" is a pure function of the key and both engines
+      // reproduce the release bit-for-bit; b = 1/ε = 2). The noisy
+      // count, the exact count, and the noise are all value-oracled —
+      // what the gate checks is the exact noise arithmetic an auditable
+      // DP release needs.
+      (s, dir) => {
+        val u = (conv(substring(md5(concat(col("source"), lit("|dp1"))), 1, 8), 16, 10)
+          .cast("long") + lit(0.5)) / lit(4294967296.0) - lit(0.5)
+        val b = lit(2.0)
+        Tables.table(s, dir, "documents")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .withColumn("u", u)
+          .withColumn("noise",
+            round(-b * signum(col("u")) * log(lit(1.0) - lit(2.0) * abs(col("u"))), 6))
+          .select(col("source"), col("n_docs"), col("noise"),
+            round(col("n_docs") + col("noise"), 6).as("noisy"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |u AS (SELECT source, n_docs,
+        |        (CAST(('0x' || substr(md5(source || '|dp1'), 1, 8)) AS BIGINT) + 0.5)
+        |          / 4294967296.0 - 0.5 AS u
+        |      FROM c)
+        |SELECT source, n_docs,
+        |  round(-2.0 * sign(u) * ln(1.0 - 2.0 * abs(u)), 6) AS noise,
+        |  round(n_docs + round(-2.0 * sign(u) * ln(1.0 - 2.0 * abs(u)), 6), 6) AS noisy
+        |FROM u ORDER BY source""".stripMargin)),
+
     Q("q_split_leakage_safe",  // leakage-safe train/val/test split: the
       // split key is the duplicate-cluster representative, so all copies
       // of a document land in the SAME split — the train-test
