@@ -1918,6 +1918,48 @@ object SparkEntry {
         |  round(n_docs + round(-2.0 * sign(u) * ln(1.0 - 2.0 * abs(u)), 6), 6) AS noisy
         |FROM u ORDER BY source""".stripMargin)),
 
+    Q("q_epoch_mix",  // fractional-EPOCH dataset mixing — the way real
+      // pretraining recipes are written ("wiki ×2.5 epochs, web ×0.3";
+      // GPT-3 Table 2.2 / LLaMA Table 1): floor(e) full deterministic
+      // copies per doc plus one extra copy for the keyed-hash-sampled
+      // e−floor(e) fraction (the 1/256-quantized q_stratified_sample
+      // device — engine-portable, no RNG state). Replication is an
+      // explode over a per-row sequence and the fraction test is a
+      // map-side predicate: no shuffle at any corpus size beyond the
+      // output sort.
+      (s, dir) => {
+        val sn = expr("CAST(substring(source, 4) AS INT)")
+        val epochs = when(sn < 5, lit(2.5)).when(sn < 10, lit(1.0)).otherwise(lit(0.3))
+        val d = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("__full", floor(epochs).cast("int"))
+          .withColumn("__thr", format_string("%02x",
+            floor((epochs - floor(epochs)) * 256).cast("int")))
+        val fullCopies = d.filter(col("__full") >= 1)
+          .select(col("doc_id"), col("source"),
+            explode(sequence(lit(1), col("__full"))).as("copy"))
+        val extra = d.filter(
+            substring(md5(concat_ws("_", lit("epoch"), col("doc_id").cast("string"))),
+              1, 2) < col("__thr"))
+          .select(col("doc_id"), col("source"), (col("__full") + 1).as("copy"))
+        fullCopies.unionByName(extra).orderBy("source", "doc_id", "copy")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+        |        CAST(substr(source, 4, 10) AS INT) AS sn FROM documents),
+        |e AS (SELECT doc_id, source,
+        |        CASE WHEN sn < 5 THEN 2.5 WHEN sn < 10 THEN 1.0 ELSE 0.3 END AS ep
+        |      FROM d),
+        |p AS (SELECT doc_id, source, CAST(floor(ep) AS INT) AS fl,
+        |        printf('%02x', CAST(floor((ep - floor(ep)) * 256) AS INT)) AS thr
+        |      FROM e),
+        |fullc AS (SELECT doc_id, source, CAST(i AS INT) AS copy
+        |          FROM p, LATERAL unnest(range(1, fl + 1)) AS u(i) WHERE fl >= 1),
+        |extra AS (SELECT doc_id, source, fl + 1 AS copy FROM p
+        |          WHERE substr(md5('epoch_' || CAST(doc_id AS VARCHAR)), 1, 2) < thr)
+        |SELECT doc_id, source, copy FROM fullc
+        |UNION ALL SELECT doc_id, source, CAST(copy AS INT) FROM extra
+        |ORDER BY source, doc_id, copy""".stripMargin)),
+
     Q("q_split_leakage_safe",  // leakage-safe train/val/test split: the
       // split key is the duplicate-cluster representative, so all copies
       // of a document land in the SAME split — the train-test
