@@ -3486,7 +3486,160 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q_bigram_lm",  // add-k bigram LM cross-entropy — the word-order-aware
+      // rung above q_lm_score's unigram CCNet signal: shuffled/stitched
+      // text keeps its unigram perplexity but not its bigram one. Bigram
+      // stream derived MAP-SIDE (two slices zipped, no positional
+      // self-join); model = one partial-agg'd groupBy on the bigram key;
+      // scoring = one bigram-keyed join; V broadcasts as 1 row.
+      (s, dir) => TextStats.bigramLmScore(docsTokens(s, dir), "doc_id", "toks")
+        .withColumn("xent", round(col("xent"), 6))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS ($SqlToks),
+        |b AS (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+        |      FROM (SELECT doc_id, toks, unnest(range(0, len(toks)-1)) AS i
+        |            FROM t WHERE len(toks) >= 2)),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |cc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1),
+        |vo AS (SELECT count(DISTINCT w) AS v
+        |       FROM (SELECT unnest(toks) AS w FROM t)),
+        |p AS (SELECT w1, w2, ln((c12 + 0.5) / (c1 + 0.5 * vo.v)) AS logp
+        |      FROM bc JOIN cc USING (w1) CROSS JOIN vo)
+        |SELECT doc_id, round(-avg(logp), 6) AS xent
+        |FROM b JOIN p USING (w1, w2) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("q_hashing_tf",  // feature hashing (Weinberger et al. ICML'09 /
+      // MLlib HashingTF): term counts bucketed by md5 into a fixed
+      // m=32-dim space — no vocabulary table, no fit pass, no word-keyed
+      // shuffle; the vectorizer that survives an unbounded vocabulary.
+      // One doc-keyed partial-agg'd shuffle; md5 buckets = the portable
+      // device, xxhash64 = the production path (hashingTf(portable=false)).
+      (s, dir) => Tfidf.hashingTf(docsTokens(s, dir), "doc_id", "toks", m = 32)
+        .orderBy("doc_id", "bucket"),
+      Some(s"""WITH t AS ($SqlToks),
+        |e AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |h AS (SELECT doc_id,
+        |        CAST((CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 32) AS INT) AS bucket
+        |      FROM e)
+        |SELECT doc_id, bucket, count(*) AS tf
+        |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin)),
+
+    Q("q_knn_graph",  // exact cosine 5-NN graph over every embedding —
+      // the substrate for graph-based curation and the exact baseline
+      // that grades q_ann_ivf. Pair gen = blocked block-pair tasks
+      // (cosinePairsBlocked, no collect/broadcast of the corpus), then
+      // each undirected pair mirrors into both directions and a
+      // per-source top-k window ranks on ROUNDED cosine (ties by
+      // neighbor id) so the rank boundary is engine-independent.
+      (s, dir) => Similarity.knnGraph(
+          Tables.table(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+        .orderBy("src", "rank"),
+      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+        |d AS (SELECT a.vec_id AS src, b.vec_id AS dst, sum(a.x * b.x) AS dp
+        |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2),
+        |c AS (SELECT src, dst, round(dp / (na.nrm * nb.nrm), 4) AS cos
+        |      FROM d JOIN n na ON na.vec_id = src JOIN n nb ON nb.vec_id = dst),
+        |r AS (SELECT src, dst, cos,
+        |        row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+        |      FROM c)
+        |SELECT src, CAST(rnk AS INT) AS rank, dst, cos
+        |FROM r WHERE rnk <= 5 ORDER BY src, rank""".stripMargin)),
+
+    Q("q_embed_cov",  // population covariance matrix of the embedding
+      // table as (i, j, cov) — the PCA/whitening/Mahalanobis input. Each
+      // row expands map-side to ONE d²+d array (outer products ++ the
+      // vector); a single posexplode+groupBy(idx) folds the corpus into
+      // d²+d cells with map-side partial agg, so the exchange carries
+      // partitions×(d²+d) rows no matter the corpus size; the d-row mean
+      // table broadcast-joins back twice to center the raw moments.
+      (s, dir) => Similarity.embedCovariance(
+          Tables.table(s, dir, "embeddings"), "embedding")
+        .orderBy("i", "j"),
+      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |n AS (SELECT count(*) AS n FROM embeddings),
+        |m AS (SELECT i, avg(x) AS mu FROM e GROUP BY i),
+        |c AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+        |      FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2)
+        |SELECT CAST(c.i AS INT) AS i, CAST(c.j AS INT) AS j,
+        |       round(c.sxy / n.n - ma.mu * mb.mu, 6) AS cov
+        |FROM c CROSS JOIN n JOIN m ma ON ma.i = c.i JOIN m mb ON mb.i = c.j
+        |ORDER BY i, j""".stripMargin)),
+
+    Q("q_normalize_text",  // canonical normalization before hashing
+      // (C4/CCNet order of operations): lowercase, collapse non-alnum
+      // runs to one space, trim — then md5 over the NORMALIZED form,
+      // which catches re-punctuated/re-encoded copies byte-level
+      // hashing misses. Pure map-side projection, zero shuffle.
+      (s, dir) => Tables.table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.normalizeText(col("text")).as("norm"))
+        .withColumn("norm_md5", md5(col("norm")))
+        .orderBy("doc_id"),
+      Some("""WITH nz AS (SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, norm, md5(norm) AS norm_md5 FROM nz ORDER BY doc_id""".stripMargin)),
+
+    Q("q_span_corrupt",  // deterministic T5 span corruption (Raffel et
+      // al. JMLR 2020 §3.1.4): aligned 3-token windows masked by the
+      // keyed hash md5(salt_doc_win) mod 64 < 22 (≈34%), masked windows
+      // replaced by ordinal <extra_id_K> sentinels in inputs and emitted
+      // after their sentinel in targets. ONE map-side projection — no
+      // explode, no shuffle, no RNG state; same salt ⇒ bit-identical
+      // corruption on any engine or re-run (auditable multi-epoch data).
+      (s, dir) => {
+        val d = docsTokens(s, dir)
+        d.select(col("doc_id"),
+            TextOps.spanCorrupt(col("doc_id"), col("toks")).as("sc"))
+          .select(col("doc_id"), col("sc.inputs").as("inputs"),
+            col("sc.targets").as("targets"), col("sc.n_masked").as("n_masked"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |base AS (SELECT doc_id, toks, len(toks) AS n,
+        |           CAST(ceil(len(toks) / 3.0) AS INT) AS nw FROM t),
+        |mk AS (SELECT doc_id, toks, n,
+        |         list_filter(range(0, nw), w ->
+        |           CAST(('0x' || substr(md5('sc1_' || doc_id || '_' || w), 1, 8)) AS BIGINT) % 64 < 22) AS mw
+        |       FROM base),
+        |o AS (SELECT doc_id,
+        |  flatten(list_transform(range(0, n), i ->
+        |    CASE WHEN NOT (CAST(('0x' || substr(md5('sc1_' || doc_id || '_' || (i // 3)), 1, 8)) AS BIGINT) % 64 < 22)
+        |           THEN [toks[CAST(i + 1 AS INT)]]
+        |         WHEN i % 3 = 0
+        |           THEN ['<extra_id_' || (list_position(mw, i // 3) - 1) || '>']
+        |         ELSE []::VARCHAR[] END)) AS inp,
+        |  flatten(list_transform(mw, w ->
+        |    list_concat(['<extra_id_' || (list_position(mw, w) - 1) || '>'],
+        |      toks[CAST(w * 3 + 1 AS INT):CAST(w * 3 + least(3, n - w * 3) AS INT)]))) AS tgt,
+        |  len(mw) AS n_masked
+        |  FROM mk)
+        |SELECT doc_id, COALESCE(array_to_string(inp, ' '), '') AS inputs,
+        |       COALESCE(array_to_string(tgt, ' '), '') AS targets,
+        |       CAST(n_masked AS INT) AS n_masked
+        |FROM o ORDER BY doc_id""".stripMargin)),
+
+    Q("q_length_winsor",  // per-source length winsorization screen:
+      // docs outside their source's exact interpolated [p05, p95]
+      // n_chars band (truncated pages / concatenation blobs live in the
+      // tails; per-source bands spare naturally-long sources). Bounds =
+      // one #sources-row groupBy, broadcast back; screen is map-side.
+      // At true corpus scale percentile_approx replaces the exact agg.
+      (s, dir) => TextStats.lengthOutliers(
+          Tables.table(s, dir, "documents"), "doc_id", "source", "n_chars",
+          pLo = 0.05, pHi = 0.95)
+        .orderBy("doc_id"),
+      Some("""WITH b AS (SELECT source, quantile_cont(n_chars, 0.05) AS lo,
+        |         quantile_cont(n_chars, 0.95) AS hi
+        |       FROM documents GROUP BY source)
+        |SELECT doc_id, source, n_chars,
+        |       CASE WHEN n_chars < lo THEN 'short' ELSE 'long' END AS tail
+        |FROM documents JOIN b USING (source)
+        |WHERE n_chars < lo OR n_chars > hi ORDER BY doc_id""".stripMargin))
   )
 
   /** embeddings with float vectors cast to double (IEEE parity with the oracle). */

@@ -402,4 +402,98 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .select(col("id1"), col("id2"), col("cos"))
   }
+
+  /** EXACT cosine k-nearest-neighbor graph: for every vector, its k
+    * most-similar other vectors, ranked on ROUNDED cosine (`scale` dp,
+    * ties by neighbor id) so the rank boundary is engine-independent —
+    * the q_cooccur_pmi/q_bm25 rounded-before-ordered device. The kNN
+    * graph is the substrate for graph-based corpus curation (label
+    * propagation, density estimation) and for ANN index evaluation.
+    *
+    * Scale: pair generation reuses [[cosinePairsBlocked]] — block-pair
+    * tasks over xxhash64-packed blocks, no driver collect, no corpus
+    * broadcast — then mirrors each undirected pair into both
+    * directions and takes a per-source top-k window over k·n rows.
+    * Exact kNN is inherently Θ(n²) dot products; at corpus scale the
+    * approximate substitute is the IVF router ([[annIvf]]) with
+    * nprobe-bounded candidates — this operator is the exact baseline
+    * that grades it. Output: (src, rank, dst, cos).
+    */
+  def knnGraph(
+      emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      scale: Int = 4, blocks: Int = 8): DataFrame = {
+    val pairs = cosinePairsBlocked(emb, idCol, vecCol, minCos = -2.0, blocks)
+      .withColumn("cos", round(col("cos"), scale))
+    val sym = pairs.select(col("id1").as("src"), col("id2").as("dst"), col("cos"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst"), col("cos")))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    sym.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("rank"), col("dst"), col("cos"))
+  }
+
+  /** Population covariance matrix of an embedding column, exploded as
+    * (i, j, cov) — the input to PCA whitening, Mahalanobis outlier
+    * screens, and embedding-drift monitoring. cov(i,j) =
+    * E[xᵢxⱼ] − E[xᵢ]E[xⱼ] over all rows.
+    *
+    * Scale: each row expands MAP-SIDE to one (d²+d)-element array —
+    * its outer products followed by the vector itself (codegen'd
+    * `flatten(transform × transform)`, no self-join) — and a single
+    * posexplode + groupBy(idx) folds the whole corpus into d²+d sum
+    * cells; map-side partial aggregation reduces every input partition
+    * to ≤ d²+d rows BEFORE the exchange, so shuffle volume is
+    * partitions × (d²+d) regardless of corpus size. The d-row mean
+    * table then broadcast-joins back twice to center the raw moments.
+    * The dimension probe is a 1-row collect (the [[cosinePairsLsh]]
+    * device), not a corpus action.
+    */
+  def embedCovariance(emb: DataFrame, vecCol: String, scale: Int = 6): DataFrame = {
+    val v = emb.select(KMeansOps.asDouble(col(vecCol)).as("v"))
+      .filter(size(col("v")) > 0)
+    val probe = v.select(size(col("v")).as("d")).limit(1).collect()
+    val d = if (probe.isEmpty) 0 else probe(0).getInt(0)
+    val sums = v.select(posexplode(concat(
+        flatten(transform(col("v"), x => transform(col("v"), y => x * y))),
+        col("v"))).as(Seq("idx", "x")))
+      .groupBy(col("idx")).agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    val mu = sums.filter(col("idx") >= d * d)
+      .select((col("idx") - d * d).cast("int").as("i"), (col("s") / col("n")).as("mu"))
+    sums.filter(col("idx") < d * d)
+      .select((col("idx") / d).cast("int").as("i"),
+        pmod(col("idx"), lit(d)).cast("int").as("j"), col("s"), col("n"))
+      .join(broadcast(mu.select(col("i"), col("mu").as("mui"))), Seq("i"))
+      .join(broadcast(mu.select(col("i").as("j"), col("mu").as("muj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        round(col("s") / col("n") - col("mui") * col("muj"), scale).as("cov"))
+  }
+
+  /** Driver-side dominant eigenpair of a small dense symmetric matrix
+    * (e.g. a collected d×d [[embedCovariance]] — d doubles², a k-row
+    * scalar reduction in the documented sense) via power iteration
+    * with deterministic start vector (1,1,…,1)/√d. Sign convention:
+    * first nonzero component positive. Returns (eigenvalue,
+    * eigenvector). Pure math, no Spark — the PCA rotation this yields
+    * is then a broadcast-able d×p matrix applied map-side.
+    */
+  def topEigen(m: Array[Array[Double]], iters: Int = 200): (Double, Array[Double]) = {
+    val d = m.length
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    var it = 0
+    while (it < iters) {
+      val nv = Array.tabulate(d)(i => {
+        var s = 0.0; var j = 0
+        while (j < d) { s += m(i)(j) * v(j); j += 1 }
+        s
+      })
+      val nrm = math.sqrt(nv.map(x => x * x).sum)
+      if (nrm == 0.0) return (0.0, v)
+      v = nv.map(_ / nrm)
+      lambda = nrm
+      it += 1
+    }
+    val flip = v.find(_ != 0.0).exists(_ < 0)
+    (lambda, if (flip) v.map(-_) else v)
+  }
 }

@@ -117,6 +117,64 @@ object TextOps {
     regexp_count(text, lit(EmailRe)) +
       regexp_count(regexp_replace(text, EmailRe, token), lit(PhoneRe))
 
+  /** Canonical text normalization — the pre-dedup cleanup pass
+    * (C4/CCNet both normalize before hashing): lowercase, collapse
+    * every run of non-alphanumeric characters (typographic quotes,
+    * dashes, whitespace variants included) to one space, trim.
+    * Exact-dup hashing over the NORMALIZED form catches re-encoded/
+    * re-punctuated copies that byte-level md5 misses. Pure codegen
+    * column expression — zero shuffle, stream-safe.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Deterministic T5-style span corruption (Raffel et al., JMLR 2020
+    * §3.1.4 — the masked-span denoising objective): token positions
+    * are blocked into aligned windows of `span`; window w of document
+    * `id` is masked iff the keyed hash md5(salt_id_w) mod 64 falls
+    * below `rate64` (the stratified-sample device — a pure function
+    * of (salt, id, w), no RNG state, identical in any engine). The
+    * inputs sequence replaces each masked window with its ordinal
+    * sentinel `<extra_id_K>`; the targets sequence is each sentinel
+    * followed by the tokens it hid. Returns (inputs, targets,
+    * n_masked) struct column.
+    *
+    * Scale: ONE map-side projection — no explode, no shuffle, no
+    * per-doc window function; the corpus never leaves its input
+    * partitions, and re-running with the same salt reproduces the
+    * corruption bit-for-bit (the property that makes checkpointed
+    * multi-epoch training data auditable).
+    */
+  def spanCorrupt(
+      id: Column, toks: Column, span: Int = 3, rate64: Int = 22,
+      salt: String = "sc1"): Column = {
+    val n = size(toks)
+    val nWins = ((n + span - 1) / span).cast("int")
+    def hashed(w: Column): Column =
+      conv(substring(md5(concat_ws("_", lit(salt), id.cast("string"),
+        w.cast("string"))), 1, 8), 16, 10).cast("long") % 64 < rate64
+    val wins = when(n > 0, sequence(lit(0), nWins - 1)).otherwise(array().cast("array<int>"))
+    val maskedW = filter(wins, w => hashed(w))
+    def sentinel(k: Column): Column =
+      concat(lit("<extra_id_"), (k - 1).cast("string"), lit(">"))
+    val inputs = flatten(transform(sequence(lit(0), n - 1),
+      i => {
+        val w = (i / span).cast("int")
+        when(not(hashed(w)), array(element_at(toks, i + 1)))
+          .when(i % span === 0, array(sentinel(array_position(maskedW, w))))
+          .otherwise(array().cast("array<string>"))
+      }))
+    val targets = flatten(transform(maskedW,
+      w => concat(array(sentinel(array_position(maskedW, w))),
+        slice(toks, w * span + 1, least(lit(span), n - w * span)))))
+    when(n > 0, struct(
+        array_join(inputs, " ").as("inputs"),
+        array_join(targets, " ").as("targets"),
+        size(maskedW).as("n_masked")))
+      .otherwise(struct(lit("").as("inputs"), lit("").as("targets"),
+        lit(0).as("n_masked")))
+  }
+
   /** Sliding-window document chunking for context-length-bounded
     * training: windows of `size` tokens starting every
     * `size - overlap` tokens; the final window may be shorter but is

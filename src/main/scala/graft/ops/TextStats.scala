@@ -219,6 +219,71 @@ object TextStats {
       .select(col("w"), log(col("cnt").cast("double") / col("total")).as("logp"))
   }
 
+  /** Per-group length winsorization screen — flag documents outside
+    * the [pLo, pHi] EXACT interpolated percentile band of `valCol`
+    * within their `byCol` group (truncated pages and concatenation
+    * blobs both correlate with length tails; per-source bands avoid
+    * penalizing naturally-long sources). Returns the flagged rows
+    * (idCol, byCol, valCol, tail∈{short,long}).
+    *
+    * Scale: the bounds table is one groupBy over the group key (rows =
+    * #groups — tiny), broadcast back; the screen itself is a map-side
+    * comparison. Exact `percentile` sorts per group inside the agg
+    * buffer — fine while per-group cardinality fits an executor; at
+    * true 100 TB swap in `percentile_approx`, which is partial-agg
+    * mergeable at fixed memory (the only line that changes).
+    */
+  def lengthOutliers(
+      docs: DataFrame, idCol: String, byCol: String, valCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    val bounds = docs.groupBy(col(byCol)).agg(
+      percentile(col(valCol), lit(pLo)).as("__lo"),
+      percentile(col(valCol), lit(pHi)).as("__hi"))
+    docs.join(broadcast(bounds), byCol)
+      .filter(col(valCol) < col("__lo") || col(valCol) > col("__hi"))
+      .select(col(idCol), col(byCol), col(valCol),
+        when(col(valCol) < col("__lo"), lit("short")).otherwise(lit("long")).as("tail"))
+  }
+
+  /** Add-k-smoothed BIGRAM LM cross-entropy — the next rung above
+    * [[lmScore]]'s unigram CCNet signal: per doc, −mean ln p(w₂|w₁)
+    * over its adjacent token pairs, with the conditional estimated
+    * from the corpus's own bigram counts,
+    * p(w₂|w₁) = (c(w₁w₂) + k) / (c(w₁·) + k·V), V = vocabulary size.
+    * A bigram model penalizes shuffled/boilerplate-stitched text that
+    * unigram perplexity scores as fluent (same word multiset, broken
+    * word order). Docs with fewer than two tokens emit no row.
+    *
+    * Scale: the bigram stream is derived MAP-SIDE per row (two array
+    * slices zipped — no self-join, no positional explode+rejoin); the
+    * model table is one partial-agg'd groupBy on the (w₁,w₂) key,
+    * bounded by corpus bigram diversity ≪ corpus size; scoring is one
+    * join of the stream against the model on the bigram key (hot
+    * bigrams = AQE-skew territory, same as [[lmScore]]); V joins in
+    * as a 1-row broadcast. Self-trained ⇒ every scored bigram hits
+    * the model — no OOV path.
+    * Output: (idCol, xent).
+    */
+  def bigramLmScore(
+      docs: DataFrame, idCol: String, toksCol: String, k: Double = 0.5): DataFrame = {
+    val n = size(col(toksCol))
+    val big = docs.filter(n >= 2)
+      .select(col(idCol),
+        explode(zip_with(
+          slice(col(toksCol), lit(1), n - 1), slice(col(toksCol), lit(2), n - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgCnt = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val ctxCnt = bgCnt.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = docs.select(explode(col(toksCol)).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val model = bgCnt.join(ctxCnt, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        log((col("c12") + lit(k)) / (col("c1") + lit(k) * col("v"))).as("logp"))
+    big.join(model, Seq("w1", "w2"))
+      .groupBy(col(idCol)).agg((-avg(col("logp"))).as("xent"))
+  }
+
   /** DSIR-style importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", arXiv:2302.03169),
     * simplified to add-1-smoothed unigram LMs: per doc, the mean log

@@ -119,4 +119,31 @@ object Tfidf {
         round(when(col("nrm") === 0, lit(0.0)).otherwise(col("w") / col("nrm")), scale))
       .select(col(idCol), col("word"), col("weight"))
   }
+
+  /** Feature hashing ("the hashing trick", Weinberger et al. ICML'09;
+    * Spark MLlib's HashingTF plan shape): per-doc term counts bucketed
+    * into a FIXED m-dimensional space by hashing the token — no
+    * vocabulary table, no fit pass, no word-keyed shuffle, which is
+    * what makes it the vectorizer of choice when the vocabulary itself
+    * is too large to sit in a table (100 TB web corpora). Collisions
+    * are the accepted trade (two words may share a bucket); m controls
+    * the rate.
+    *
+    * `portable = true` buckets by the first 8 md5 hex digits (the
+    * [[Sketches]]/decontamination device — bit-identical in any
+    * engine, value-oracle-able); `false` uses xxhash64 (one 8-byte
+    * hash per token, the production path). Returns the sparse exploded
+    * relation (idCol, bucket, tf) — only one doc-keyed shuffle with
+    * map-side partial aggregation; nothing is collected or broadcast.
+    */
+  def hashingTf(
+      docs: DataFrame, idCol: String, toksCol: String, m: Int,
+      portable: Boolean = true): DataFrame = {
+    val tok = docs.select(col(idCol), explode(col(toksCol)).as("w"))
+    val h =
+      if (portable) conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
+      else abs(xxhash64(col("w")))
+    tok.withColumn("bucket", (h % m).cast("int")).drop("w")
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("tf"))
+  }
 }

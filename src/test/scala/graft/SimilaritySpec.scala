@@ -209,6 +209,72 @@ class SimilaritySpec extends AnyFunSuite {
     assert(brute.nonEmpty)  // the parity must witness actual pairs
   }
 
+  test("knnGraph: agrees with bruteTopK at 4dp ranking on the real corpus") {
+    val sample = emb.filter($"vec_id" % 100 === 0)
+    val graph = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+      .filter($"src" % 100 === 0)
+      .select($"src", $"rank", $"dst").as[(Long, Int, Long)].collect()
+      .map { case (s, r, d) => (s, r) -> d }.toMap
+    // bruteTopK ranks on raw cosine; re-rank its candidates at 4dp with
+    // the same (cos desc, dst) order to compare like with like
+    val brute = Similarity.bruteTopK(sample, emb, "vec_id", "embedding", 10)
+      .select($"query_id", $"vec_id",
+        round($"cos", 4).as("c4"))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (q, rows) =>
+        q -> rows.sortBy { case (_, d, c) => (-c, d) }.take(5).map(_._2).toSeq
+      }
+    brute.foreach { case (q, want) =>
+      val got = (1 to 5).map(r => graph((q, r)))
+      assert(got == want, s"query $q: $got vs $want")
+    }
+  }
+
+  test("knnGraph: every vector gets exactly min(k, n-1) neighbors, no self-edges") {
+    val tiny = emb.limit(4)
+    val g = Similarity.knnGraph(tiny, "vec_id", "embedding", k = 10).collect()
+    val byS = g.groupBy(_.getLong(0))
+    assert(byS.size == 4)
+    byS.foreach { case (s, rows) =>
+      assert(rows.length == 3, s"src $s should have n-1=3 neighbors")
+      assert(rows.forall(_.getLong(2) != s))
+    }
+  }
+
+  test("embedCovariance: closed form on a 2×2 case; symmetric on the real corpus") {
+    val tiny = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f))).toDF("id", "v")
+    val cov = Similarity.embedCovariance(tiny, "v")
+      .as[(Int, Int, Double)].collect().map { case (i, j, c) => (i, j) -> c }.toMap
+    // mu=[2,3]; E[x0²]=5, E[x0x1]=7, E[x1²]=10 → all centered entries = 1
+    assert(cov.size == 4)
+    cov.values.foreach(c => assert(math.abs(c - 1.0) < 1e-9, cov))
+
+    val real = Similarity.embedCovariance(emb, "embedding")
+      .as[(Int, Int, Double)].collect().map { case (i, j, c) => (i, j) -> c }.toMap
+    assert(real.size == 64 * 64)
+    real.foreach { case ((i, j), c) =>
+      assert(c == real((j, i)), s"cov($i,$j) must equal cov($j,$i)") }
+    (0 until 64).foreach(i => assert(real((i, i)) >= 0.0, "diagonal = variance ≥ 0"))
+  }
+
+  test("topEigen: dominant eigenpair of a known matrix; Rayleigh maximal on a real covariance") {
+    val (l1, v1) = Similarity.topEigen(Array(Array(2.0, 0.0), Array(0.0, 1.0)))
+    assert(math.abs(l1 - 2.0) < 1e-9)
+    assert(math.abs(v1(0) - 1.0) < 1e-6 && math.abs(v1(1)) < 1e-6)
+
+    val rows = Similarity.embedCovariance(emb, "embedding", scale = 12)
+      .as[(Int, Int, Double)].collect()
+    val d = 64
+    val m = Array.ofDim[Double](d, d)
+    rows.foreach { case (i, j, c) => m(i)(j) = c }
+    val (lam, v) = Similarity.topEigen(m)
+    // residual ‖Mv − λv‖ small, and λ ≥ variance along every axis
+    val mv = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+    val resid = math.sqrt((0 until d).map(i => math.pow(mv(i) - lam * v(i), 2)).sum)
+    assert(resid < 1e-6 * math.max(1.0, lam), s"residual $resid at lambda $lam")
+    (0 until d).foreach(i => assert(lam >= m(i)(i) - 1e-9))
+  }
+
   test("bruteTopK: ranks are 1..k per query, cos within [-1,1], no self-pairs") {
     val r = Similarity.bruteTopK(emb.filter($"vec_id" % 100 === 0), emb,
       "vec_id", "embedding", 5).collect()

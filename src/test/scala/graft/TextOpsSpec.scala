@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{TextOps, TextStats}
+import graft.ops.{TextOps, TextStats, Tfidf}
 
 class TextOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -171,5 +171,111 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(1L)._2 == 1)
     assert(got(2L)._1 == "reach <PII> or <PII>")
     assert(got(2L)._2 == 2)
+  }
+
+  test("bigramLmScore: closed-form add-k conditionals; <2-token docs emit no row") {
+    // corpus bigrams: doc1 [a b a] -> (a,b),(b,a); doc2 [b a] -> (b,a)
+    // c(a,b)=1 c(b,a)=2; contexts c(a·)=1 c(b·)=2; V=2; k=0.5
+    val docs = Seq(
+      (1L, Seq("a", "b", "a")), (2L, Seq("b", "a")),
+      (3L, Seq("a")), (4L, Seq.empty[String])
+    ).toDF("id", "toks")
+    val got = TextStats.bigramLmScore(docs, "id", "toks")
+      .as[(Long, Double)].collect().toMap
+    val pAB = (1 + 0.5) / (1 + 0.5 * 2)  // p(b|a)
+    val pBA = (2 + 0.5) / (2 + 0.5 * 2)  // p(a|b)
+    assert(math.abs(got(1L) - -(math.log(pAB) + math.log(pBA)) / 2) < 1e-12)
+    assert(math.abs(got(2L) - -math.log(pBA)) < 1e-12)
+    assert(!got.contains(3L) && !got.contains(4L), "need ≥2 tokens to have a bigram")
+  }
+
+  test("bigramLmScore is word-order-aware where unigram lmScore is not") {
+    // same token multiset, different order: unigram xent identical,
+    // bigram xent must differ (the shuffled doc uses rarer transitions)
+    val docs = Seq(
+      (1L, Seq("a", "b", "a", "b", "a", "b")),
+      (2L, Seq("a", "a", "a", "b", "b", "b"))
+    ).toDF("id", "toks")
+    val uni = TextStats.lmScore(docs, "id", "toks").as[(Long, Double)].collect().toMap
+    val big = TextStats.bigramLmScore(docs, "id", "toks").as[(Long, Double)].collect().toMap
+    assert(math.abs(uni(1L) - uni(2L)) < 1e-12, "unigram is order-blind")
+    assert(math.abs(big(1L) - big(2L)) > 1e-6, "bigram must see the order change")
+  }
+
+  test("normalizeText: case folds, punctuation runs collapse, edges trim") {
+    val got = Seq(
+      (1L, "Hello,  WORLD!!"), (2L, "  a--b__c  "), (3L, "..."), (4L, "MiXeD42x")
+    ).toDF("id", "t")
+      .select($"id", TextOps.normalizeText($"t").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "hello world")
+    assert(got(2L) == "a b c")  // _ is non-alnum here: it separates words
+    assert(got(3L) == "")
+    assert(got(4L) == "mixed42x")
+  }
+
+  test("spanCorrupt: sentinel-splice reconstruction recovers every original document") {
+    val docs = Tables.table(spark, TestSpark.Sf, "documents")
+      .select($"doc_id", TextOps.tokenize($"text").as("toks"))
+    val rows = docs.select($"doc_id", $"toks",
+        TextOps.spanCorrupt($"doc_id", $"toks").as("sc"))
+      .select($"doc_id", $"toks", $"sc.inputs", $"sc.targets", $"sc.n_masked")
+      .as[(Long, Seq[String], String, String, Int)].collect()
+    assert(rows.exists(_._5 > 0), "some doc must actually get masked")
+    assert(rows.exists(r => r._5 < (r._2.size + 2) / 3),
+      "some doc must keep unmasked windows (rate ≈ 34%, not 100%)")
+    val sentinel = "<extra_id_(\\d+)>".r
+    rows.foreach { case (id, toks, inputs, targets, nMasked) =>
+      // parse targets into span k -> tokens
+      val tParts = sentinel.split(targets).map(_.trim)
+      val tKeys = sentinel.findAllMatchIn(targets).map(_.group(1).toInt).toSeq
+      assert(tKeys == (0 until nMasked), s"doc $id: sentinels must be ordinal")
+      val spans = tKeys.zip(tParts.drop(1)).toMap  // part 0 is the empty prefix
+      // splice each sentinel's span back into inputs
+      val rebuilt = inputs.split(" ").filter(_.nonEmpty).flatMap {
+        case s if s.startsWith("<extra_id_") =>
+          val k = s.stripPrefix("<extra_id_").stripSuffix(">").toInt
+          spans(k).split(" ").filter(_.nonEmpty)
+        case t => Array(t)
+      }.toSeq
+      assert(rebuilt == toks, s"doc $id: splice must reproduce the original")
+    }
+  }
+
+  test("spanCorrupt: same salt reproduces bit-for-bit; different salt moves masks") {
+    val docs = Tables.table(spark, TestSpark.Sf, "documents")
+      .select($"doc_id", TextOps.tokenize($"text").as("toks"))
+    def run(salt: String) = docs
+      .select($"doc_id", TextOps.spanCorrupt($"doc_id", $"toks", salt = salt).as("sc"))
+      .select($"doc_id", $"sc.inputs").as[(Long, String)].collect().toMap
+    val a = run("sc1"); val b = run("sc1"); val c = run("other")
+    assert(a == b, "corruption is a pure function of (salt, id, window)")
+    assert(a != c, "a different salt must corrupt differently somewhere")
+  }
+
+  test("hashingTf: mass-preserving, bucket-stable, both hash paths in range") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "a")), (2L, Seq("b")), (3L, Seq.empty[String])
+    ).toDF("id", "toks")
+    for (portable <- Seq(true, false)) {
+      val tf = Tfidf.hashingTf(docs, "id", "toks", m = 8, portable)
+        .as[(Long, Int, Long)].collect()
+      assert(tf.map(_._3).sum == 4, "Σtf must equal the corpus token count")
+      assert(tf.forall(r => r._2 >= 0 && r._2 < 8), "buckets within [0, m)")
+      assert(!tf.exists(_._1 == 3L), "empty doc has no buckets")
+      // same word -> same bucket: doc1's two 'a's landed in one cell
+      val d1 = tf.filter(_._1 == 1L)
+      assert(d1.map(_._3).sum == 3 && d1.length <= 2)
+    }
+  }
+
+  test("lengthOutliers: per-group interpolated band; only tails flagged") {
+    // group g: 1..10 -> p05=1.45, p95=9.55 -> flag 1 (short) and 10 (long);
+    // group h: all equal -> band degenerate, nothing strictly outside
+    val docs = ((1 to 10).map(i => (i.toLong, "g", i.toLong)) ++
+      (11 to 15).map(i => (i.toLong, "h", 7L))).toDF("id", "src", "len")
+    val got = TextStats.lengthOutliers(docs, "id", "src", "len", 0.05, 0.95)
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(got == Set((1L, "g", 1L, "short"), (10L, "g", 10L, "long")))
   }
 }
