@@ -3623,6 +3623,51 @@ object SparkEntry {
         |       CAST(n_masked AS INT) AS n_masked
         |FROM o ORDER BY doc_id""".stripMargin)),
 
+    Q("q_pagerank",  // fixed-iteration PageRank (Page et al. 1999) over
+      // the exact cosine 5-NN graph — similarity centrality: which
+      // embeddings sit in the densest neighborhoods. 3 FIXED iterations
+      // make the result a closed-form function of the graph (DuckDB
+      // unrolls the same 3 steps); per iteration = one edges⋈ranks join
+      // + one partial-agg'd groupBy(dst) — the Pregel shape, O(edges)
+      // shuffle, dangling mass a 1-row broadcast (zero on this graph,
+      // same arithmetic either way).
+      (s, dir) => {
+        val edges = Similarity.knnGraph(
+            Tables.table(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+          .select(col("src"), col("dst"))
+        GraphOps.pageRank(edges, "src", "dst", iters = 3)
+          .withColumn("rank", round(col("rank"), 12))
+          .orderBy("id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |nr AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+        |dp AS (SELECT a.vec_id AS src, b.vec_id AS dst, sum(a.x * b.x) AS dp
+        |       FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2),
+        |cs AS (SELECT src, dst, round(dp / (na.nrm * nb.nrm), 4) AS cos
+        |       FROM dp JOIN nr na ON na.vec_id = src JOIN nr nb ON nb.vec_id = dst),
+        |rk AS (SELECT src, dst,
+        |         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+        |       FROM cs),
+        |g AS (SELECT src, dst FROM rk WHERE rnk <= 5),
+        |nodes AS (SELECT DISTINCT src AS id FROM g UNION SELECT DISTINCT dst FROM g),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |od AS (SELECT src AS id, count(*) AS od FROM g GROUP BY 1),
+        |r0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT g.dst AS id, sum(r0.r / od.od) AS c
+        |       FROM g JOIN r0 ON r0.id = g.src JOIN od ON od.id = g.src GROUP BY 1),
+        |r1 AS (SELECT nodes.id, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c1.c, 0.0) AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.id = nodes.id),
+        |c2 AS (SELECT g.dst AS id, sum(r1.r / od.od) AS c
+        |       FROM g JOIN r1 ON r1.id = g.src JOIN od ON od.id = g.src GROUP BY 1),
+        |r2 AS (SELECT nodes.id, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c2.c, 0.0) AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.id = nodes.id),
+        |c3 AS (SELECT g.dst AS id, sum(r2.r / od.od) AS c
+        |       FROM g JOIN r2 ON r2.id = g.src JOIN od ON od.id = g.src GROUP BY 1),
+        |r3 AS (SELECT nodes.id, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c3.c, 0.0) AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.id = nodes.id)
+        |SELECT id, round(r, 12) AS rank FROM r3 ORDER BY id""".stripMargin)),
+
     Q("q_length_winsor",  // per-source length winsorization screen:
       // docs outside their source's exact interpolated [p05, p95]
       // n_chars band (truncated pages / concatenation blobs live in the

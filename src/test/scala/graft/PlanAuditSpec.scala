@@ -134,4 +134,24 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q_allpairs_tfidf")
     assert(p.contains("HashAggregate"), s"expected hash-aggregated verify tail:\n$p")
   }
+
+  test("q_normalize_text / q_span_corrupt: pure map-side projections — no shuffle before the output sort") {
+    // both scaladocs claim "the corpus never leaves its input
+    // partitions"; the only allowed exchange is the final orderBy's
+    // range partitioning (gate-output determinism, dropped in real use)
+    for (q <- Seq("q_normalize_text", "q_span_corrupt")) {
+      val p = plan(q)
+      val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"$q must not hash-shuffle the corpus (orderBy range exchange only):\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.toLowerCase.contains("hashjoin"),
+        s"$q must not join:\n$p")
+    }
+  }
+
+  test("q_length_winsor: the per-source bounds broadcast back — no SortMergeJoin") {
+    val p = plan("q_length_winsor")
+    assert(p.contains("BroadcastExchange"), s"bounds side should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"winsor screen must stay map-side:\n$p")
+  }
 }

@@ -169,6 +169,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("spanCorrupt on a stream is byte-identical to batch (keyed-hash augmentation has no RNG state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.TextOps
+    def stage(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(col("doc_id"),
+          TextOps.spanCorrupt(col("doc_id"), TextOps.tokenize(col("text"))).as("sc"))
+        .select(col("doc_id"), col("sc.inputs"), col("sc.targets"))
+    val docs = Tables.table(spark, TestSpark.Sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = stage(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("scstream").outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("scstream").as[(Long, String, String)].collect().toSet
+      val want = stage(docs.toDF("doc_id", "text"))
+        .as[(Long, String, String)].collect().toSet
+      assert(got == want && got.nonEmpty,
+        "batch-split boundaries must not move any mask (pure function of salt/id/window)")
+    } finally q.stop()
+  }
+
   test("watermark: late rows beyond the 2h bound are dropped in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
