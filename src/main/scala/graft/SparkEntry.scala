@@ -2819,6 +2819,31 @@ object SparkEntry {
         |  round(CAST(doc_id * 13 % 200 AS DOUBLE), 6) AS mean_b
         |FROM documents ORDER BY media_id""".stripMargin)),
 
+    Q("q_image_phash",  // perceptual image hash over REAL ImageIO-decoded
+      // pixels: integer Rec.601 luminance (299r+587g+114b), bit = above
+      // the grid mean with the comparison cross-multiplied to stay
+      // integral — so the hash is exact arithmetic and the oracle
+      // rebuilds it bit-for-bit from the gradient's closed form without
+      // decoding anything. Group by (width, height, ahash) = cross-
+      // format image dedup key (brightness-invariance spec'd).
+      (s, dir) => Multimodal.imageAHash(
+          Multimodal.syntheticPng(Tables.table(s, dir, "documents"), "doc_id"))
+        .orderBy("media_id"),
+      Some("""WITH p AS (SELECT doc_id AS media_id,
+        |  CAST(doc_id % 13 + 1 AS INT) AS w, CAST(doc_id % 11 + 1 AS INT) AS h,
+        |  doc_id % 200 AS br, doc_id * 7 % 200 AS bg, doc_id * 13 % 200 AS bb
+        |  FROM documents),
+        |t AS (SELECT *, CAST(w AS BIGINT) * h AS n,
+        |  CAST(w AS BIGINT) * h * (299*br + 587*bg + 114*bb)
+        |    + 299 * h * (CAST(w - 1 AS BIGINT) * w // 2)
+        |    + 587 * w * (CAST(h - 1 AS BIGINT) * h // 2) AS total
+        |  FROM p)
+        |SELECT media_id, TRUE AS decoded, w AS width, h AS height,
+        |  array_to_string(list_transform(range(0, n), i ->
+        |    CASE WHEN n * (299*(br + i % w) + 587*(bg + i // w) + 114*bb) > total
+        |      THEN '1' ELSE '0' END), '') AS ahash
+        |FROM t ORDER BY media_id""".stripMargin)),
+
     Q("q_audio_features",  // REAL javax.sound decode of synthetic WAVs —
       // alternating ±A 16-bit PCM gives n_samples and RMS closed forms
       // the oracle computes from doc_id alone (lossless WAV roundtrip)
@@ -3214,6 +3239,62 @@ object SparkEntry {
         |          WHERE CAST(inter AS DOUBLE) / (s1 + s2 - inter) >= 0.5)
         |SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT id2 FROM drops)
         |ORDER BY doc_id""".stripMargin)),
+
+    Q("q_curation_v3",  // composed funnel of this round's new operators,
+      // value-oracled END-TO-END: normalize → exact-dedup on the
+      // NORMALIZED hash (catches re-punctuated copies) → per-source
+      // length winsor band → bigram-LM cross-entropy scored on the
+      // surviving corpus. Shuffle ledger: one hash-keyed dedup join,
+      // one broadcast bounds join, then the bigram model/score joins —
+      // normalization and the band screen themselves are map-side.
+      (s, dir) => {
+        val norm = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            TextOps.normalizeText(col("text")).as("norm"))
+          .filter(col("norm") =!= "")
+          .withColumn("h", md5(col("norm")))
+        val canon = norm.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        val deduped = norm.join(canon, Seq("h", "doc_id"))
+        val bounds = deduped.groupBy(col("source")).agg(
+          percentile(col("n_chars"), lit(0.05)).as("lo"),
+          percentile(col("n_chars"), lit(0.95)).as("hi"))
+        val kept = deduped.join(broadcast(bounds), "source")
+          .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+        val toks = kept.select(col("doc_id"), col("source"),
+          TextOps.tokenizeFiltered(col("norm"), Stop, Nil).as("toks"))
+        TextStats.bigramLmScore(toks, "doc_id", "toks")
+          .join(toks.select(col("doc_id"), col("source")), "doc_id")
+          .withColumn("xent", round(col("xent"), 6))
+          .select(col("doc_id"), col("source"), col("xent"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH nz AS (SELECT doc_id, source, n_chars,
+        |        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+        |      FROM documents),
+        |nf AS (SELECT *, md5(norm) AS h FROM nz WHERE norm <> ''),
+        |canon AS (SELECT h, min(doc_id) AS doc_id FROM nf GROUP BY h),
+        |dd AS (SELECT nf.* FROM nf JOIN canon
+        |       ON canon.h = nf.h AND canon.doc_id = nf.doc_id),
+        |b AS (SELECT source, quantile_cont(n_chars, 0.05) AS lo,
+        |        quantile_cont(n_chars, 0.95) AS hi FROM dd GROUP BY source),
+        |kp AS (SELECT dd.* FROM dd JOIN b USING (source)
+        |       WHERE n_chars >= lo AND n_chars <= hi),
+        |t AS (SELECT doc_id, source,
+        |        list_filter(regexp_extract_all(norm, '\b\w\w+\b'),
+        |          x -> x NOT IN ('the', 'a')) AS toks FROM kp),
+        |bg AS (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+        |       FROM (SELECT doc_id, toks, unnest(range(0, len(toks)-1)) AS i
+        |             FROM t WHERE len(toks) >= 2)),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |cc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1),
+        |vo AS (SELECT count(DISTINCT w) AS v
+        |       FROM (SELECT unnest(toks) AS w FROM t)),
+        |pp AS (SELECT w1, w2, ln((c12 + 0.5) / (c1 + 0.5 * vo.v)) AS logp
+        |       FROM bc JOIN cc USING (w1) CROSS JOIN vo),
+        |sc AS (SELECT doc_id, -avg(logp) AS xent
+        |       FROM bg JOIN pp USING (w1, w2) GROUP BY 1)
+        |SELECT sc.doc_id, t.source, round(sc.xent, 6) AS xent
+        |FROM sc JOIN t USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     Q("q_curation_emb",  // cross-modal curation: quality filter, then drop docs
       (s, dir) => {       // whose EMBEDDING has a lower-id near-dup (cos ≥ 0.4)
@@ -3622,6 +3703,34 @@ object SparkEntry {
         |       COALESCE(array_to_string(tgt, ' '), '') AS targets,
         |       CAST(n_masked AS INT) AS n_masked
         |FROM o ORDER BY doc_id""".stripMargin)),
+
+    Q("q_pq_codes",  // product-quantization encode (Jégou et al. TPAMI
+      // 2011), the IVF-PQ compression layer: d=64 splits into m=4
+      // subspaces, each subvector coded as its nearest codebook slice
+      // (codebook = the deterministic vec_id<8 sample, the fixedCentroids
+      // device). ONE map-side projection — 4 fused codegen argmins per
+      // row, zero shuffle, zero join; err is the subspace residual.
+      (s, dir) => {
+        val pts = embDouble(s, dir)
+        val codebook = pts.filter(col("vec_id") < 8)
+          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        Similarity.pqCodes(pts, "vec_id", "v", m = 4, codebook)
+          .withColumn("err", round(col("err"), 6))
+          .orderBy("vec_id", "sub")
+      },
+      Some("""WITH pts AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |              unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |d AS (SELECT p.vec_id, p.i // 16 AS sub, c.cid,
+        |        sum((p.x - c.c) * (p.x - c.c)) AS d2
+        |      FROM pts p JOIN (SELECT vec_id AS cid, i, x AS c FROM pts
+        |                       WHERE vec_id < 8) c ON p.i = c.i
+        |      GROUP BY 1, 2, 3),
+        |a AS (SELECT vec_id, sub, cid, d2,
+        |        row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+        |      FROM d)
+        |SELECT vec_id, CAST(sub AS INT) AS sub, cid AS code,
+        |       round(sqrt(d2), 6) AS err
+        |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin)),
 
     Q("q_pagerank",  // fixed-iteration PageRank (Page et al. 1999) over
       // the exact cosine 5-NN graph — similarity centrality: which

@@ -275,4 +275,69 @@ object Multimodal {
           i => col("payload").substr(i * frameBytes + 1, lit(frameBytes))))
           .as(Seq("frame_idx", "frame")))
   }
+
+  /** Average-hash perceptual image fingerprint over the REAL decoded
+    * pixel grid: per pixel, an INTEGER luminance proxy
+    * `L = 299·r + 587·g + 114·b` (the Rec. 601 weights ×1000 — exact
+    * integer arithmetic, so the hash is bit-identical on any engine);
+    * bit(x,y) = 1 iff `n·L(x,y) > Σ L` (strictly above the mean,
+    * cross-multiplied to stay integral). Output bits are row-major
+    * ('0'/'1' string). Production aHash adds a fixed 8×8 resample in
+    * front — the testdata grids are already ≤13×11, and the plan shape
+    * (per-partition decode → map-side hash, zero shuffle) is identical.
+    *
+    * The classic aHash properties hold: uniform brightness shifts move
+    * every pixel AND the mean equally, so the hash is invariant
+    * (spec-witnessed), and lossless re-encodes hash identically —
+    * which is what makes it a cross-format image DEDUP key: group by
+    * (width, height, ahash). Undecodable payloads yield decoded=false.
+    */
+  def imageAHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("ahash", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { batch =>
+      batch.map { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val img =
+          if (bytes.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+        if (img == null) Row(id, false, null, null, null)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val n = w.toLong * h
+          val lum = new Array[Long](w * h)
+          var total = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val l = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                114L * (rgb & 0xff)
+              lum(y * w + x) = l
+              total += l
+              x += 1
+            }
+            y += 1
+          }
+          val sb = new java.lang.StringBuilder(w * h)
+          var i = 0
+          while (i < lum.length) {
+            sb.append(if (n * lum(i) > total) '1' else '0')
+            i += 1
+          }
+          Row(id, true, w, h, sb.toString)
+        }
+      }
+    }(enc)
+  }
 }

@@ -403,6 +403,40 @@ object Similarity {
       .select(col("id1"), col("id2"), col("cos"))
   }
 
+  /** Product quantization encode (Jégou, Douze & Schmid, TPAMI 2011):
+    * split the d-dim space into `m` contiguous subspaces and code each
+    * subvector as its nearest codebook entry — the memory-compression
+    * layer under billion-scale ANN (IVF-PQ): d floats become m small
+    * codes. `codebook` entries are FULL d-dim vectors (k of them, e.g.
+    * a deterministic sample or per-subspace k-means output); subspace
+    * s uses their s-th slice.
+    *
+    * Scale: the codebook is a driver-held k×d array (k-row-scalar
+    * family, like centroids); encoding is ONE map-side projection —
+    * m fused codegen argmins per row ([[graft.functions.NearestCentroid]]
+    * over each slice) stacked by an explode — zero shuffle, zero join,
+    * one corpus read. Ties break by code id (the kernel's (dist, cid)
+    * lexicographic min). Output: (idCol, sub, code, err) with err the
+    * subspace Euclidean residual, so Σ_sub err² = ‖v − decode(v)‖².
+    */
+  def pqCodes(
+      emb: DataFrame, idCol: String, vecCol: String, m: Int,
+      codebook: Array[(Long, Array[Double])]): DataFrame = {
+    val d = codebook.head._2.length
+    require(m > 0 && d % m == 0, s"dim $d not divisible into $m subspaces")
+    require(codebook.forall(_._2.length == d), "codebook entries must share dim")
+    val ds = d / m
+    val subs = (0 until m).map { s =>
+      val cents = codebook.map { case (cid, v) => cid -> v.slice(s * ds, (s + 1) * ds) }
+      struct(lit(s).as("sub"),
+        graft.functions.NearestCentroid.nearest_centroid(
+          slice(col(vecCol), s * ds + 1, ds), cents).as("m"))
+    }
+    emb.select(col(idCol), explode(array(subs: _*)).as("e"))
+      .select(col(idCol), col("e.sub").as("sub"),
+        col("e.m.cid").as("code"), col("e.m.dist").as("err"))
+  }
+
   /** EXACT cosine k-nearest-neighbor graph: for every vector, its k
     * most-similar other vectors, ranked on ROUNDED cosine (`scale` dp,
     * ties by neighbor id) so the rank boundary is engine-independent —

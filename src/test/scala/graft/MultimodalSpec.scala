@@ -94,4 +94,33 @@ class MultimodalSpec extends AnyFunSuite {
       .select($"frame").as[Array[Byte]].collect()
     assert(frames.map(new String(_)).mkString == orig)
   }
+
+  test("imageAHash: brightness-shift invariant, format-roundtrip stable, contrast-sensitive") {
+    def png(f: (Int, Int) => Int, w: Int, h: Int, fmt: String = "png"): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, buf)
+      buf.toByteArray
+    }
+    def gradient(shift: Int)(x: Int, y: Int): Int =
+      (((40 + 10 * x + shift) & 0xff) << 16) |
+        (((60 + 10 * y + shift) & 0xff) << 8) | ((80 + shift) & 0xff)
+    val rows = Seq(
+      (1L, png(gradient(0), 6, 5)),          // base
+      (2L, png(gradient(25), 6, 5)),         // +25 uniform brightness
+      (3L, png(gradient(0), 6, 5, "bmp")),   // same pixels, BMP container
+      (4L, png((x, _) => if (x < 3) 0 else 0xffffff, 6, 5)),  // different structure
+      (5L, Array[Byte](1, 2, 3)))            // undecodable
+    val got = Multimodal.imageAHash(rows.toDF("media_id", "payload"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.getString(4)))).toMap
+    val base = got(1L)._2.get
+    assert(base.length == 30 && base.exists(_ == '1') && base.exists(_ == '0'))
+    assert(got(2L)._2.get == base, "uniform brightness shift moves pixels AND mean equally")
+    assert(got(3L)._2.get == base, "lossless re-encode must hash identically (dedup key)")
+    assert(got(4L)._2.get != base, "different structure must hash differently")
+    assert(!got(5L)._1 && got(5L)._2.isEmpty, "undecodable payload flags, not throws")
+  }
 }

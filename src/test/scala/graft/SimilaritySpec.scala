@@ -209,6 +209,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(brute.nonEmpty)  // the parity must witness actual pairs
   }
 
+  test("pqCodes: codebook self-encodes at zero error; Σ err² is the true reconstruction gap; zero-shuffle plan") {
+    import graft.ops.KMeansOps
+    val pts = emb.select($"vec_id", KMeansOps.asDouble($"embedding").as("v"))
+    val codebook = pts.filter($"vec_id" < 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val codes = Similarity.pqCodes(pts, "vec_id", "v", m = 4, codebook)
+    val p = codes.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.toLowerCase.contains("join"),
+      s"PQ encode must be one map-side projection:\n$p")
+
+    val rows = codes.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // 1) every codebook vector codes to itself with zero residual
+    for (cid <- 0L until 8L; s <- 0 until 4) {
+      val (code, err) = rows((cid, s))
+      assert(code == cid && err < 1e-12, s"codebook vec $cid sub $s: $code/$err")
+    }
+    // 2) per-vector Σ err² equals ‖v − decode(v)‖² exactly (decode =
+    //    concatenated codebook slices)
+    val book = codebook.toMap
+    pts.filter($"vec_id" % 97 === 0).collect().foreach { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Double](1).toArray
+      val errSq = (0 until 4).map(s => math.pow(rows((id, s))._2, 2)).sum
+      val trueSq = (0 until 4).flatMap { s =>
+        val cv = book(rows((id, s))._1)
+        (s * 16 until (s + 1) * 16).map(i => math.pow(v(i) - cv(i), 2))
+      }.sum
+      assert(math.abs(errSq - trueSq) < 1e-9, s"vec $id: $errSq vs $trueSq")
+    }
+  }
+
   test("knnGraph: agrees with bruteTopK at 4dp ranking on the real corpus") {
     val sample = emb.filter($"vec_id" % 100 === 0)
     val graph = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
