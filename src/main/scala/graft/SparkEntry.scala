@@ -3296,6 +3296,41 @@ object SparkEntry {
         |SELECT sc.doc_id, t.source, round(sc.xent, 6) AS xent
         |FROM sc JOIN t USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    Q("q_datasheet",  // per-source corpus datasheet ("Datasheets for
+      // Datasets", Gebru et al. CACM 2021): doc/char/token volumes,
+      // exact-dup doc count (corpus-wide md5 groups), mean quality
+      // score, language spread — the one-table release audit. One
+      // hash-keyed dup join + one source-keyed aggregation; token and
+      // quality columns are map-side expressions.
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val d = docs.select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), md5(col("text")).as("h"),
+          TextOps.tokenizeFiltered(col("text"), Stop, Nil).as("toks"))
+        val dup = d.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        d.join(dup, "h")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars_total"),
+            sum(size(col("toks")).cast("long")).as("tok_total"),
+            sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+            round(avg(TextStats.qualityScore(col("toks"), Stop)), 6).as("mean_quality"),
+            count_distinct(col("lang")).as("n_langs"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, lang, n_chars, md5(text) AS h,
+        |        list_filter(regexp_extract_all(lower(text), '\\b\\w\\w+\\b'),
+        |          x -> x NOT IN ('the', 'a')) AS toks
+        |      FROM documents),
+        |c AS (SELECT h, count(*) AS c FROM d GROUP BY h)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(sum(len(toks)) AS BIGINT) AS tok_total,
+        |  CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  round(avg($SqlQuality), 6) AS mean_quality,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM d JOIN c USING (h) GROUP BY source ORDER BY source""".stripMargin)),
+
     Q("q_curation_emb",  // cross-modal curation: quality filter, then drop docs
       (s, dir) => {       // whose EMBEDDING has a lower-id near-dup (cos ≥ 0.4)
         val toks = TextOps.tokenize(col("text"))
@@ -3776,6 +3811,55 @@ object SparkEntry {
         |r3 AS (SELECT nodes.id, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c3.c, 0.0) AS r
         |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.id = nodes.id)
         |SELECT id, round(r, 12) AS rank FROM r3 ORDER BY id""".stripMargin)),
+
+    Q("q_label_prop",  // fixed-iteration label propagation (Zhu &
+      // Ghahramani 2002) over the cosine 5-NN graph: labels are kept
+      // only for the vec_id%5==0 seed fifth, then 2 synchronous
+      // majority-vote rounds spread them (ties by smallest label,
+      // seeds immutable) — the semi-supervised path from sparse human
+      // labels to corpus-wide ones. Per round: one edges⋈labels join +
+      // one partial-agg'd groupBy + a label-bounded argmax window.
+      // Unreached nodes report -1.
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        val edges = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+          .select(col("src"), col("dst"))
+        GraphOps.labelPropagate(edges, "src", "dst",
+            emb.filter(col("vec_id") % 5 === 0), "vec_id", "label", iters = 2)
+          .select(col("id"), coalesce(col("label"), lit(-1)).as("label"))
+          .orderBy("id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |nr AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+        |dp AS (SELECT a.vec_id AS src, b.vec_id AS dst, sum(a.x * b.x) AS dp
+        |       FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2),
+        |cs AS (SELECT src, dst, round(dp / (na.nrm * nb.nrm), 4) AS cos
+        |       FROM dp JOIN nr na ON na.vec_id = src JOIN nr nb ON nb.vec_id = dst),
+        |rk AS (SELECT src, dst,
+        |         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+        |       FROM cs),
+        |g AS (SELECT src, dst FROM rk WHERE rnk <= 5),
+        |nodes AS (SELECT DISTINCT src AS id FROM g UNION SELECT DISTINCT dst FROM g),
+        |l0 AS (SELECT n.id, s.label FROM nodes n
+        |       LEFT JOIN (SELECT vec_id AS id, label FROM embeddings
+        |                  WHERE vec_id % 5 = 0) s USING (id)),
+        |v1 AS (SELECT g.src AS id, l.label AS nl, count(*) AS cnt
+        |       FROM g JOIN l0 l ON l.id = g.dst WHERE l.label IS NOT NULL GROUP BY 1, 2),
+        |b1 AS (SELECT id, nl FROM (SELECT id, nl,
+        |         row_number() OVER (PARTITION BY id ORDER BY cnt DESC, nl) AS rn
+        |       FROM v1) WHERE rn = 1),
+        |l1 AS (SELECT l0.id, COALESCE(l0.label, b1.nl) AS label
+        |       FROM l0 LEFT JOIN b1 USING (id)),
+        |v2 AS (SELECT g.src AS id, l.label AS nl, count(*) AS cnt
+        |       FROM g JOIN l1 l ON l.id = g.dst WHERE l.label IS NOT NULL GROUP BY 1, 2),
+        |b2 AS (SELECT id, nl FROM (SELECT id, nl,
+        |         row_number() OVER (PARTITION BY id ORDER BY cnt DESC, nl) AS rn
+        |       FROM v2) WHERE rn = 1),
+        |l2 AS (SELECT l1.id, COALESCE(l1.label, b2.nl) AS label
+        |       FROM l1 LEFT JOIN b2 USING (id))
+        |SELECT id, CAST(COALESCE(label, -1) AS INT) AS label
+        |FROM l2 ORDER BY id""".stripMargin)),
 
     Q("q_length_winsor",  // per-source length winsorization screen:
       // docs outside their source's exact interpolated [p05, p95]

@@ -64,4 +64,55 @@ object GraphOps {
     }
     ranks.select(col("id"), col("rank"))
   }
+
+  /** Fixed-iteration synchronous label propagation (Zhu & Ghahramani
+    * 2002 / Raghavan et al. 2007 LPA): seed nodes carry known labels;
+    * each round, every still-unlabeled node adopts the MAJORITY label
+    * among its labeled out-neighbors (ties by smallest label; no
+    * labeled neighbor → stays unlabeled; seeded labels never change).
+    * Fixed `iters` keeps the result a deterministic closed form of
+    * (graph, seeds) — the value-oracle contract, same device as
+    * [[pageRank]]. The semi-supervised workhorse for propagating
+    * sparse human labels (quality ratings, topic tags) across a
+    * similarity graph to the whole corpus.
+    *
+    * Scale: per iteration ONE edges⋈labels join on the neighbor key +
+    * ONE partial-agg'd groupBy((node, label)) + a per-node argmax
+    * window (partition cardinality ≤ #distinct labels — bounded, not
+    * corpus-sized) + a node-keyed update join; shuffle volume is
+    * O(edges) per iteration. Labels table lazily checkpointed per
+    * round (constant plan depth).
+    * Output: (id, label) with label null where propagation never
+    * reached.
+    */
+  def labelPropagate(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, idCol: String, labelCol: String, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+    var labels = nodes.join(
+        seeds.select(col(idCol).cast("long").as("id"), col(labelCol).as("label")),
+        Seq("id"), "left")
+      .localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val votes = e.join(
+          labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
+        .filter(col("nl").isNotNull)
+        .groupBy(col("src").as("id"), col("nl")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("cnt").desc, col("nl"))
+      val best = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("id"), col("nl"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("nl")).as("label"))
+        .localCheckpoint(eager = false)
+      it += 1
+    }
+    labels
+  }
 }

@@ -37,6 +37,50 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r.forall(_._2 >= 0.15 / 500 - 1e-15), "rank floor = (1-d)/n")
   }
 
+  test("labelPropagate: one hop per round, smallest-label ties, seeds immutable, unreached stays null") {
+    // path 1->2->3->4 (edges point at out-neighbors; votes flow from
+    // dst labels to src), seeds: 3 has label 7, 4 has label 9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val seeds = Seq((3L, 7), (4L, 9)).toDF("id", "label")
+    def run(iters: Int) = GraphOps.labelPropagate(
+        edges, "s", "d", seeds, "id", "label", iters)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    val r1 = run(1)
+    assert(r1(2L) == Some(7), "node 2 sees labeled neighbor 3 after one round")
+    assert(r1(1L) == None, "node 1's only neighbor was unlabeled at round 1")
+    assert(r1(3L) == Some(7) && r1(4L) == Some(9), "seeds never change")
+    val r2 = run(2)
+    assert(r2(1L) == Some(7), "round 2 reaches node 1 through node 2")
+
+    // tie-break: node 1 -> {2 (label 5), 3 (label 3)} — one vote each,
+    // smallest label wins
+    val tie = GraphOps.labelPropagate(
+        Seq((1L, 2L), (1L, 3L)).toDF("s", "d"),
+        "s", "d", Seq((2L, 5), (3L, 3)).toDF("id", "label"), "id", "label", 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tie(1L) == 3)
+  }
+
+  test("labelPropagate: coverage is monotone in iters on the real kNN graph; seed fifth intact") {
+    val emb = Tables.table(spark, TestSpark.Sf, "embeddings")
+    val edges = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+      .select($"src", $"dst")
+    val seeds = emb.filter($"vec_id" % 5 === 0)
+    def labeled(iters: Int) = GraphOps.labelPropagate(
+        edges, "src", "dst", seeds, "vec_id", "label", iters)
+      .filter($"label".isNotNull).count()
+    val c0 = labeled(0); val c1 = labeled(1); val c2 = labeled(2)
+    assert(c0 == 100, "exactly the seeded fifth at iter 0")
+    assert(c0 <= c1 && c1 <= c2, s"coverage must not shrink: $c0 $c1 $c2")
+    assert(c2 > c0, "propagation must actually reach new nodes")
+    val seedLabels = seeds.select($"vec_id", $"label")
+      .as[(Long, Int)].collect().toMap
+    GraphOps.labelPropagate(edges, "src", "dst", seeds, "vec_id", "label", 2)
+      .filter($"id" % 5 === 0).as[(Long, Int)].collect()
+      .foreach { case (id, l) => assert(l == seedLabels(id), s"seed $id moved") }
+  }
+
   test("pageRank: iters=0 returns the uniform start vector") {
     val g = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
     val r = GraphOps.pageRank(g, "s", "d", iters = 0)
