@@ -534,6 +534,41 @@ object SparkEntry {
         |FROM p WHERE CAST(inter AS DOUBLE) / (s1 + s2 - inter) >= 0.5
         |ORDER BY id1, id2""".stripMargin)),
 
+    Q("q_cross_dedup",  // cross-corpus near-dup retrieval (R-S Jaccard
+      // join): corpus docs with 3-shingle Jaccard ≥ 0.5 against ANY doc
+      // of a reference set (here the doc_id%10=0 slice standing in for
+      // an eval suite / prior snapshot) — the near-dup generalization
+      // of exact decontamination: a paraphrased or re-punctuated eval
+      // item slips past verbatim-gram overlap but is caught here. The
+      // reference element frame and its size table both broadcast; the
+      // corpus stream is probed map-side and only matching (cid, eid)
+      // rows shuffle into the intersection count.
+      (s, dir) => {
+        val all = docsTokens(s, dir)
+        val cE = Dedup.shingleHashesViaArrays(
+          all.filter(col("doc_id") % 10 =!= 0), "doc_id", "toks", k = 3)
+        val eE = Dedup.shingleHashesViaArrays(
+          all.filter(col("doc_id") % 10 === 0), "doc_id", "toks", k = 3)
+        Dedup.crossJaccardPairs(cE, eE, minJ = 0.5)
+          .withColumn("jaccard", round(col("jaccard"), 6))
+          .orderBy("cid", "eid")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |      FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS w, len(sh) AS sz FROM s),
+        |p AS (SELECT c.doc_id AS cid, r.doc_id AS eid, count(*) AS inter,
+        |             max(c.sz) AS c_sz, max(r.sz) AS e_sz
+        |      FROM e c JOIN e r ON c.w = r.w
+        |      WHERE c.doc_id % 10 <> 0 AND r.doc_id % 10 = 0
+        |      GROUP BY 1, 2)
+        |SELECT cid, eid,
+        |       round(CAST(inter AS DOUBLE) / (c_sz + e_sz - inter), 6) AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE) / (c_sz + e_sz - inter) >= 0.5
+        |ORDER BY cid, eid""".stripMargin)),
+
     Q("q_minhash_lsh_md5",  // the WHOLE MinHash+LSH pipeline, value-level
       // oracled: md5-derived base hash + string band keys are portable SQL,
       // so DuckDB reproduces sig -> band -> bucket-join candidates exactly
@@ -2686,6 +2721,39 @@ object SparkEntry {
         |FROM e JOIN f USING (w) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("q_ccnet_buckets",  // CCNet head/middle/tail perplexity terciles
+      // (arXiv:1911.00359 §4.4 — the slices the released corpora ship
+      // in): per source, ntile(3) over the rounded q_lm_score signal
+      // (ties by doc_id — rounded-before-ranked, engine-independent
+      // boundary). The window sorts the (id, source, xent) triple
+      // table, never the corpus text; slices materialize by joining the
+      // bucket column back on id.
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextOps.tokenizeFiltered(col("text"), Stop, Nil).as("toks"))
+        val scored = TextStats.lmScore(docs, "doc_id", "toks")
+          .join(docs.select("doc_id", "source"), "doc_id")
+        TextStats.ccnetBuckets(scored, "doc_id", "source", "xent")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source,
+        |        list_filter(regexp_extract_all(lower(text), '\\b\\w\\w+\\b'),
+        |          x -> x NOT IN ('the', 'a')) AS toks FROM documents),
+        |e AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |f AS (SELECT w, count(*) AS cnt FROM e GROUP BY w),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM f),
+        |sc AS (SELECT doc_id, round(-avg(ln(CAST(cnt AS DOUBLE) / total)), 6) AS xent
+        |       FROM e JOIN f USING (w) CROSS JOIN tot GROUP BY doc_id),
+        |b AS (SELECT sc.doc_id, t.source, sc.xent,
+        |        ntile(3) OVER (PARTITION BY t.source
+        |                       ORDER BY sc.xent, sc.doc_id) AS nt
+        |      FROM sc JOIN t ON t.doc_id = sc.doc_id)
+        |SELECT doc_id, source, xent,
+        |       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |               ELSE 'tail' END AS bucket
+        |FROM b ORDER BY doc_id""".stripMargin)),
+
     Q("q_dsir_weights",  // DSIR-style domain-targeting importance weights
       // (arXiv:2302.03169), add-1-smoothed unigram LMs: mean per-token
       // log ratio of the src0 target distribution over the corpus
@@ -3686,6 +3754,31 @@ object SparkEntry {
         |FROM c CROSS JOIN n JOIN m ma ON ma.i = c.i JOIN m mb ON mb.i = c.j
         |ORDER BY i, j""".stripMargin)),
 
+    Q("q_embed_density",  // per-vector neighborhood density at cosine
+      // ≥ 0.5 — the embedding-quality screen (dense regions = redundancy
+      // candidates, n_nbr=0 = outliers/noise; SemDeDup's density
+      // cousin). Pair gen = blocked block-pair tasks (no collect); the
+      // count/max fold and the left join back run on the EDGE set only,
+      // so the corpus vectors move exactly once. Isolated vectors
+      // report (0, −1.0) — an equality filter, not a null check.
+      (s, dir) => Similarity.embedDensity(
+          Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
+          minCos = 0.5)
+        .orderBy("id"),
+      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+        |d AS (SELECT a.vec_id AS src, b.vec_id AS dst, sum(a.x * b.x) AS dp
+        |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2),
+        |c AS (SELECT src, dst, round(dp / (na.nrm * nb.nrm), 4) AS cos
+        |      FROM d JOIN n na ON na.vec_id = src JOIN n nb ON nb.vec_id = dst),
+        |k AS (SELECT src AS id, count(*) AS n_nbr, max(cos) AS max_cos
+        |      FROM c WHERE cos >= 0.5 GROUP BY 1)
+        |SELECT vec_id AS id, COALESCE(k.n_nbr, 0) AS n_nbr,
+        |       COALESCE(k.max_cos, -1.0) AS max_cos
+        |FROM embeddings LEFT JOIN k ON k.id = embeddings.vec_id
+        |ORDER BY id""".stripMargin)),
+
     Q("q_normalize_text",  // canonical normalization before hashing
       // (C4/CCNet order of operations): lowercase, collapse non-alnum
       // runs to one space, trim — then md5 over the NORMALIZED form,
@@ -3766,6 +3859,47 @@ object SparkEntry {
         |SELECT vec_id, CAST(sub AS INT) AS sub, cid AS code,
         |       round(sqrt(d2), 6) AS err
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin)),
+
+    Q("q_pq_adc",  // asymmetric-distance (ADC) top-k search over the PQ
+      // codes (Jégou et al. TPAMI 2011 §IV) — the query-time half of
+      // IVF-PQ: each query carries one flattened m×k LUT of squared
+      // subspace distances to every codebook slice, and a corpus
+      // vector's approximate distance is m table lookups over its
+      // codes — the corpus floats are never touched at query time.
+      // Corpus side = ONE map-side projection (m fused codegen argmins,
+      // zero shuffle); queries ride as a broadcast row each; only the
+      // per-query top-5 window moves. Ranked on ROUNDED adist, ties by
+      // id. Codebook = sorted vec_id<8 sample, queries = vec_id<4.
+      (s, dir) => {
+        val pts = embDouble(s, dir)
+        val codebook = pts.filter(col("vec_id") < 8).orderBy("vec_id")
+          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        Similarity.pqAdcTopK(pts, "vec_id", "v", m = 4, codebook,
+            pts.filter(col("vec_id") < 4), "vec_id", "v", k = 5)
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH pts AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |              unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |cb AS (SELECT vec_id AS cid, i, x AS c FROM pts WHERE vec_id < 8),
+        |d AS (SELECT p.vec_id, p.i // 16 AS sub, c.cid,
+        |        sum((p.x - c.c) * (p.x - c.c)) AS d2
+        |      FROM pts p JOIN cb c ON p.i = c.i GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, sub, cid FROM
+        |          (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |                       ORDER BY d2, cid) AS rn FROM d) WHERE rn = 1),
+        |lut AS (SELECT q.vec_id AS qid, q.i // 16 AS sub, c.cid,
+        |          sum((q.x - c.c) * (q.x - c.c)) AS d2
+        |        FROM pts q JOIN cb c ON q.i = c.i
+        |        WHERE q.vec_id < 4 GROUP BY 1, 2, 3),
+        |ad AS (SELECT lut.qid, codes.vec_id AS id,
+        |         round(sqrt(sum(lut.d2)), 6) AS adist
+        |       FROM codes JOIN lut ON lut.sub = codes.sub AND lut.cid = codes.cid
+        |       GROUP BY 1, 2),
+        |r AS (SELECT qid, id, adist,
+        |        row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS rn
+        |      FROM ad)
+        |SELECT qid, CAST(rn AS INT) AS rank, id, adist
+        |FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin)),
 
     Q("q_pagerank",  // fixed-iteration PageRank (Page et al. 1999) over
       // the exact cosine 5-NN graph — similarity centrality: which

@@ -247,6 +247,42 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Cross-corpus near-duplicate retrieval (R-S Jaccard join): corpus
+    * documents with Jaccard ≥ minJ against ANY document of a reference
+    * set — the near-dup generalization of exact-match decontamination
+    * ([[contaminationHits]] catches verbatim gram overlap; an eval item
+    * lightly paraphrased or re-punctuated still slips through it but is
+    * caught here), and equally the "find what we already have" probe
+    * for incremental corpus growth. Inputs are the two exploded
+    * distinct element frames (id, h) — [[shingleHashes]] output — with
+    * DISJOINT id spaces not required (matching ids are still compared).
+    * Output: (cid, eid, jaccard), exact.
+    *
+    * Scale: the reference side is an eval suite or prior-snapshot
+    * index — tiny against a 100 TB corpus — so its element frame and
+    * its size table both broadcast: the corpus stream is probed
+    * map-side and only MATCHING (cid, eid) rows shuffle into the
+    * intersection count (a vanishing fraction). The corpus size table
+    * joins the aggregate, never the stream. A large reference side
+    * flips `broadcastRef` off for plain shuffled joins.
+    */
+  def crossJaccardPairs(
+      corpusE: DataFrame, refE: DataFrame, minJ: Double,
+      broadcastRef: Boolean = true): DataFrame = {
+    val bc: DataFrame => DataFrame = if (broadcastRef) broadcast else identity
+    val cSizes = corpusE.groupBy(col("id")).agg(count(lit(1)).as("c_sz"))
+    val eSizes = refE.groupBy(col("id")).agg(count(lit(1)).as("e_sz"))
+    corpusE.select(col("id").as("cid"), col("h"))
+      .join(bc(refE.select(col("id").as("eid"), col("h"))), Seq("h"))
+      .groupBy(col("cid"), col("eid")).agg(count(lit(1)).as("inter"))
+      .join(cSizes.withColumnRenamed("id", "cid"), "cid")
+      .join(bc(eSizes.withColumnRenamed("id", "eid")), "eid")
+      .withColumn("jaccard",
+        col("inter") / (col("c_sz") + col("e_sz") - col("inter")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("cid"), col("eid"), col("jaccard"))
+  }
+
   /** Self-join-free variant of [[jaccardPairsFromHashes]]: group ids
     * per shingle bucket and emit ordered pairs by in-bucket
     * combination. One aggregation + one explode replaces the self-join,

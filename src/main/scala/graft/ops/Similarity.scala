@@ -530,4 +530,109 @@ object Similarity {
     val flip = v.find(_ != 0.0).exists(_ < 0)
     (lambda, if (flip) v.map(-_) else v)
   }
+
+  /** Asymmetric-distance (ADC) top-k search over PQ codes (Jégou, Douze
+    * & Schmid, TPAMI 2011 §IV) — the query-time half of IVF-PQ that
+    * [[pqCodes]] is the build-time half of: each query precomputes one
+    * m×k lookup table of squared subspace distances to every codebook
+    * slice, and a corpus vector's approximate distance is the sum of m
+    * table lookups over its codes — the corpus's FLOATS are never read
+    * at query time, only its m-byte codes. `codebook` must be sorted by
+    * its id so the positional code a tie breaks to equals the smallest
+    * codebook id (engine-independent ranking).
+    *
+    * Scale: the corpus side is ONE map-side projection — m fused
+    * [[graft.functions.NearestCentroid]] argmins encode each vector
+    * (zero shuffle, same kernel as [[pqCodes]]), and at 100 TB the
+    * codes would be encoded once and stored (64 floats → 4 bytes/row
+    * here). Queries ride as a broadcast row each carrying its FLATTENED
+    * m·k LUT array; the scan is a broadcast nested-loop over ≤ |Q|
+    * query rows with the per-row cost m array lookups — no join on
+    * (sub, code), no nq×n shuffle: only the per-query top-k window
+    * (k·|Q| rows after the per-partition rank short-circuit) moves.
+    * Ranking is on ROUNDED adist (ties by corpus id), the
+    * rounded-before-ordered device. Output: (qid, rank, id, adist)
+    * where adist = √(Σ_s ‖q_s − cb[code_s]_s‖²).
+    */
+  def pqAdcTopK(
+      emb: DataFrame, idCol: String, vecCol: String, m: Int,
+      codebook: Array[(Long, Array[Double])],
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, scale: Int = 6): DataFrame = {
+    val d = codebook.head._2.length
+    require(m > 0 && d % m == 0, s"dim $d not divisible into $m subspaces")
+    require(codebook.map(_._1).toSeq == codebook.map(_._1).sorted.toSeq,
+      "codebook must be sorted by id (positional ties = id ties)")
+    val ds = d / m
+    val kcb = codebook.length
+    // corpus → m positional codes, one map-side projection
+    val subs = (0 until m).map { s =>
+      val cents = codebook.zipWithIndex.map { case ((_, v), j) =>
+        j.toLong -> v.slice(s * ds, (s + 1) * ds)
+      }
+      graft.functions.NearestCentroid.nearest_centroid(
+        slice(col(vecCol), s * ds + 1, ds), cents).getField("cid")
+    }
+    val codes = emb.select(col(idCol).as("id"), array(subs: _*).as("codes"))
+    // queries → flattened LUT: lut[s·k + j] = ‖q_s − cb[j]_s‖², the
+    // fold sequential over dims (same IEEE order as the verify kernel)
+    val lutCells = for (s <- 0 until m; j <- 0 until kcb) yield {
+      val cbs = codebook(j)._2.slice(s * ds, (s + 1) * ds)
+      aggregate(
+        zip_with(slice(col("qv"), s * ds + 1, ds),
+          lit(cbs), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    val lut = queries
+      .select(col(qIdCol).as("qid"), KMeansOps.asDouble(col(qVecCol)).as("qv"))
+      .select(col("qid"), array(lutCells: _*).as("lut"))
+    val adist = round(sqrt(aggregate(
+      sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, s) => acc +
+        element_at(col("lut"), (s * kcb).cast("int") +
+          element_at(col("codes"), s + 1).cast("int") + 1))), scale)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("id"))
+    codes.crossJoin(broadcast(lut))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("adist"))
+  }
+
+  /** Per-vector neighborhood density at a cosine threshold — the
+    * embedding-quality screen under density-aware curation (SemDeDup's
+    * cousin: dense regions are redundancy candidates, zero-density
+    * points are outliers/noise): for every vector, the COUNT of other
+    * vectors with rounded cosine ≥ minCos and the max such cosine
+    * (null-free: isolated vectors report n_nbr=0, max_cos −1.0, so the
+    * outlier set is an equality filter, not a null check).
+    *
+    * Scale: pair generation is [[cosinePairsBlocked]] — block-pair
+    * tasks, no driver collect — and everything after operates on the
+    * EDGE set (≥θ pairs only, orders of magnitude smaller than the
+    * corpus): mirror to both directions, one partial-agg'd groupBy(id),
+    * then a single left join back to the id column. The corpus's
+    * vectors move once (pair gen); the density table that joins back is
+    * ids+two numbers. Output: (id, n_nbr, max_cos).
+    */
+  def embedDensity(
+      emb: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      scale: Int = 4, blocks: Int = 8): DataFrame = {
+    // pre-filter half an ulp-of-scale BELOW the threshold: a raw cosine
+    // of θ − 0.4·10⁻ˢ rounds UP into the kept set, so the kernel's cut
+    // must admit it (ε guards the boundary itself)
+    val pairs = cosinePairsBlocked(
+        emb, idCol, vecCol, minCos - math.pow(10, -scale) / 2 - 1e-9, blocks)
+      .withColumn("cos", round(col("cos"), scale))
+      .filter(col("cos") >= minCos)
+    val sym = pairs.select(col("id1").as("id"), col("cos"))
+      .unionByName(pairs.select(col("id2").as("id"), col("cos")))
+    val dens = sym.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_nbr"), max(col("cos")).as("max_cos"))
+    emb.select(col(idCol).as("id"))
+      .join(dens, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_nbr"), lit(0L)).as("n_nbr"),
+        coalesce(col("max_cos"), lit(-1.0)).as("max_cos"))
+  }
 }

@@ -208,6 +208,39 @@ object TextStats {
           / size(col(toksCol)).cast("double")).as("xent"))
   }
 
+  /** CCNet head/middle/tail perplexity buckets (Wenzek et al.,
+    * arXiv:1911.00359 §4.4 — the paper's released corpora ship in
+    * exactly these three slices): per language-or-source group, split
+    * documents into equal-count terciles of the [[lmScore]] signal —
+    * "head" = lowest cross-entropy (most fluent), "tail" = highest.
+    * Downstream recipes train on head(+middle) or use the buckets as
+    * curriculum stages. Bucketing uses ntile(3) over (rounded xent,
+    * id) — rounding before ranking plus the id tie-break makes the
+    * bucket boundary engine-independent (both engines place the same
+    * rows in the same terciles).
+    *
+    * Scale: the scored table is (id, group, xent) — three narrow
+    * columns, not the corpus text — and ntile is one window sort
+    * partitioned by the GROUP key (≈ corpus/|groups| rows per
+    * partition; languages/sources are balanced by construction —
+    * skewed grouping keys would use range-partitioned percent_rank
+    * instead). The documents themselves don't move; join the bucket
+    * column back by id when materializing slices.
+    * Output: (idCol, byCol, xent, bucket).
+    */
+  def ccnetBuckets(
+      scored: DataFrame, idCol: String, byCol: String, xentCol: String,
+      scale: Int = 6): DataFrame = {
+    val x = round(col(xentCol), scale)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(byCol)).orderBy(x, col(idCol))
+    scored
+      .withColumn("xent", x)
+      .withColumn("bucket",
+        element_at(lit(Array("head", "middle", "tail")), ntile(3).over(w)))
+      .select(col(idCol), col(byCol), col("xent"), col("bucket"))
+  }
+
   /** The corpus's own unigram LM as (w, logp) — the model side of
     * [[lmScoreBroadcast]] when scoring a corpus against itself, i.e.
     * exactly [[lmScore]]'s distribution.

@@ -451,6 +451,39 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == ("mid", 2L))
   }
 
+  test("crossJaccardPairs: verbatim copy scores 1.0, paraphrase scores its true J, disjoint absent") {
+    val corpusE = Dedup.shingleHashesViaArrays(Seq(
+      (10L, Seq("a", "b", "c", "d")),        // verbatim copy of ref 1
+      (11L, Seq("a", "b", "c", "z")),        // 3/5 overlap with ref 1
+      (12L, Seq("p", "q", "r", "s")))        // disjoint
+      .toDF("doc_id", "toks"), "doc_id", "toks", k = 1)
+    val refE = Dedup.shingleHashesViaArrays(Seq(
+      (1L, Seq("a", "b", "c", "d")))
+      .toDF("doc_id", "toks"), "doc_id", "toks", k = 1)
+    val got = Dedup.crossJaccardPairs(corpusE, refE, minJ = 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.keySet == Set((10L, 1L), (11L, 1L)))
+    assert(math.abs(got((10L, 1L)) - 1.0) < 1e-12)
+    assert(math.abs(got((11L, 1L)) - 0.6) < 1e-12)  // 3 / (4+4-3)
+  }
+
+  test("crossJaccardPairs ≡ the self-join pair set restricted to cross pairs, on the real corpus") {
+    val e = Dedup.shingleHashesViaArrays(docs, "doc_id", "toks", k = 3)
+      .localCheckpoint()
+    val all = Dedup.jaccardPairsFromHashes(e, 0.5, materialize = false)
+      .as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) }
+      .filter { case (c, r, _) => c % 10 != 0 && r % 10 == 0 }
+      .map { case (c, r, j) => (c, r) -> j }.toMap
+    val cross = Dedup.crossJaccardPairs(
+        e.filter($"id" % 10 =!= 0), e.filter($"id" % 10 === 0), 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(cross.keySet == all.keySet,
+      s"cross-join pair set diverged: ${cross.keySet.diff(all.keySet)} / ${all.keySet.diff(cross.keySet)}")
+    cross.foreach { case (k, j) => assert(math.abs(j - all(k)) < 1e-12, s"$k") }
+    assert(cross.nonEmpty, "fixture must produce at least one cross pair")
+  }
+
   test("dropDupsByKey keeps exactly one row per key, the min-id one") {
     val withFp = docs.withColumn("fp", Dedup.wordSetFingerprint($"toks"))
     val kept = Dedup.dropDupsByKey(withFp.select($"doc_id", $"fp"), "doc_id", "fp")

@@ -241,6 +241,80 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pqAdcTopK: with a codebook holding every vector, ADC ≡ exact Euclidean top-k; broadcast-only plan") {
+    import graft.ops.KMeansOps
+    // 6 vectors, d=4, m=2 — codebook = all of them, so every vector
+    // self-encodes (zero residual) and the ADC distance IS the exact
+    // Euclidean distance
+    val vecs = Seq(
+      0L -> Array(0.0, 0.0, 0.0, 0.0),
+      1L -> Array(1.0, 0.0, 0.0, 0.0),
+      2L -> Array(0.0, 2.0, 0.0, 0.0),
+      3L -> Array(0.0, 0.0, 3.0, 0.0),
+      4L -> Array(0.0, 0.0, 0.0, 4.0),
+      5L -> Array(1.0, 1.0, 1.0, 1.0))
+    val df = vecs.map { case (id, v) => (id, v.toSeq) }.toDF("id", "v")
+    val out = Similarity.pqAdcTopK(df, "id", "v", m = 2,
+      vecs.toArray, df.filter($"id" < 2), "id", "v", k = 3)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"),
+      s"ADC scan must be a broadcast NL probe:\n$p")
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    for (qid <- 0L to 1L) {
+      val qv = vecs.toMap.apply(qid)
+      val exact = vecs.map { case (id, v) =>
+        id -> math.sqrt(v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sortBy { case (id, dist) =>
+        (BigDecimal(dist).setScale(6, BigDecimal.RoundingMode.HALF_UP), id)
+      }.take(3)
+      exact.zipWithIndex.foreach { case ((id, dist), i) =>
+        val (gid, gd) = got((qid, i + 1))
+        assert(gid == id && math.abs(gd - dist) < 1e-6,
+          s"q$qid rank ${i + 1}: got ($gid, $gd), want ($id, $dist)")
+      }
+    }
+  }
+
+  test("pqAdcTopK on the real corpus: ranks 1..k, adist non-decreasing, codebook sorted required") {
+    import graft.ops.KMeansOps
+    val pts = emb.select($"vec_id", KMeansOps.asDouble($"embedding").as("v"))
+    val codebook = pts.filter($"vec_id" < 8).orderBy("vec_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val out = Similarity.pqAdcTopK(pts, "vec_id", "v", m = 4, codebook,
+      pts.filter($"vec_id" < 3), "vec_id", "v", k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 15)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 5))
+      assert(sorted.sliding(2).forall(w => w(0)._4 <= w(1)._4 + 1e-12),
+        s"q$q adist must be non-decreasing in rank")
+    }
+    // unsorted codebook is rejected loudly (positional tie-break ≠ id tie-break)
+    intercept[IllegalArgumentException] {
+      Similarity.pqAdcTopK(pts, "vec_id", "v", m = 4, codebook.reverse,
+        pts.filter($"vec_id" < 1), "vec_id", "v", k = 1)
+    }
+  }
+
+  test("embedDensity: closed form on twins+orthogonal; Σ n_nbr = 2·|pairs| on the real corpus") {
+    val tiny = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)))
+      .toDF("id", "v")
+    val got = Similarity.embedDensity(tiny, "id", "v", minCos = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((1L, 1.0)) && got(2L) == ((1L, 1.0)))
+    assert(got(3L) == ((0L, -1.0)))
+
+    val dens = Similarity.embedDensity(emb, "vec_id", "embedding", minCos = 0.5)
+    val nPairs = Similarity.cosinePairsBlocked(emb, "vec_id", "embedding", 0.4, 8)
+      .withColumn("cos", round($"cos", 4)).filter($"cos" >= 0.5).count()
+    val sumNbr = dens.agg(sum($"n_nbr")).head().getLong(0)
+    assert(sumNbr == 2 * nPairs, s"Σ n_nbr $sumNbr vs 2·|pairs| ${2 * nPairs}")
+    assert(dens.count() == emb.count(), "every vector reports a density row")
+  }
+
   test("knnGraph: agrees with bruteTopK at 4dp ranking on the real corpus") {
     val sample = emb.filter($"vec_id" % 100 === 0)
     val graph = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)

@@ -278,4 +278,37 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(Long, String, Long, String)].collect().toSet
     assert(got == Set((1L, "g", 1L, "short"), (10L, "g", 10L, "long")))
   }
+
+  test("ccnetBuckets: equal-count terciles per group, boundary monotone head ≤ middle ≤ tail") {
+    // 7 docs in one group (xent 1..7), 3 in another (10, 20, 30)
+    val scored = ((1 to 7).map(i => (i.toLong, "g", i.toDouble)) ++
+      Seq((8L, "h", 10.0), (9L, "h", 20.0), (10L, "h", 30.0)))
+      .toDF("id", "src", "xent")
+    val got = TextStats.ccnetBuckets(scored, "id", "src", "xent")
+      .as[(Long, String, Double, String)].collect()
+    // ntile(3) over 7 rows → sizes 3/2/2; over 3 rows → 1/1/1
+    val byBucket = got.filter(_._2 == "g").groupBy(_._4).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byBucket("head") == Set(1L, 2L, 3L))
+    assert(byBucket("middle") == Set(4L, 5L))
+    assert(byBucket("tail") == Set(6L, 7L))
+    assert(got.filter(_._2 == "h").map(r => r._4 -> r._1).toSet ==
+      Set("head" -> 8L, "middle" -> 9L, "tail" -> 10L))
+
+    // real corpus: per source, bucket sizes differ by ≤1 and xent
+    // boundaries are monotone across buckets
+    val docs = Tables.table(spark, TestSpark.Sf, "documents")
+      .select($"doc_id", $"source",
+        TextOps.tokenizeFiltered($"text", Dictionaries.Stopwords, Nil).as("toks"))
+    val sc = TextStats.lmScore(docs, "doc_id", "toks")
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+    val bk = TextStats.ccnetBuckets(sc, "doc_id", "source", "xent")
+      .as[(Long, String, Double, String)].collect()
+    bk.groupBy(_._2).foreach { case (src, rows) =>
+      val sizes = rows.groupBy(_._4).view.mapValues(_.length).toMap
+      assert(sizes.values.max - sizes.values.min <= 1, s"$src sizes $sizes")
+      def xs(b: String) = rows.filter(_._4 == b).map(_._3)
+      assert(xs("head").max <= xs("middle").min + 1e-12, s"$src head/middle")
+      assert(xs("middle").max <= xs("tail").min + 1e-12, s"$src middle/tail")
+    }
+  }
 }
