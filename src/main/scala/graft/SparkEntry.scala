@@ -2804,6 +2804,67 @@ object SparkEntry {
         |      / (len(toks) - 1) END, 6) AS dup_bigram_frac
         |FROM t ORDER BY doc_id""".stripMargin)),
 
+    Q("q_gopher_rep",  // the FULL Gopher repetition-rule table (Rae et
+      // al. arXiv:2112.11446 Table A1) beyond q_repetition's two
+      // signals: char-weighted top-{2,3,4}-gram domination (count ×
+      // gram chars / token chars, ties → smallest gram) and
+      // dup-{5,10}-gram coverage (chars under ANY ≥2×-occurring
+      // n-gram, counted ONCE via the SpanCoverMask sweep — overlapping
+      // windows don't double-count). ZERO shuffles — per-row array
+      // arithmetic, O(g²) bounded by doc length, never corpus size.
+      (s, dir) => TextStats.gopherRepetition(
+          Tables.table(s, dir, "documents")
+            .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks")),
+          "doc_id", "toks")
+        .orderBy("doc_id"),
+      Some {
+        // flat chained CTEs — correlated subqueries + nested lambdas
+        // break the DuckDB binder, column-level lambdas don't
+        val ns = Seq(2, 3, 4, 5, 10)
+        def gCol(n: Int) =
+          s"""CASE WHEN nt < $n THEN []::VARCHAR[]
+             | ELSE list_transform(range(1, nt - ${n - 2}), i ->
+             |        array_to_string(toks[i:i+${n - 1}], ' ')) END AS g$n"""
+            .stripMargin
+        def cCol(n: Int) =
+          s"list_transform(g$n, x -> len(list_filter(g$n, y -> y = x))) AS c$n"
+        def topCols(n: Int) = (
+          s"CASE WHEN len(c$n) = 0 THEN 0 ELSE list_max(c$n) END AS m$n",
+          s"""list_min(list_transform(
+             |  list_filter(range(1, len(g$n) + 1), s -> c$n[s] = m$n),
+             |  s -> g$n[s])) AS w$n""".stripMargin)
+        def dCol(n: Int) =
+          s"list_filter(range(1, len(g$n) + 1), s -> c$n[s] >= 2) AS d$n"
+        def covCol(n: Int) =
+          s"""COALESCE(list_sum(list_transform(range(1, nt + 1), i ->
+             |  CASE WHEN len(list_filter(d$n, s -> i >= s AND i < s + $n)) > 0
+             |       THEN length(toks[i]) ELSE 0 END)), 0) AS cov$n""".stripMargin
+        def topFrac(n: Int) =
+          s"""round(CASE WHEN nt < $n OR total = 0 THEN 0.0
+             |  ELSE m$n * (length(w$n) - ${n - 1}) / CAST(total AS DOUBLE)
+             |  END, 6) AS top${n}_frac""".stripMargin
+        def dupFrac(n: Int) =
+          s"""round(CASE WHEN nt < $n OR total = 0 THEN 0.0
+             |  ELSE cov$n / CAST(total AS DOUBLE) END, 6) AS dup${n}_frac"""
+            .stripMargin
+        s"""WITH t AS (SELECT doc_id,
+           |        regexp_extract_all(lower(text), '\\b\\w\\w+\\b') AS toks
+           |      FROM documents),
+           |base AS (SELECT doc_id, toks, len(toks) AS nt,
+           |  COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS total
+           |  FROM t),
+           |gr AS (SELECT *, ${ns.map(gCol).mkString(",\n")} FROM base),
+           |cn AS (SELECT *, ${ns.map(cCol).mkString(",\n")} FROM gr),
+           |mx AS (SELECT *, ${Seq(2, 3, 4).map(n => topCols(n)._1).mkString(",\n")} FROM cn),
+           |tw AS (SELECT *, ${Seq(2, 3, 4).map(n => topCols(n)._2).mkString(",\n")} FROM mx),
+           |dd AS (SELECT *, ${Seq(5, 10).map(dCol).mkString(",\n")} FROM tw),
+           |cov AS (SELECT *, ${Seq(5, 10).map(covCol).mkString(",\n")} FROM dd)
+           |SELECT doc_id,
+           |  ${Seq(2, 3, 4).map(topFrac).mkString(",\n")},
+           |  ${Seq(5, 10).map(dupFrac).mkString(",\n")}
+           |FROM cov ORDER BY doc_id""".stripMargin
+      }),
+
     Q("q_token_stats",
       (s, dir) => Tables.table(s, dir, "documents").select(
           col("doc_id"),
@@ -3994,6 +4055,42 @@ object SparkEntry {
         |       FROM l1 LEFT JOIN b2 USING (id))
         |SELECT id, CAST(COALESCE(label, -1) AS INT) AS label
         |FROM l2 ORDER BY id""".stripMargin)),
+
+    Q("q_textrank",  // TextRank keyword scoring (Mihalcea & Tarau,
+      // EMNLP 2004 §3.1): PageRank over the undirected word adjacency
+      // graph — distinct corpus word bigrams mirrored both ways,
+      // unweighted. High rank = words central to the corpus's phrase
+      // structure, the graph-based counterpart of tf-idf keywording.
+      // Edges derive map-side (zip toks with its tail) + one distinct;
+      // pageRankKeyed runs straight on word keys — no word→id table.
+      // 3 fixed iterations; undirected ⇒ no dangling mass.
+      (s, dir) => GraphOps.textRank(docsTokens(s, dir), "toks", iters = 3)
+        .withColumn("rank", round(col("rank"), 12))
+        .orderBy("word"),
+      Some(s"""WITH t AS ($SqlToks),
+        |e0 AS (SELECT unnest(list_transform(range(1, len(toks)), i ->
+        |         {'a': toks[i], 'b': toks[i+1]})) AS p FROM t),
+        |bg AS (SELECT DISTINCT p.a AS a, p.b AS b FROM e0 WHERE p.a <> p.b),
+        |g AS (SELECT a AS src, b AS dst FROM bg
+        |      UNION SELECT b AS src, a AS dst FROM bg),
+        |nodes AS (SELECT DISTINCT src AS id FROM g),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |od AS (SELECT src AS id, count(*) AS od FROM g GROUP BY 1),
+        |r0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT g.dst AS id, sum(r0.r / od.od) AS c
+        |       FROM g JOIN r0 ON r0.id = g.src JOIN od ON od.id = g.src GROUP BY 1),
+        |r1 AS (SELECT nodes.id, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c1.c, 0.0) AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.id = nodes.id),
+        |c2 AS (SELECT g.dst AS id, sum(r1.r / od.od) AS c
+        |       FROM g JOIN r1 ON r1.id = g.src JOIN od ON od.id = g.src GROUP BY 1),
+        |r2 AS (SELECT nodes.id, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c2.c, 0.0) AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.id = nodes.id),
+        |c3 AS (SELECT g.dst AS id, sum(r2.r / od.od) AS c
+        |       FROM g JOIN r2 ON r2.id = g.src JOIN od ON od.id = g.src GROUP BY 1),
+        |r3 AS (SELECT nodes.id, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c3.c, 0.0) AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.id = nodes.id)
+        |SELECT id AS word, round(r, 12) AS rank
+        |FROM r3 ORDER BY word""".stripMargin)),
 
     Q("q_length_winsor",  // per-source length winsorization screen:
       // docs outside their source's exact interpolated [p05, p95]

@@ -30,10 +30,23 @@ object GraphOps {
     */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85): DataFrame =
+    pageRankKeyed(
+      edges.select(col(srcCol).cast("long").as(srcCol),
+        col(dstCol).cast("long").as(dstCol)),
+      srcCol, dstCol, iters, damping)
+
+  /** [[pageRank]] over nodes of ANY equi-joinable key type (the
+    * algorithm only ever equality-joins and groups on the node key) —
+    * the form word graphs ([[textRank]]) use directly, with no
+    * word→int id table, no global window to mint ids, and no
+    * hash-collision caveat. Same contract otherwise.
+    */
+  def pageRankKeyed(
+      edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 0, s"iters must be >= 0: $iters")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct().localCheckpoint()
@@ -63,6 +76,41 @@ object GraphOps {
       it += 1
     }
     ranks.select(col("id"), col("rank"))
+  }
+
+  /** TextRank keyword scoring (Mihalcea & Tarau, "TextRank: Bringing
+    * Order into Texts", EMNLP 2004 §3.1): PageRank over the UNDIRECTED
+    * word adjacency graph — vertices are corpus vocabulary words, an
+    * edge connects words that appear adjacent (co-occurrence window 2)
+    * anywhere in the corpus, unweighted and deduplicated, mirrored into
+    * both directions so the random surfer walks it undirected. High
+    * rank = words central to the corpus's phrase structure — corpus
+    * keyword extraction, the graph-based counterpart of tf-idf.
+    *
+    * Scale: the edge set is DISTINCT word bigram pairs — bounded by
+    * min(corpus bigrams, vocab²), orders of magnitude below the token
+    * stream — derived map-side by zipping each doc's token array with
+    * its tail (the [[TextStats]] bigram device), then one distinct.
+    * [[pageRankKeyed]] runs straight on the word keys: no word→id
+    * table, no global window. Shuffle per iteration is O(edges).
+    * Output: (word, rank), Σ rank = 1.
+    */
+  def textRank(
+      docs: DataFrame, toksCol: String, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    val bigrams = docs
+      .select(explode(zip_with(
+        slice(col(toksCol), lit(1), greatest(size(col(toksCol)) - 1, lit(0))),
+        slice(col(toksCol), lit(2), greatest(size(col(toksCol)) - 1, lit(0))),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val und = bigrams
+      .unionByName(bigrams.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    pageRankKeyed(und, "a", "b", iters, damping)
+      .select(col("id").as("word"), col("rank"))
   }
 
   /** Fixed-iteration synchronous label propagation (Zhu & Ghahramani

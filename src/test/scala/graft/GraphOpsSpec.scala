@@ -81,6 +81,31 @@ class GraphOpsSpec extends AnyFunSuite {
       .foreach { case (id, l) => assert(l == seedLabels(id), s"seed $id moved") }
   }
 
+  test("textRank: path-graph closed form; Σ rank = 1; keyed ≡ long-id pageRank") {
+    // docs [a b] and [b c] → undirected path a−b−c; bigram repeats and
+    // the (b,b) self-loop candidate must not add edges
+    val docs = Seq(
+      (1L, Seq("a", "b")), (2L, Seq("b", "c")),
+      (3L, Seq("a", "b", "b")))  // repeat bigram + adjacent-dup "b b"
+      .toDF("id", "toks")
+    val got = GraphOps.textRank(docs, "toks", iters = 3)
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet == Set("a", "b", "c"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"Σ rank = ${got.values.sum}")
+    // same graph through the long-keyed entry point: identical values
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+    val asLong = Map("a" -> 0L, "b" -> 1L, "c" -> 2L)
+    val viaLong = GraphOps.pageRank(
+        edges.map { case (s, d) => (asLong(s), asLong(d)) }.toDF("s", "d"),
+        "s", "d", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    asLong.foreach { case (w, id) =>
+      assert(math.abs(got(w) - viaLong(id)) < 1e-12, s"$w") }
+    // path-graph structure: the middle word outranks the endpoints
+    assert(got("b") > got("a") && got("b") > got("c"))
+    assert(math.abs(got("a") - got("c")) < 1e-12, "endpoints symmetric")
+  }
+
   test("pageRank: iters=0 returns the uniform start vector") {
     val g = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
     val r = GraphOps.pageRank(g, "s", "d", iters = 0)

@@ -279,6 +279,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, "g", 1L, "short"), (10L, "g", 10L, "long")))
   }
 
+  test("gopherRepetition: closed forms — top-gram domination, once-counted dup coverage, short/empty docs zero") {
+    val docs = Seq(
+      // "a b c d e" twice: dup5 covers ALL 10 tokens (spans [1,5],[6,10]);
+      // the single 10-gram can't repeat → dup10 = 0; top2 = "a b" ×2,
+      // 2 token chars, over 10 total chars
+      (1L, "a b c d e a b c d e".split(" ").toSeq),
+      // 5 distinct tokens: nothing repeats at any n
+      (2L, Seq("v", "w", "x", "y", "z")),
+      (3L, Seq.empty[String]))
+      .toDF("doc_id", "toks")
+    val got = TextStats.gopherRepetition(docs, "doc_id", "toks")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val (t2, t3, t4, d5, d10) = got(1L)
+    assert(math.abs(t2 - 0.4) < 1e-9, s"top2 $t2")   // 2 occ × 2 chars / 10
+    assert(math.abs(t3 - 0.6) < 1e-9, s"top3 $t3")   // 2 occ × 3 chars / 10
+    assert(math.abs(t4 - 0.8) < 1e-9, s"top4 $t4")   // 2 occ × 4 chars / 10
+    assert(math.abs(d5 - 1.0) < 1e-9, s"dup5 $d5")   // full coverage, counted once
+    assert(d10 == 0.0, s"dup10 $d10")
+    // distinct doc: top-gram count 1 → frac = chars(gram)/total; no dups
+    val (u2, _, _, u5, u10) = got(2L)
+    assert(math.abs(u2 - 0.4) < 1e-9, s"top2 unique $u2")  // 1 × 2 / 5
+    assert(u5 == 0.0 && u10 == 0.0)
+    assert(got(3L) == ((0.0, 0.0, 0.0, 0.0, 0.0)), "empty doc all zero")
+  }
+
   test("ccnetBuckets: equal-count terciles per group, boundary monotone head ≤ middle ≤ tail") {
     // 7 docs in one group (xent 1..7), 3 in another (10, 20, 30)
     val scored = ((1 to 7).map(i => (i.toLong, "g", i.toDouble)) ++
