@@ -3962,6 +3962,73 @@ object SparkEntry {
         |SELECT qid, CAST(rn AS INT) AS rank, id, adist
         |FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin)),
 
+    Q("q_ivfpq",  // FULL IVF-PQ routed search (Jégou et al. TPAMI 2011
+      // §IV-A "IVFADC"): coarse cells (vec_id<8 centroids) + PQ codes
+      // of the RESIDUAL v−c(cell) (codebook = residuals of vec_id
+      // 8..15, positional ids) + per-probed-cell ADC LUTs; queries
+      // (vec_id<4) probe nprobe=3 of 8 cells, so unprobed cells are
+      // never scanned — the recall/cost dial billion-scale ANN ships
+      // with. Corpus = one map-side projection of fused argmins;
+      // queries broadcast with their LUTs; only the top-5 window moves.
+      (s, dir) => {
+        val pts = embDouble(s, dir)
+        val first16 = pts.filter(col("vec_id") < 16).orderBy("vec_id")
+          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        val coarse = first16.filter(_._1 < 8)
+        def d2(a: Array[Double], b: Array[Double]): Double = {
+          var s0 = 0.0; var i = 0
+          while (i < a.length) { val t = a(i) - b(i); s0 += t * t; i += 1 }
+          s0
+        }
+        val codebook = first16.filter(_._1 >= 8).map { case (id, v) =>
+          val (_, c) = coarse.minBy { case (cid, cv) => (d2(v, cv), cid) }
+          (id - 8) -> v.indices.map(i => v(i) - c(i)).toArray
+        }
+        Similarity.ivfPqTopK(pts, "vec_id", "v", coarse, m = 4, codebook,
+            pts.filter(col("vec_id") < 4), "vec_id", "v", k = 5, nprobe = 3)
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH pts AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |              unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |co AS (SELECT vec_id AS cid, i, x AS c FROM pts WHERE vec_id < 8),
+        |asg AS (SELECT p.vec_id, c.cid, sum((p.x - c.c) * (p.x - c.c)) AS d2
+        |        FROM pts p JOIN co c ON p.i = c.i GROUP BY 1, 2),
+        |cell AS (SELECT vec_id, cid AS cell FROM
+        |         (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                      ORDER BY d2, cid) AS rn FROM asg) WHERE rn = 1),
+        |res AS (SELECT p.vec_id, p.i, p.x - co.c AS r
+        |        FROM pts p JOIN cell ON cell.vec_id = p.vec_id
+        |        JOIN co ON co.cid = cell.cell AND co.i = p.i),
+        |cb AS (SELECT vec_id - 8 AS cid, i, r AS c FROM res
+        |       WHERE vec_id BETWEEN 8 AND 15),
+        |cd AS (SELECT r.vec_id, r.i // 16 AS sub, cb.cid,
+        |         sum((r.r - cb.c) * (r.r - cb.c)) AS d2
+        |       FROM res r JOIN cb ON cb.i = r.i GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, sub, cid FROM
+        |          (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |                       ORDER BY d2, cid) AS rn FROM cd) WHERE rn = 1),
+        |routed AS (SELECT vec_id AS qid, cid AS cell FROM
+        |           (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                        ORDER BY d2, cid) AS rn
+        |            FROM asg WHERE vec_id < 4) WHERE rn <= 3),
+        |qres AS (SELECT q.vec_id AS qid, routed.cell, q.i, q.x - co.c AS qr
+        |         FROM pts q JOIN routed ON routed.qid = q.vec_id
+        |         JOIN co ON co.cid = routed.cell AND co.i = q.i),
+        |lut AS (SELECT qres.qid, qres.cell, qres.i // 16 AS sub, cb.cid,
+        |          sum((qres.qr - cb.c) * (qres.qr - cb.c)) AS d2
+        |        FROM qres JOIN cb ON cb.i = qres.i GROUP BY 1, 2, 3, 4),
+        |ad AS (SELECT lut.qid, cell.vec_id AS id,
+        |         round(sqrt(sum(lut.d2)), 6) AS adist
+        |       FROM cell JOIN codes ON codes.vec_id = cell.vec_id
+        |       JOIN lut ON lut.cell = cell.cell AND lut.sub = codes.sub
+        |                AND lut.cid = codes.cid
+        |       GROUP BY 1, 2),
+        |r AS (SELECT qid, id, adist,
+        |        row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS rn
+        |      FROM ad)
+        |SELECT qid, CAST(rn AS INT) AS rank, id, adist
+        |FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin)),
+
     Q("q_pagerank",  // fixed-iteration PageRank (Page et al. 1999) over
       // the exact cosine 5-NN graph — similarity centrality: which
       // embeddings sit in the densest neighborhoods. 3 FIXED iterations

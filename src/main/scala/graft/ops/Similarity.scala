@@ -599,6 +599,109 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("adist"))
   }
 
+  /** Full IVF-PQ routed search (Jégou, Douze & Schmid, TPAMI 2011
+    * §IV-A "IVFADC") — [[pqAdcTopK]] composed with the coarse
+    * inverted-file routing of [[ivfTopK]], on RESIDUALS as the paper
+    * specifies: corpus vectors are assigned to their nearest coarse
+    * cell and PQ-encode the residual v − c(cell); each query probes
+    * its `nprobe` nearest cells and scores a candidate as the sum of
+    * m lookups into the per-probed-cell LUT of
+    * ‖(q − c_cell)_s − cb[j]_s‖². Unprobed cells are never touched —
+    * the recall/cost dial billion-scale ANN actually ships with.
+    *
+    * Scale: the corpus side is ONE map-side projection (coarse argmin
+    * + m residual argmins, all fused codegen kernels — zero shuffle;
+    * at 100 TB encode once, store cell + m codes). Queries ride as a
+    * broadcast row each carrying nprobe·m·k LUT doubles (the
+    * interpreted LUT HOFs run on |Q| rows only); the probe is a
+    * broadcast nested-loop with an array_contains(cell) filter, so a
+    * candidate costs one array_position + m lookups and non-candidates
+    * one containment test. Only the per-query top-k window shuffles.
+    * Both centroid tables are sorted-by-id driver arrays (k-row-scalar
+    * family) so positional code ties ≡ id ties. Ranking on ROUNDED
+    * adist, ties by id. Output: (qid, rank, id, adist).
+    */
+  def ivfPqTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      coarse: Array[(Long, Array[Double])], m: Int,
+      codebook: Array[(Long, Array[Double])],
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nprobe: Int, scale: Int = 6): DataFrame = {
+    val d = coarse.head._2.length
+    require(m > 0 && d % m == 0, s"dim $d not divisible into $m subspaces")
+    require(coarse.map(_._1).toSeq == coarse.map(_._1).sorted.toSeq &&
+      codebook.map(_._1).toSeq == codebook.map(_._1).sorted.toSeq,
+      "coarse + codebook must be sorted by id (positional ties = id ties)")
+    require(nprobe >= 1 && nprobe <= coarse.length)
+    val ds = d / m
+    val kcb = codebook.length
+    val coarsePos = coarse.zipWithIndex.map { case ((_, v), j) => j.toLong -> v }
+    val centLit = typedlit(coarse.map(_._2.toSeq).toSeq)
+    val cbLit = typedlit(codebook.map(_._2.toSeq).toSeq)
+
+    // ---- corpus: (id, cell, codes) in one projection
+    val enc = emb.select(col(idCol).as("id"),
+        KMeansOps.asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", graft.functions.NearestCentroid
+        .nearest_centroid(col("v"), coarsePos).getField("cid").cast("int"))
+      .withColumn("resid", zip_with(col("v"),
+        element_at(centLit, col("cell") + 1), (x, c) => x - c))
+      .withColumn("codes", array((0 until m).map { s =>
+        val cents = codebook.zipWithIndex.map { case ((_, v), j) =>
+          j.toLong -> v.slice(s * ds, (s + 1) * ds)
+        }
+        graft.functions.NearestCentroid.nearest_centroid(
+          slice(col("resid"), s * ds + 1, ds), cents).getField("cid").cast("int")
+      }: _*))
+      .select(col("id"), col("cell"), col("codes"))
+
+    // ---- queries: routed cells + flattened per-cell LUTs (|Q| rows)
+    val qv = col("qv")
+    val cellDists = transform(sequence(lit(0), lit(coarse.length - 1)), c =>
+      struct(
+        aggregate(zip_with(qv, element_at(centLit, c + 1),
+          (x, cc) => (x - cc) * (x - cc)), lit(0.0), (a, x) => a + x).as("d2"),
+        c.as("cell")))
+    val routed = transform(
+      slice(array_sort(cellDists), 1, nprobe), s => s.getField("cell"))
+    // lut[(p·m + s)·k + j] = ‖(q − c_routed(p))_s − cb[j]_s‖²
+    val lut = flatten(transform(col("routed"), c =>
+      transform(sequence(lit(0), lit(m * kcb - 1)), t => {
+        val s = floor(t / lit(kcb)).cast("int")
+        val j = pmod(t, lit(kcb)).cast("int")
+        aggregate(
+          zip_with(
+            slice(qv, s * ds + 1, lit(ds)),
+            zip_with(
+              slice(element_at(centLit, c.cast("int") + 1), s * ds + 1, lit(ds)),
+              slice(element_at(cbLit, j + 1), s * ds + 1, lit(ds)),
+              (a, b) => a + b),
+            (x, cc) => (x - cc) * (x - cc)),
+          lit(0.0), (a, x) => a + x)
+      })))
+    val q = queries
+      .select(col(qIdCol).as("qid"), KMeansOps.asDouble(col(qVecCol)).as("qv"))
+      .withColumn("routed", routed)
+      .withColumn("lut", lut)
+      .select(col("qid"), col("routed"), col("lut"))
+
+    // ---- probe: candidates = vectors in a routed cell; m LUT lookups
+    val p = array_position(col("routed"), col("cell")).cast("int") - 1
+    val adist = round(sqrt(aggregate(
+      sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, s) => acc + element_at(col("lut"),
+        (col("__p") * (m * kcb)) + (s * kcb) + element_at(col("codes"), s + 1) + 1))),
+      scale)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("id"))
+    enc.crossJoin(broadcast(q))
+      .filter(array_contains(col("routed"), col("cell")))
+      .withColumn("__p", p)
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("adist"))
+  }
+
   /** Per-vector neighborhood density at a cosine threshold — the
     * embedding-quality screen under density-aware curation (SemDeDup's
     * cousin: dense regions are redundancy candidates, zero-density

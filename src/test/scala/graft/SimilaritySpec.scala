@@ -298,6 +298,43 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopK: degenerate single-zero-cell ≡ pqAdcTopK; candidates come only from probed cells") {
+    import graft.ops.KMeansOps
+    val pts = emb.select($"vec_id", KMeansOps.asDouble($"embedding").as("v"))
+    val codebook = pts.filter($"vec_id" < 8).orderBy("vec_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val d = codebook.head._2.length
+    // ONE coarse cell at the origin: residual = v, routing is a no-op →
+    // IVFADC degenerates to exhaustive ADC over the raw-vector codebook
+    val zeroCell = Array(0L -> Array.fill(d)(0.0))
+    val viaIvf = Similarity.ivfPqTopK(pts, "vec_id", "v", zeroCell, 4, codebook,
+        pts.filter($"vec_id" < 3), "vec_id", "v", k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val viaAdc = Similarity.pqAdcTopK(pts, "vec_id", "v", 4, codebook,
+        pts.filter($"vec_id" < 3), "vec_id", "v", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(viaIvf.sortBy(r => (r._1, r._2)).toSeq == viaAdc.sortBy(r => (r._1, r._2)).toSeq)
+
+    // real routing: every returned candidate's cell is among the
+    // query's nprobe nearest cells
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + (a(i) - b(i)) * (a(i) - b(i)))
+    val all = pts.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val coarse = codebook  // vec_id<8 doubles as the coarse quantizer here
+    def cellOf(v: Array[Double]): Long =
+      coarse.minBy { case (cid, c) => (d2(v, c), cid) }._1
+    val out = Similarity.ivfPqTopK(pts, "vec_id", "v", coarse, 4, codebook,
+        pts.filter($"vec_id" < 3), "vec_id", "v", k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    out.foreach { case (qid, id) =>
+      val probed = coarse.map { case (cid, c) => (d2(all(qid), c), cid) }
+        .sortBy(identity).take(3).map(_._2).toSet
+      assert(probed.contains(cellOf(all(id))),
+        s"candidate $id for query $qid sits in an unprobed cell")
+    }
+    assert(out.nonEmpty)
+  }
+
   test("embedDensity: closed form on twins+orthogonal; Σ n_nbr = 2·|pairs| on the real corpus") {
     val tiny = Seq(
       (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)))
