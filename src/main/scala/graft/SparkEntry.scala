@@ -1369,6 +1369,57 @@ object SparkEntry {
       },
       Some("SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h")),
 
+    Q("q_stream_decon",  // ORACLED streaming row exercising the
+      // STREAM-STATIC JOIN: ingest-time decontamination — arriving
+      // docs' 5-grams probe the static benchmark gram set (the same
+      // doc_id%7 eval split as q_decontaminate) via a stateless
+      // broadcast stream-static inner join, then a stateful
+      // dropDuplicates emits each contaminated id exactly once into an
+      // exactly-once parquet sink. The emitted id SET is
+      // arrival-order-free, so the sink is deterministic and the batch
+      // oracle covers join + dedup semantics end-to-end.
+      (s, dir) => {
+        val out = Scratch.dir("stream-decon-out")
+        val cp = Scratch.dir("stream-decon-cp")
+        val schema = Tables.table(s, dir, "documents").schema
+        val src = new java.io.File(s"$dir/documents.parquet")
+        val streamDir =
+          if (src.isDirectory) src.toString
+          else {
+            val d = new java.io.File(Scratch.dir("stream-decon-src"))
+            java.nio.file.Files.copy(src.toPath,
+              new java.io.File(d, "documents.parquet").toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            d.toString
+          }
+        val bench = docsTokens(s, dir)
+          .filter(col("doc_id") % 7 === 0)
+          .select(explode(Dedup.tokenShingles(col("toks"), 5)).as("g"))
+          .distinct()
+        val stream = s.readStream.schema(schema).parquet(streamDir)
+          .filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            Dedup.tokenShingles(
+              TextOps.tokenizeFiltered(col("text"), Stop, Nil), 5).as("g5"))
+        graft.streaming.StreamOps.contaminatedStream(stream, "doc_id", "g5", bench)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.parquet(out).select(col("doc_id")).orderBy("doc_id")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) < 5 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 3),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+        |               || toks[i+3] || ' ' || toks[i+4]) END AS g5
+        |      FROM t),
+        |bg AS (SELECT DISTINCT unnest(g5) AS g FROM g WHERE doc_id % 7 = 0)
+        |SELECT DISTINCT doc_id FROM
+        |  (SELECT doc_id, unnest(g5) AS g FROM g WHERE doc_id % 7 <> 0)
+        |JOIN bg USING (g) ORDER BY doc_id""".stripMargin)),
+
     Q("q_stream_window",  // third ORACLED streaming row — WATERMARKED,
       // WINDOWED, APPEND: hourly event-type counts with a 2 h watermark
       // over a parquet file source into an exactly-once append sink.
@@ -3814,6 +3865,47 @@ object SparkEntry {
         |       round(c.sxy / n.n - ma.mu * mb.mu, 6) AS cov
         |FROM c CROSS JOIN n JOIN m ma ON ma.i = c.i JOIN m mb ON mb.i = c.j
         |ORDER BY i, j""".stripMargin)),
+
+    Q("q_pca_project",  // PCA projection onto the dominant covariance
+      // eigenvector — whitening/drift rotation: 3 UN-normalized
+      // power-method steps from (1,…,1)/√d on the ROUNDED q_embed_cov
+      // matrix (fixed iters + no per-step normalization = closed-form
+      // polynomial of the matrix, so DuckDB unrolls the same 3 steps;
+      // topEigen is the converged production twin), one normalize +
+      // first-nonzero-positive orientation, then ONE map-side codegen
+      // dot against the broadcast axis; centering is the constant μ·u.
+      (s, dir) => Similarity.pcaProject(
+          Tables.table(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id"),
+      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |n AS (SELECT count(*) AS n FROM embeddings),
+        |m0 AS (SELECT i, avg(x) AS mu FROM e GROUP BY i),
+        |cx AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+        |       FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |cov AS (SELECT cx.i, cx.j, round(cx.sxy / n.n - ma.mu * mb.mu, 6) AS cov
+        |        FROM cx CROSS JOIN n
+        |        JOIN m0 ma ON ma.i = cx.i JOIN m0 mb ON mb.i = cx.j),
+        |dd AS (SELECT count(*) AS d FROM m0),
+        |v0 AS (SELECT i, 1.0 / sqrt(d) AS r FROM m0 CROSS JOIN dd),
+        |v1 AS (SELECT cov.i, sum(cov.cov * v0.r) AS r
+        |       FROM cov JOIN v0 ON v0.i = cov.j GROUP BY 1),
+        |v2 AS (SELECT cov.i, sum(cov.cov * v1.r) AS r
+        |       FROM cov JOIN v1 ON v1.i = cov.j GROUP BY 1),
+        |v3 AS (SELECT cov.i, sum(cov.cov * v2.r) AS r
+        |       FROM cov JOIN v2 ON v2.i = cov.j GROUP BY 1),
+        |nr AS (SELECT sqrt(sum(r * r)) AS nr FROM v3),
+        |sg AS (SELECT CASE WHEN (SELECT r FROM v3 WHERE r <> 0
+        |                         ORDER BY i LIMIT 1) < 0
+        |              THEN -1.0 ELSE 1.0 END AS sg),
+        |u AS (SELECT v3.i, sg.sg * v3.r / nr.nr AS u
+        |      FROM v3 CROSS JOIN nr CROSS JOIN sg),
+        |mr AS (SELECT i, round(mu, 9) AS mu FROM m0),
+        |sh AS (SELECT sum(mr.mu * u.u) AS c FROM mr JOIN u USING (i)),
+        |pj AS (SELECT e.vec_id, sum(e.x * u.u) AS dp
+        |       FROM e JOIN u ON u.i = e.i GROUP BY 1)
+        |SELECT vec_id, round(dp - sh.c, 6) AS proj
+        |FROM pj CROSS JOIN sh ORDER BY vec_id""".stripMargin)),
 
     Q("q_embed_density",  // per-vector neighborhood density at cosine
       // ≥ 0.5 — the embedding-quality screen (dense regions = redundancy

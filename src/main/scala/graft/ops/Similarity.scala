@@ -599,6 +599,53 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("adist"))
   }
 
+  /** PCA projection onto the dominant covariance eigenvector — the
+    * whitening/drift-monitoring rotation step: collect the ROUNDED
+    * [[embedCovariance]] matrix (d² doubles — k-row-scalar family,
+    * like centroids), run `iters` UN-normalized power-method steps from
+    * the deterministic start (1,…,1)/√d (fixed iteration count and no
+    * per-step normalization keep the axis a closed-form polynomial of
+    * the rounded matrix — the value-oracle contract; [[topEigen]] is
+    * the converged production variant), normalize once, orient the
+    * first nonzero component positive, and project every CENTERED
+    * vector: proj = v·u − μ·u (the mean term is one constant, so
+    * centering never touches the data). μ is rounded (9 dp) before the
+    * constant so both engines subtract the identical shift.
+    *
+    * Scale: two k-row-scalar collects (cov cells, d means); the
+    * projection itself is ONE map-side codegen [[dot]] against a
+    * broadcast literal axis — zero shuffle, zero join, one corpus
+    * read. Output: (idCol, proj), rounded.
+    */
+  def pcaProject(
+      emb: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 3, scale: Int = 6): DataFrame = {
+    val covRows = embedCovariance(emb, vecCol).collect()
+    require(covRows.nonEmpty, "empty embedding table")
+    val d = covRows.iterator.map(_.getInt(0)).max + 1
+    val m = Array.ofDim[Double](d, d)
+    covRows.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val mu = emb.select(posexplode(KMeansOps.asDouble(col(vecCol))).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(round(avg(col("x")), 9).as("mu"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    (0 until iters).foreach { _ =>
+      v = Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += m(i)(j) * v(j); j += 1 }
+        s
+      }
+    }
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    require(nrm > 0, "degenerate covariance: zero dominant direction")
+    val flip = v.find(_ != 0.0).exists(_ < 0)
+    val u = v.map(x => (if (flip) -x else x) / nrm)
+    val shift = (0 until d).foldLeft(0.0)((s, i) => s + mu.getOrElse(i, 0.0) * u(i))
+    emb.select(col(idCol),
+      round(dot(KMeansOps.asDouble(col(vecCol)), typedlit(u.toSeq)) - shift, scale)
+        .as("proj"))
+  }
+
   /** Full IVF-PQ routed search (Jégou, Douze & Schmid, TPAMI 2011
     * §IV-A "IVFADC") — [[pqAdcTopK]] composed with the coarse
     * inverted-file routing of [[ivfTopK]], on RESIDUALS as the paper

@@ -72,6 +72,27 @@ object StreamOps {
   def enrichWithStatic(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys)
 
+  /** Streaming decontamination — the ingest-time twin of
+    * [[graft.ops.Dedup.contaminationHits]]: each arriving document's
+    * grams are probed against the STATIC benchmark gram set via a
+    * stream-static inner join (stateless — the static side is
+    * re-resolved per micro-batch and broadcasts, so the stream side
+    * never shuffles for the join), then a stateful dropDuplicates
+    * emits each contaminated doc id exactly ONCE however many grams
+    * hit. Output: (idCol) — the ids a downstream anti-join scrubs
+    * before anything lands in training storage. Dedup state is one
+    * entry per CONTAMINATED doc (a vanishing fraction of the stream);
+    * bound it with a watermarked variant on a rolling horizon when the
+    * deployment needs one.
+    */
+  def contaminatedStream(
+      docs: DataFrame, idCol: String, gramsCol: String,
+      benchGrams: DataFrame): DataFrame =
+    docs.select(col(idCol), explode(col(gramsCol)).as("g"))
+      .join(broadcast(benchGrams.select(col("g"))), Seq("g"))
+      .select(col(idCol))
+      .dropDuplicates(idCol)
+
   /** Streaming exact dedup — the stream twin of Dedup.dropDupsByKey:
     * keeps the first arrival of each key and drops re-arrivals while the
     * key is inside the event-time watermark horizon; state for keys

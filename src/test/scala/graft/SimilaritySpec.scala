@@ -298,6 +298,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pcaProject: axis-aligned closed form; translation invariance (centering is exact)") {
+    // variance lives entirely on dim 0 → u = (1, 0), proj = x0 − mean
+    val axis = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(2.0, 0.0)),
+      (3L, Seq(3.0, 0.0)), (4L, Seq(4.0, 0.0))).toDF("id", "v")
+    val got = Similarity.pcaProject(axis, "id", "v")
+      .as[(Long, Double)].collect().toMap
+    (1L to 4L).foreach { i =>
+      assert(math.abs(got(i) - (i - 2.5)) < 1e-6, s"id $i: ${got(i)}") }
+
+    // shifting every vector by a constant leaves cov — and therefore
+    // the centered projection — unchanged
+    val shifted = Similarity.pcaProject(
+        emb.select($"vec_id", transform(
+          graft.ops.KMeansOps.asDouble($"embedding"), x => x + lit(7.5)).as("v")),
+        "vec_id", "v")
+      .as[(Long, Double)].collect().toMap
+    val orig = Similarity.pcaProject(emb, "vec_id", "embedding")
+      .as[(Long, Double)].collect().toMap
+    orig.foreach { case (id, p) =>
+      assert(math.abs(p - shifted(id)) < 2e-6, s"vec $id: $p vs ${shifted(id)}") }
+  }
+
   test("ivfPqTopK: degenerate single-zero-cell ≡ pqAdcTopK; candidates come only from probed cells") {
     import graft.ops.KMeansOps
     val pts = emb.select($"vec_id", KMeansOps.asDouble($"embedding").as("v"))

@@ -135,6 +135,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("contaminatedStream: streamed stream-static join + dedup == batch contaminationHits id set, across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{Dedup, TextOps}
+    val docs = Tables.table(spark, TestSpark.Sf, "documents")
+      .select($"doc_id",
+        Dedup.tokenShingles(
+          TextOps.tokenizeFiltered($"text", Dictionaries.Stopwords, Nil), 5).as("g5"))
+    val benchDocs = docs.filter($"doc_id" % 7 === 0)
+    val bench = benchDocs.select(explode($"g5").as("g")).distinct()
+    val want = Dedup.contaminationHits(
+        docs.filter($"doc_id" % 7 =!= 0), "doc_id", "g5", benchDocs, "g5")
+      .select($"id").as[Long].collect().toSet
+    val rows = docs.filter($"doc_id" % 7 =!= 0)
+      .as[(Long, Seq[String])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[String])]
+    val q = graft.streaming.StreamOps.contaminatedStream(
+        mem.toDF().toDF("doc_id", "g5"), "doc_id", "g5", bench)
+      .writeStream.format("memory").queryName("deconstream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // re-send half of batch 1: dedup state must suppress re-emission
+      mem.addData(b1.take(b1.length / 2): _*); q.processAllAvailable()
+      val got = spark.table("deconstream").as[Long].collect()
+      assert(got.length == got.distinct.length, "each contaminated id emitted once")
+      assert(got.toSet == want, s"stream ids ${got.toSet.size} vs batch ${want.size}")
+    } finally q.stop()
+  }
+
   test("stateless curation stages (scrub, quality floor, stratified sample) run unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
