@@ -199,7 +199,7 @@ object SparkEntry {
         |ex AS (SELECT g.cluster, CAST(unnest(e.embedding) AS DOUBLE) AS x,
         |              CAST(unnest(range(0, len(e.embedding))) AS INT) AS dim
         |       FROM asg g JOIN embeddings e ON e.vec_id = g.vec_id)
-        |SELECT cluster, dim, round(avg(x), 6) AS c
+        |SELECT cluster, dim, round(avg(x), 6) + 0.0 AS c
         |FROM ex GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin)),
 
     Q("q_kmeans_sse",
@@ -243,7 +243,8 @@ object SparkEntry {
         |a2 AS (SELECT vec_id, cid, dist,
         |       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2),
         |asg2 AS (SELECT vec_id, cid AS cluster FROM a2 WHERE rn = 1),
-        |c2 AS (SELECT g.cluster, CAST(p.i AS INT) AS dim, round(avg(p.x), 6) AS c
+        |c2 AS (SELECT g.cluster, CAST(p.i AS INT) AS dim,
+        |        round(avg(p.x), 6) + 0.0 AS c
         |       FROM asg2 g JOIN pts p ON p.vec_id = g.vec_id GROUP BY g.cluster, p.i)
         |SELECT cluster, dim, c FROM c2 ORDER BY cluster, dim""".stripMargin)),
 
@@ -1636,9 +1637,10 @@ object SparkEntry {
         |a AS (SELECT count(*) AS n_words, sum(x) AS sx, sum(y) AS sy,
         |             sum(x * y) AS sxy, sum(x * x) AS sxx FROM r)
         |SELECT n_words,
-        |  round((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx), 6) AS slope,
+        |  round((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx), 6) + 0.0
+        |    AS slope,
         |  round((sy - ((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx)) * sx)
-        |    / n_words, 6) AS intercept
+        |    / n_words, 6) + 0.0 AS intercept
         |FROM a""".stripMargin)),
 
     Q("q_lexical_diversity",  // per-doc lexical-diversity metrics: token
@@ -1709,7 +1711,7 @@ object SparkEntry {
         |      FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.w < b.w
         |      GROUP BY a.w, b.w)
         |SELECT w1, w2, c_ab,
-        |       round(ln(CAST(c_ab * n.n AS DOUBLE) / (d1.df * d2.df)), 6) AS pmi
+        |       round(ln(CAST(c_ab * n.n AS DOUBLE) / (d1.df * d2.df)), 6) + 0.0 AS pmi
         |FROM p JOIN dfreq d1 ON p.w1 = d1.w JOIN dfreq d2 ON p.w2 = d2.w
         |CROSS JOIN n
         |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin)),
@@ -2000,8 +2002,9 @@ object SparkEntry {
         |          / 4294967296.0 - 0.5 AS u
         |      FROM c)
         |SELECT source, n_docs,
-        |  round(-2.0 * sign(u) * ln(1.0 - 2.0 * abs(u)), 6) AS noise,
-        |  round(n_docs + round(-2.0 * sign(u) * ln(1.0 - 2.0 * abs(u)), 6), 6) AS noisy
+        |  round(-2.0 * sign(u) * ln(1.0 - 2.0 * abs(u)), 6) + 0.0 AS noise,
+        |  round(n_docs + round(-2.0 * sign(u) * ln(1.0 - 2.0 * abs(u)), 6), 6) + 0.0
+        |    AS noisy
         |FROM u ORDER BY source""".stripMargin)),
 
     Q("q_epoch_mix",  // fractional-EPOCH dataset mixing — the way real
@@ -2369,7 +2372,7 @@ object SparkEntry {
         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |      FROM embeddings),
         |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
-        |q AS (SELECT vec_id, round(mx / 127.0, 6) AS scale,
+        |q AS (SELECT vec_id, round(mx / 127.0, 6) + 0.0 AS scale,
         |        CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
         |             ELSE list_transform(v, x -> CAST(trunc(x * 127.0 / mx) AS INT)) END AS qs
         |      FROM m)
@@ -2546,7 +2549,8 @@ object SparkEntry {
         |r AS (SELECT query_id, vec_id, cos,
         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
         |      FROM c)
-        |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, round(cos, 4) AS cos
+        |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id,
+        |       round(cos, 4) + 0.0 AS cos
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     Q("q_cosine_pairs",  // embedding pairs cosine ≥ 0.4 — exact distributed
@@ -2624,7 +2628,8 @@ object SparkEntry {
         |r AS (SELECT query_id, vec_id, cos,
         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
         |      FROM c2)
-        |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, round(cos, 4) AS cos
+        |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id,
+        |       round(cos, 4) + 0.0 AS cos
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     Q("q_semantic_dedup",  // SemDeDup (arXiv:2303.09540) gated end-to-end:
@@ -2828,7 +2833,7 @@ object SparkEntry {
         |tot AS (SELECT CAST(sum(c_all) AS DOUBLE) AS n_all,
         |        CAST(sum(c_tgt) AS DOUBLE) AS n_tgt,
         |        CAST(count(*) AS DOUBLE) AS vocab FROM f)
-        |SELECT doc_id, round(avg(ln((c_tgt + 1.0) / (n_tgt + vocab))
+        |SELECT doc_id, 0.0 + round(avg(ln((c_tgt + 1.0) / (n_tgt + vocab))
         |                       - ln((c_all + 1.0) / (n_all + vocab))), 6) AS dsir_logw
         |FROM e JOIN f USING (w) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
@@ -3837,7 +3842,7 @@ object SparkEntry {
         |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
         |d AS (SELECT a.vec_id AS src, b.vec_id AS dst, sum(a.x * b.x) AS dp
         |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2),
-        |c AS (SELECT src, dst, round(dp / (na.nrm * nb.nrm), 4) AS cos
+        |c AS (SELECT src, dst, round(dp / (na.nrm * nb.nrm), 4) + 0.0 AS cos
         |      FROM d JOIN n na ON na.vec_id = src JOIN n nb ON nb.vec_id = dst),
         |r AS (SELECT src, dst, cos,
         |        row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
@@ -3862,7 +3867,7 @@ object SparkEntry {
         |c AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
         |      FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2)
         |SELECT CAST(c.i AS INT) AS i, CAST(c.j AS INT) AS j,
-        |       round(c.sxy / n.n - ma.mu * mb.mu, 6) AS cov
+        |       round(c.sxy / n.n - ma.mu * mb.mu, 6) + 0.0 AS cov
         |FROM c CROSS JOIN n JOIN m ma ON ma.i = c.i JOIN m mb ON mb.i = c.j
         |ORDER BY i, j""".stripMargin)),
 
@@ -3904,7 +3909,7 @@ object SparkEntry {
         |sh AS (SELECT sum(mr.mu * u.u) AS c FROM mr JOIN u USING (i)),
         |pj AS (SELECT e.vec_id, sum(e.x * u.u) AS dp
         |       FROM e JOIN u ON u.i = e.i GROUP BY 1)
-        |SELECT vec_id, round(dp - sh.c, 6) AS proj
+        |SELECT vec_id, round(dp - sh.c, 6) + 0.0 AS proj
         |FROM pj CROSS JOIN sh ORDER BY vec_id""".stripMargin)),
 
     Q("q_embed_density",  // per-vector neighborhood density at cosine
@@ -3923,7 +3928,7 @@ object SparkEntry {
         |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
         |d AS (SELECT a.vec_id AS src, b.vec_id AS dst, sum(a.x * b.x) AS dp
         |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2),
-        |c AS (SELECT src, dst, round(dp / (na.nrm * nb.nrm), 4) AS cos
+        |c AS (SELECT src, dst, round(dp / (na.nrm * nb.nrm), 4) + 0.0 AS cos
         |      FROM d JOIN n na ON na.vec_id = src JOIN n nb ON nb.vec_id = dst),
         |k AS (SELECT src AS id, count(*) AS n_nbr, max(cos) AS max_cos
         |      FROM c WHERE cos >= 0.5 GROUP BY 1)

@@ -499,7 +499,10 @@ object Similarity {
       .join(broadcast(mu.select(col("i"), col("mu").as("mui"))), Seq("i"))
       .join(broadcast(mu.select(col("i").as("j"), col("mu").as("muj"))), Seq("j"))
       .select(col("i"), col("j"),
-        round(col("s") / col("n") - col("mui") * col("muj"), scale).as("cov"))
+        // + 0.0 canonicalizes IEEE signed zero: round(-1e-9, 6) is -0.0,
+        // and the driver's value hash distinguishes ±0.0 (r8 red row)
+        (round(col("s") / col("n") - col("mui") * col("muj"), scale) +
+          lit(0.0)).as("cov"))
   }
 
   /** Driver-side dominant eigenpair of a small dense symmetric matrix

@@ -7,7 +7,19 @@ Usage: python3 tools/check.py <sfDir> <outDir>
 """
 import sys, json, glob, os
 import duckdb
+import numpy as np
 import pandas as pd
+
+
+def float_bits(s):
+    """Canonical bit pattern of a float column: all NaNs collapse to the
+    one quiet-NaN pattern, but -0.0 and +0.0 stay DISTINCT — the driver
+    hashes raw values, so a signed-zero mismatch is a real FAIL there
+    and must be one here too (r8 lesson: pandas `==` is signed-zero-
+    blind and let q_embed_cov ship red)."""
+    arr = s.to_numpy(dtype="float64", na_value=np.nan).copy()
+    arr[np.isnan(arr)] = np.nan
+    return arr.view(np.int64)
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -44,7 +56,13 @@ def main(sf_dir, out_dir):
         for c in gs.columns:
             a, b = gs[c], ws[c]
             try:
-                eq = (a == b) | (a.isna() & b.isna())
+                if a.dtype.kind == "f" and b.dtype.kind == "f":
+                    # exact bit compare (post NaN-canonicalization):
+                    # reproduces the driver's value hash, including the
+                    # ±0.0 distinction that plain == misses
+                    eq = pd.Series(float_bits(a) == float_bits(b))
+                else:
+                    eq = (a == b) | (a.isna() & b.isna())
             except Exception:
                 eq = a.astype(str) == b.astype(str)
             if not eq.all():
