@@ -1408,7 +1408,12 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
           .awaitTermination()
-        s.read.parquet(out).select(col("doc_id")).orderBy("doc_id")
+        // explicit schema: a zero-contamination run leaves the sink with
+        // no data files, and schema inference would throw on the read-back
+        s.read.schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType))))
+          .parquet(out).select(col("doc_id")).orderBy("doc_id")
       },
       Some(s"""WITH t AS ($SqlToks),
         |g AS (SELECT doc_id, CASE WHEN len(toks) < 5 THEN []

@@ -562,6 +562,7 @@ object Similarity {
       codebook: Array[(Long, Array[Double])],
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, scale: Int = 6): DataFrame = {
+    require(codebook.nonEmpty, "codebook must be non-empty")
     val d = codebook.head._2.length
     require(m > 0 && d % m == 0, s"dim $d not divisible into $m subspaces")
     require(codebook.map(_._1).toSeq == codebook.map(_._1).sorted.toSeq,
@@ -677,6 +678,8 @@ object Similarity {
       codebook: Array[(Long, Array[Double])],
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nprobe: Int, scale: Int = 6): DataFrame = {
+    require(coarse.nonEmpty && codebook.nonEmpty,
+      "coarse + codebook must be non-empty")
     val d = coarse.head._2.length
     require(m > 0 && d % m == 0, s"dim $d not divisible into $m subspaces")
     require(coarse.map(_._1).toSeq == coarse.map(_._1).sorted.toSeq &&
@@ -740,7 +743,8 @@ object Similarity {
     val adist = round(sqrt(aggregate(
       sequence(lit(0), lit(m - 1)), lit(0.0),
       (acc, s) => acc + element_at(col("lut"),
-        (col("__p") * (m * kcb)) + (s * kcb) + element_at(col("codes"), s + 1) + 1))),
+        (col("__p") * (m * kcb)) + (s * kcb) +
+          element_at(col("codes"), s + 1).cast("int") + 1))),
       scale)
     val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("id"))
     enc.crossJoin(broadcast(q))

@@ -315,14 +315,18 @@ object TextStats {
   def ccnetBuckets(
       scored: DataFrame, idCol: String, byCol: String, xentCol: String,
       scale: Int = 6): DataFrame = {
-    val x = round(col(xentCol), scale)
+    // the output contract names the score column "xent" — an id/group
+    // key with that same name would make the contract ambiguous
+    require(idCol != "xent" && byCol != "xent",
+      "idCol/byCol must not be named \"xent\" (reserved for the score output)")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(byCol)).orderBy(x, col(idCol))
+      .partitionBy(col(byCol)).orderBy(col("__graft_xent"), col(idCol))
     scored
-      .withColumn("xent", x)
+      .select(col(idCol), col(byCol),
+        round(col(xentCol), scale).as("__graft_xent"))
       .withColumn("bucket",
         element_at(lit(Array("head", "middle", "tail")), ntile(3).over(w)))
-      .select(col(idCol), col(byCol), col("xent"), col("bucket"))
+      .select(col(idCol), col(byCol), col("__graft_xent").as("xent"), col("bucket"))
   }
 
   /** The corpus's own unigram LM as (w, logp) — the model side of

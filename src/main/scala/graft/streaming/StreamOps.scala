@@ -74,7 +74,8 @@ object StreamOps {
 
   /** Streaming decontamination — the ingest-time twin of
     * [[graft.ops.Dedup.contaminationHits]]: each arriving document's
-    * grams are probed against the STATIC benchmark gram set via a
+    * grams are probed against the STATIC benchmark gram set (its gram
+    * column named by `benchGramCol`, default "g") via a
     * stream-static inner join (stateless — the static side is
     * re-resolved per micro-batch and broadcasts, so the stream side
     * never shuffles for the join), then a stateful dropDuplicates
@@ -87,9 +88,10 @@ object StreamOps {
     */
   def contaminatedStream(
       docs: DataFrame, idCol: String, gramsCol: String,
-      benchGrams: DataFrame): DataFrame =
-    docs.select(col(idCol), explode(col(gramsCol)).as("g"))
-      .join(broadcast(benchGrams.select(col("g"))), Seq("g"))
+      benchGrams: DataFrame, benchGramCol: String = "g"): DataFrame =
+    docs.select(col(idCol), explode(col(gramsCol)).as("__graft_g"))
+      .join(broadcast(
+        benchGrams.select(col(benchGramCol).as("__graft_g"))), Seq("__graft_g"))
       .select(col(idCol))
       .dropDuplicates(idCol)
 
