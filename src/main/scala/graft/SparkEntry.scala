@@ -3917,6 +3917,132 @@ object SparkEntry {
         |SELECT vec_id, round(dp - sh.c, 6) + 0.0 AS proj
         |FROM pj CROSS JOIN sh ORDER BY vec_id""".stripMargin)),
 
+    Q("q_pca_top2",  // top-2 PCA via HOTELLING DEFLATION — the
+      // multi-component basis whitening actually needs: u1 as in
+      // q_pca_project but ROUNDED to 9 dp, λ1 = round(u1ᵀMu1, 9)
+      // (Rayleigh), deflate M2 = M − λ1·u1u1ᵀ (exact arithmetic on
+      // engine-identical doubles — the pinning device), 3 more
+      // unrolled steps on M2 → u2, then TWO map-side codegen dots.
+      (s, dir) => Similarity.pcaProjectTop(
+          Tables.table(s, dir, "embeddings"), "vec_id", "embedding", p = 2)
+        .orderBy("vec_id"),
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |n AS MATERIALIZED (SELECT count(*) AS n FROM embeddings),
+        |m0 AS MATERIALIZED (SELECT i, avg(x) AS mu FROM e GROUP BY i),
+        |cx AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+        |       FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |cov AS MATERIALIZED (SELECT cx.i, cx.j, round(cx.sxy / n.n - ma.mu * mb.mu, 6) AS c
+        |        FROM cx CROSS JOIN n
+        |        JOIN m0 ma ON ma.i = cx.i JOIN m0 mb ON mb.i = cx.j),
+        |dd AS MATERIALIZED (SELECT count(*) AS d FROM m0),
+        |v0 AS MATERIALIZED (SELECT i, 1.0 / sqrt(d) AS r FROM m0 CROSS JOIN dd),
+        |v1 AS MATERIALIZED (SELECT cov.i, sum(cov.c * v0.r) AS r
+        |       FROM cov JOIN v0 ON v0.i = cov.j GROUP BY 1),
+        |v2 AS MATERIALIZED (SELECT cov.i, sum(cov.c * v1.r) AS r
+        |       FROM cov JOIN v1 ON v1.i = cov.j GROUP BY 1),
+        |v3 AS MATERIALIZED (SELECT cov.i, sum(cov.c * v2.r) AS r
+        |       FROM cov JOIN v2 ON v2.i = cov.j GROUP BY 1),
+        |nr1 AS MATERIALIZED (SELECT sqrt(sum(r * r)) AS nr FROM v3),
+        |sg1 AS MATERIALIZED (SELECT CASE WHEN (SELECT r FROM v3 WHERE r <> 0
+        |                          ORDER BY i LIMIT 1) < 0
+        |               THEN -1.0 ELSE 1.0 END AS sg),
+        |u1 AS MATERIALIZED (SELECT v3.i, round(sg1.sg * v3.r / nr1.nr, 9) AS u
+        |       FROM v3 CROSS JOIN nr1 CROSS JOIN sg1),
+        |l1 AS MATERIALIZED (SELECT round(sum(a.u * cov.c * b.u), 9) AS lam
+        |       FROM cov JOIN u1 a ON a.i = cov.i JOIN u1 b ON b.i = cov.j),
+        |cov2 AS MATERIALIZED (SELECT cov.i, cov.j, cov.c - l1.lam * a.u * b.u AS c
+        |         FROM cov JOIN u1 a ON a.i = cov.i JOIN u1 b ON b.i = cov.j
+        |         CROSS JOIN l1),
+        |w1 AS MATERIALIZED (SELECT cov2.i, sum(cov2.c * v0.r) AS r
+        |       FROM cov2 JOIN v0 ON v0.i = cov2.j GROUP BY 1),
+        |w2 AS MATERIALIZED (SELECT cov2.i, sum(cov2.c * w1.r) AS r
+        |       FROM cov2 JOIN w1 ON w1.i = cov2.j GROUP BY 1),
+        |w3 AS MATERIALIZED (SELECT cov2.i, sum(cov2.c * w2.r) AS r
+        |       FROM cov2 JOIN w2 ON w2.i = cov2.j GROUP BY 1),
+        |nr2 AS MATERIALIZED (SELECT sqrt(sum(r * r)) AS nr FROM w3),
+        |sg2 AS MATERIALIZED (SELECT CASE WHEN (SELECT r FROM w3 WHERE r <> 0
+        |                          ORDER BY i LIMIT 1) < 0
+        |               THEN -1.0 ELSE 1.0 END AS sg),
+        |u2 AS MATERIALIZED (SELECT w3.i, round(sg2.sg * w3.r / nr2.nr, 9) AS u
+        |       FROM w3 CROSS JOIN nr2 CROSS JOIN sg2),
+        |mr AS MATERIALIZED (SELECT i, round(mu, 9) AS mu FROM m0),
+        |sh1 AS MATERIALIZED (SELECT sum(mr.mu * u1.u) AS c FROM mr JOIN u1 ON u1.i = mr.i),
+        |sh2 AS MATERIALIZED (SELECT sum(mr.mu * u2.u) AS c FROM mr JOIN u2 ON u2.i = mr.i),
+        |p1 AS MATERIALIZED (SELECT e.vec_id, sum(e.x * u1.u) AS dp
+        |       FROM e JOIN u1 ON u1.i = e.i GROUP BY 1),
+        |p2 AS MATERIALIZED (SELECT e.vec_id, sum(e.x * u2.u) AS dp
+        |       FROM e JOIN u2 ON u2.i = e.i GROUP BY 1)
+        |SELECT p1.vec_id, round(p1.dp - sh1.c, 6) + 0.0 AS pc1,
+        |       round(p2.dp - sh2.c, 6) + 0.0 AS pc2
+        |FROM p1 JOIN p2 USING (vec_id) CROSS JOIN sh1 CROSS JOIN sh2
+        |ORDER BY vec_id""".stripMargin)),
+
+    Q("q_mahalanobis",  // Mahalanobis outlier screen in the top-2
+      // eigenbasis: score = pc1²/λ1 + pc2²/λ2 on ROUNDED projections
+      // and 9-dp Rayleigh eigenvalues — exact arithmetic on
+      // engine-identical doubles, so the only cross-engine tolerance
+      // is the two pc rounds. High score = far from the data cloud
+      // along its own principal axes (embedding-quality outliers).
+      (s, dir) => Similarity.mahalanobisScore(
+          Tables.table(s, dir, "embeddings"), "vec_id", "embedding", p = 2)
+        .orderBy("vec_id"),
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |n AS MATERIALIZED (SELECT count(*) AS n FROM embeddings),
+        |m0 AS MATERIALIZED (SELECT i, avg(x) AS mu FROM e GROUP BY i),
+        |cx AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+        |       FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |cov AS MATERIALIZED (SELECT cx.i, cx.j, round(cx.sxy / n.n - ma.mu * mb.mu, 6) AS c
+        |        FROM cx CROSS JOIN n
+        |        JOIN m0 ma ON ma.i = cx.i JOIN m0 mb ON mb.i = cx.j),
+        |dd AS MATERIALIZED (SELECT count(*) AS d FROM m0),
+        |v0 AS MATERIALIZED (SELECT i, 1.0 / sqrt(d) AS r FROM m0 CROSS JOIN dd),
+        |v1 AS MATERIALIZED (SELECT cov.i, sum(cov.c * v0.r) AS r
+        |       FROM cov JOIN v0 ON v0.i = cov.j GROUP BY 1),
+        |v2 AS MATERIALIZED (SELECT cov.i, sum(cov.c * v1.r) AS r
+        |       FROM cov JOIN v1 ON v1.i = cov.j GROUP BY 1),
+        |v3 AS MATERIALIZED (SELECT cov.i, sum(cov.c * v2.r) AS r
+        |       FROM cov JOIN v2 ON v2.i = cov.j GROUP BY 1),
+        |nr1 AS MATERIALIZED (SELECT sqrt(sum(r * r)) AS nr FROM v3),
+        |sg1 AS MATERIALIZED (SELECT CASE WHEN (SELECT r FROM v3 WHERE r <> 0
+        |                          ORDER BY i LIMIT 1) < 0
+        |               THEN -1.0 ELSE 1.0 END AS sg),
+        |u1 AS MATERIALIZED (SELECT v3.i, round(sg1.sg * v3.r / nr1.nr, 9) AS u
+        |       FROM v3 CROSS JOIN nr1 CROSS JOIN sg1),
+        |l1 AS MATERIALIZED (SELECT round(sum(a.u * cov.c * b.u), 9) AS lam
+        |       FROM cov JOIN u1 a ON a.i = cov.i JOIN u1 b ON b.i = cov.j),
+        |cov2 AS MATERIALIZED (SELECT cov.i, cov.j, cov.c - l1.lam * a.u * b.u AS c
+        |         FROM cov JOIN u1 a ON a.i = cov.i JOIN u1 b ON b.i = cov.j
+        |         CROSS JOIN l1),
+        |w1 AS MATERIALIZED (SELECT cov2.i, sum(cov2.c * v0.r) AS r
+        |       FROM cov2 JOIN v0 ON v0.i = cov2.j GROUP BY 1),
+        |w2 AS MATERIALIZED (SELECT cov2.i, sum(cov2.c * w1.r) AS r
+        |       FROM cov2 JOIN w1 ON w1.i = cov2.j GROUP BY 1),
+        |w3 AS MATERIALIZED (SELECT cov2.i, sum(cov2.c * w2.r) AS r
+        |       FROM cov2 JOIN w2 ON w2.i = cov2.j GROUP BY 1),
+        |nr2 AS MATERIALIZED (SELECT sqrt(sum(r * r)) AS nr FROM w3),
+        |sg2 AS MATERIALIZED (SELECT CASE WHEN (SELECT r FROM w3 WHERE r <> 0
+        |                          ORDER BY i LIMIT 1) < 0
+        |               THEN -1.0 ELSE 1.0 END AS sg),
+        |u2 AS MATERIALIZED (SELECT w3.i, round(sg2.sg * w3.r / nr2.nr, 9) AS u
+        |       FROM w3 CROSS JOIN nr2 CROSS JOIN sg2),
+        |l2 AS MATERIALIZED (SELECT round(sum(a.u * cov2.c * b.u), 9) AS lam
+        |       FROM cov2 JOIN u2 a ON a.i = cov2.i JOIN u2 b ON b.i = cov2.j),
+        |mr AS MATERIALIZED (SELECT i, round(mu, 9) AS mu FROM m0),
+        |sh1 AS MATERIALIZED (SELECT sum(mr.mu * u1.u) AS c FROM mr JOIN u1 ON u1.i = mr.i),
+        |sh2 AS MATERIALIZED (SELECT sum(mr.mu * u2.u) AS c FROM mr JOIN u2 ON u2.i = mr.i),
+        |p1 AS MATERIALIZED (SELECT e.vec_id, sum(e.x * u1.u) AS dp
+        |       FROM e JOIN u1 ON u1.i = e.i GROUP BY 1),
+        |p2 AS MATERIALIZED (SELECT e.vec_id, sum(e.x * u2.u) AS dp
+        |       FROM e JOIN u2 ON u2.i = e.i GROUP BY 1),
+        |pc AS MATERIALIZED (SELECT p1.vec_id, round(p1.dp - sh1.c, 6) AS pc1,
+        |              round(p2.dp - sh2.c, 6) AS pc2
+        |       FROM p1 JOIN p2 USING (vec_id) CROSS JOIN sh1 CROSS JOIN sh2)
+        |SELECT vec_id,
+        |       round(pc1 * pc1 / l1.lam + pc2 * pc2 / l2.lam, 6) + 0.0 AS score
+        |FROM pc CROSS JOIN l1 CROSS JOIN l2 ORDER BY vec_id""".stripMargin)),
+
     Q("q_embed_density",  // per-vector neighborhood density at cosine
       // ≥ 0.5 — the embedding-quality screen (dense regions = redundancy
       // candidates, n_nbr=0 = outliers/noise; SemDeDup's density

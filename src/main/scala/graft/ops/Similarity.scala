@@ -471,22 +471,42 @@ object Similarity {
     * screens, and embedding-drift monitoring. cov(i,j) =
     * E[xᵢxⱼ] − E[xᵢ]E[xⱼ] over all rows.
     *
-    * Scale: each row expands MAP-SIDE to one (d²+d)-element array —
-    * its outer products followed by the vector itself (codegen'd
-    * `flatten(transform × transform)`, no self-join) — and a single
-    * posexplode + groupBy(idx) folds the whole corpus into d²+d sum
-    * cells; map-side partial aggregation reduces every input partition
-    * to ≤ d²+d rows BEFORE the exchange, so shuffle volume is
-    * partitions × (d²+d) regardless of corpus size. The d-row mean
-    * table then broadcast-joins back twice to center the raw moments.
-    * The dimension probe is a 1-row collect (the [[cosinePairsLsh]]
-    * device), not a corpus action.
+    * Scale — two routes behind a d-threshold (default 128):
+    *
+    * SMALL d (d ≤ `largeDThreshold`): each row expands MAP-SIDE to one
+    * (d²+d)-element array — its outer products followed by the vector
+    * itself (codegen'd `flatten(transform × transform)`, no self-join)
+    * — and a single posexplode + groupBy(idx) folds the whole corpus
+    * into d²+d sum cells; map-side partial aggregation reduces every
+    * input partition to ≤ d²+d rows BEFORE the exchange, so shuffle
+    * volume is partitions × (d²+d) regardless of corpus size. The
+    * d-row mean table then broadcast-joins back twice to center the
+    * raw moments. Per-ROW memory is O(d²) — the reason this form
+    * cannot be the only one: at d=4096 it would materialize 16.8M
+    * doubles per input row.
+    *
+    * LARGE d (d > `largeDThreshold`): a typed
+    * [[graft.functions.CovMoments]] Aggregator accumulates one flat
+    * upper-triangle buffer per partition (tight primitive loops, zero
+    * per-row allocation); per-row memory is O(d), per-partition O(d²),
+    * and shuffle volume is partitions × (d(d+1)/2 + d + 1) — half the
+    * explode path's, via symmetry. The collected buffer (one row,
+    * same k-row-scalar family as the PCA collect that consumes this
+    * matrix) is re-broadcast and the (i,j,cov) grid is emitted by a
+    * map over `spark.range(d²)` — no corpus re-read.
+    *
+    * Both routes round to `scale` then `+0.0` (signed-zero canon), so
+    * they agree cell-for-cell at the oracle precision. The dimension
+    * probe is a 1-row collect (the [[cosinePairsLsh]] device), not a
+    * corpus action.
     */
-  def embedCovariance(emb: DataFrame, vecCol: String, scale: Int = 6): DataFrame = {
+  def embedCovariance(emb: DataFrame, vecCol: String, scale: Int = 6,
+      largeDThreshold: Int = 128): DataFrame = {
     val v = emb.select(KMeansOps.asDouble(col(vecCol)).as("v"))
       .filter(size(col("v")) > 0)
     val probe = v.select(size(col("v")).as("d")).limit(1).collect()
     val d = if (probe.isEmpty) 0 else probe(0).getInt(0)
+    if (d > largeDThreshold) return covByMoments(v, d, scale)
     val sums = v.select(posexplode(concat(
         flatten(transform(col("v"), x => transform(col("v"), y => x * y))),
         col("v"))).as(Seq("idx", "x")))
@@ -503,6 +523,33 @@ object Similarity {
         // and the driver's value hash distinguishes ±0.0 (r8 red row)
         (round(col("s") / col("n") - col("mui") * col("muj"), scale) +
           lit(0.0)).as("cov"))
+  }
+
+  /** Large-d covariance route (see [[embedCovariance]]): single-pass
+    * [[graft.functions.CovMoments]] fold → one buffer row collected →
+    * (i,j,cov) grid emitted distributedly from `range(d²)` against the
+    * re-broadcast buffer. Rounding applied as a Column op so both
+    * routes share the exact round/±0.0 semantics.
+    */
+  private def covByMoments(v: DataFrame, d: Int, scale: Int): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val buf = v.select(col("v")).as[Array[Double]]
+      .select(new graft.functions.CovMoments(d).toColumn)
+      .collect()(0)
+    val tri = d * (d + 1) / 2
+    val n = buf(tri + d)
+    require(n > 0, "empty embedding table")
+    val bc = spark.sparkContext.broadcast(buf)
+    spark.range(d.toLong * d).map { idx =>
+      val b = bc.value
+      val i = (idx / d).toInt; val j = (idx % d).toInt
+      val nn = b(tri + d)
+      val s = b(graft.functions.CovMoments.triIndex(d, i, j))
+      (i, j, s / nn - (b(tri + i) / nn) * (b(tri + j) / nn))
+    }.toDF("i", "j", "cov")
+      .select(col("i"), col("j"),
+        (round(col("cov"), scale) + lit(0.0)).as("cov"))
   }
 
   /** Driver-side dominant eigenpair of a small dense symmetric matrix
@@ -648,6 +695,129 @@ object Similarity {
     emb.select(col(idCol),
       round(dot(KMeansOps.asDouble(col(vecCol)), typedlit(u.toSeq)) - shift, scale)
         .as("proj"))
+  }
+
+  /** Driver-side top-p eigenbasis of the ROUNDED covariance via power
+    * iteration + HOTELLING DEFLATION: find u₁ (iters un-normalized
+    * steps from (1,…,1)/√d, normalize once, first-nonzero-positive),
+    * take λ₁ = u₁ᵀMu₁ (Rayleigh on the current matrix), subtract
+    * λ₁u₁u₁ᵀ, repeat p times. Every uₓ component and every λₓ is
+    * rounded to 9 dp BEFORE deflation/projection — the cross-engine
+    * pinning device: both engines then subtract bitwise-identical
+    * rank-1 terms, so the deflated matrices agree exactly and only
+    * the final 6-dp round has to absorb summation-order noise.
+    *
+    * Scale: two k-row-scalar collects (d² rounded cov cells, d means);
+    * everything else is driver math on a d×d array. Returns
+    * (d, μ rounded 9 dp, [(λₓ, uₓ)] in dominance order).
+    */
+  private[graft] def topPBasis(
+      emb: DataFrame, vecCol: String, p: Int, iters: Int):
+      (Int, Map[Int, Double], Seq[(Double, Array[Double])]) = {
+    require(p >= 1, "need at least one component")
+    val covRows = embedCovariance(emb, vecCol).collect()
+    require(covRows.nonEmpty, "empty embedding table")
+    val d = covRows.iterator.map(_.getInt(0)).max + 1
+    val m = Array.ofDim[Double](d, d)
+    covRows.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val mu = emb.select(posexplode(KMeansOps.asDouble(col(vecCol))).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(round(avg(col("x")), 9).as("mu"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val basis = Seq.newBuilder[(Double, Array[Double])]
+    (0 until p).foreach { c =>
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      (0 until iters).foreach { _ =>
+        v = Array.tabulate(d) { i =>
+          var s = 0.0; var j = 0
+          while (j < d) { s += m(i)(j) * v(j); j += 1 }
+          s
+        }
+        // guard against under/overflow at high iteration counts (λ^iters
+        // leaves double range): rescale ONLY outside [1e-100, 1e100], so
+        // the small-iters oracle recipe is bit-for-bit unaffected and the
+        // direction (all that survives the final normalize) never drifts
+        val mx = v.map(math.abs).max
+        if (mx > 0 && (mx < 1e-100 || mx > 1e100)) {
+          val inv = 1.0 / mx
+          v = v.map(_ * inv)
+        }
+      }
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      require(nrm > 0,
+        s"degenerate covariance: zero direction at component ${c + 1} — reduce p")
+      val flip = v.find(_ != 0.0).exists(_ < 0)
+      val u = v.map(x => r9((if (flip) -x else x) / nrm))
+      var lam = 0.0
+      var i = 0
+      while (i < d) {
+        var s = 0.0; var j = 0
+        while (j < d) { s += m(i)(j) * u(j); j += 1 }
+        lam += u(i) * s; i += 1
+      }
+      lam = r9(lam)
+      basis += ((lam, u))
+      i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { m(i)(j) -= lam * u(i) * u(j); j += 1 }
+        i += 1
+      }
+    }
+    (d, mu, basis.result())
+  }
+
+  /** Top-p PCA projection — the multi-component extension of
+    * [[pcaProject]] the whitening/drift use case actually needs: each
+    * vector's coordinates in the [[topPBasis]] deflated eigenbasis,
+    * centered by the constant μ·uₓ shift. Output:
+    * (idCol, pc1 … pcp), each rounded + signed-zero-canonicalized.
+    *
+    * Scale: after the two k-row-scalar basis collects, the projection
+    * is ONE map-side pass — p codegen [[dot]]s against broadcast
+    * literal axes, zero shuffle, one corpus read.
+    */
+  def pcaProjectTop(
+      emb: DataFrame, idCol: String, vecCol: String,
+      p: Int = 2, iters: Int = 3, scale: Int = 6): DataFrame = {
+    val (d, mu, basis) = topPBasis(emb, vecCol, p, iters)
+    val cols = basis.zipWithIndex.map { case ((_, u), c) =>
+      val shift = (0 until d).foldLeft(0.0)((s, i) => s + mu.getOrElse(i, 0.0) * u(i))
+      (round(dot(KMeansOps.asDouble(col(vecCol)), typedlit(u.toSeq)) - shift, scale) +
+        lit(0.0)).as(s"pc${c + 1}")
+    }
+    emb.select(col(idCol) +: cols: _*)
+  }
+
+  /** Mahalanobis outlier screen in the top-p eigenbasis — the score the
+    * covariance scaladoc promises: score(v) = Σₓ pcₓ(v)²/λₓ, the
+    * squared Mahalanobis distance restricted to the p dominant
+    * components (the full-rank form needs Σ⁻¹; truncating to the top-p
+    * basis is the standard large-d surrogate — directions below the
+    * basis carry near-noise variance). High score = far from the data
+    * cloud along its own principal axes → embedding-quality outlier.
+    *
+    * Each pcₓ is rounded (6 dp) BEFORE squaring and λₓ is the 9-dp
+    * Rayleigh value, so the score is exact arithmetic on
+    * engine-identical doubles. Output: (idCol, score).
+    *
+    * Scale: identical to [[pcaProjectTop]] — p broadcast-literal dots,
+    * map-side, zero shuffle.
+    */
+  def mahalanobisScore(
+      emb: DataFrame, idCol: String, vecCol: String,
+      p: Int = 2, iters: Int = 3, scale: Int = 6): DataFrame = {
+    val (d, mu, basis) = topPBasis(emb, vecCol, p, iters)
+    basis.foreach { case (lam, _) =>
+      require(lam > 0,
+        s"non-positive eigenvalue $lam in top-$p basis — reduce p") }
+    val score = basis.map { case (lam, u) =>
+      val shift = (0 until d).foldLeft(0.0)((s, i) => s + mu.getOrElse(i, 0.0) * u(i))
+      val pc = round(dot(KMeansOps.asDouble(col(vecCol)), typedlit(u.toSeq)) - shift, scale)
+      pc * pc / lit(lam)
+    }.reduce(_ + _)
+    emb.select(col(idCol), (round(score, scale) + lit(0.0)).as("score"))
   }
 
   /** Full IVF-PQ routed search (Jégou, Douze & Schmid, TPAMI 2011

@@ -423,6 +423,83 @@ class SimilaritySpec extends AnyFunSuite {
     (0 until 64).foreach(i => assert(real((i, i)) >= 0.0, "diagonal = variance ≥ 0"))
   }
 
+  test("embedCovariance large-d route: parity with explode path at d=64; closed form at d=256") {
+    // parity: force the CovMoments route on the real 64-dim corpus by
+    // dropping the threshold below d; cells must agree with the default
+    // explode route at the oracle precision (both round to 6 dp — one
+    // rounding-boundary ulp is the only admissible difference)
+    val small = Similarity.embedCovariance(emb, "embedding")
+      .as[(Int, Int, Double)].collect().map { case (i, j, c) => (i, j) -> c }.toMap
+    val large = Similarity.embedCovariance(emb, "embedding", largeDThreshold = 1)
+      .as[(Int, Int, Double)].collect().map { case (i, j, c) => (i, j) -> c }.toMap
+    assert(large.size == small.size && small.size == 64 * 64)
+    small.foreach { case (k, c) =>
+      assert(math.abs(large(k) - c) <= 1.0000001e-6, s"cell $k: ${large(k)} vs $c") }
+
+    // d=256 — a width the explode path would materialize 65 792 doubles
+    // PER ROW for; deterministic synthetic data, closed-form expected
+    val d = 256
+    val n = 40
+    val rows = (0 until n).map { r =>
+      (r.toLong, (0 until d).map(i => ((r * 31 + i * 17) % 13).toDouble))
+    }
+    val got = Similarity.embedCovariance(rows.toDF("id", "v"), "v", scale = 9)
+      .as[(Int, Int, Double)].collect().map { case (i, j, c) => (i, j) -> c }.toMap
+    assert(got.size == d * d)
+    val data = rows.map(_._2.toArray).toArray
+    def mu(i: Int) = data.map(_(i)).sum / n
+    Seq((0, 0), (0, 1), (5, 250), (255, 255), (100, 7), (13, 13)).foreach {
+      case (i, j) =>
+        val e = data.map(v => v(i) * v(j)).sum / n - mu(i) * mu(j)
+        assert(math.abs(got((i, j)) - e) < 1e-6, s"($i,$j): ${got((i, j))} vs $e")
+    }
+    got.foreach { case ((i, j), c) => assert(c == got((j, i))) }
+  }
+
+  test("topPBasis: converged basis is orthonormal, dominance-ordered, and matches topEigen") {
+    val (_, _, basis) = Similarity.topPBasis(emb, "embedding", p = 3, iters = 400)
+    val lams = basis.map(_._1)
+    assert(lams(0) >= lams(1) && lams(1) >= lams(2) && lams(2) > 0, lams)
+    basis.foreach { case (_, u) =>
+      assert(math.abs(math.sqrt(u.map(x => x * x).sum) - 1.0) < 1e-6) }
+    for (a <- 0 until 3; b <- a + 1 until 3) {
+      val d = basis(a)._2.zip(basis(b)._2).map { case (x, y) => x * y }.sum
+      assert(math.abs(d) < 1e-5, s"u${a}.u${b} = $d")
+    }
+    // first component ≡ the converged topEigen pair
+    val rows = Similarity.embedCovariance(emb, "embedding")
+      .as[(Int, Int, Double)].collect()
+    val d64 = 64
+    val m = Array.ofDim[Double](d64, d64)
+    rows.foreach { case (i, j, c) => m(i)(j) = c }
+    val (lam1, v1) = Similarity.topEigen(m)
+    assert(math.abs(basis(0)._1 - lam1) < 1e-6 * math.max(1.0, lam1))
+    v1.zip(basis(0)._2).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6) }
+  }
+
+  test("pcaProjectTop + mahalanobisScore: closed form on an axis-aligned 2-d set") {
+    // 8 symmetric points → μ = 0, cov = diag(5, 1.25) EXACTLY; converged
+    // basis is the axes, so pc1 = x, pc2 = y and score = x²/5 + y²/1.25
+    val pts = Seq((1L, 4.0, 0.0), (2L, -4.0, 0.0), (3L, 2.0, 0.0), (4L, -2.0, 0.0),
+      (5L, 0.0, 2.0), (6L, 0.0, -2.0), (7L, 0.0, 1.0), (8L, 0.0, -1.0))
+    val df = pts.map { case (id, x, y) => (id, Seq(x.toFloat, y.toFloat)) }.toDF("id", "v")
+    val pc = Similarity.pcaProjectTop(df, "id", "v", p = 2, iters = 60)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    pts.foreach { case (id, x, y) =>
+      assert(pc(id) == ((x, y)), s"point $id: ${pc(id)} vs ($x,$y)") }
+    val sc = Similarity.mahalanobisScore(df, "id", "v", p = 2, iters = 60)
+      .as[(Long, Double)].collect().toMap
+    pts.foreach { case (id, x, y) =>
+      val e = x * x / 5.0 + y * y / 1.25
+      assert(math.abs(sc(id) - e) < 1e-9, s"point $id: ${sc(id)} vs $e") }
+    // real corpus: scores are finite and non-negative
+    val real = Similarity.mahalanobisScore(emb, "vec_id", "embedding")
+      .as[(Long, Double)].collect()
+    assert(real.length == emb.count())
+    real.foreach { case (id, s) =>
+      assert(s >= 0 && !s.isNaN && !s.isInfinite, s"vec $id score $s") }
+  }
+
   test("topEigen: dominant eigenpair of a known matrix; Rayleigh maximal on a real covariance") {
     val (l1, v1) = Similarity.topEigen(Array(Array(2.0, 0.0), Array(0.0, 1.0)))
     assert(math.abs(l1 - 2.0) < 1e-9)
