@@ -4082,6 +4082,125 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, norm, md5(norm) AS norm_md5 FROM nz ORDER BY doc_id""".stripMargin)),
 
+    Q("q_url_canon",  // URL canonicalization — the dedup key
+      // normalizeText doesn't cover: scheme unified, host lowercased
+      // with :80/:443 + "www." stripped, fragment dropped, one
+      // trailing path slash stripped (path case preserved), tracking
+      // params (utm_*/fbclid/gclid/msclkid/ref) removed and the rest
+      // SORTED. The documents table has no URL column, so a messy URL
+      // is synthesized deterministically per doc (both engines build
+      // the identical fixture); the OPERATOR under test is the pure
+      // map-side canonicalizer. Zero shuffle.
+      (s, dir) => {
+        val url = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("http://")),
+          when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+          col("source"), lit(".Example.COM"),
+          when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":80")),
+          lit("/Docs/"), (col("doc_id") % 40).cast("string"),
+          when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&b="), (col("doc_id") % 7).cast("string"),
+          lit("&a=1"),
+          when(col("doc_id") % 4 === 0, lit("&fbclid=XYZ")).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0, lit("#Sec2")).otherwise(lit("")))
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), url.as("url"))
+          .withColumn("domain", ops.TextOps.urlHost(col("url")))
+          .withColumn("apex", ops.TextOps.urlApex(col("url")))
+          .withColumn("canon", ops.TextOps.canonicalizeUrl(col("url")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |  source || '.Example.COM' ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END) ||
+        |  '/Docs/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |  '?utm_source=feed&b=' || CAST(doc_id % 7 AS VARCHAR) || '&a=1' ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '&fbclid=XYZ' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 6 = 0 THEN '#Sec2' ELSE '' END) AS url
+        |  FROM documents),
+        |nf AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*', '') AS nf
+        |       FROM u),
+        |pp AS (SELECT doc_id, url,
+        |  regexp_replace(regexp_replace(lower(regexp_extract(nf,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+        |    ':(80|443)$', ''), '^www\.', '') AS host,
+        |  regexp_extract(nf,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p0,
+        |  regexp_extract(nf, '\?([^#]*)', 1) AS q0 FROM nf),
+        |kq AS (SELECT *, array_to_string(list_sort(list_filter(
+        |         string_split(q0, '&'), p -> p <> '' AND NOT
+        |         regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))),
+        |         '&') AS kept FROM pp)
+        |SELECT doc_id, url, host AS domain,
+        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS apex,
+        |  'http://' || host ||
+        |  (CASE WHEN p0 = '' THEN '/'
+        |        ELSE regexp_replace(p0, '(.)/$', '\1') END) ||
+        |  (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) AS canon
+        |FROM kq ORDER BY doc_id""".stripMargin)),
+
+    Q("q_domain_dedup",  // per-domain URL dedup over the canonical key
+      // — keep-first (min doc_id) per (domain, canon), with the dup
+      // count the crawl-frontier report wants. ONE shuffle on the
+      // canonical key itself (domain is a prefix of it), so a hot
+      // domain never concentrates on one reducer unless its CANONICAL
+      // URLs do — the scale-honest partitioning for per-domain dedup.
+      (s, dir) => {
+        val url = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("http://")),
+          when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+          col("source"), lit(".Example.COM"),
+          when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":80")),
+          lit("/Docs/"), (col("doc_id") % 40).cast("string"),
+          when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&b="), (col("doc_id") % 7).cast("string"),
+          lit("&a=1"),
+          when(col("doc_id") % 4 === 0, lit("&fbclid=XYZ")).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0, lit("#Sec2")).otherwise(lit("")))
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), url.as("url"))
+          .withColumn("domain", ops.TextOps.urlHost(col("url")))
+          .withColumn("canon", ops.TextOps.canonicalizeUrl(col("url")))
+          .groupBy("domain", "canon")
+          .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups"))
+          .orderBy("domain", "canon")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |  source || '.Example.COM' ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END) ||
+        |  '/Docs/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |  '?utm_source=feed&b=' || CAST(doc_id % 7 AS VARCHAR) || '&a=1' ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '&fbclid=XYZ' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 6 = 0 THEN '#Sec2' ELSE '' END) AS url
+        |  FROM documents),
+        |nf AS (SELECT doc_id, regexp_replace(trim(url), '#.*', '') AS nf FROM u),
+        |pp AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(lower(regexp_extract(nf,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+        |    ':(80|443)$', ''), '^www\.', '') AS host,
+        |  regexp_extract(nf,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p0,
+        |  regexp_extract(nf, '\?([^#]*)', 1) AS q0 FROM nf),
+        |kq AS (SELECT *, array_to_string(list_sort(list_filter(
+        |         string_split(q0, '&'), p -> p <> '' AND NOT
+        |         regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))),
+        |         '&') AS kept FROM pp),
+        |cc AS (SELECT doc_id, host AS domain,
+        |  'http://' || host ||
+        |  (CASE WHEN p0 = '' THEN '/'
+        |        ELSE regexp_replace(p0, '(.)/$', '\1') END) ||
+        |  (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) AS canon
+        |FROM kq)
+        |SELECT domain, canon, min(doc_id) AS keeper,
+        |       count(*) AS n_dups
+        |FROM cc GROUP BY domain, canon ORDER BY domain, canon""".stripMargin)),
+
     Q("q_span_corrupt",  // deterministic T5 span corruption (Raffel et
       // al. JMLR 2020 §3.1.4): aligned 3-token windows masked by the
       // keyed hash md5(salt_doc_win) mod 64 < 22 (≈34%), masked windows

@@ -267,4 +267,49 @@ object TextOps {
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  /** Host of a URL, canonicalized for dedup keying: lowercased, default
+    * ports (:80/:443) and a leading "www." stripped. Empty string when
+    * the input has no scheme://host shape. Pure map-side regex — the
+    * per-DOMAIN partitioning key a crawl pipeline shards on.
+    */
+  def urlHost(u: Column): Column = {
+    val noFrag = regexp_replace(trim(u), "#.*", "")
+    val host = lower(regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    regexp_replace(regexp_replace(host, ":(80|443)$", ""), "^www\\.", "")
+  }
+
+  /** Apex-domain heuristic: the last two dot-labels of [[urlHost]]
+    * ("a.b.example.com" -> "example.com"). NOT public-suffix-list
+    * aware — "example.co.uk" yields "co.uk"; ship a PSL side-input
+    * dict (the [[tokenizeFiltered]] dict device) where that matters.
+    */
+  def urlApex(u: Column): Column =
+    regexp_extract(urlHost(u), "([^.]+\\.[^.]+)$", 1)
+
+  /** URL canonicalization for near-dup URL keying — the standard crawl
+    * pipeline normalization [[normalizeText]] does not cover: scheme
+    * unified to http, host lowercased with default ports and "www."
+    * stripped, fragment dropped, ONE trailing path slash stripped
+    * (path case PRESERVED — paths are case-sensitive), tracking query
+    * params removed (utm_*, fbclid, gclid, msclkid, ref) and the rest
+    * SORTED so param order never splits a dup group. Pure map-side
+    * regex/array expressions, zero shuffle.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(trim(u), "#.*", "")
+    val host = regexp_replace(regexp_replace(
+      lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+      ":(80|443)$", ""), "^www\\.", "")
+    val path0 = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "", lit("/"))
+      .otherwise(regexp_replace(path0, "(.)/$", "$1"))
+    val q0 = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val kept = array_join(array_sort(filter(split(q0, "&"), p =>
+      !(p === "" || p.rlike("^(utm_[^=]*|fbclid|gclid|msclkid|ref)=")))), "&")
+    concat(lit("http://"), host, path,
+      when(length(kept) > 0, concat(lit("?"), kept)).otherwise(lit("")))
+  }
 }

@@ -338,4 +338,31 @@ class TextOpsSpec extends AnyFunSuite {
       assert(xs("middle").max <= xs("tail").min + 1e-12, s"$src middle/tail")
     }
   }
+
+  test("canonicalizeUrl: scheme/host/port/www/fragment/trailing-slash/param rules") {
+    val cases = Seq(
+      // scheme+host lowercase, https->http, :443 stripped, www stripped, fragment dropped
+      ("HTTPS://WWW.Ex.COM:443/A/B#frag", "http://ex.com/A/B"),
+      // default :80 stripped, non-default port kept
+      ("http://ex.com:80/x", "http://ex.com/x"),
+      ("http://ex.com:8080/x", "http://ex.com:8080/x"),
+      // path case preserved; ONE trailing slash stripped; root stays "/"
+      ("http://ex.com/Docs/17/", "http://ex.com/Docs/17"),
+      ("http://ex.com/", "http://ex.com/"),
+      ("http://ex.com", "http://ex.com/"),
+      // tracking params dropped, survivors sorted, empty query -> no "?"
+      ("http://ex.com/p?utm_source=f&b=2&a=1&fbclid=Z", "http://ex.com/p?a=1&b=2"),
+      ("http://ex.com/p?utm_campaign=x&gclid=1&ref=hn", "http://ex.com/p"),
+      ("http://ex.com/p?z=1&y=2&msclkid=m", "http://ex.com/p?y=2&z=1"))
+    val got = cases.map(_._1).toDF("u")
+      .select(TextOps.canonicalizeUrl(col("u"))).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g == e) }
+
+    val hosts = Seq("https://WWW.a.B.Example.org:443/x", "http://one.two/")
+      .toDF("u")
+      .select(TextOps.urlHost(col("u")), TextOps.urlApex(col("u")))
+      .as[(String, String)].collect()
+    assert(hosts(0) == (("a.b.example.org", "example.org")))
+    assert(hosts(1) == (("one.two", "one.two")))
+  }
 }
