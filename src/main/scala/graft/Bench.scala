@@ -65,8 +65,28 @@ object Bench {
     var singlePass = List.empty[String]
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the suite — debugging aid
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Budget-priority order (r8 lesson: the driver run budget-tripped 94
+    // queries, and the ones left single-pass included the NEWEST — the
+    // very queries with no clean local median evidence). Queries ABSENT
+    // from the checked-in median record run first (thinnest evidence),
+    // then ascending recorded cost, so warm two-pass coverage is
+    // maximized before the budget trips and degradation lands on the few
+    // expensive, already-well-characterized tails.
+    val medians: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_MEDIANS", "tools/bench_medians.json")
+      val f = Seq(new java.io.File(path), new java.io.File("/root/repo", path))
+        .find(_.exists())
+      f.fold(Map.empty[String, Double]) { file =>
+        val src = scala.io.Source.fromFile(file)
+        try """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(src.mkString)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        finally src.close()
+      }
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy { case (n, _) =>
+        (medians.contains(n), medians.getOrElse(n, 0.0), n) }
     val results = selected.map { case (name, fn) =>
       // snapshot so we release only blocks THIS query pinned — a blanket
       // unpersist would silently invalidate any future cross-query cache

@@ -4043,6 +4043,134 @@ object SparkEntry {
         |       round(pc1 * pc1 / l1.lam + pc2 * pc2 / l2.lam, 6) + 0.0 AS score
         |FROM pc CROSS JOIN l1 CROSS JOIN l2 ORDER BY vec_id""".stripMargin)),
 
+    Q("q_whiten",  // PCA whitening in the top-2 eigenbasis: w_c =
+      // pc_c/√λ_c — decorrelated unit-variance coordinates (the
+      // Mahalanobis score is exactly Σ w_c²). ROUNDED pc over the
+      // 9-dp Rayleigh λ, so the division runs on engine-identical
+      // doubles; two map-side codegen dots, zero shuffle.
+      (s, dir) => Similarity.whiten(
+          Tables.table(s, dir, "embeddings"), "vec_id", "embedding", p = 2)
+        .orderBy("vec_id"),
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |n AS MATERIALIZED (SELECT count(*) AS n FROM embeddings),
+        |m0 AS MATERIALIZED (SELECT i, avg(x) AS mu FROM e GROUP BY i),
+        |cx AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+        |       FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |cov AS MATERIALIZED (SELECT cx.i, cx.j, round(cx.sxy / n.n - ma.mu * mb.mu, 6) AS c
+        |        FROM cx CROSS JOIN n
+        |        JOIN m0 ma ON ma.i = cx.i JOIN m0 mb ON mb.i = cx.j),
+        |dd AS MATERIALIZED (SELECT count(*) AS d FROM m0),
+        |v0 AS MATERIALIZED (SELECT i, 1.0 / sqrt(d) AS r FROM m0 CROSS JOIN dd),
+        |v1 AS MATERIALIZED (SELECT cov.i, sum(cov.c * v0.r) AS r
+        |       FROM cov JOIN v0 ON v0.i = cov.j GROUP BY 1),
+        |v2 AS MATERIALIZED (SELECT cov.i, sum(cov.c * v1.r) AS r
+        |       FROM cov JOIN v1 ON v1.i = cov.j GROUP BY 1),
+        |v3 AS MATERIALIZED (SELECT cov.i, sum(cov.c * v2.r) AS r
+        |       FROM cov JOIN v2 ON v2.i = cov.j GROUP BY 1),
+        |nr1 AS MATERIALIZED (SELECT sqrt(sum(r * r)) AS nr FROM v3),
+        |sg1 AS MATERIALIZED (SELECT CASE WHEN (SELECT r FROM v3 WHERE r <> 0
+        |                          ORDER BY i LIMIT 1) < 0
+        |               THEN -1.0 ELSE 1.0 END AS sg),
+        |u1 AS MATERIALIZED (SELECT v3.i, round(sg1.sg * v3.r / nr1.nr, 9) AS u
+        |       FROM v3 CROSS JOIN nr1 CROSS JOIN sg1),
+        |l1 AS MATERIALIZED (SELECT round(sum(a.u * cov.c * b.u), 9) AS lam
+        |       FROM cov JOIN u1 a ON a.i = cov.i JOIN u1 b ON b.i = cov.j),
+        |cov2 AS MATERIALIZED (SELECT cov.i, cov.j, cov.c - l1.lam * a.u * b.u AS c
+        |         FROM cov JOIN u1 a ON a.i = cov.i JOIN u1 b ON b.i = cov.j
+        |         CROSS JOIN l1),
+        |w1 AS MATERIALIZED (SELECT cov2.i, sum(cov2.c * v0.r) AS r
+        |       FROM cov2 JOIN v0 ON v0.i = cov2.j GROUP BY 1),
+        |w2 AS MATERIALIZED (SELECT cov2.i, sum(cov2.c * w1.r) AS r
+        |       FROM cov2 JOIN w1 ON w1.i = cov2.j GROUP BY 1),
+        |w3 AS MATERIALIZED (SELECT cov2.i, sum(cov2.c * w2.r) AS r
+        |       FROM cov2 JOIN w2 ON w2.i = cov2.j GROUP BY 1),
+        |nr2 AS MATERIALIZED (SELECT sqrt(sum(r * r)) AS nr FROM w3),
+        |sg2 AS MATERIALIZED (SELECT CASE WHEN (SELECT r FROM w3 WHERE r <> 0
+        |                          ORDER BY i LIMIT 1) < 0
+        |               THEN -1.0 ELSE 1.0 END AS sg),
+        |u2 AS MATERIALIZED (SELECT w3.i, round(sg2.sg * w3.r / nr2.nr, 9) AS u
+        |       FROM w3 CROSS JOIN nr2 CROSS JOIN sg2),
+        |l2 AS MATERIALIZED (SELECT round(sum(a.u * cov2.c * b.u), 9) AS lam
+        |       FROM cov2 JOIN u2 a ON a.i = cov2.i JOIN u2 b ON b.i = cov2.j),
+        |mr AS MATERIALIZED (SELECT i, round(mu, 9) AS mu FROM m0),
+        |sh1 AS MATERIALIZED (SELECT sum(mr.mu * u1.u) AS c FROM mr JOIN u1 ON u1.i = mr.i),
+        |sh2 AS MATERIALIZED (SELECT sum(mr.mu * u2.u) AS c FROM mr JOIN u2 ON u2.i = mr.i),
+        |p1 AS MATERIALIZED (SELECT e.vec_id, sum(e.x * u1.u) AS dp
+        |       FROM e JOIN u1 ON u1.i = e.i GROUP BY 1),
+        |p2 AS MATERIALIZED (SELECT e.vec_id, sum(e.x * u2.u) AS dp
+        |       FROM e JOIN u2 ON u2.i = e.i GROUP BY 1),
+        |pc AS MATERIALIZED (SELECT p1.vec_id, round(p1.dp - sh1.c, 6) AS pc1,
+        |              round(p2.dp - sh2.c, 6) AS pc2
+        |       FROM p1 JOIN p2 USING (vec_id) CROSS JOIN sh1 CROSS JOIN sh2)
+        |SELECT vec_id, round(pc1 / sqrt(l1.lam), 6) + 0.0 AS w1,
+        |       round(pc2 / sqrt(l2.lam), 6) + 0.0 AS w2
+        |FROM pc CROSS JOIN l1 CROSS JOIN l2 ORDER BY vec_id""".stripMargin)),
+
+    Q("q_jl_project",  // Johnson–Lindenstrauss ±1 random projection to
+      // k=16 dims (Achlioptas JCSS 2003): y_j = Σ x_i·s(j,i)/√k with
+      // md5-keyed signs so the matrix rebuilds bit-for-bit in DuckDB —
+      // the data-independent dimensionality reducer in front of
+      // ANN/clustering at production d. ONE map-side pass of 16 fused
+      // codegen dots against driver-literal sign rows, zero shuffle.
+      (s, dir) => Similarity.jlProject(
+          Tables.table(s, dir, "embeddings"), "vec_id", "embedding", k = 16)
+        .orderBy("vec_id", "j"),
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |        CAST(unnest(range(0, len(embedding))) AS INT) AS i
+        |      FROM embeddings),
+        |dims AS MATERIALIZED (SELECT DISTINCT i FROM e),
+        |s AS MATERIALIZED (SELECT j.j, dims.i,
+        |        CASE WHEN substr(md5('jl:' || j.j || ':' || dims.i), 1, 1)
+        |             IN ('0','2','4','6','8','a','c','e')
+        |        THEN 1.0 ELSE -1.0 END AS s
+        |      FROM (SELECT unnest(range(0, 16)) AS j) j CROSS JOIN dims),
+        |p AS (SELECT e.vec_id, s.j, sum(e.x * s.s) / sqrt(16.0) AS y0
+        |      FROM e JOIN s ON s.i = e.i GROUP BY 1, 2)
+        |SELECT vec_id, CAST(j AS INT) AS j, round(y0, 6) + 0.0 AS y
+        |FROM p ORDER BY vec_id, j""".stripMargin)),
+
+    Q("q_trunc_recall",  // truncated-dimension retrieval recall — the
+      // matryoshka-style eval pricing "how many dims can the ANN tier
+      // drop": per probe (vec_id%50=0), |top-5 ∩ top-5| between the
+      // full 64-dim and first-16-dim rounded-cosine rankings (id
+      // ties). Probes broadcast; only the top-k windows shuffle.
+      (s, dir) => Similarity.truncRecall(
+          Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
+          dTrunc = 16, k = 5, probeEvery = 50)
+        .orderBy("qid"),
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |        CAST(unnest(range(0, len(embedding))) AS INT) AS i
+        |      FROM embeddings),
+        |q AS MATERIALIZED (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0),
+        |nf AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+        |df_ AS MATERIALIZED (SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.x * b.x) AS dp
+        |       FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |       WHERE a.vec_id % 50 = 0 GROUP BY 1, 2),
+        |cf AS MATERIALIZED (SELECT qid, cid, round(dp / (na.nrm * nb.nrm), 4) AS cos
+        |       FROM df_ JOIN nf na ON na.vec_id = qid
+        |       JOIN nf nb ON nb.vec_id = cid),
+        |tf_ AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid, row_number()
+        |         OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        |       FROM cf) WHERE rnk <= 5),
+        |et AS MATERIALIZED (SELECT vec_id, x, i FROM e WHERE i < 16),
+        |nt AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM et GROUP BY 1),
+        |dt AS MATERIALIZED (SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.x * b.x) AS dp
+        |       FROM et a JOIN et b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |       WHERE a.vec_id % 50 = 0 GROUP BY 1, 2),
+        |ct AS MATERIALIZED (SELECT qid, cid, round(dp / (na.nrm * nb.nrm), 4) AS cos
+        |       FROM dt JOIN nt na ON na.vec_id = qid
+        |       JOIN nt nb ON nb.vec_id = cid),
+        |tt AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid, row_number()
+        |         OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        |       FROM ct) WHERE rnk <= 5),
+        |jn AS (SELECT tf_.qid, count(*) AS n_common
+        |       FROM tf_ JOIN tt ON tf_.qid = tt.qid AND tf_.cid = tt.cid
+        |       GROUP BY 1)
+        |SELECT q.vec_id AS qid,
+        |       CAST(COALESCE(jn.n_common, 0) AS BIGINT) AS n_common
+        |FROM q LEFT JOIN jn ON jn.qid = q.vec_id ORDER BY qid""".stripMargin)),
+
     Q("q_embed_density",  // per-vector neighborhood density at cosine
       // ≥ 0.5 — the embedding-quality screen (dense regions = redundancy
       // candidates, n_nbr=0 = outliers/noise; SemDeDup's density

@@ -820,6 +820,116 @@ object Similarity {
     emb.select(col(idCol), (round(score, scale) + lit(0.0)).as("score"))
   }
 
+  /** PCA whitening in the top-p eigenbasis: wₓ = pcₓ/√λₓ — the
+    * decorrelated unit-variance coordinates drift monitors and
+    * distance metrics want ([[mahalanobisScore]] is exactly Σ wₓ²).
+    * Each pcₓ is rounded before the division and λₓ is the 9-dp
+    * Rayleigh value, so wₓ is exact arithmetic on engine-identical
+    * doubles. Output: (idCol, w1 … wp). Scale: identical to
+    * [[pcaProjectTop]] — p broadcast-literal codegen dots, zero
+    * shuffle.
+    */
+  def whiten(
+      emb: DataFrame, idCol: String, vecCol: String,
+      p: Int = 2, iters: Int = 3, scale: Int = 6): DataFrame = {
+    val (d, mu, basis) = topPBasis(emb, vecCol, p, iters)
+    basis.foreach { case (lam, _) =>
+      require(lam > 0, s"non-positive eigenvalue $lam in top-$p basis — reduce p") }
+    val cols = basis.zipWithIndex.map { case ((lam, u), c) =>
+      val shift = (0 until d).foldLeft(0.0)((s, i) => s + mu.getOrElse(i, 0.0) * u(i))
+      val pc = round(dot(KMeansOps.asDouble(col(vecCol)), typedlit(u.toSeq)) - shift, scale)
+      (round(pc / math.sqrt(lam), scale) + lit(0.0)).as(s"w${c + 1}")
+    }
+    emb.select(col(idCol) +: cols: _*)
+  }
+
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix: s(j,i) = +1
+    * when the first hex digit of md5("jl:j:i") is even (Achlioptas
+    * JCSS 2003 — ±1 entries satisfy the JL lemma at the same k as
+    * Gaussian ones, and an md5-keyed sign rebuilds bit-for-bit on any
+    * engine, the portable-hash device the MinHash/CMS oracles use).
+    */
+  private[graft] def jlSigns(k: Int, d: Int): Array[Array[Double]] =
+    Array.tabulate(k, d) { (j, i) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl:$j:$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 0) 1.0 else -1.0
+    }
+
+  /** Johnson–Lindenstrauss random projection to k dims: y_j =
+    * (Σᵢ xᵢ·s(j,i))/√k with the deterministic [[jlSigns]] matrix — the
+    * dimensionality-reduction step in front of ANN/clustering when d
+    * is production-wide (pairwise distances preserved within
+    * 1±ε at k = O(ln n/ε²), data-independent, no training pass).
+    *
+    * Scale: the k×d sign matrix is a driver literal (k·d doubles —
+    * k=16, d=4096 is 0.5 MB, broadcast once); the projection is ONE
+    * map-side pass of k fused codegen [[dot]]s — zero shuffle, zero
+    * join, one corpus read. Output LONG form (idCol, j, y), rounded.
+    */
+  def jlProject(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, scale: Int = 6): DataFrame = {
+    require(k >= 1)
+    val probe = emb.select(size(KMeansOps.asDouble(col(vecCol))).as("d"))
+      .limit(1).collect()
+    val d = if (probe.isEmpty) 0 else probe(0).getInt(0)
+    val signs = jlSigns(k, d)
+    val rt = math.sqrt(k.toDouble)
+    val ys = (0 until k).map { j =>
+      struct(lit(j).as("j"),
+        (round(dot(KMeansOps.asDouble(col(vecCol)), typedlit(signs(j).toSeq)) / rt,
+          scale) + lit(0.0)).as("y"))
+    }
+    emb.select(col(idCol), explode(array(ys: _*)).as("p"))
+      .select(col(idCol), col("p.j"), col("p.y"))
+  }
+
+  /** Truncated-dimension retrieval recall — the matryoshka-style
+    * evaluation that prices "how many dims can the ANN tier drop":
+    * for each probe vector, the exact rounded-cosine top-`k` neighbor
+    * sets under the FULL vector and under its first `dTrunc` dims,
+    * reported as (id, n_common ∈ [0,k]). Ranking on ROUNDED cosine
+    * with id ties (the engine-independent boundary device), probes =
+    * rows where idCol % `probeEvery` = 0 so the quadratic stays
+    * bounded at eval time.
+    *
+    * Scale: two broadcast-probe passes over the corpus (probes ≤
+    * n/probeEvery ride as the broadcast side), only the top-k windows
+    * shuffle. The eval is a SAMPLE by design — recall curves need
+    * probes, not the full n² matrix.
+    */
+  def truncRecall(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dTrunc: Int, k: Int = 5, probeEvery: Int = 50,
+      scale: Int = 4): DataFrame = {
+    require(dTrunc >= 1 && k >= 1 && probeEvery >= 1)
+    val probes = emb.filter(col(idCol) % probeEvery === 0)
+    def topSet(q: DataFrame, trunc: Option[Int]): DataFrame = {
+      def vec(c: Column) = trunc match {
+        case Some(t) => slice(KMeansOps.asDouble(c), 1, t)
+        case None    => KMeansOps.asDouble(c)
+      }
+      val qs = q.select(col(idCol).as("qid"), vec(col(vecCol)).as("qv"))
+      val cs = emb.select(col(idCol).as("cid"), vec(col(vecCol)).as("cv"))
+      val cos = round(dot(col("qv"), col("cv")) /
+        (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))), scale)
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      cs.crossJoin(broadcast(qs))
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("cos", cos)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("qid"), col("cid"))
+    }
+    topSet(probes, None).as("f")
+      .join(topSet(probes, Some(dTrunc)).as("t"),
+        col("f.qid") === col("t.qid") && col("f.cid") === col("t.cid"))
+      .groupBy(col("f.qid").as("qid")).agg(count(lit(1)).as("n_common"))
+      .join(probes.select(col(idCol).as("qid")), Seq("qid"), "right")
+      .select(col("qid"), coalesce(col("n_common"), lit(0L)).as("n_common"))
+  }
+
   /** Full IVF-PQ routed search (Jégou, Douze & Schmid, TPAMI 2011
     * §IV-A "IVFADC") — [[pqAdcTopK]] composed with the coarse
     * inverted-file routing of [[ivfTopK]], on RESIDUALS as the paper

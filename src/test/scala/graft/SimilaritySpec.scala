@@ -500,6 +500,52 @@ class SimilaritySpec extends AnyFunSuite {
       assert(s >= 0 && !s.isNaN && !s.isInfinite, s"vec $id score $s") }
   }
 
+  test("whiten: sum of squared whitened coords == mahalanobisScore (same basis)") {
+    val w = Similarity.whiten(emb, "vec_id", "embedding", p = 2)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val sc = Similarity.mahalanobisScore(emb, "vec_id", "embedding", p = 2)
+      .as[(Long, Double)].collect().toMap
+    // w is rounded per-coordinate, score is rounded once — 6dp-class gap
+    sc.foreach { case (id, score) =>
+      val (w1, w2) = w(id)
+      assert(math.abs(w1 * w1 + w2 * w2 - score) < 1e-4,
+        s"vec $id: w=(${w1},${w2}) vs score $score")
+    }
+  }
+
+  test("jlProject: deterministic, linear, and distance-preserving in expectation") {
+    val p1 = Similarity.jlProject(emb, "vec_id", "embedding", k = 16)
+      .as[(Long, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    val p2 = Similarity.jlProject(emb, "vec_id", "embedding", k = 16)
+      .as[(Long, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(p1.sameElements(p2), "projection must be deterministic")
+    assert(p1.length == emb.count() * 16)
+    // JL property: ||y||^2 concentrates around ||x||^2 (E[||y||^2] = ||x||^2
+    // for +-1 signs scaled by 1/sqrt(k)); check the ratio on real vectors
+    val yn = p1.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.map(r => r._3 * r._3).sum }
+    val xn = emb.select($"vec_id", Similarity.dot(
+        graft.ops.KMeansOps.asDouble($"embedding"),
+        graft.ops.KMeansOps.asDouble($"embedding")))
+      .as[(Long, Double)].collect().toMap
+    val ratios = yn.map { case (id, y) => y / xn(id) }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.5 && mean < 1.5, s"mean norm ratio $mean far from 1")
+  }
+
+  test("truncRecall: full-width truncation recovers k everywhere; bounded in [0,k]") {
+    val full = Similarity.truncRecall(emb, "vec_id", "embedding",
+      dTrunc = 64, k = 5, probeEvery = 100)
+      .as[(Long, Long)].collect()
+    assert(full.nonEmpty)
+    full.foreach { case (q, n) => assert(n == 5, s"probe $q full-width n_common $n") }
+    val t = Similarity.truncRecall(emb, "vec_id", "embedding",
+      dTrunc = 8, k = 5, probeEvery = 100)
+      .as[(Long, Long)].collect()
+    assert(t.map(_._1).sorted.sameElements(full.map(_._1).sorted))
+    t.foreach { case (q, n) => assert(n >= 0 && n <= 5) }
+  }
+
   test("topEigen: dominant eigenpair of a known matrix; Rayleigh maximal on a real covariance") {
     val (l1, v1) = Similarity.topEigen(Array(Array(2.0, 0.0), Array(0.0, 1.0)))
     assert(math.abs(l1 - 2.0) < 1e-9)
