@@ -3486,6 +3486,160 @@ object SparkEntry {
         |SELECT sc.doc_id, t.source, round(sc.xent, 6) AS xent
         |FROM sc JOIN t USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    Q("q_curation_v4",  // composed funnel of THIS round's operators,
+      // value-oracled END-TO-END: URL canonicalization → per-(domain,
+      // canonical-URL) keep-first dedup → Mahalanobis embedding-outlier
+      // screen at the χ²₂ 99% bound (9.21; corpus-level basis, docs
+      // without an embedding pass through) → Kneser–Ney bigram
+      // cross-entropy scored on the SURVIVING corpus. Shuffle ledger:
+      // one canonical-key dedup shuffle, two k-row-scalar basis
+      // collects + a map-side score, then the KN model/score joins —
+      // canonicalization and the screen itself never shuffle the corpus.
+      (s, dir) => {
+        val url = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("http://")),
+          when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+          col("source"), lit(".Example.COM"),
+          when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":80")),
+          lit("/Docs/"), (col("doc_id") % 40).cast("string"),
+          when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&b="), (col("doc_id") % 7).cast("string"),
+          lit("&a=1"),
+          when(col("doc_id") % 4 === 0, lit("&fbclid=XYZ")).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0, lit("#Sec2")).otherwise(lit("")))
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"), url.as("url"))
+          .withColumn("domain", ops.TextOps.urlHost(col("url")))
+          .withColumn("canon", ops.TextOps.canonicalizeUrl(col("url")))
+        val keep1 = docs.groupBy(col("domain"), col("canon"))
+          .agg(min("doc_id").as("doc_id"))
+        val dd = docs.join(keep1, Seq("domain", "canon", "doc_id"))
+        val scores = Similarity.mahalanobisScore(
+            Tables.table(s, dir, "embeddings"), "vec_id", "embedding", p = 2)
+          .withColumnRenamed("vec_id", "doc_id")
+        val screened = dd.join(scores, Seq("doc_id"), "left")
+          .filter(col("score").isNull || col("score") <= 9.21)
+        val toks = screened.select(col("doc_id"), col("domain"),
+          TextOps.tokenizeFiltered(col("text"), Stop, Nil).as("toks"))
+        TextStats.knBigramLmScore(toks, "doc_id", "toks")
+          .join(toks.select(col("doc_id"), col("domain")), "doc_id")
+          .withColumn("xent_kn", round(col("xent_kn"), 6))
+          .select(col("doc_id"), col("domain"), col("xent_kn"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH uu AS MATERIALIZED (SELECT doc_id, text,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |  source || '.Example.COM' ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END) ||
+        |  '/Docs/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |  '?utm_source=feed&b=' || CAST(doc_id % 7 AS VARCHAR) || '&a=1' ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '&fbclid=XYZ' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 6 = 0 THEN '#Sec2' ELSE '' END) AS url
+        |  FROM documents),
+        |unf AS (SELECT doc_id, text,
+        |        regexp_replace(trim(url), '#.*', '') AS nfu FROM uu),
+        |upp AS (SELECT doc_id, text,
+        |  regexp_replace(regexp_replace(lower(regexp_extract(nfu,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+        |    ':(80|443)$', ''), '^www\.', '') AS host,
+        |  regexp_extract(nfu,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p0,
+        |  regexp_extract(nfu, '\?([^#]*)', 1) AS q0 FROM unf),
+        |ukq AS (SELECT *, array_to_string(list_sort(list_filter(
+        |         string_split(q0, '&'), p -> p <> '' AND NOT
+        |         regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))),
+        |         '&') AS kept FROM upp),
+        |ucc AS MATERIALIZED (SELECT doc_id, text, host AS domain,
+        |  'http://' || host ||
+        |  (CASE WHEN p0 = '' THEN '/'
+        |        ELSE regexp_replace(p0, '(.)/$', '\1') END) ||
+        |  (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) AS canon
+        |FROM ukq),
+        |k1 AS MATERIALIZED (SELECT domain, canon, min(doc_id) AS doc_id
+        |      FROM ucc GROUP BY 1, 2),
+        |surv1 AS MATERIALIZED (SELECT ucc.doc_id, ucc.text, ucc.domain
+        |      FROM ucc JOIN k1 ON k1.domain = ucc.domain
+        |      AND k1.canon = ucc.canon AND k1.doc_id = ucc.doc_id),
+        |e AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |n AS MATERIALIZED (SELECT count(*) AS n FROM embeddings),
+        |m0 AS MATERIALIZED (SELECT i, avg(x) AS mu FROM e GROUP BY i),
+        |cx AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+        |       FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |cov AS MATERIALIZED (SELECT cx.i, cx.j, round(cx.sxy / n.n - ma.mu * mb.mu, 6) AS c
+        |        FROM cx CROSS JOIN n
+        |        JOIN m0 ma ON ma.i = cx.i JOIN m0 mb ON mb.i = cx.j),
+        |dimd AS MATERIALIZED (SELECT count(*) AS d FROM m0),
+        |v0 AS MATERIALIZED (SELECT i, 1.0 / sqrt(d) AS r FROM m0 CROSS JOIN dimd),
+        |v1 AS MATERIALIZED (SELECT cov.i, sum(cov.c * v0.r) AS r
+        |       FROM cov JOIN v0 ON v0.i = cov.j GROUP BY 1),
+        |v2 AS MATERIALIZED (SELECT cov.i, sum(cov.c * v1.r) AS r
+        |       FROM cov JOIN v1 ON v1.i = cov.j GROUP BY 1),
+        |v3 AS MATERIALIZED (SELECT cov.i, sum(cov.c * v2.r) AS r
+        |       FROM cov JOIN v2 ON v2.i = cov.j GROUP BY 1),
+        |nr1 AS MATERIALIZED (SELECT sqrt(sum(r * r)) AS nr FROM v3),
+        |sg1 AS MATERIALIZED (SELECT CASE WHEN (SELECT r FROM v3 WHERE r <> 0
+        |                          ORDER BY i LIMIT 1) < 0
+        |               THEN -1.0 ELSE 1.0 END AS sg),
+        |u1 AS MATERIALIZED (SELECT v3.i, round(sg1.sg * v3.r / nr1.nr, 9) AS u
+        |       FROM v3 CROSS JOIN nr1 CROSS JOIN sg1),
+        |l1 AS MATERIALIZED (SELECT round(sum(a.u * cov.c * b.u), 9) AS lam
+        |       FROM cov JOIN u1 a ON a.i = cov.i JOIN u1 b ON b.i = cov.j),
+        |cov2 AS MATERIALIZED (SELECT cov.i, cov.j, cov.c - l1.lam * a.u * b.u AS c
+        |         FROM cov JOIN u1 a ON a.i = cov.i JOIN u1 b ON b.i = cov.j
+        |         CROSS JOIN l1),
+        |pw1 AS MATERIALIZED (SELECT cov2.i, sum(cov2.c * v0.r) AS r
+        |       FROM cov2 JOIN v0 ON v0.i = cov2.j GROUP BY 1),
+        |pw2 AS MATERIALIZED (SELECT cov2.i, sum(cov2.c * pw1.r) AS r
+        |       FROM cov2 JOIN pw1 ON pw1.i = cov2.j GROUP BY 1),
+        |pw3 AS MATERIALIZED (SELECT cov2.i, sum(cov2.c * pw2.r) AS r
+        |       FROM cov2 JOIN pw2 ON pw2.i = cov2.j GROUP BY 1),
+        |nr2 AS MATERIALIZED (SELECT sqrt(sum(r * r)) AS nr FROM pw3),
+        |sg2 AS MATERIALIZED (SELECT CASE WHEN (SELECT r FROM pw3 WHERE r <> 0
+        |                          ORDER BY i LIMIT 1) < 0
+        |               THEN -1.0 ELSE 1.0 END AS sg),
+        |u2 AS MATERIALIZED (SELECT pw3.i, round(sg2.sg * pw3.r / nr2.nr, 9) AS u
+        |       FROM pw3 CROSS JOIN nr2 CROSS JOIN sg2),
+        |l2 AS MATERIALIZED (SELECT round(sum(a.u * cov2.c * b.u), 9) AS lam
+        |       FROM cov2 JOIN u2 a ON a.i = cov2.i JOIN u2 b ON b.i = cov2.j),
+        |mr AS MATERIALIZED (SELECT i, round(mu, 9) AS mu FROM m0),
+        |sh1 AS MATERIALIZED (SELECT sum(mr.mu * u1.u) AS c FROM mr JOIN u1 ON u1.i = mr.i),
+        |sh2 AS MATERIALIZED (SELECT sum(mr.mu * u2.u) AS c FROM mr JOIN u2 ON u2.i = mr.i),
+        |pj1 AS MATERIALIZED (SELECT e.vec_id, sum(e.x * u1.u) AS dp
+        |       FROM e JOIN u1 ON u1.i = e.i GROUP BY 1),
+        |pj2 AS MATERIALIZED (SELECT e.vec_id, sum(e.x * u2.u) AS dp
+        |       FROM e JOIN u2 ON u2.i = e.i GROUP BY 1),
+        |pcx AS MATERIALIZED (SELECT pj1.vec_id, round(pj1.dp - sh1.c, 6) AS pc1,
+        |              round(pj2.dp - sh2.c, 6) AS pc2
+        |       FROM pj1 JOIN pj2 USING (vec_id) CROSS JOIN sh1 CROSS JOIN sh2),
+        |ms AS MATERIALIZED (SELECT vec_id AS doc_id,
+        |       round(pc1 * pc1 / l1.lam + pc2 * pc2 / l2.lam, 6) + 0.0 AS score
+        |       FROM pcx CROSS JOIN l1 CROSS JOIN l2),
+        |surv2 AS MATERIALIZED (SELECT surv1.doc_id, surv1.domain, surv1.text
+        |       FROM surv1 LEFT JOIN ms USING (doc_id)
+        |       WHERE ms.score IS NULL OR ms.score <= 9.21),
+        |t2 AS MATERIALIZED (SELECT doc_id, domain,
+        |        list_filter(regexp_extract_all(lower(text), '\b\w\w+\b'),
+        |          x -> x NOT IN ('the', 'a')) AS toks FROM surv2),
+        |bg AS MATERIALIZED (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+        |      FROM (SELECT doc_id, toks, unnest(range(0, len(toks)-1)) AS i
+        |            FROM t2 WHERE len(toks) >= 2)),
+        |bc AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |ctx AS MATERIALIZED (SELECT w1, sum(c12) AS c1, count(*) AS n1f
+        |      FROM bc GROUP BY 1),
+        |cnt AS MATERIALIZED (SELECT w2, count(*) AS n1b FROM bc GROUP BY 1),
+        |ntt AS MATERIALIZED (SELECT count(*) AS nbt FROM bc),
+        |ppn AS (SELECT w1, w2,
+        |        ln(greatest(c12 - 0.75, 0) / c1 +
+        |           0.75 * n1f / c1 * (n1b / CAST(nbt AS DOUBLE))) AS logp
+        |      FROM bc JOIN ctx USING (w1) JOIN cnt USING (w2) CROSS JOIN ntt),
+        |sc AS (SELECT doc_id, -avg(logp) AS x
+        |       FROM bg JOIN ppn USING (w1, w2) GROUP BY 1)
+        |SELECT sc.doc_id, t2.domain, round(sc.x, 6) AS xent_kn
+        |FROM sc JOIN t2 USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     Q("q_datasheet",  // per-source corpus datasheet ("Datasheets for
       // Datasets", Gebru et al. CACM 2021): doc/char/token volumes,
       // exact-dup doc count (corpus-wide md5 groups), mean quality
@@ -3814,6 +3968,32 @@ object SparkEntry {
         |p AS (SELECT w1, w2, ln((c12 + 0.5) / (c1 + 0.5 * vo.v)) AS logp
         |      FROM bc JOIN cc USING (w1) CROSS JOIN vo)
         |SELECT doc_id, round(-avg(logp), 6) AS xent
+        |FROM b JOIN p USING (w1, w2) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("q_kn_bigram_lm",  // interpolated KNESER–NEY bigram cross-entropy
+      // (Kneser & Ney 1995; Chen & Goodman 1999) — the standard n-gram
+      // smoothing next to q_bigram_lm's add-k: absolute discount D=0.75
+      // with continuation probability N1+(·w2)/N1+(··), so words that
+      // only ever follow one context ("Francisco") stop being overrated.
+      // The N1+ tables are by-products of the same bigram-count
+      // aggregate — no extra corpus pass; same shuffle shape as add-k.
+      (s, dir) => TextStats.knBigramLmScore(docsTokens(s, dir), "doc_id", "toks")
+        .withColumn("xent_kn", round(col("xent_kn"), 6))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS ($SqlToks),
+        |b AS MATERIALIZED (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+        |      FROM (SELECT doc_id, toks, unnest(range(0, len(toks)-1)) AS i
+        |            FROM t WHERE len(toks) >= 2)),
+        |bc AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |cc AS MATERIALIZED (SELECT w1, sum(c12) AS c1, count(*) AS n1f
+        |      FROM bc GROUP BY 1),
+        |ct AS MATERIALIZED (SELECT w2, count(*) AS n1b FROM bc GROUP BY 1),
+        |nt AS MATERIALIZED (SELECT count(*) AS nbt FROM bc),
+        |p AS (SELECT w1, w2,
+        |        ln(greatest(c12 - 0.75, 0) / c1 +
+        |           0.75 * n1f / c1 * (n1b / CAST(nbt AS DOUBLE))) AS logp
+        |      FROM bc JOIN cc USING (w1) JOIN ct USING (w2) CROSS JOIN nt)
+        |SELECT doc_id, round(-avg(logp), 6) AS xent_kn
         |FROM b JOIN p USING (w1, w2) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     Q("q_hashing_tf",  // feature hashing (Weinberger et al. ICML'09 /

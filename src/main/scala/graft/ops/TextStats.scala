@@ -405,6 +405,54 @@ object TextStats {
       .groupBy(col(idCol)).agg((-avg(col("logp"))).as("xent"))
   }
 
+  /** Interpolated KNESER–NEY bigram cross-entropy (Kneser & Ney,
+    * ICASSP 1995; Chen & Goodman, Computer Speech & Language 1999 —
+    * the standard n-gram smoothing that add-k approximates):
+    *
+    *   p(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    *            + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··)
+    *
+    * with absolute discount D (default 0.75). The continuation
+    * probability N₁₊(·w₂)/N₁₊(··) scores how many DISTINCT contexts a
+    * word follows — "Francisco" is frequent but only ever follows
+    * "San", so its continuation mass is tiny where add-k would
+    * overrate it. Self-trained ⇒ every scored bigram has c ≥ 1, but
+    * the interpolation term still shapes every probability. Docs with
+    * fewer than two tokens emit no row.
+    *
+    * Scale: identical shuffle shape to [[bigramLmScore]] — map-side
+    * bigram stream, model = groupBys bounded by bigram-type diversity
+    * (the N₁₊ tables are BY-PRODUCTS of the same bgCnt aggregate, no
+    * extra corpus pass), the type total broadcasts as 1 row, scoring
+    * is one bigram-keyed join. Output: (idCol, xent_kn).
+    */
+  def knBigramLmScore(
+      docs: DataFrame, idCol: String, toksCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0,1)")
+    val n = size(col(toksCol))
+    val big = docs.filter(n >= 2)
+      .select(col(idCol),
+        explode(zip_with(
+          slice(col(toksCol), lit(1), n - 1), slice(col(toksCol), lit(2), n - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgCnt = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // N1+(w1·) = distinct continuations of w1; c(w1·) = total mass
+    val ctxCnt = bgCnt.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val contCnt = bgCnt.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val types = bgCnt.agg(count(lit(1)).as("nbt"))
+    val model = bgCnt.join(ctxCnt, "w1").join(contCnt, "w2")
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"),
+        log(greatest(col("c12") - lit(discount), lit(0.0)) / col("c1") +
+          lit(discount) * col("n1f") / col("c1") *
+          (col("n1b") / col("nbt"))).as("logp"))
+    big.join(model, Seq("w1", "w2"))
+      .groupBy(col(idCol)).agg((-avg(col("logp"))).as("xent_kn"))
+  }
+
   /** DSIR-style importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", arXiv:2302.03169),
     * simplified to add-1-smoothed unigram LMs: per doc, the mean log

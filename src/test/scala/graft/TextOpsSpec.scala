@@ -365,4 +365,50 @@ class TextOpsSpec extends AnyFunSuite {
     assert(hosts(0) == (("a.b.example.org", "example.org")))
     assert(hosts(1) == (("one.two", "one.two")))
   }
+
+  test("knBigramLmScore: matches driver-side Kneser-Ney reference; model normalizes to 1 per context") {
+    val corpus = Seq(
+      (1L, Seq("a", "b", "a", "c")),
+      (2L, Seq("b", "a", "b", "c")),
+      (3L, Seq("c", "a", "b", "a")),
+      (4L, Seq("a", "c", "c", "b")),
+      (5L, Seq("only")))  // <2 tokens: no row
+    val got = TextStats.knBigramLmScore(corpus.toDF("doc_id", "toks"), "doc_id", "toks")
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == 4 && !got.contains(5L))
+
+    val bigs = corpus.flatMap { case (id, t) =>
+      t.sliding(2).filter(_.size == 2).map(p => (id, p(0), p(1))) }
+    val c12 = bigs.groupBy(b => (b._2, b._3)).map { case (k, v) => k -> v.size.toDouble }
+    val c1 = bigs.groupBy(_._2).map { case (k, v) => k -> v.size.toDouble }
+    val n1f = c12.keys.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    val n1b = c12.keys.groupBy(_._2).map { case (k, v) => k -> v.size.toDouble }
+    val nbt = c12.size.toDouble
+    val D = 0.75
+    def pkn(w1: String, w2: String): Double =
+      math.max(c12((w1, w2)) - D, 0.0) / c1(w1) +
+        D * n1f(w1) / c1(w1) * (n1b(w2) / nbt)
+    corpus.take(4).foreach { case (id, t) =>
+      val lps = t.sliding(2).map(p => math.log(pkn(p(0), p(1)))).toSeq
+      val exp = -lps.sum / lps.size
+      assert(math.abs(got(id) - exp) < 1e-9, s"doc $id: ${got(id)} vs $exp")
+    }
+    // interpolated KN is a proper distribution: sum over the observed
+    // continuation vocabulary = 1 for every context
+    val w2s = n1b.keys.toSeq
+    c1.keys.foreach { w1 =>
+      val tot = w2s.map { w2 =>
+        math.max(c12.getOrElse((w1, w2), 0.0) - D, 0.0) / c1(w1) +
+          D * n1f(w1) / c1(w1) * (n1b(w2) / nbt)
+      }.sum
+      assert(math.abs(tot - 1.0) < 1e-12, s"context $w1 sums to $tot")
+    }
+    // order sensitivity: the signature add-k shares — reversing a doc
+    // with asymmetric bigrams changes its score
+    val fwd = TextStats.knBigramLmScore(
+      Seq((9L, Seq("a", "b", "a", "c")), (10L, Seq("c", "a", "b", "a")))
+        .toDF("doc_id", "toks"), "doc_id", "toks")
+      .as[(Long, Double)].collect().toMap
+    assert(fwd(9L) != fwd(10L))
+  }
 }
