@@ -89,7 +89,23 @@ object StreamOps {
   def contaminatedStream(
       docs: DataFrame, idCol: String, gramsCol: String,
       benchGrams: DataFrame, benchGramCol: String = "g"): DataFrame =
-    docs.select(col(idCol), explode(col(gramsCol)).as("__graft_g"))
+    contaminatedGrams(
+      docs.select(col(idCol), explode(col(gramsCol)).as("__graft_g")),
+      idCol, "__graft_g", benchGrams, benchGramCol)
+
+  /** [[contaminatedStream]] for a PRE-EXPLODED gram stream (idCol,
+    * gramCol) — the form to use when the gram column is derived by an
+    * expression pipeline: Catalyst textually duplicates unaliased
+    * array-building trees through explode (the `shingleHashes` lesson,
+    * ~7× re-evaluation measured), and a stream cannot localCheckpoint
+    * the array away. Explode on the caller's side of an encoder
+    * boundary (typed flatMap) instead, then hand the rows here: one
+    * broadcast stream-static join + stateful one-row-per-id dedup.
+    */
+  def contaminatedGrams(
+      grams: DataFrame, idCol: String, gramCol: String,
+      benchGrams: DataFrame, benchGramCol: String = "g"): DataFrame =
+    grams.select(col(idCol), col(gramCol).as("__graft_g"))
       .join(broadcast(
         benchGrams.select(col(benchGramCol).as("__graft_g"))), Seq("__graft_g"))
       .select(col(idCol))
