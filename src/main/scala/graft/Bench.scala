@@ -87,6 +87,17 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .sortBy { case (n, _) =>
         (medians.contains(n), medians.getOrElse(n, 0.0), n) }
+    // Untimed JIT/codegen warmup: the first queries of a fresh JVM absorb
+    // interpreter/C2 warmup into their samples, and the budget-priority
+    // order (cheapest first) would land that tax squarely on the
+    // sub-second queries cross-round comparisons are most sensitive to
+    // (measured: the same cheap query 1.5-2x slower when run suite-early
+    // vs in a warmed JVM). Five cheapest known queries, one pass each.
+    selected.sortBy { case (n, _) => medians.getOrElse(n, Double.MaxValue) }
+      .take(5).foreach { case (n, fn) =>
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
     val results = selected.map { case (name, fn) =>
       // snapshot so we release only blocks THIS query pinned — a blanket
       // unpersist would silently invalidate any future cross-query cache

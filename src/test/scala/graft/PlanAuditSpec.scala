@@ -154,4 +154,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), s"bounds side should broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"winsor screen must stay map-side:\n$p")
   }
+
+  test("round-9 map-side projections (JL / whiten / Mahalanobis / canonicalize): no joins, no corpus shuffle") {
+    // scaladocs claim the per-row stage is broadcast-literal dots /
+    // regex work with zero shuffle — after the driver-side basis
+    // collects, the GATED plan must carry no join and only the output
+    // orderBy's range exchange
+    for (q <- Seq("q_whiten", "q_mahalanobis", "q_jl_project", "q_url_canon")) {
+      val p = plan(q)
+      val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"$q must not hash-shuffle the corpus (orderBy range exchange only):\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.toLowerCase.contains("hashjoin"),
+        s"$q must not join:\n$p")
+    }
+  }
+
+  test("q_domain_dedup: ONE hash shuffle, on the canonical dedup key itself") {
+    val p = plan("q_domain_dedup")
+    val hashEx = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashEx.size == 1, s"expected exactly one hash exchange:\n$p")
+    assert(hashEx.head.contains("domain") && hashEx.head.contains("canon"),
+      s"the one shuffle must key on (domain, canon):\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
