@@ -4364,6 +4364,56 @@ object SparkEntry {
         |       CAST(COALESCE(jn.n_common, 0) AS BIGINT) AS n_common
         |FROM q LEFT JOIN jn ON jn.qid = q.vec_id ORDER BY qid""".stripMargin)),
 
+    Q("q_jl_recall",  // JL-space retrieval recall — the quantitative
+      // payoff of q_jl_project, graded exactly like q_trunc_recall:
+      // per probe, |top-5 ∩ top-5| between the full 64-dim and the
+      // 16-dim JL sign-projection rounded-cosine rankings. Priced
+      // against q_trunc_recall at the same dimension budget, this is
+      // the data-independent-projection-vs-naive-truncation decision.
+      (s, dir) => Similarity.jlRecall(
+          Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
+          kDims = 16, k = 5, probeEvery = 50)
+        .orderBy("qid"),
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |        CAST(unnest(range(0, len(embedding))) AS INT) AS i
+        |      FROM embeddings),
+        |dims AS MATERIALIZED (SELECT DISTINCT i FROM e),
+        |s AS MATERIALIZED (SELECT j.j, dims.i,
+        |        CASE WHEN substr(md5('jl:' || j.j || ':' || dims.i), 1, 1)
+        |             IN ('0','2','4','6','8','a','c','e')
+        |        THEN 1.0 ELSE -1.0 END AS s
+        |      FROM (SELECT unnest(range(0, 16)) AS j) j CROSS JOIN dims),
+        |jv AS MATERIALIZED (SELECT e.vec_id, s.j,
+        |        round(sum(e.x * s.s) / sqrt(16.0), 6) + 0.0 AS y
+        |      FROM e JOIN s ON s.i = e.i GROUP BY 1, 2),
+        |q AS MATERIALIZED (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0),
+        |nf AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+        |df_ AS MATERIALIZED (SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.x * b.x) AS dp
+        |       FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |       WHERE a.vec_id % 50 = 0 GROUP BY 1, 2),
+        |cf AS MATERIALIZED (SELECT qid, cid, round(dp / (na.nrm * nb.nrm), 4) AS cos
+        |       FROM df_ JOIN nf na ON na.vec_id = qid
+        |       JOIN nf nb ON nb.vec_id = cid),
+        |tf_ AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid, row_number()
+        |         OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        |       FROM cf) WHERE rnk <= 5),
+        |nj AS MATERIALIZED (SELECT vec_id, sqrt(sum(y * y)) AS nrm FROM jv GROUP BY 1),
+        |dj AS MATERIALIZED (SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.y * b.y) AS dp
+        |       FROM jv a JOIN jv b ON a.j = b.j AND a.vec_id <> b.vec_id
+        |       WHERE a.vec_id % 50 = 0 GROUP BY 1, 2),
+        |cj AS MATERIALIZED (SELECT qid, cid, round(dp / (na.nrm * nb.nrm), 4) AS cos
+        |       FROM dj JOIN nj na ON na.vec_id = qid
+        |       JOIN nj nb ON nb.vec_id = cid),
+        |tj AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid, row_number()
+        |         OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        |       FROM cj) WHERE rnk <= 5),
+        |jn AS (SELECT tf_.qid, count(*) AS n_common
+        |       FROM tf_ JOIN tj ON tf_.qid = tj.qid AND tf_.cid = tj.cid
+        |       GROUP BY 1)
+        |SELECT q.vec_id AS qid,
+        |       CAST(COALESCE(jn.n_common, 0) AS BIGINT) AS n_common
+        |FROM q LEFT JOIN jn ON jn.qid = q.vec_id ORDER BY qid""".stripMargin)),
+
     Q("q_embed_density",  // per-vector neighborhood density at cosine
       // ≥ 0.5 — the embedding-quality screen (dense regions = redundancy
       // candidates, n_nbr=0 = outliers/noise; SemDeDup's density

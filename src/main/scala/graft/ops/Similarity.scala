@@ -903,15 +903,55 @@ object Similarity {
       emb: DataFrame, idCol: String, vecCol: String,
       dTrunc: Int, k: Int = 5, probeEvery: Int = 50,
       scale: Int = 4): DataFrame = {
-    require(dTrunc >= 1 && k >= 1 && probeEvery >= 1)
-    val probes = emb.filter(col(idCol) % probeEvery === 0)
-    def topSet(q: DataFrame, trunc: Option[Int]): DataFrame = {
-      def vec(c: Column) = trunc match {
-        case Some(t) => slice(KMeansOps.asDouble(c), 1, t)
-        case None    => KMeansOps.asDouble(c)
-      }
-      val qs = q.select(col(idCol).as("qid"), vec(col(vecCol)).as("qv"))
-      val cs = emb.select(col(idCol).as("cid"), vec(col(vecCol)).as("cv"))
+    require(dTrunc >= 1)
+    topKOverlap(emb, idCol,
+      KMeansOps.asDouble(col(vecCol)),
+      slice(KMeansOps.asDouble(col(vecCol)), 1, dTrunc),
+      k, probeEvery, scale)
+  }
+
+  /** JL-space retrieval recall — the quantitative payoff of
+    * [[jlProject]], graded exactly like [[truncRecall]]: per probe,
+    * |top-k ∩ top-k| between the full-d rounded-cosine ranking and the
+    * ranking in the k-dim JL sign-projection space (each JL coordinate
+    * rounded 6 dp so both engines rank identical doubles). Compare
+    * against `truncRecall` at the same dimension budget to price
+    * data-independent projection vs naive prefix truncation.
+    */
+  def jlRecall(
+      emb: DataFrame, idCol: String, vecCol: String,
+      kDims: Int = 16, k: Int = 5, probeEvery: Int = 50,
+      scale: Int = 4): DataFrame = {
+    require(kDims >= 1)
+    val probe = emb.select(size(KMeansOps.asDouble(col(vecCol))).as("d"))
+      .limit(1).collect()
+    val d = if (probe.isEmpty) 0 else probe(0).getInt(0)
+    val signs = jlSigns(kDims, d)
+    val rt = math.sqrt(kDims.toDouble)
+    val jlv = array((0 until kDims).map { j =>
+      round(dot(KMeansOps.asDouble(col(vecCol)), typedlit(signs(j).toSeq)) / rt, 6) +
+        lit(0.0)
+    }: _*)
+    topKOverlap(emb, idCol, KMeansOps.asDouble(col(vecCol)), jlv,
+      k, probeEvery, scale)
+  }
+
+  /** Shared kernel of [[truncRecall]]/[[jlRecall]]: top-`k`
+    * rounded-cosine neighbor sets under two vector definitions (id
+    * ties — the engine-independent boundary device), overlap counted
+    * per probe row (idCol % probeEvery = 0). Both vector columns are
+    * computed ONCE in the base projection (attributes, not re-inlined
+    * trees); probes broadcast, only the top-k windows shuffle.
+    */
+  private def topKOverlap(
+      emb: DataFrame, idCol: String, fullVec: Column, altVec: Column,
+      k: Int, probeEvery: Int, scale: Int): DataFrame = {
+    require(k >= 1 && probeEvery >= 1)
+    val base = emb.select(col(idCol), fullVec.as("__fv"), altVec.as("__av"))
+    val probes = base.filter(col(idCol) % probeEvery === 0)
+    def topSet(vc: String): DataFrame = {
+      val qs = probes.select(col(idCol).as("qid"), col(vc).as("qv"))
+      val cs = base.select(col(idCol).as("cid"), col(vc).as("cv"))
       val cos = round(dot(col("qv"), col("cv")) /
         (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))), scale)
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
@@ -922,8 +962,8 @@ object Similarity {
         .filter(col("rnk") <= k)
         .select(col("qid"), col("cid"))
     }
-    topSet(probes, None).as("f")
-      .join(topSet(probes, Some(dTrunc)).as("t"),
+    topSet("__fv").as("f")
+      .join(topSet("__av").as("t"),
         col("f.qid") === col("t.qid") && col("f.cid") === col("t.cid"))
       .groupBy(col("f.qid").as("qid")).agg(count(lit(1)).as("n_common"))
       .join(probes.select(col(idCol).as("qid")), Seq("qid"), "right")

@@ -546,6 +546,19 @@ class SimilaritySpec extends AnyFunSuite {
     t.foreach { case (q, n) => assert(n >= 0 && n <= 5) }
   }
 
+  test("jlRecall: deterministic, bounded in [0,k], probe set matches truncRecall") {
+    val jl = Similarity.jlRecall(emb, "vec_id", "embedding",
+      kDims = 16, k = 5, probeEvery = 100).as[(Long, Long)].collect()
+    val jl2 = Similarity.jlRecall(emb, "vec_id", "embedding",
+      kDims = 16, k = 5, probeEvery = 100).as[(Long, Long)].collect()
+    assert(jl.sortBy(_._1).sameElements(jl2.sortBy(_._1)))
+    assert(jl.nonEmpty)
+    jl.foreach { case (q, n) => assert(n >= 0 && n <= 5 && q % 100 == 0) }
+    val tr = Similarity.truncRecall(emb, "vec_id", "embedding",
+      dTrunc = 16, k = 5, probeEvery = 100).as[(Long, Long)].collect()
+    assert(jl.map(_._1).sorted.sameElements(tr.map(_._1).sorted))
+  }
+
   test("topEigen: dominant eigenpair of a known matrix; Rayleigh maximal on a real covariance") {
     val (l1, v1) = Similarity.topEigen(Array(Array(2.0, 0.0), Array(0.0, 1.0)))
     assert(math.abs(l1 - 2.0) < 1e-9)
