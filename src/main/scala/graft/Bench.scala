@@ -74,8 +74,13 @@ object Bench {
     // expensive, already-well-characterized tails.
     val medians: Map[String, Double] = {
       val path = sys.env.getOrElse("SPARK_GRAFT_MEDIANS", "tools/bench_medians.json")
-      val f = Seq(new java.io.File(path), new java.io.File("/root/repo", path))
+      val f = Seq(new java.io.File(path),
+          new java.io.File(sys.props.getOrElse("graft.repo.dir",
+            sys.props.getOrElse("user.dir", ".")), path))
         .find(_.exists())
+      if (f.isEmpty)
+        System.err.println(s"[bench] medians file '$path' not found — " +
+          "budget-priority order degrades to alphabetical")
       f.fold(Map.empty[String, Double]) { file =>
         val src = scala.io.Source.fromFile(file)
         try """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(src.mkString)
@@ -93,11 +98,23 @@ object Bench {
     // sub-second queries cross-round comparisons are most sensitive to
     // (measured: the same cheap query 1.5-2x slower when run suite-early
     // vs in a warmed JVM). Five cheapest known queries, one pass each.
-    selected.sortBy { case (n, _) => medians.getOrElse(n, Double.MaxValue) }
-      .take(5).foreach { case (n, fn) =>
-        try fn(spark, sfDir).count()
-        catch { case _: Throwable => () }
-      }
+    // Snapshot/release around the warmup too (ADVICE r9): a warmup query
+    // that pins blocks (localCheckpoint/persist) would otherwise keep
+    // them cached for the whole suite, turning its own later "cold"
+    // sample warm. Failures are logged, not silently swallowed.
+    locally {
+      val beforeWarm = spark.sparkContext.getPersistentRDDs.keySet
+      selected.sortBy { case (n, _) => medians.getOrElse(n, Double.MaxValue) }
+        .take(5).foreach { case (n, fn) =>
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warmup $n failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        }
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => beforeWarm(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
     val results = selected.map { case (name, fn) =>
       // snapshot so we release only blocks THIS query pinned — a blanket
       // unpersist would silently invalidate any future cross-query cache

@@ -4342,7 +4342,8 @@ object SparkEntry {
         |       WHERE a.vec_id % 50 = 0 GROUP BY 1, 2),
         |cf AS MATERIALIZED (SELECT qid, cid, round(dp / (na.nrm * nb.nrm), 4) AS cos
         |       FROM df_ JOIN nf na ON na.vec_id = qid
-        |       JOIN nf nb ON nb.vec_id = cid),
+        |       JOIN nf nb ON nb.vec_id = cid
+        |       WHERE na.nrm > 0 AND nb.nrm > 0),
         |tf_ AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid, row_number()
         |         OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
         |       FROM cf) WHERE rnk <= 5),
@@ -4353,7 +4354,8 @@ object SparkEntry {
         |       WHERE a.vec_id % 50 = 0 GROUP BY 1, 2),
         |ct AS MATERIALIZED (SELECT qid, cid, round(dp / (na.nrm * nb.nrm), 4) AS cos
         |       FROM dt JOIN nt na ON na.vec_id = qid
-        |       JOIN nt nb ON nb.vec_id = cid),
+        |       JOIN nt nb ON nb.vec_id = cid
+        |       WHERE na.nrm > 0 AND nb.nrm > 0),
         |tt AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid, row_number()
         |         OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
         |       FROM ct) WHERE rnk <= 5),
@@ -4393,7 +4395,8 @@ object SparkEntry {
         |       WHERE a.vec_id % 50 = 0 GROUP BY 1, 2),
         |cf AS MATERIALIZED (SELECT qid, cid, round(dp / (na.nrm * nb.nrm), 4) AS cos
         |       FROM df_ JOIN nf na ON na.vec_id = qid
-        |       JOIN nf nb ON nb.vec_id = cid),
+        |       JOIN nf nb ON nb.vec_id = cid
+        |       WHERE na.nrm > 0 AND nb.nrm > 0),
         |tf_ AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid, row_number()
         |         OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
         |       FROM cf) WHERE rnk <= 5),
@@ -4403,7 +4406,8 @@ object SparkEntry {
         |       WHERE a.vec_id % 50 = 0 GROUP BY 1, 2),
         |cj AS MATERIALIZED (SELECT qid, cid, round(dp / (na.nrm * nb.nrm), 4) AS cos
         |       FROM dj JOIN nj na ON na.vec_id = qid
-        |       JOIN nj nb ON nb.vec_id = cid),
+        |       JOIN nj nb ON nb.vec_id = cid
+        |       WHERE na.nrm > 0 AND nb.nrm > 0),
         |tj AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid, row_number()
         |         OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
         |       FROM cj) WHERE rnk <= 5),

@@ -497,15 +497,21 @@ object Similarity {
     *
     * Both routes round to `scale` then `+0.0` (signed-zero canon), so
     * they agree cell-for-cell at the oracle precision. The dimension
-    * probe is a 1-row collect (the [[cosinePairsLsh]] device), not a
-    * corpus action.
+    * probe is a min/max-size aggregate so ragged input fails fast on
+    * BOTH routes (a 1-row peek chose the route nondeterministically).
     */
   def embedCovariance(emb: DataFrame, vecCol: String, scale: Int = 6,
       largeDThreshold: Int = 128): DataFrame = {
     val v = emb.select(KMeansOps.asDouble(col(vecCol)).as("v"))
       .filter(size(col("v")) > 0)
-    val probe = v.select(size(col("v")).as("d")).limit(1).collect()
-    val d = if (probe.isEmpty) 0 else probe(0).getInt(0)
+    // uniform-dimension probe (ADVICE r9): a one-row peek routes
+    // nondeterministically on ragged input and the two routes disagree
+    // in failure mode — a min/max aggregate fails fast on both
+    val probe = v.agg(min(size(col("v"))).as("dmin"),
+      max(size(col("v"))).as("dmax")).collect()(0)
+    val d = if (probe.isNullAt(0)) 0 else probe.getInt(0)
+    require(probe.isNullAt(1) || probe.getInt(1) == d,
+      s"embedCovariance: ragged vector lengths ($d..${probe.getInt(1)})")
     if (d > largeDThreshold) return covByMoments(v, d, scale)
     val sums = v.select(posexplode(concat(
         flatten(transform(col("v"), x => transform(col("v"), y => x * y))),
@@ -950,8 +956,15 @@ object Similarity {
     val base = emb.select(col(idCol), fullVec.as("__fv"), altVec.as("__av"))
     val probes = base.filter(col(idCol) % probeEvery === 0)
     def topSet(vc: String): DataFrame = {
+      // zero-norm guard (ADVICE r9): an all-zero vector (possible for a
+      // truncated/JL prefix) yields NaN cosines whose sort placement is
+      // an engine edge — drop such rows from ranking on BOTH sides; a
+      // zero-norm probe still reports n_common=0 via the final right
+      // join. Oracles mirror with `WHERE na.nrm > 0 AND nb.nrm > 0`.
       val qs = probes.select(col(idCol).as("qid"), col(vc).as("qv"))
+        .filter(dot(col("qv"), col("qv")) > 0)
       val cs = base.select(col(idCol).as("cid"), col(vc).as("cv"))
+        .filter(dot(col("cv"), col("cv")) > 0)
       val cos = round(dot(col("qv"), col("cv")) /
         (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))), scale)
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))

@@ -141,10 +141,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // range partitioning (gate-output determinism, dropped in real use)
     for (q <- Seq("q_normalize_text", "q_span_corrupt")) {
       val p = plan(q)
-      val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+      // "Exchange \w+" also catches SinglePartition / any future
+      // Exchange variant the old [a-z]+partitioning regex missed
+      val exchanges = "(?<!Broadcast)Exchange \\w+".r.findAllIn(p).toSeq
       assert(exchanges.forall(_.contains("rangepartitioning")),
-        s"$q must not hash-shuffle the corpus (orderBy range exchange only):\n$p")
-      assert(!p.contains("SortMergeJoin") && !p.toLowerCase.contains("hashjoin"),
+        s"$q must not shuffle the corpus (orderBy range exchange only):\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.toLowerCase.contains("hashjoin") &&
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$q must not join:\n$p")
     }
   }
@@ -162,10 +165,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // orderBy's range exchange
     for (q <- Seq("q_whiten", "q_mahalanobis", "q_jl_project", "q_url_canon")) {
       val p = plan(q)
-      val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+      val exchanges = "(?<!Broadcast)Exchange \\w+".r.findAllIn(p).toSeq
       assert(exchanges.forall(_.contains("rangepartitioning")),
-        s"$q must not hash-shuffle the corpus (orderBy range exchange only):\n$p")
-      assert(!p.contains("SortMergeJoin") && !p.toLowerCase.contains("hashjoin"),
+        s"$q must not shuffle the corpus (orderBy range exchange only):\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.toLowerCase.contains("hashjoin") &&
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$q must not join:\n$p")
     }
   }
