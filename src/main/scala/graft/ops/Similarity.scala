@@ -567,6 +567,24 @@ object Similarity {
     * is then a broadcast-able d×p matrix applied map-side.
     */
   def topEigen(m: Array[Array[Double]], iters: Int = 200): (Double, Array[Double]) = {
+    val (v, lambda) = powerLoop(m, iters, normalizeEachStep = true)
+    if (lambda == 0.0) return (0.0, v)
+    val flip = v.find(_ != 0.0).exists(_ < 0)
+    (lambda, if (flip) v.map(-_) else v)
+  }
+
+  /** THE power-iteration loop — the single implementation behind
+    * [[topEigen]] (converged: normalize every step, λ = last step's
+    * norm) and [[topPBasis]]/[[pcaProject]] (oracle recipe: raw steps
+    * so the axis stays a closed-form polynomial of the rounded matrix,
+    * with the documented out-of-[1e-100,1e100] rescale guard that is
+    * bit-for-bit inert at oracle iteration counts). Two copies of this
+    * loop is how the r8 signed-zero class of bug ships in only one
+    * (ADVICE r9 #2). Returns (v, λ); λ is 0.0 until a normalized step
+    * ran, and the loop bails early (v as-is) on an exactly-zero image.
+    */
+  private def powerLoop(m: Array[Array[Double]], iters: Int,
+      normalizeEachStep: Boolean): (Array[Double], Double) = {
     val d = m.length
     var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     var lambda = 0.0
@@ -577,14 +595,22 @@ object Similarity {
         while (j < d) { s += m(i)(j) * v(j); j += 1 }
         s
       })
-      val nrm = math.sqrt(nv.map(x => x * x).sum)
-      if (nrm == 0.0) return (0.0, v)
-      v = nv.map(_ / nrm)
-      lambda = nrm
+      if (normalizeEachStep) {
+        val nrm = math.sqrt(nv.map(x => x * x).sum)
+        if (nrm == 0.0) return (v, 0.0)
+        v = nv.map(_ / nrm)
+        lambda = nrm
+      } else {
+        v = nv
+        val mx = v.map(math.abs).max
+        if (mx > 0 && (mx < 1e-100 || mx > 1e100)) {
+          val inv = 1.0 / mx
+          v = v.map(_ * inv)
+        }
+      }
       it += 1
     }
-    val flip = v.find(_ != 0.0).exists(_ < 0)
-    (lambda, if (flip) v.map(-_) else v)
+    (v, lambda)
   }
 
   /** Asymmetric-distance (ADC) top-k search over PQ codes (Jégou, Douze
@@ -677,26 +703,12 @@ object Similarity {
   def pcaProject(
       emb: DataFrame, idCol: String, vecCol: String,
       iters: Int = 3, scale: Int = 6): DataFrame = {
-    val covRows = embedCovariance(emb, vecCol).collect()
-    require(covRows.nonEmpty, "empty embedding table")
-    val d = covRows.iterator.map(_.getInt(0)).max + 1
-    val m = Array.ofDim[Double](d, d)
-    covRows.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-    val mu = emb.select(posexplode(KMeansOps.asDouble(col(vecCol))).as(Seq("i", "x")))
-      .groupBy(col("i")).agg(round(avg(col("x")), 9).as("mu"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
-    (0 until iters).foreach { _ =>
-      v = Array.tabulate(d) { i =>
-        var s = 0.0; var j = 0
-        while (j < d) { s += m(i)(j) * v(j); j += 1 }
-        s
-      }
-    }
-    val nrm = math.sqrt(v.map(x => x * x).sum)
-    require(nrm > 0, "degenerate covariance: zero dominant direction")
-    val flip = v.find(_ != 0.0).exists(_ < 0)
-    val u = v.map(x => (if (flip) -x else x) / nrm)
+    // topPBasis(p=1, pinU=false) IS this recipe: same cov/μ collects,
+    // same raw power steps, one normalize, first-nonzero-positive —
+    // and pinU=false keeps u UNROUNDED exactly as the q_pca_project
+    // oracle derives it (only topPBasis's deflation needs the 9-dp pin)
+    val (d, mu, basis) = topPBasis(emb, vecCol, p = 1, iters, pinU = false)
+    val u = basis.head._2
     val shift = (0 until d).foldLeft(0.0)((s, i) => s + mu.getOrElse(i, 0.0) * u(i))
     emb.select(col(idCol),
       round(dot(KMeansOps.asDouble(col(vecCol)), typedlit(u.toSeq)) - shift, scale)
@@ -718,9 +730,38 @@ object Similarity {
     * (d, μ rounded 9 dp, [(λₓ, uₓ)] in dominance order).
     */
   private[graft] def topPBasis(
-      emb: DataFrame, vecCol: String, p: Int, iters: Int):
+      emb: DataFrame, vecCol: String, p: Int, iters: Int,
+      pinU: Boolean = true):
       (Int, Map[Int, Double], Seq[(Double, Array[Double])]) = {
     require(p >= 1, "need at least one component")
+    // Run-scoped memo (VERDICT r9 #7): q_pca_top2/q_whiten/q_mahalanobis
+    // each re-derive the identical (d, μ, basis) from the same table —
+    // two corpus aggregations apiece. Key = backing files + canonical
+    // plan string, so a filtered/derived view never aliases its source
+    // and a re-read of the same parquet HITS. In-memory frames (specs)
+    // have no inputFiles → computed fresh, no cross-test aliasing.
+    val files = emb.inputFiles
+    if (files.isEmpty) computeTopPBasis(emb, vecCol, p, iters, pinU)
+    else {
+      val key = (files.sorted.mkString("\n"),
+        emb.queryExecution.analyzed.canonicalized.toString,
+        vecCol, p, iters, pinU)
+      basisCache.computeIfAbsent(key,
+        _ => computeTopPBasis(emb, vecCol, p, iters, pinU))
+    }
+  }
+
+  private val basisCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String, Int, Int, Boolean),
+    (Int, Map[Int, Double], Seq[(Double, Array[Double])])]()
+
+  /** Test/maintenance hook: drop every memoized [[topPBasis]] result
+    * (e.g. after overwriting a parquet table in place mid-JVM). */
+  private[graft] def clearBasisCache(): Unit = basisCache.clear()
+
+  private def computeTopPBasis(
+      emb: DataFrame, vecCol: String, p: Int, iters: Int, pinU: Boolean):
+      (Int, Map[Int, Double], Seq[(Double, Array[Double])]) = {
     val covRows = embedCovariance(emb, vecCol).collect()
     require(covRows.nonEmpty, "empty embedding table")
     val d = covRows.iterator.map(_.getInt(0)).max + 1
@@ -733,28 +774,20 @@ object Similarity {
       BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     val basis = Seq.newBuilder[(Double, Array[Double])]
     (0 until p).foreach { c =>
-      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
-      (0 until iters).foreach { _ =>
-        v = Array.tabulate(d) { i =>
-          var s = 0.0; var j = 0
-          while (j < d) { s += m(i)(j) * v(j); j += 1 }
-          s
-        }
-        // guard against under/overflow at high iteration counts (λ^iters
-        // leaves double range): rescale ONLY outside [1e-100, 1e100], so
-        // the small-iters oracle recipe is bit-for-bit unaffected and the
-        // direction (all that survives the final normalize) never drifts
-        val mx = v.map(math.abs).max
-        if (mx > 0 && (mx < 1e-100 || mx > 1e100)) {
-          val inv = 1.0 / mx
-          v = v.map(_ * inv)
-        }
-      }
+      val (v, _) = powerLoop(m, iters, normalizeEachStep = false)
       val nrm = math.sqrt(v.map(x => x * x).sum)
       require(nrm > 0,
         s"degenerate covariance: zero direction at component ${c + 1} — reduce p")
       val flip = v.find(_ != 0.0).exists(_ < 0)
-      val u = v.map(x => r9((if (flip) -x else x) / nrm))
+      // pinU: 9-dp pin of every component BEFORE deflation/projection —
+      // the cross-engine device that keeps both engines subtracting
+      // bitwise-identical rank-1 terms. pcaProject's oracle predates the
+      // pin and ranks on the UNROUNDED axis (pinU=false; p=1, the
+      // deflation below never feeds a second component there).
+      val u = v.map { x =>
+        val y = (if (flip) -x else x) / nrm
+        if (pinU) r9(y) else y
+      }
       var lam = 0.0
       var i = 0
       while (i < d) {
