@@ -3047,6 +3047,49 @@ object SparkEntry {
         |      THEN '1' ELSE '0' END), '') AS ahash
         |FROM t ORDER BY media_id""".stripMargin)),
 
+    Q("q_image_dedup",  // perceptual image near-dup clustering — the
+      // composition q_image_phash was missing (VERDICT r9 #3): aHash →
+      // 4-band pigeonhole blocking within (w, h) → exact per-position
+      // Hamming ≤ 3 → connected components, (id, rep). On the gradient
+      // corpus brightness offsets cancel (aHash invariance), so every
+      // same-(w,h) image pairs at hamming 0 — the identical-image flood
+      // the scaladoc names as THE hot bucket; the pigeonhole spec
+      // exercises hamming 1..3 on planted flips. Oracle rebuilds hash,
+      // bands, distance and CC closed-form from doc_id alone.
+      (s, dir) => Multimodal.imageDedup(
+          Multimodal.imageAHash(
+            Multimodal.syntheticPng(Tables.table(s, dir, "documents"), "doc_id")))
+        .orderBy("id"),
+      Some("""WITH RECURSIVE p AS (SELECT doc_id AS id,
+        |  CAST(doc_id % 13 + 1 AS INT) AS w, CAST(doc_id % 11 + 1 AS INT) AS h,
+        |  doc_id % 200 AS br, doc_id * 7 % 200 AS bg, doc_id * 13 % 200 AS bb
+        |  FROM documents),
+        |t AS (SELECT *, CAST(w AS BIGINT) * h AS n,
+        |  CAST(w AS BIGINT) * h * (299*br + 587*bg + 114*bb)
+        |    + 299 * h * (CAST(w - 1 AS BIGINT) * w // 2)
+        |    + 587 * w * (CAST(h - 1 AS BIGINT) * h // 2) AS total
+        |  FROM p),
+        |hs AS (SELECT id, w, h, array_to_string(list_transform(range(0, n), i ->
+        |    CASE WHEN n * (299*(br + i % w) + 587*(bg + i // w) + 114*bb) > total
+        |      THEN '1' ELSE '0' END), '') AS ahash FROM t),
+        |bd AS (SELECT id, w, h, ahash, bb.band,
+        |    substr(ahash, CAST((bb.band * len(ahash)) // 4 + 1 AS INT),
+        |      CAST(((bb.band + 1) * len(ahash)) // 4
+        |        - (bb.band * len(ahash)) // 4 AS INT)) AS bs
+        |  FROM hs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bb),
+        |cand AS (SELECT DISTINCT x.id AS id1, y.id AS id2,
+        |    x.ahash AS ha, y.ahash AS hb
+        |  FROM bd x JOIN bd y ON x.w = y.w AND x.h = y.h
+        |    AND x.band = y.band AND x.bs = y.bs AND x.id < y.id),
+        |pr AS (SELECT id1, id2 FROM cand
+        |  WHERE len(list_filter(range(1, len(ha) + 1), i -> ha[i] <> hb[i])) <= 3),
+        |ed AS (SELECT id1 AS a, id2 AS b2 FROM pr UNION ALL SELECT id2, id1 FROM pr),
+        |nn AS (SELECT DISTINCT a AS id FROM ed),
+        |rr AS (SELECT id, id AS reach FROM nn
+        |       UNION
+        |       SELECT rr.id, ed.b2 AS reach FROM rr JOIN ed ON ed.a = rr.reach)
+        |SELECT id, min(reach) AS rep FROM rr GROUP BY id ORDER BY id""".stripMargin)),
+
     Q("q_audio_features",  // REAL javax.sound decode of synthetic WAVs —
       // alternating ±A 16-bit PCM gives n_samples and RMS closed forms
       // the oracle computes from doc_id alone (lossless WAV roundtrip)
@@ -4048,6 +4091,90 @@ object SparkEntry {
         |SELECT src, CAST(rnk AS INT) AS rank, dst, cos
         |FROM r WHERE rnk <= 5 ORDER BY src, rank""".stripMargin)),
 
+    Q("q_knn_approx",  // cell-routed APPROXIMATE kNN self-join — the
+      // scale path that frees the graph substrate from q_knn_graph's
+      // Θ(n²) kernel: map-side routing to the 5 nearest of the 8
+      // deterministic cells (vec_id<8 — the q_ann_ivf routing table),
+      // ONE shuffle on the cell key for SYMMETRIC candidates (either
+      // side probing the other's home cell qualifies the pair), exact
+      // dot verify, per-source top-5 on rounded cosine. No n·C window
+      // shuffle: the probe list is a C-struct sort against driver
+      // literals. nprobe=5/8 + symmetry ⇒ 0.95 recall (see sweep).
+      (s, dir) => Similarity.knnSelfJoin(
+          Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
+          fixedCentroidArr(s, dir), k = 5, nprobe = 5)
+        .orderBy("qid", "rank"),
+      Some("""WITH pts AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, CAST(unnest(embedding) AS DOUBLE) AS c,
+        |          unnest(range(0, len(embedding))) AS i FROM embeddings WHERE vec_id < 8),
+        |ad AS MATERIALIZED (SELECT p.vec_id, c.cid, sqrt(sum((p.x - c.c) * (p.x - c.c))) AS dist
+        |       FROM pts p JOIN cents c ON p.i = c.i GROUP BY 1, 2),
+        |home AS (SELECT vec_id, cid AS cell FROM ad
+        |         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+        |probe AS (SELECT vec_id AS qid, cid AS cell FROM ad
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) <= 5),
+        |n AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pts GROUP BY 1),
+        |m AS (SELECT q.qid AS a, h.vec_id AS b FROM probe q
+        |      JOIN home h ON h.cell = q.cell AND h.vec_id <> q.qid),
+        |cand AS (SELECT a AS qid, b AS nbr FROM m UNION SELECT b, a FROM m),
+        |d AS (SELECT cand.qid, cand.nbr, sum(a.x * b.x) AS dp
+        |      FROM cand JOIN pts a ON a.vec_id = cand.qid
+        |                JOIN pts b ON b.vec_id = cand.nbr AND b.i = a.i
+        |      GROUP BY 1, 2),
+        |c2 AS (SELECT qid, nbr, round(dp / (nq.nrm * nv.nrm), 4) + 0.0 AS cos
+        |       FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = nbr),
+        |r AS (SELECT qid, nbr, cos,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rnk
+        |      FROM c2)
+        |SELECT qid, CAST(rnk AS INT) AS rank, nbr, cos
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    Q("q_knn_approx_recall",  // per-vector |approx top-5 ∩ exact top-5|
+      // — the recall grade of q_knn_approx against q_knn_graph, on the
+      // same rounded-cosine/id-tie ranking both sides use. The sweep
+      // spec asserts mean n_common/k ≥ 0.9 at all 3 SFs and writes
+      // out/knn_recall_sweep.json as the per-round evidence.
+      (s, dir) => Similarity.knnSelfRecall(
+          Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
+          fixedCentroidArr(s, dir), k = 5, nprobe = 5)
+        .orderBy("qid"),
+      Some("""WITH pts AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, CAST(unnest(embedding) AS DOUBLE) AS c,
+        |          unnest(range(0, len(embedding))) AS i FROM embeddings WHERE vec_id < 8),
+        |ad AS MATERIALIZED (SELECT p.vec_id, c.cid, sqrt(sum((p.x - c.c) * (p.x - c.c))) AS dist
+        |       FROM pts p JOIN cents c ON p.i = c.i GROUP BY 1, 2),
+        |home AS (SELECT vec_id, cid AS cell FROM ad
+        |         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+        |probe AS (SELECT vec_id AS qid, cid AS cell FROM ad
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) <= 5),
+        |n AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pts GROUP BY 1),
+        |m AS (SELECT q.qid AS a, h.vec_id AS b FROM probe q
+        |      JOIN home h ON h.cell = q.cell AND h.vec_id <> q.qid),
+        |cand AS (SELECT a AS qid, b AS nbr FROM m UNION SELECT b, a FROM m),
+        |d AS (SELECT cand.qid, cand.nbr, sum(a.x * b.x) AS dp
+        |      FROM cand JOIN pts a ON a.vec_id = cand.qid
+        |                JOIN pts b ON b.vec_id = cand.nbr AND b.i = a.i
+        |      GROUP BY 1, 2),
+        |c2 AS (SELECT qid, nbr, round(dp / (nq.nrm * nv.nrm), 4) AS cos
+        |       FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = nbr),
+        |ra AS MATERIALIZED (SELECT qid, nbr FROM (SELECT qid, nbr,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rnk
+        |      FROM c2) WHERE rnk <= 5),
+        |dx AS MATERIALIZED (SELECT a.vec_id AS qid, b.vec_id AS nbr, sum(a.x * b.x) AS dp
+        |      FROM pts a JOIN pts b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2),
+        |cx AS (SELECT qid, nbr, round(dp / (na.nrm * nb.nrm), 4) AS cos
+        |       FROM dx JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = nbr),
+        |rx AS MATERIALIZED (SELECT qid, nbr FROM (SELECT qid, nbr,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rnk
+        |      FROM cx) WHERE rnk <= 5),
+        |jn AS (SELECT ra.qid, count(*) AS n_common
+        |       FROM ra JOIN rx ON rx.qid = ra.qid AND rx.nbr = ra.nbr GROUP BY 1)
+        |SELECT e.vec_id AS qid, CAST(COALESCE(jn.n_common, 0) AS BIGINT) AS n_common
+        |FROM embeddings e LEFT JOIN jn ON jn.qid = e.vec_id
+        |ORDER BY qid""".stripMargin)),
+
     Q("q_embed_cov",  // population covariance matrix of the embedding
       // table as (i, j, cov) — the PCA/whitening/Mahalanobis input. Each
       // row expands map-side to ONE d²+d array (outer products ++ the
@@ -4924,6 +5051,14 @@ object SparkEntry {
     * the lloyd() loop + scalatest, not the oracle). */
   private def fixedCentroids(pts: DataFrame): DataFrame =
     pts.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v").as("cvec"))
+
+  /** Same deterministic routing table as a sorted driver array — the
+    * knnSelfJoin/knnSelfRecall cell-table form (8 × d doubles). */
+  private def fixedCentroidArr(s: SparkSession, dir: String): Array[(Long, Array[Double])] =
+    embDouble(s, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("long"), col("v"))
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
 
   /** Shared oracle CTE: exploded Euclidean distances + per-point argmin rank.
     * (lazy: referenced from `all`, which is declared above — a strict val

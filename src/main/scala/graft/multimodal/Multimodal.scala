@@ -340,4 +340,63 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Hamming-≤`maxDist` perceptual near-dup IMAGE pairs over
+    * [[imageAHash]] output — the pigeonhole banding device of
+    * `Dedup.simhashPairs` transplanted to variable-length bit strings:
+    * the hash splits into `maxDist+1` contiguous bands (integer-floor
+    * boundaries, so both engines cut identically), any pair within
+    * `maxDist` flips shares ≥1 whole band, and candidates sharing
+    * (width, height, band#, band bits) get the exact per-position
+    * mismatch count. Only same-dimension images are comparable —
+    * (w, h) rides in the block key, which also keeps different-length
+    * hashes from ever meeting.
+    *
+    * Scale: the corpus shuffles once on the block key (maxDist+1 rows
+    * per image); candidate volume is Σ_bucket |bucket|² — the SimHash
+    * hot-bucket story, and identical-image floods (hamming 0) are the
+    * pathological bucket here, the reason production stacks exact-hash
+    * dedup FIRST and feed only the survivors to banding. The exact
+    * check runs per candidate pair only. Output (id1, id2, hamming),
+    * id1 < id2.
+    */
+  def imageDedupPairs(hashed: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0)
+    val nb = maxDist + 1
+    val imgs = hashed.filter(col("decoded"))
+      .select(col("media_id").as("id"), col("width").as("w"),
+        col("height").as("h"), col("ahash"))
+    val L = length(col("ahash"))
+    val bands = array((0 until nb).map { i =>
+      val lo = ((lit(i) * L) / nb).cast("int")
+      val hi = ((lit(i + 1) * L) / nb).cast("int")
+      struct(lit(i).as("band"), col("ahash").substr(lo + 1, hi - lo).as("bs"))
+    }: _*)
+    val b = imgs.select(col("id"), col("w"), col("h"), col("ahash"),
+        explode(bands).as("c"))
+      .select(col("id"), col("w"), col("h"), col("ahash"),
+        col("c.band").as("band"), col("c.bs").as("bs"))
+    val ham = size(filter(sequence(lit(1), length(col("ha"))),
+      i => col("ha").substr(i, lit(1)) =!= col("hb").substr(i, lit(1))))
+    b.as("a").join(b.as("b"),
+        col("a.w") === col("b.w") && col("a.h") === col("b.h") &&
+          col("a.band") === col("b.band") && col("a.bs") === col("b.bs") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= maxDist)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
+  /** Perceptual image near-dup CLUSTERING — [[imageDedupPairs]]
+    * composed with `Dedup.dedupClusters` connected components, the
+    * image twin of text SimHash dedup: (id, rep) for every image in
+    * some Hamming-≤`maxDist` pair, rep = min id of the component.
+    * Compose with `Dedup.dropClusterDuplicates` to thin the corpus.
+    */
+  def imageDedup(hashed: DataFrame, maxDist: Int = 3): DataFrame =
+    graft.ops.Dedup.dedupClusters(
+      imageDedupPairs(hashed, maxDist).select(col("id1"), col("id2")))
 }

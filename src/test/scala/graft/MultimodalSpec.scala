@@ -123,4 +123,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(4L)._2.get != base, "different structure must hash differently")
     assert(!got(5L)._1 && got(5L)._2.isEmpty, "undecodable payload flags, not throws")
   }
+
+  test("imageDedupPairs pigeonhole completeness: banding finds EVERY Hamming ≤ 3 same-size pair (planted + randomized)") {
+    def flip(s: String, ps: Int*): String =
+      ps.foldLeft(s)((a, p) => a.updated(p, if (a(p) == '1') '0' else '1'))
+    // L = 37 is deliberately not divisible by the 4 bands — exercises
+    // the integer-floor band boundaries both engines must cut alike
+    val L = 37
+    val base = Array.tabulate(L)(i => if (i % 3 == 0) '1' else '0').mkString
+    val planted = Seq(
+      (1L, 6, 5, base),
+      (2L, 6, 5, flip(base, 0)),            // ham(1,2)=1
+      (3L, 6, 5, flip(base, 5, 17, 36)),    // ham(1,3)=3, ham(2,3)=4
+      (4L, 6, 5, flip(base, 8, 9, 10, 11)), // ham(1,4)=4 → excluded
+      (5L, 5, 6, base))                     // same bits, other dims → excluded
+    // randomized tail: seeded flips at every distance 0..6 around a
+    // second base so band boundaries see misses and hits on both sides
+    val rnd = new scala.util.Random(7L)
+    val extra = (0 until 40).map { j =>
+      val k = rnd.nextInt(7)
+      (100L + j, 9, 4,
+        flip(base, Seq.fill(k)(rnd.nextInt(L)).distinct: _*))
+    }
+    val rows = planted ++ extra
+    val df = rows.toDF("media_id", "width", "height", "ahash")
+      .withColumn("decoded", lit(true))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val expected = (for {
+      (i1, w1, h1, a1) <- rows; (i2, w2, h2, a2) <- rows
+      if i1 < i2 && w1 == w2 && h1 == h2 && ham(a1, a2) <= 3
+    } yield (i1, i2, ham(a1, a2))).toSet
+    val got = Multimodal.imageDedupPairs(df, maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected,
+      s"missed ${expected.diff(got)} / spurious ${got.diff(expected)}")
+    // the CC composition labels each found pair's component by min id
+    val reps = Multimodal.imageDedup(df, maxDist = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(reps.get(2L).contains(1L) && reps.get(3L).contains(1L))
+    assert(!reps.contains(4L) && !reps.contains(5L))
+  }
 }

@@ -24,6 +24,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(df(3L) == 0.0)
   }
 
+  test("knnSelfJoin: nprobe=C degenerates to the exact knnGraph; partial nprobe is a ranked subset") {
+    val cells = emb
+      .select($"vec_id".cast("long"),
+        graft.ops.KMeansOps.asDouble($"embedding").as("v"))
+      .filter($"vec_id" < 8).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    // all cells probed → every pair is a candidate → exact result
+    val full = Similarity.knnSelfJoin(emb, "vec_id", "embedding", cells,
+        k = 5, nprobe = 8)
+      .select($"qid", $"rank", $"nbr", $"cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val exact = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+      .select($"src", $"rank", $"dst", $"cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(full == exact, "nprobe=C must reproduce the exact kNN graph")
+    // partial probing: ranks still 1..k contiguous per source, no
+    // self-pairs, and every reported edge is a REAL pair (cos matches)
+    val part = Similarity.knnSelfJoin(emb, "vec_id", "embedding", cells,
+        k = 5, nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(part.forall { case (q, _, n, _) => q != n })
+    val byQ = part.groupBy(_._1)
+    assert(byQ.values.forall(es => es.map(_._2).sorted.sameElements(1 to es.length)))
+    val exactCos = exact.map { case (s, _, d, c) => (s, d) -> c }.toMap ++
+      exact.map { case (s, _, d, c) => (d, s) -> c }
+    // an edge surviving partial probing that ALSO appears in the exact
+    // top-5 must carry the identical rounded cosine
+    part.foreach { case (q, _, n, c) =>
+      exactCos.get((q, n)).foreach(ec => assert(ec == c)) }
+  }
+
   test("IVF top-k: subset of brute-force result with reasonable recall@5") {
     val queries = emb.filter($"vec_id" % 50 === 0)
     val brute = Similarity.bruteTopK(queries, emb, "vec_id", "embedding", 5)
