@@ -78,6 +78,24 @@ object MicroBench {
         Dedup.contaminationHits(g.filter(col("doc_id") % 7 =!= 0), "doc_id", "g5",
           g.filter(col("doc_id") % 7 === 0), "g5").count()
       }
+      // the two r9-verdict "drift" queries' kernels at unit granularity
+      // (task #8): a REAL band-hash or Bloom-probe regression shows up
+      // here directly instead of riding suite-level sampling noise
+      // (see COVERAGE.md "Bench methodology note")
+      time("lsh_band_pairgen") {
+        val hashes = Dedup.shingleHashes(docsTokens, "doc_id", "toks", k = 3)
+          .localCheckpoint()
+        Dedup.lshCandidates(
+          Dedup.minhashFromHashes(hashes, numHashes = 128, seed = 42L),
+          bands = 32).count()
+      }
+      time("bloom_probe") {
+        val g = gramsPlain.localCheckpoint()
+        val bits = Dedup.bloomBitsFromGrams(
+          g.filter(col("doc_id") % 7 === 0), "g5")
+        Dedup.bloomContaminationHits(
+          g.filter(col("doc_id") % 7 =!= 0), "doc_id", "g5", bits).count()
+      }
       time("frac_current") {
         val g = gramsRepart.localCheckpoint()
         val bench = g.filter(col("doc_id") % 7 === 0)
