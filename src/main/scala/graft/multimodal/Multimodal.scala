@@ -352,51 +352,108 @@ object Multimodal {
     * (w, h) rides in the block key, which also keeps different-length
     * hashes from ever meeting.
     *
-    * Scale: the corpus shuffles once on the block key (maxDist+1 rows
-    * per image); candidate volume is Σ_bucket |bucket|² — the SimHash
-    * hot-bucket story, and identical-image floods (hamming 0) are the
-    * pathological bucket here, the reason production stacks exact-hash
-    * dedup FIRST and feed only the survivors to banding. The exact
-    * check runs per candidate pair only. Output (id1, id2, hamming),
-    * id1 < id2.
+    * Scale — exact-hash grouping FIRST: identical-image floods
+    * (hamming 0) are the pathological bucket of naive banding, so the
+    * corpus collapses to DISTINCT (w, h, ahash) groups (one groupBy —
+    * at most 2^(w·h) groups, in practice orders of magnitude below the
+    * image count) before anything quadratic runs. Banding, the exact
+    * per-position check, and the expansion joins all operate on group
+    * REPRESENTATIVES; members re-attach by broadcast-joining the tiny
+    * group table. Within-group pairs are emitted at hamming 0 without
+    * any comparison; cross-group pairs inherit their reps' distance
+    * (identical hashes ⇒ identical distances). Candidate volume is
+    * Σ_bucket |bucket|² over DISTINCT hashes — the SimHash hot-bucket
+    * story survives only if distinct near-identical hashes crowd one
+    * band bucket. Output (id1, id2, hamming), id1 < id2 — every
+    * qualifying member pair (the expansion is inherent to the PAIR
+    * contract; use [[imageDedup]] when only cluster labels are needed,
+    * it never materializes the expansion).
     */
   def imageDedupPairs(hashed: DataFrame, maxDist: Int = 3): DataFrame = {
-    require(maxDist >= 0)
-    val nb = maxDist + 1
+    val (memb, grp) = hashGroups(hashed)
+    val gp = groupRepPairs(grp, maxDist)
+    val m1 = memb.select(col("gid"), col("id").as("id1"))
+    val m2 = memb.select(col("gid").as("gid2"), col("id").as("id2"))
+    // within-group expansion: all ordered member pairs at distance 0
+    val intra = m1.join(memb.select(col("gid"), col("id").as("id2")), Seq("gid"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), lit(0).as("hamming"))
+    // cross-group expansion: members of g1 × members of g2; reps are
+    // min ids so id1 < id2 needs re-orienting per member pair
+    val cross = gp
+      .join(m1, Seq("gid"))
+      .join(m2, Seq("gid2"))
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"), col("hamming"))
+    intra.unionByName(cross)
+  }
+
+  /** (member, group) split of decoded [[imageAHash]] rows: `memb` =
+    * (id, gid), `grp` = one row per distinct (w, h, ahash) keyed by
+    * gid = min member id (so the component rep = min gid = min id). */
+  private def hashGroups(hashed: DataFrame) = {
     val imgs = hashed.filter(col("decoded"))
       .select(col("media_id").as("id"), col("width").as("w"),
         col("height").as("h"), col("ahash"))
+    val grp = imgs.groupBy(col("w"), col("h"), col("ahash"))
+      .agg(min(col("id")).as("gid"), count(lit(1)).as("cnt"))
+    val memb = imgs.join(broadcast(grp.select(col("w"), col("h"), col("ahash"),
+        col("gid"))), Seq("w", "h", "ahash"))
+      .select(col("id"), col("gid"))
+    (memb, grp)
+  }
+
+  /** Band-blocked Hamming-≤`maxDist` pairs over the distinct-hash group
+    * table: (gid, gid2, hamming), gid < gid2. */
+  private def groupRepPairs(grp: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0)
+    val nb = maxDist + 1
     val L = length(col("ahash"))
     val bands = array((0 until nb).map { i =>
       val lo = ((lit(i) * L) / nb).cast("int")
       val hi = ((lit(i + 1) * L) / nb).cast("int")
       struct(lit(i).as("band"), col("ahash").substr(lo + 1, hi - lo).as("bs"))
     }: _*)
-    val b = imgs.select(col("id"), col("w"), col("h"), col("ahash"),
+    val b = grp.select(col("gid"), col("w"), col("h"), col("ahash"),
         explode(bands).as("c"))
-      .select(col("id"), col("w"), col("h"), col("ahash"),
+      .select(col("gid"), col("w"), col("h"), col("ahash"),
         col("c.band").as("band"), col("c.bs").as("bs"))
     val ham = size(filter(sequence(lit(1), length(col("ha"))),
       i => col("ha").substr(i, lit(1)) =!= col("hb").substr(i, lit(1))))
     b.as("a").join(b.as("b"),
         col("a.w") === col("b.w") && col("a.h") === col("b.h") &&
           col("a.band") === col("b.band") && col("a.bs") === col("b.bs") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+          col("a.gid") < col("b.gid"))
+      .select(col("a.gid").as("gid"), col("b.gid").as("gid2"),
         col("a.ahash").as("ha"), col("b.ahash").as("hb"))
       .distinct()
       .withColumn("hamming", ham)
       .filter(col("hamming") <= maxDist)
-      .select(col("id1"), col("id2"), col("hamming"))
+      .select(col("gid"), col("gid2"), col("hamming"))
   }
 
-  /** Perceptual image near-dup CLUSTERING — [[imageDedupPairs]]
-    * composed with `Dedup.dedupClusters` connected components, the
-    * image twin of text SimHash dedup: (id, rep) for every image in
-    * some Hamming-≤`maxDist` pair, rep = min id of the component.
-    * Compose with `Dedup.dropClusterDuplicates` to thin the corpus.
+  /** Perceptual image near-dup CLUSTERING — group-level banding +
+    * `Dedup.dedupClusters` connected components, the image twin of
+    * text SimHash dedup: (id, rep) for every image in some
+    * Hamming-≤`maxDist` pair, rep = min id of the component. CC runs
+    * on the DISTINCT-hash group graph (gid = min member id, so min
+    * gid over a component IS min id); multi-member groups with no
+    * cross-group edge are their own component. The member-pair
+    * expansion of [[imageDedupPairs]] is never materialized. Compose
+    * with `Dedup.dropClusterDuplicates` to thin the corpus.
     */
-  def imageDedup(hashed: DataFrame, maxDist: Int = 3): DataFrame =
-    graft.ops.Dedup.dedupClusters(
-      imageDedupPairs(hashed, maxDist).select(col("id1"), col("id2")))
+  def imageDedup(hashed: DataFrame, maxDist: Int = 3): DataFrame = {
+    val (memb, grp) = hashGroups(hashed)
+    val edges = groupRepPairs(grp, maxDist).select(col("gid"), col("gid2"))
+    val cc = graft.ops.Dedup.dedupClusters(
+      edges.select(col("gid").as("id1"), col("gid2").as("id2")))
+      .select(col("id").as("gid"), col("rep"))
+    // multi-member groups untouched by any cross-group edge are still
+    // clusters (their members pair at hamming 0): rep = own gid
+    val solo = grp.filter(col("cnt") >= 2).select(col("gid"))
+      .join(cc, Seq("gid"), "left_anti")
+      .select(col("gid"), col("gid").as("rep"))
+    memb.join(broadcast(cc.unionByName(solo)), Seq("gid"))
+      .select(col("id"), col("rep"))
+  }
 }
