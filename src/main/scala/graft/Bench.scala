@@ -115,29 +115,49 @@ object Bench {
         .filterNot { case (id, _) => beforeWarm(id) }
         .values.foreach(_.unpersist(blocking = false))
     }
-    val results = selected.map { case (name, fn) =>
+    // PREDICTIVE budget (r9 task #5: n_single_pass 23 → <10). The old
+    // policy 2-passed greedily until the wall and then single-passed
+    // EVERYTHING after — so host stalls late in the run cascaded into
+    // the whole expensive tail. Now: before each query, project the
+    // cost of finishing the suite (2-pass ≈ 2.4× median, single ≈
+    // 1.4×, unknown queries 1 s); while the projection overruns 92% of
+    // budget, SACRIFICE the most expensive not-yet-run query that HAS
+    // a median record (solid prior evidence → least information lost)
+    // to single-pass mode. Stall-free runs project ~290 s and
+    // sacrifice nothing; a stalled run sheds exactly as many
+    // well-characterized tails as the stall consumed. The second warm
+    // sample is gone — it alone cost ~1/3 of the budget; the
+    // conditional stall-retry (warm slower than cold = stall
+    // signature) still covers the 13×-jitter case r7 hit.
+    val sacrificed = scala.collection.mutable.Set.empty[String]
+    def twoPassCost(n: String) = medians.get(n).map(_ * 2.4 + 0.05).getOrElse(1.0)
+    def onePassCost(n: String) = medians.get(n).map(_ * 1.4 + 0.05).getOrElse(0.7)
+    val resultsBuf = List.newBuilder[(String, Double, Double)]
+    selected.zipWithIndex.foreach { case ((name, fn), idx) =>
       // snapshot so we release only blocks THIS query pinned — a blanket
       // unpersist would silently invalidate any future cross-query cache
       val before = spark.sparkContext.getPersistentRDDs.keySet
+      val remaining = selected.drop(idx).map(_._1)
+      def projected = elapsedS + remaining.map(n =>
+        if (sacrificed(n)) onePassCost(n) else twoPassCost(n)).sum
+      var candidates = remaining.filter(n => !sacrificed(n) && medians.contains(n))
+        .sortBy(n => -medians(n))
+      while (projected > budgetS * 0.92 && candidates.nonEmpty) {
+        sacrificed += candidates.head
+        System.err.println(s"[bench] sacrificing ${candidates.head} to single-pass " +
+          f"(projected overrun at t=$elapsedS%.0f)")
+        candidates = candidates.tail
+      }
       val (cold, warm) =
-        if (elapsedS > budgetS) { singlePass ::= name; val c = once(name, fn); (c, c) }
-        else {
+        if (elapsedS > budgetS || sacrificed(name)) {
+          singlePass ::= name; val c = once(name, fn); (c, c)
+        } else {
           val c = once(name, fn)
           if (c.isNaN) (c, c)
           else {
             val w1 = once(name, fn)
-            // r7's driver run showed up to 13× single-sample jitter vs the
-            // local per-query median (host neighbor-contention stalls), so
-            // take TWO warm samples and keep the min whenever the suite is
-            // comfortably inside budget; past 70% of budget fall back to
-            // the conditional stall-retry (warm slower than cold = stall
-            // signature) so the run never overstays the driver's timeout.
             val w =
               if (w1.isNaN) w1
-              else if (elapsedS < budgetS * 0.7) {
-                val w2 = once(name, fn)
-                if (w2.isNaN) w1 else math.min(w1, w2)
-              }
               else if (w1 > math.max(c, 2.0)) math.min(w1, once(name, fn))
               else w1
             (c, w)
@@ -148,8 +168,9 @@ object Bench {
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => before(id) }
         .values.foreach(_.unpersist(blocking = false))
-      (name, cold, warm)
+      resultsBuf += ((name, cold, warm))
     }
+    val results = resultsBuf.result()
     // JSON has no NaN: failed samples serialize as -1 and are excluded
     // from the gated totals.
     def j(v: Double): String = if (v.isNaN) "-1" else v.toString
