@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Helpers shared by the per-domain query registries (QCore/QDedup1/
+  * QDedup2/QSimText/QRelEvents/QCuration/QEmbed/QTail): tokenization
+  * bases, DuckDB SQL fragments both sides of an oracle must agree on,
+  * and the deterministic embedding fixtures.
+  */
+private[graft] object QShared {
+
+  import Dictionaries.{Stopwords => Stop}
+
+  /** documents → (doc_id, toks) after tokenize + stopword filter. */
+  private[graft] def docsTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.tokenizeFiltered(col("text"), Stop, Nil).as("toks"))
+
+  /** Integer-arithmetic quality score over a `toks` list column —
+    * bit-identical to TextStats.qualityScore (see its scaladoc). */
+  private[graft] val SqlQuality =
+    """(CASE WHEN len(toks) = 0 THEN 0.3
+      | ELSE (40 * len(list_distinct(toks))
+      |      + 30 * (len(toks) - len(list_filter(toks, x -> x IN ('the', 'a'))))
+      |      + 3 * least(list_sum(list_transform(toks, x -> length(x))), 10 * len(toks)))
+      |      / (100.0 * len(toks)) END)""".stripMargin.replace("\n", "")
+
+  /** DuckDB fragment mirroring [[docsTokens]] (RE2 regex, same semantics). */
+  private[graft] val SqlToks =
+    """SELECT doc_id, list_filter(regexp_extract_all(lower(text), '\b\w\w+\b'),
+      | x -> x NOT IN ('the', 'a')) AS toks FROM documents""".stripMargin.replace("\n", "")
+
+  /** (word, idf) over the corpus vocabulary, as a single declarative plan
+    * (N joined in as a 1-row aggregate — no driver-side count). */
+  private[graft] def vocabIdf(base: DataFrame): DataFrame = {
+    val dfreq = Tfidf.docFreq(base, "doc_id", "toks")
+    val n = base.agg(count(lit(1)).as("n"))
+    dfreq.crossJoin(n)
+      .withColumn("idf", log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0))
+      .select(col("word"), col("df"), col("idf"))
+  }
+
+
+
+  /** embeddings with float vectors cast to double (IEEE parity with the oracle). */
+  private[graft] def embDouble(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), KMeansOps.asDouble(col("embedding")).as("v"))
+
+  /** embeddings ∪ a perturbed copy of each (vec_id + 1e6, dims scaled by
+    * exact-double factors 0.98/0.99/1.00 cycling by dim index). The
+    * synthetic embeddings have no high-cosine pairs (max ≈ 0.6), so this
+    * plants exactly one ≈0.999-cosine partner per vector — the near-dup
+    * regime LSH is built for — with arithmetic both engines reproduce
+    * bit-exactly. */
+  private[graft] def perturbedEmb(s: SparkSession, dir: String): DataFrame = {
+    val base = embDouble(s, dir)
+    base.unionByName(base.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("v"),
+        (x, i) => x * (lit(0.98) + lit(0.01) * (i % 3).cast("double"))).as("v")))
+  }
+
+  /** Deterministic k=8 "initial centroids": the vectors with vec_id < 8 —
+    * SQL-expressible on both sides (the seeded-random init is exercised by
+    * the lloyd() loop + scalatest, not the oracle). */
+  private[graft] def fixedCentroids(pts: DataFrame): DataFrame =
+    pts.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v").as("cvec"))
+
+  /** Same deterministic routing table as a sorted driver array — the
+    * knnSelfJoin/knnSelfRecall cell-table form (8 × d doubles). */
+  private[graft] def fixedCentroidArr(s: SparkSession, dir: String): Array[(Long, Array[Double])] =
+    embDouble(s, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("long"), col("v"))
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+
+  /** Shared oracle CTE: exploded Euclidean distances + per-point argmin rank.
+    * (lazy: referenced from `all`, which is declared above — a strict val
+    * here would still be null during `all`'s initialization.) */
+  private[graft] lazy val SqlKmeansAssign =
+    """WITH pts AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, CAST(unnest(embedding) AS DOUBLE) AS c,
+      |          unnest(range(0, len(embedding))) AS i FROM embeddings WHERE vec_id < 8),
+      |d AS (SELECT p.vec_id, c.cid, sqrt(sum((p.x - c.c) * (p.x - c.c))) AS dist
+      |      FROM pts p JOIN cents c ON p.i = c.i GROUP BY p.vec_id, c.cid),
+      |a AS (SELECT vec_id, cid, dist,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d)""".stripMargin
+}

@@ -1,0 +1,641 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+import graft.multimodal.Multimodal
+import graft.sources.Sinks
+
+import graft.SparkEntry.Q
+import graft.QShared._
+
+/** Query registry — M7+M8: similarity search over embeddings + text analysis + multimodal plumbing.
+  * Split out of SparkEntry (VERDICT r9 #6); see SparkEntry for the
+  * driver contract that concatenates the registries.
+  */
+private[graft] object QSimText {
+  import Dictionaries.{Stopwords => Stop}
+
+  def qs: Seq[Q] = Seq(
+
+    // ---- M7: similarity search over embeddings (beyond-reference)
+    Q("q_cosine_topk",  // brute-force cosine top-5, queries = every 50th vector
+      (s, dir) => {
+        val emb = Tables.table(s, dir, "embeddings")
+        Similarity.bruteTopK(
+            emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", k = 5)
+          // 4dp, not 6: engines sum dims in different orders (~1e-15 apart)
+          // and at 10k+ values a round-6 boundary hit becomes likely
+          .withColumn("cos", round(col("cos"), 4))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+        |d AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id, sum(a.x * b.x) AS dp
+        |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |      WHERE a.vec_id % 50 = 0 GROUP BY 1, 2),
+        |c AS (SELECT d.query_id, d.vec_id, d.dp / (na.nrm * nb.nrm) AS cos
+        |      FROM d JOIN n na ON na.vec_id = d.query_id
+        |             JOIN n nb ON nb.vec_id = d.vec_id),
+        |r AS (SELECT query_id, vec_id, cos,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        |      FROM c)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id,
+        |       round(cos, 4) + 0.0 AS cos
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("q_cosine_pairs",  // embedding pairs cosine ≥ 0.4 — exact distributed
+      (s, dir) => Similarity.cosinePairsBlocked(  // kernel, no driver collect
+          Tables.table(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id1", "id2"),
+      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+        |d AS (SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.x * b.x) AS dp
+        |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+        |c AS (SELECT id1, id2, dp / (na.nrm * nb.nrm) AS cos
+        |      FROM d JOIN n na ON na.vec_id = id1 JOIN n nb ON nb.vec_id = id2)
+        |SELECT id1, id2, round(cos, 6) AS cos FROM c
+        |WHERE cos >= 0.4 ORDER BY id1, id2""".stripMargin)),
+
+    Q("q_cosine_pairs_lsh",  // near-dup pairs ≥ 0.9 via hyperplane LSH + exact
+      (s, dir) => {           // verify; corpus = embeddings ∪ perturbed copies
+        Similarity.cosinePairsLsh(perturbedEmb(s, dir), "vec_id", "v", 0.9)
+          .withColumn("cos", round(col("cos"), 6))
+          .orderBy("id1", "id2")
+      },
+      // oracle is EXACT all-pairs SQL — at cos≈0.999 the 8×16 LSH miss
+      // probability is ~1e-19 per pair, so full recall is certain and the
+      // hash must match. The perturbed copies (dim-dependent exact-double
+      // scale factors) are what puts near-dup pairs in the synthetic data.
+      Some("""WITH ex0 AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |ex AS (SELECT vec_id, x, i FROM ex0
+        |       UNION ALL
+        |       SELECT vec_id + 1000000,
+        |              x * (CAST(0.98 AS DOUBLE)
+        |                   + CAST(0.01 AS DOUBLE) * CAST(i % 3 AS DOUBLE)), i
+        |       FROM ex0),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+        |d AS (SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.x * b.x) AS dp
+        |      FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+        |c AS (SELECT id1, id2, dp / (na.nrm * nb.nrm) AS cos
+        |      FROM d JOIN n na ON na.vec_id = id1 JOIN n nb ON nb.vec_id = id2)
+        |SELECT id1, id2, round(cos, 6) AS cos FROM c
+        |WHERE cos >= 0.9 ORDER BY id1, id2""".stripMargin)),
+
+    Q("q_ann_ivf",  // IVF ANN top-5 with a deterministic routing table (the
+      (s, dir) => {  // vec_id<8 centroids) — the full IVF mechanics, oracled
+        val emb = Tables.table(s, dir, "embeddings")
+        val pts = embDouble(s, dir)
+        Similarity.ivfTopK(
+            emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding",
+            k = 5, cells = 8, nprobe = 3,
+            centroids = Some(fixedCentroids(pts)))
+          // 4dp like q_cosine_topk: engines sum dims in different orders
+          .withColumn("cos", round(col("cos"), 4))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH pts AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, CAST(unnest(embedding) AS DOUBLE) AS c,
+        |          unnest(range(0, len(embedding))) AS i FROM embeddings WHERE vec_id < 8),
+        |ad AS (SELECT p.vec_id, c.cid, sqrt(sum((p.x - c.c) * (p.x - c.c))) AS dist
+        |       FROM pts p JOIN cents c ON p.i = c.i GROUP BY 1, 2),
+        |cell AS (SELECT vec_id, cid AS cell FROM ad
+        |         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+        |probe AS (SELECT vec_id AS query_id, cid AS cell FROM ad WHERE vec_id % 50 = 0
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) <= 3),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pts GROUP BY 1),
+        |d AS (SELECT q.query_id, v.vec_id, sum(qp.x * vp.x) AS dp
+        |      FROM probe q
+        |      JOIN cell v ON v.cell = q.cell AND v.vec_id <> q.query_id
+        |      JOIN pts qp ON qp.vec_id = q.query_id
+        |      JOIN pts vp ON vp.vec_id = v.vec_id AND vp.i = qp.i
+        |      GROUP BY 1, 2),
+        |c2 AS (SELECT query_id, d.vec_id, dp / (nq.nrm * nv.nrm) AS cos
+        |       FROM d JOIN n nq ON nq.vec_id = query_id JOIN n nv ON nv.vec_id = d.vec_id),
+        |r AS (SELECT query_id, vec_id, cos,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        |      FROM c2)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id,
+        |       round(cos, 4) + 0.0 AS cos
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("q_semantic_dedup",  // SemDeDup (arXiv:2303.09540) gated end-to-end:
+      // nearest-centroid cells → within-cell cosine pairs ≥ 0.9 →
+      // connected components → (id, rep) labels. The planted perturbed
+      // twins (≈0.999 cosine, see perturbedEmb) are the near-dups; the
+      // deterministic vec_id<32 routing table keeps both engines' cell
+      // assignment identical. Clustering prunes the pair space from
+      // O(n²) to Σ|cell|² — the whole reason SemDeDup works at web
+      // scale — and CC shuffles only the near-dup edges.
+      (s, dir) => {
+        val pts = perturbedEmb(s, dir)
+        // 32 cells, not 8: SemDeDup wants k ≈ √n — more cells cuts the
+        // within-cell pair space quadratically AND lifts the cell-join's
+        // parallelism ceiling (one task per cell key)
+        val cents = pts.filter(col("vec_id") < 32)
+          .select(col("vec_id").as("cid"), col("v").as("cvec"))
+        Similarity.semanticDedup(pts, "vec_id", "v", cents, 0.9).orderBy("id")
+      },
+      Some("""WITH RECURSIVE ex0 AS (SELECT vec_id,
+        |        CAST(unnest(embedding) AS DOUBLE) AS x,
+        |        unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |ex AS (SELECT vec_id, x, i FROM ex0
+        |       UNION ALL
+        |       SELECT vec_id + 1000000,
+        |              x * (CAST(0.98 AS DOUBLE)
+        |                   + CAST(0.01 AS DOUBLE) * CAST(i % 3 AS DOUBLE)), i
+        |       FROM ex0),
+        |cents AS (SELECT vec_id AS cid, x AS c, i FROM ex WHERE vec_id < 32),
+        |ad AS (SELECT p.vec_id, c.cid, sqrt(sum((p.x - c.c) * (p.x - c.c))) AS dist
+        |       FROM ex p JOIN cents c ON p.i = c.i GROUP BY 1, 2),
+        |cell AS (SELECT vec_id, cid AS cell FROM ad
+        |         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+        |pr AS (SELECT ca.vec_id AS id1, cb.vec_id AS id2
+        |       FROM cell ca JOIN cell cb
+        |         ON cb.cell = ca.cell AND ca.vec_id < cb.vec_id),
+        |d AS (SELECT pr.id1, pr.id2, sum(a.x * b.x) AS dp
+        |      FROM pr JOIN ex a ON a.vec_id = pr.id1
+        |              JOIN ex b ON b.vec_id = pr.id2 AND b.i = a.i
+        |      GROUP BY 1, 2),
+        |p AS (SELECT id1, id2 FROM d
+        |      JOIN n na ON na.vec_id = id1 JOIN n nb ON nb.vec_id = id2
+        |      WHERE dp / (na.nrm * nb.nrm) >= 0.9),
+        |ed AS (SELECT id1 AS a, id2 AS b FROM p UNION ALL SELECT id2, id1 FROM p),
+        |nn AS (SELECT DISTINCT a AS id FROM ed),
+        |rr AS (SELECT id, id AS reach FROM nn
+        |       UNION
+        |       SELECT rr.id, ed.b AS reach FROM rr JOIN ed ON ed.a = rr.reach)
+        |SELECT id, min(reach) AS rep FROM rr GROUP BY id ORDER BY id""".stripMargin)),
+
+    // ---- M8: text analysis + multimodal plumbing (beyond-reference)
+    Q("q_lang_id",
+      (s, dir) => {
+        val toks = TextOps.tokenize(col("text"))
+        val scores = TextStats.LangMarkers.map { case (lang, ms) =>
+          size(filter(toks, t => t.isin(ms: _*))).as(s"s_$lang")
+        }
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id") +: scores :+ TextStats.langId(toks).as("lang_pred"): _*)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |        regexp_extract_all(lower(text), '\b\w\w+\b') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('the','and','is','of','to','in'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','et','de','un'))) AS s_fr,
+        |  len(list_filter(toks, x -> x IN ('el','los','las','es','de','un'))) AS s_es,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) AS s_de
+        |  FROM t)
+        |SELECT doc_id, CAST(s_en AS INT) AS s_en, CAST(s_fr AS INT) AS s_fr,
+        |  CAST(s_es AS INT) AS s_es, CAST(s_de AS INT) AS s_de,
+        |  CASE WHEN greatest(s_en, s_fr, s_es, s_de) <= 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+        |       WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+        |       WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+        |       WHEN s_de = greatest(s_en, s_fr, s_es, s_de) THEN 'de'
+        |       ELSE 'und' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin)),
+
+    Q("q_quality",
+      (s, dir) => {
+        val toks = TextOps.tokenize(col("text"))
+        Tables.table(s, dir, "documents").select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          round(TextStats.distinctRatio(toks), 6).as("distinct_ratio"),
+          round(TextStats.stopwordRatio(toks, Stop), 6).as("stopword_ratio"),
+          round(TextStats.meanTokenLen(toks), 6).as("mean_len"),
+          round(TextStats.qualityScore(toks, Stop), 6).as("score"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+        |        regexp_extract_all(lower(text), '\\b\\w\\w+\\b') AS toks FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS dr,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+        |            / len(toks) END AS sr,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |            / len(toks) END AS ml,
+        |  $SqlQuality AS q
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  round(dr, 6) AS distinct_ratio, round(sr, 6) AS stopword_ratio,
+        |  round(ml, 6) AS mean_len, round(q, 6) AS score
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
+    Q("q_lm_score",  // CCNet-style perplexity-filter signal
+      // (arXiv:1911.00359): per-doc unigram cross-entropy against the
+      // corpus's own unigram LM — filter both tails. One explode + one
+      // token-keyed join vs the vocab freq table; total joins in as a
+      // 1-row broadcast; empty docs emit no row on either engine.
+      (s, dir) => TextStats.lmScore(docsTokens(s, dir), "doc_id", "toks")
+        .withColumn("xent", round(col("xent"), 6))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS ($SqlToks),
+        |e AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |f AS (SELECT w, count(*) AS cnt FROM e GROUP BY w),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM f)
+        |SELECT doc_id, round(-avg(ln(CAST(cnt AS DOUBLE) / total)), 6) AS xent
+        |FROM e JOIN f USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("q_lm_score_map",  // same CCNet signal, zero-shuffle form: the LM
+      // rides as ONE broadcast map row and each doc scores itself with a
+      // per-row fold — no explode, no token-keyed shuffle, no per-doc
+      // exchange; the corpus never leaves its input partitions. Same
+      // distribution as q_lm_score, so the oracle is the same SQL —
+      // the value equality of the two plans IS the demonstration.
+      (s, dir) => {
+        val docs = docsTokens(s, dir)
+        TextStats.lmScoreBroadcast(docs, "doc_id", "toks",
+            TextStats.unigramLogProbs(docs, "toks"), "w", "logp")
+          .withColumn("xent", round(col("xent"), 6))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |e AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |f AS (SELECT w, count(*) AS cnt FROM e GROUP BY w),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM f)
+        |SELECT doc_id, round(-avg(ln(CAST(cnt AS DOUBLE) / total)), 6) AS xent
+        |FROM e JOIN f USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("q_ccnet_buckets",  // CCNet head/middle/tail perplexity terciles
+      // (arXiv:1911.00359 §4.4 — the slices the released corpora ship
+      // in): per source, ntile(3) over the rounded q_lm_score signal
+      // (ties by doc_id — rounded-before-ranked, engine-independent
+      // boundary). The window sorts the (id, source, xent) triple
+      // table, never the corpus text; slices materialize by joining the
+      // bucket column back on id.
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextOps.tokenizeFiltered(col("text"), Stop, Nil).as("toks"))
+        val scored = TextStats.lmScore(docs, "doc_id", "toks")
+          .join(docs.select("doc_id", "source"), "doc_id")
+        TextStats.ccnetBuckets(scored, "doc_id", "source", "xent")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source,
+        |        list_filter(regexp_extract_all(lower(text), '\\b\\w\\w+\\b'),
+        |          x -> x NOT IN ('the', 'a')) AS toks FROM documents),
+        |e AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |f AS (SELECT w, count(*) AS cnt FROM e GROUP BY w),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM f),
+        |sc AS (SELECT doc_id, round(-avg(ln(CAST(cnt AS DOUBLE) / total)), 6) AS xent
+        |       FROM e JOIN f USING (w) CROSS JOIN tot GROUP BY doc_id),
+        |b AS (SELECT sc.doc_id, t.source, sc.xent,
+        |        ntile(3) OVER (PARTITION BY t.source
+        |                       ORDER BY sc.xent, sc.doc_id) AS nt
+        |      FROM sc JOIN t ON t.doc_id = sc.doc_id)
+        |SELECT doc_id, source, xent,
+        |       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |               ELSE 'tail' END AS bucket
+        |FROM b ORDER BY doc_id""".stripMargin)),
+
+    Q("q_dsir_weights",  // DSIR-style domain-targeting importance weights
+      // (arXiv:2302.03169), add-1-smoothed unigram LMs: mean per-token
+      // log ratio of the src0 target distribution over the corpus
+      // distribution — resample on high dsir_logw to shift the mixture
+      // toward the target domain. Single conditional-agg pass builds
+      // both count columns; same token-keyed join shape as q_lm_score.
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextOps.tokenizeFiltered(col("text"), Stop, Nil).as("toks"))
+        TextStats.dsirWeights(docs, "doc_id", "toks", col("source") === "src0")
+          .withColumn("dsir_logw", round(col("dsir_logw"), 6))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source,
+        |        list_filter(regexp_extract_all(lower(text), '\\b\\w\\w+\\b'),
+        |          x -> x NOT IN ('the', 'a')) AS toks FROM documents),
+        |e AS (SELECT doc_id, source = 'src0' AS tgt, unnest(toks) AS w FROM t),
+        |f AS (SELECT w, count(*) AS c_all,
+        |        sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt FROM e GROUP BY w),
+        |tot AS (SELECT CAST(sum(c_all) AS DOUBLE) AS n_all,
+        |        CAST(sum(c_tgt) AS DOUBLE) AS n_tgt,
+        |        CAST(count(*) AS DOUBLE) AS vocab FROM f)
+        |SELECT doc_id, 0.0 + round(avg(ln((c_tgt + 1.0) / (n_tgt + vocab))
+        |                       - ln((c_all + 1.0) / (n_all + vocab))), 6) AS dsir_logw
+        |FROM e JOIN f USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("q_repetition",  // Gopher/C4-style repetition signals: top-word share +
+      (s, dir) => {    // duplicate-bigram fraction
+        val toks = TextOps.tokenize(col("text"))
+        Tables.table(s, dir, "documents").select(
+          col("doc_id"),
+          round(TextStats.topTokenFraction(toks), 6).as("top_tok_frac"),
+          round(TextStats.dupBigramFraction(toks), 6).as("dup_bigram_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |        regexp_extract_all(lower(text), '\b\w\w+\b') AS toks FROM documents)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(list_max(list_transform(list_distinct(toks),
+        |      t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / len(toks) END,
+        |    6) AS top_tok_frac,
+        |  round(CASE WHEN len(toks) < 2 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+        |      / (len(toks) - 1) END, 6) AS dup_bigram_frac
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
+    Q("q_gopher_rep",  // the FULL Gopher repetition-rule table (Rae et
+      // al. arXiv:2112.11446 Table A1) beyond q_repetition's two
+      // signals: char-weighted top-{2,3,4}-gram domination (count ×
+      // gram chars / token chars, ties → smallest gram) and
+      // dup-{5,10}-gram coverage (chars under ANY ≥2×-occurring
+      // n-gram, counted ONCE via the SpanCoverMask sweep — overlapping
+      // windows don't double-count). ZERO shuffles — per-row array
+      // arithmetic, O(g²) bounded by doc length, never corpus size.
+      (s, dir) => TextStats.gopherRepetition(
+          Tables.table(s, dir, "documents")
+            .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks")),
+          "doc_id", "toks")
+        .orderBy("doc_id"),
+      Some {
+        // flat chained CTEs — correlated subqueries + nested lambdas
+        // break the DuckDB binder, column-level lambdas don't
+        val ns = Seq(2, 3, 4, 5, 10)
+        def gCol(n: Int) =
+          s"""CASE WHEN nt < $n THEN []::VARCHAR[]
+             | ELSE list_transform(range(1, nt - ${n - 2}), i ->
+             |        array_to_string(toks[i:i+${n - 1}], ' ')) END AS g$n"""
+            .stripMargin
+        def cCol(n: Int) =
+          s"list_transform(g$n, x -> len(list_filter(g$n, y -> y = x))) AS c$n"
+        def topCols(n: Int) = (
+          s"CASE WHEN len(c$n) = 0 THEN 0 ELSE list_max(c$n) END AS m$n",
+          s"""list_min(list_transform(
+             |  list_filter(range(1, len(g$n) + 1), s -> c$n[s] = m$n),
+             |  s -> g$n[s])) AS w$n""".stripMargin)
+        def dCol(n: Int) =
+          s"list_filter(range(1, len(g$n) + 1), s -> c$n[s] >= 2) AS d$n"
+        def covCol(n: Int) =
+          s"""COALESCE(list_sum(list_transform(range(1, nt + 1), i ->
+             |  CASE WHEN len(list_filter(d$n, s -> i >= s AND i < s + $n)) > 0
+             |       THEN length(toks[i]) ELSE 0 END)), 0) AS cov$n""".stripMargin
+        def topFrac(n: Int) =
+          s"""round(CASE WHEN nt < $n OR total = 0 THEN 0.0
+             |  ELSE m$n * (length(w$n) - ${n - 1}) / CAST(total AS DOUBLE)
+             |  END, 6) AS top${n}_frac""".stripMargin
+        def dupFrac(n: Int) =
+          s"""round(CASE WHEN nt < $n OR total = 0 THEN 0.0
+             |  ELSE cov$n / CAST(total AS DOUBLE) END, 6) AS dup${n}_frac"""
+            .stripMargin
+        s"""WITH t AS (SELECT doc_id,
+           |        regexp_extract_all(lower(text), '\\b\\w\\w+\\b') AS toks
+           |      FROM documents),
+           |base AS (SELECT doc_id, toks, len(toks) AS nt,
+           |  COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS total
+           |  FROM t),
+           |gr AS (SELECT *, ${ns.map(gCol).mkString(",\n")} FROM base),
+           |cn AS (SELECT *, ${ns.map(cCol).mkString(",\n")} FROM gr),
+           |mx AS (SELECT *, ${Seq(2, 3, 4).map(n => topCols(n)._1).mkString(",\n")} FROM cn),
+           |tw AS (SELECT *, ${Seq(2, 3, 4).map(n => topCols(n)._2).mkString(",\n")} FROM mx),
+           |dd AS (SELECT *, ${Seq(5, 10).map(dCol).mkString(",\n")} FROM tw),
+           |cov AS (SELECT *, ${Seq(5, 10).map(covCol).mkString(",\n")} FROM dd)
+           |SELECT doc_id,
+           |  ${Seq(2, 3, 4).map(topFrac).mkString(",\n")},
+           |  ${Seq(5, 10).map(dupFrac).mkString(",\n")}
+           |FROM cov ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("q_token_stats",
+      (s, dir) => Tables.table(s, dir, "documents").select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          TextStats.wsTokenCount(col("text")).as("ws_tokens"),
+          size(TextOps.tokenize(col("text"))).as("re_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '\b\w\w+\b')) AS INT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("q_bpe_tokens",  // BPE-ish LLM-token counting (the GPT-2 pre-tokenizer
+      // segmentation rule reduced to its regex core: letter runs / digit
+      // runs / other-symbol runs) — the cheap upper-anchor every token-
+      // budgeted data recipe starts from, next to the ws/word counts of
+      // q_token_stats. Map-side regexp count, no shuffle beyond the scan.
+      (s, dir) => Tables.table(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("__len"),
+          TextStats.bpeishTokenCount(col("text")).as("bpe_tokens"))
+        .select(col("doc_id"), col("bpe_tokens"),
+          round(when(col("bpe_tokens") === 0, lit(0.0))
+            .otherwise(col("__len") / col("bpe_tokens").cast("double")), 4)
+            .as("chars_per_token"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS INT)
+        |    AS bpe_tokens,
+        |  round(CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) = 0
+        |    THEN 0.0 ELSE length(text)
+        |      / CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS DOUBLE)
+        |    END, 4) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("q_fingerprint",
+      (s, dir) => docsTokens(s, dir)
+        .select(col("doc_id"), TextStats.contentFingerprint(col("toks")).as("fp"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS ($SqlToks)
+        |SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
+    Q("q_multimodal_meta",  // binary payload + typed metadata plumbing
+      (s, dir) => Multimodal.fromText(
+          Tables.table(s, dir, "documents"), "doc_id", "text", "source")
+        .select(col("media_id"), col("modality"),
+          col("meta.byte_len").as("byte_len"), col("meta.sha256").as("sha256"),
+          col("meta.source").as("source"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id, 'text' AS modality,
+        |  CAST(length(text) AS BIGINT) AS byte_len, sha256(text) AS sha256, source
+        |FROM documents ORDER BY media_id""".stripMargin)),
+
+    Q("q_frame_sample",  // video-frame sampling plumbing: counts oracled
+      (s, dir) => Multimodal.sampleFrames(
+          Multimodal.fromText(Tables.table(s, dir, "documents"), "doc_id", "text", "source"),
+          frameBytes = 32, stride = 3)
+        .groupBy(col("media_id"), col("n_frames"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+        |  CAST(ceil(length(text) / 32.0) AS INT) AS n_frames,
+        |  CAST(ceil(ceil(length(text) / 32.0) / 3.0) AS BIGINT) AS n_kept
+        |FROM documents ORDER BY media_id""".stripMargin)),
+
+    Q("q_multimodal_features",  // REAL ImageIO decode of synthetic PNGs —
+      // gradient construction gives the channel means closed forms the
+      // oracle can compute from doc_id alone (lossless PNG roundtrip)
+      (s, dir) => Multimodal.decodeImage(
+          Multimodal.syntheticPng(Tables.table(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("decoded"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id, TRUE AS decoded,
+        |  CAST(doc_id % 13 + 1 AS INT) AS width,
+        |  CAST(doc_id % 11 + 1 AS INT) AS height,
+        |  round((doc_id % 200) + (doc_id % 13) / 2.0, 6) AS mean_r,
+        |  round((doc_id * 7 % 200) + (doc_id % 11) / 2.0, 6) AS mean_g,
+        |  round(CAST(doc_id * 13 % 200 AS DOUBLE), 6) AS mean_b
+        |FROM documents ORDER BY media_id""".stripMargin)),
+
+    Q("q_image_phash",  // perceptual image hash over REAL ImageIO-decoded
+      // pixels: integer Rec.601 luminance (299r+587g+114b), bit = above
+      // the grid mean with the comparison cross-multiplied to stay
+      // integral — so the hash is exact arithmetic and the oracle
+      // rebuilds it bit-for-bit from the gradient's closed form without
+      // decoding anything. Group by (width, height, ahash) = cross-
+      // format image dedup key (brightness-invariance spec'd).
+      (s, dir) => Multimodal.imageAHash(
+          Multimodal.syntheticPng(Tables.table(s, dir, "documents"), "doc_id"))
+        .orderBy("media_id"),
+      Some("""WITH p AS (SELECT doc_id AS media_id,
+        |  CAST(doc_id % 13 + 1 AS INT) AS w, CAST(doc_id % 11 + 1 AS INT) AS h,
+        |  doc_id % 200 AS br, doc_id * 7 % 200 AS bg, doc_id * 13 % 200 AS bb
+        |  FROM documents),
+        |t AS (SELECT *, CAST(w AS BIGINT) * h AS n,
+        |  CAST(w AS BIGINT) * h * (299*br + 587*bg + 114*bb)
+        |    + 299 * h * (CAST(w - 1 AS BIGINT) * w // 2)
+        |    + 587 * w * (CAST(h - 1 AS BIGINT) * h // 2) AS total
+        |  FROM p)
+        |SELECT media_id, TRUE AS decoded, w AS width, h AS height,
+        |  array_to_string(list_transform(range(0, n), i ->
+        |    CASE WHEN n * (299*(br + i % w) + 587*(bg + i // w) + 114*bb) > total
+        |      THEN '1' ELSE '0' END), '') AS ahash
+        |FROM t ORDER BY media_id""".stripMargin)),
+
+    Q("q_image_dedup",  // perceptual image near-dup clustering — the
+      // composition q_image_phash was missing (VERDICT r9 #3): aHash →
+      // 4-band pigeonhole blocking within (w, h) → exact per-position
+      // Hamming ≤ 3 → connected components, (id, rep). On the gradient
+      // corpus brightness offsets cancel (aHash invariance), so every
+      // same-(w,h) image pairs at hamming 0 — the identical-image flood
+      // the scaladoc names as THE hot bucket; the pigeonhole spec
+      // exercises hamming 1..3 on planted flips. Oracle rebuilds hash,
+      // bands, distance and CC closed-form from doc_id alone.
+      (s, dir) => Multimodal.imageDedup(
+          Multimodal.imageAHash(
+            Multimodal.syntheticPng(Tables.table(s, dir, "documents"), "doc_id")))
+        .orderBy("id"),
+      Some("""WITH RECURSIVE p AS (SELECT doc_id AS id,
+        |  CAST(doc_id % 13 + 1 AS INT) AS w, CAST(doc_id % 11 + 1 AS INT) AS h,
+        |  doc_id % 200 AS br, doc_id * 7 % 200 AS bg, doc_id * 13 % 200 AS bb
+        |  FROM documents),
+        |t AS (SELECT *, CAST(w AS BIGINT) * h AS n,
+        |  CAST(w AS BIGINT) * h * (299*br + 587*bg + 114*bb)
+        |    + 299 * h * (CAST(w - 1 AS BIGINT) * w // 2)
+        |    + 587 * w * (CAST(h - 1 AS BIGINT) * h // 2) AS total
+        |  FROM p),
+        |hs AS (SELECT id, w, h, array_to_string(list_transform(range(0, n), i ->
+        |    CASE WHEN n * (299*(br + i % w) + 587*(bg + i // w) + 114*bb) > total
+        |      THEN '1' ELSE '0' END), '') AS ahash FROM t),
+        |bd AS (SELECT id, w, h, ahash, bb.band,
+        |    substr(ahash, CAST((bb.band * len(ahash)) // 4 + 1 AS INT),
+        |      CAST(((bb.band + 1) * len(ahash)) // 4
+        |        - (bb.band * len(ahash)) // 4 AS INT)) AS bs
+        |  FROM hs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bb),
+        |cand AS (SELECT DISTINCT x.id AS id1, y.id AS id2,
+        |    x.ahash AS ha, y.ahash AS hb
+        |  FROM bd x JOIN bd y ON x.w = y.w AND x.h = y.h
+        |    AND x.band = y.band AND x.bs = y.bs AND x.id < y.id),
+        |pr AS (SELECT id1, id2 FROM cand
+        |  WHERE len(list_filter(range(1, len(ha) + 1), i -> ha[i] <> hb[i])) <= 3),
+        |ed AS (SELECT id1 AS a, id2 AS b2 FROM pr UNION ALL SELECT id2, id1 FROM pr),
+        |nn AS (SELECT DISTINCT a AS id FROM ed),
+        |rr AS (SELECT id, id AS reach FROM nn
+        |       UNION
+        |       SELECT rr.id, ed.b2 AS reach FROM rr JOIN ed ON ed.a = rr.reach)
+        |SELECT id, min(reach) AS rep FROM rr GROUP BY id ORDER BY id""".stripMargin)),
+
+    Q("q_audio_features",  // REAL javax.sound decode of synthetic WAVs —
+      // alternating ±A 16-bit PCM gives n_samples and RMS closed forms
+      // the oracle computes from doc_id alone (lossless WAV roundtrip)
+      (s, dir) => Multimodal.decodeAudio(
+          Multimodal.syntheticWav(Tables.table(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("decoded"), col("sample_rate"),
+          col("channels"), col("n_samples"),
+          round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("rms"), 6).as("rms"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id, TRUE AS decoded,
+        |  8000 AS sample_rate, 1 AS channels,
+        |  CAST((doc_id % 5 + 1) * 800 AS BIGINT) AS n_samples,
+        |  round((doc_id % 5 + 1) * 100.0, 6) AS duration_ms,
+        |  round(CAST((doc_id % 1000 + 1) * 16 AS DOUBLE), 6) AS rms
+        |FROM documents ORDER BY media_id""".stripMargin)),
+
+    Q("q_chunks",  // sliding-window context chunking: 32-token windows,
+      (s, dir) => docsTokens(s, dir)  // 8-token overlap, last partial kept
+        .select(col("doc_id"),
+          explode(TextOps.chunkTokens(col("toks"), size = 32, overlap = 8)).as("c"))
+        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+          size(col("c.toks")).as("n_toks"),
+          concat_ws(" ", col("c.toks")).as("chunk"))
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH t AS ($SqlToks),
+        |c AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |e AS (SELECT doc_id, toks, n, unnest(range(0, (n - 1) // 24 + 1)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |  CAST(least(32, n - i * 24) AS INT) AS n_toks,
+        |  array_to_string(list_slice(toks, i * 24 + 1, least(i * 24 + 32, n)), ' ') AS chunk
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    Q("q_pack",  // GPT-style sequence packing: global token offsets → the
+      // 256-token sequence span each doc lands in. At-scale form: range
+      // repartition + per-partition running sums, no single-partition
+      // WindowExec (PlanAuditSpec asserts; parity TextOpsSpec-tested)
+      (s, dir) => {
+        val d = docsTokens(s, dir).select(col("doc_id"), size(col("toks")).as("n_toks"))
+        TextOps.packSequencesAtScale(d, "doc_id", "n_toks", budget = 256)
+          .select(col("doc_id"), col("n_toks"), col("tok_offset"),
+            col("seq_first"), col("seq_last"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |d AS (SELECT doc_id, len(toks) AS n_toks FROM t),
+        |o AS (SELECT doc_id, n_toks,
+        |        COALESCE(sum(n_toks) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |      FROM d)
+        |SELECT doc_id, CAST(n_toks AS INT) AS n_toks,
+        |  CAST(tok_offset AS BIGINT) AS tok_offset,
+        |  CAST(tok_offset // 256 AS BIGINT) AS seq_first,
+        |  CAST(CASE WHEN n_toks = 0 THEN tok_offset // 256
+        |       ELSE (tok_offset + n_toks - 1) // 256 END AS BIGINT) AS seq_last
+        |FROM o ORDER BY doc_id""".stripMargin)),
+
+    Q("q_vocab_params",  // sklearn min_df/max_df/max_features vocabulary selection
+      (s, dir) => {
+        val base = docsTokens(s, dir)
+        Tfidf.selectVocab(
+            Tfidf.docFreqWithCounts(base, "doc_id", "toks"),
+            n = base.count(), minDf = 2.0, maxDf = 0.8, maxFeatures = 20)
+          .orderBy("word")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |f AS (SELECT word, count(DISTINCT doc_id) AS df, count(*) AS cnt
+        |      FROM (SELECT doc_id, unnest(toks) AS word FROM t) GROUP BY word),
+        |n AS (SELECT count(*) AS n FROM t),
+        |kept AS (SELECT word, df, cnt FROM f, n WHERE df >= 2 AND df <= 0.8 * n
+        |         QUALIFY row_number() OVER (ORDER BY cnt DESC, word) <= 20)
+        |SELECT word, df, cnt FROM kept ORDER BY word""".stripMargin))
+  )
+}
