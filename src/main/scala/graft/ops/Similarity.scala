@@ -498,12 +498,31 @@ object Similarity {
       emb: DataFrame, idCol: String, vecCol: String,
       cells: Array[(Long, Array[Double])],
       k: Int, nprobe: Int, scale: Int = 4): DataFrame = {
+    require(k >= 1)
+    val sym = cellMatches(emb, idCol, vecCol, None, cells, nprobe, scale)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr"))
+    sym.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nbr"), col("cos"))
+  }
+
+  /** Shared candidate kernel of [[knnSelfJoin]]/[[hardNegatives]]:
+    * symmetric cell-routed scored matches (qid, nbr, cos[, qlab,
+    * nlab]), deduped on the edge key. `labelCol` rides THROUGH the
+    * routing projection when given — labels cost zero extra joins
+    * (joining them onto the candidate set afterwards would shuffle
+    * the whole edge set twice).
+    */
+  private def cellMatches(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: Option[String],
+      cells: Array[(Long, Array[Double])], nprobe: Int, scale: Int): DataFrame = {
     require(cells.nonEmpty, "cells must be non-empty")
     require(cells.map(_._1).toSeq == cells.map(_._1).sorted.toSeq,
       "cells must be sorted by id (positional ties = id ties)")
-    require(k >= 1 && nprobe >= 1 && nprobe <= cells.length)
-    val pts = emb.select(col(idCol).as("id"),
-      KMeansOps.asDouble(col(vecCol)).as("v"))
+    require(nprobe >= 1 && nprobe <= cells.length)
+    val pts = emb.select(
+      col(idCol).as("id") +: KMeansOps.asDouble(col(vecCol)).as("v") +:
+        labelCol.map(c => col(c).as("lab")).toSeq: _*)
     // same euclid arithmetic as KMeansOps.assign/ivfTopK routing — the
     // oracle-proven distance form; struct sort = ORDER BY dist, cid
     val cellDists = array(cells.map { case (cid, cv) =>
@@ -511,27 +530,124 @@ object Similarity {
         lit(cid).as("c"))
     }: _*)
     val routed = withUnitVec(
-      pts.select(col("id"), col("v"),
+      pts.withColumn("pc",
         transform(slice(sort_array(cellDists), 1, nprobe),
-          p => p.getField("c")).as("pc")),
+          p => p.getField("c"))),
       "v", "u")
-    val home = routed.select(col("id").as("nbr"),
-      element_at(col("pc"), 1).as("cell"), col("u").as("cu"))
-    val probes = routed.select(col("id").as("qid"),
-      explode(col("pc")).as("cell"), col("u").as("qu"))
+    val lab = labelCol.isDefined
+    val home = routed.select(col("id").as("nbr") +:
+      element_at(col("pc"), 1).as("cell") +: col("u").as("cu") +:
+      (if (lab) Seq(col("lab").as("nlab")) else Nil): _*)
+    val probes = routed.select(col("id").as("qid") +:
+      explode(col("pc")).as("cell") +: col("u").as("qu") +:
+      (if (lab) Seq(col("lab").as("qlab")) else Nil): _*)
+    val keep = Seq(col("qid"), col("nbr"),
+        (round(dot(col("qu"), col("cu")), scale) + lit(0.0)).as("cos")) ++
+      (if (lab) Seq(col("qlab"), col("nlab")) else Nil)
     val scored = probes.join(home, Seq("cell"))
       .filter(col("qid") =!= col("nbr"))
-      .select(col("qid"), col("nbr"),
-        (round(dot(col("qu"), col("cu")), scale) + lit(0.0)).as("cos"))
+      .select(keep: _*)
     // symmetric candidacy: mirror every scored match, dedup the edge
     // key (a pair found in both directions scores identically)
-    val sym = scored.unionByName(scored.select(
-        col("nbr").as("qid"), col("qid").as("nbr"), col("cos")))
-      .distinct()
+    val mirror = Seq(col("nbr").as("qid"), col("qid").as("nbr"), col("cos")) ++
+      (if (lab) Seq(col("nlab").as("qlab"), col("qlab").as("nlab")) else Nil)
+    scored.unionByName(scored.select(mirror: _*)).distinct()
+  }
+
+  /** HARD-NEGATIVE mining for contrastive training (the ANCE/DPR prep
+    * step): per anchor, the top-`k` most similar corpus vectors whose
+    * `labelCol` DIFFERS from the anchor's — semantically close,
+    * label-wise wrong, exactly the negatives that carry gradient.
+    * Candidates come from the same symmetric cell routing as
+    * [[knnSelfJoin]] (approximate by design — router recall applies);
+    * the label filter runs BEFORE ranking so every returned rank is a
+    * true negative, and labels ride through the routing projection
+    * (zero extra joins). Ranking on ROUNDED cosine, ties by neighbor
+    * id. Output: (qid, qlab, rank, nbr, nlab, cos).
+    */
+  def hardNegatives(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      cells: Array[(Long, Array[Double])],
+      k: Int, nprobe: Int, scale: Int = 4): DataFrame = {
+    require(k >= 1)
+    val cand = cellMatches(emb, idCol, vecCol, Some(labelCol), cells, nprobe, scale)
+      .filter(col("qlab") =!= col("nlab"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nbr"))
-    sym.withColumn("rank", row_number().over(w).cast("int"))
+    cand.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nbr"), col("cos"))
+      .select(col("qid"), col("qlab"), col("rank"), col("nbr"),
+        col("nlab"), col("cos"))
+  }
+
+  /** Binary (1-bit-per-dimension) SIGN quantization — the cheapest
+    * retrieval tier: word `w` packs dims 32w..32w+31 as bits
+    * (bit i = 1 iff x > 0, strictly — zeros quantize to 0 on any
+    * engine), 32-bit words so every value stays positive in a signed
+    * 64-bit lane (the [[graft.ops.Dedup.simhashPortable]] device —
+    * DuckDB rebuilds words with `1::BIGINT << (i % 32)` sums and
+    * compares bit_count(xor) exactly). d=4096 compresses 128× to 128
+    * words. One map-side projection of ⌈d/32⌉ fused 32-term bit-OR
+    * expressions — zero shuffle. Output: (idCol, sigs array<long>).
+    */
+  def signBits(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = KMeansOps.asDouble(col(vecCol))
+    emb.select(col(idCol), signWords(emb, v).as("sigs"))
+  }
+
+  /** ⌈d/32⌉ packed 32-bit sign words of `v` as one array Column (d
+    * probed once from `emb`). */
+  private def signWords(emb: DataFrame, v: Column): Column = {
+    val probe = emb.select(size(v).as("d")).limit(1).collect()
+    val d = if (probe.isEmpty) 0 else probe(0).getInt(0)
+    val nw = (d + 31) / 32
+    val words = (0 until nw).map { w =>
+      (0 until 32).filter(i => w * 32 + i < d).map { i =>
+        when(element_at(v, w * 32 + i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }
+    array(words: _*)
+  }
+
+  /** Retrieval recall of the [[signBits]] tier — per probe
+    * (id % probeEvery = 0), |top-k by Hamming ∩ top-k by exact
+    * rounded cosine| as (qid, n_common ∈ [0,k]). Hamming ranks
+    * ascending with id ties; the exact side is the [[truncRecall]]
+    * ranking. BOTH rankings window the SAME probe×corpus frame
+    * partitioned once by qid — one exchange, two sort orders.
+    * Zero-norm rows are excluded from the cosine ranking (NaN guard)
+    * but still quantize and rank on the Hamming side.
+    */
+  def binaryRecall(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, probeEvery: Int = 50, scale: Int = 4): DataFrame = {
+    require(k >= 1 && probeEvery >= 1)
+    val v = KMeansOps.asDouble(col(vecCol))
+    // quantize and keep the float vector in ONE projection — a join
+    // back onto the corpus would shuffle it for nothing
+    val base = emb.select(col(idCol), v.as("fv"), signWords(emb, v).as("sigs"))
+    val probes = base.filter(col(idCol) % probeEvery === 0)
+      .select(col(idCol).as("qid"), col("fv").as("qv"), col("sigs").as("qs"))
+    val cands = base.select(col(idCol).as("cid"), col("fv").as("cv"),
+      col("sigs").as("cs"))
+    val qn = sqrt(dot(col("qv"), col("qv")))
+    val cn = sqrt(dot(col("cv"), col("cv")))
+    val cos = round(dot(col("qv"), col("cv")) / (qn * cn), scale)
+    val ham = aggregate(
+      zip_with(col("qs"), col("cs"), (a, b) => bit_count(a.bitwiseXOR(b))),
+      lit(0), (acc, x) => acc + x)
+    val joined = cands.crossJoin(broadcast(probes))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("ham", ham)
+      .withColumn("cos", when(qn > 0 && cn > 0, cos))
+    val w = Window.partitionBy(col("qid"))
+    val rnkB = row_number().over(w.orderBy(col("ham"), col("cid")))
+    val rnkE = row_number().over(w.orderBy(col("cos").desc_nulls_last, col("cid")))
+    joined
+      .withColumn("rb", rnkB).withColumn("re", rnkE)
+      .filter(col("rb") <= k && col("re") <= k && col("cos").isNotNull)
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_common"))
+      .join(probes.select(col("qid")), Seq("qid"), "right")
+      .select(col("qid"), coalesce(col("n_common"), lit(0L)).as("n_common"))
   }
 
   /** Recall of [[knnSelfJoin]] against the exact [[knnGraph]] — per

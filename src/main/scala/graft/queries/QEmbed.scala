@@ -190,6 +190,106 @@ private[graft] object QEmbed {
         |FROM embeddings e LEFT JOIN jn ON jn.qid = e.vec_id
         |ORDER BY qid""".stripMargin)),
 
+    Q("q_hard_negatives",  // contrastive-training hard-negative mining
+      // (ANCE/DPR prep): per anchor, top-5 most-similar vectors with a
+      // DIFFERENT label — semantically close, label-wise wrong, the
+      // negatives that carry gradient. Same symmetric cell routing as
+      // q_knn_approx; labels ride through the routing projection (zero
+      // extra joins), the label filter runs BEFORE ranking.
+      (s, dir) => Similarity.hardNegatives(
+          Tables.table(s, dir, "embeddings"), "vec_id", "embedding", "label",
+          fixedCentroidArr(s, dir), k = 5, nprobe = 5)
+        .orderBy("qid", "rank"),
+      Some("""WITH pts AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, CAST(unnest(embedding) AS DOUBLE) AS c,
+        |          unnest(range(0, len(embedding))) AS i FROM embeddings WHERE vec_id < 8),
+        |ad AS MATERIALIZED (SELECT p.vec_id, c.cid, sqrt(sum((p.x - c.c) * (p.x - c.c))) AS dist
+        |       FROM pts p JOIN cents c ON p.i = c.i GROUP BY 1, 2),
+        |home AS (SELECT vec_id, cid AS cell FROM ad
+        |         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+        |probe AS (SELECT vec_id AS qid, cid AS cell FROM ad
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) <= 5),
+        |n AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pts GROUP BY 1),
+        |m AS (SELECT q.qid AS a, h.vec_id AS b FROM probe q
+        |      JOIN home h ON h.cell = q.cell AND h.vec_id <> q.qid),
+        |cand AS (SELECT a AS qid, b AS nbr FROM m UNION SELECT b, a FROM m),
+        |neg AS (SELECT cand.qid, cand.nbr, la.label AS qlab, lb.label AS nlab
+        |        FROM cand JOIN embeddings la ON la.vec_id = cand.qid
+        |                  JOIN embeddings lb ON lb.vec_id = cand.nbr
+        |        WHERE la.label <> lb.label),
+        |d AS (SELECT neg.qid, neg.nbr, neg.qlab, neg.nlab, sum(a.x * b.x) AS dp
+        |      FROM neg JOIN pts a ON a.vec_id = neg.qid
+        |               JOIN pts b ON b.vec_id = neg.nbr AND b.i = a.i
+        |      GROUP BY 1, 2, 3, 4),
+        |c2 AS (SELECT qid, nbr, qlab, nlab, round(dp / (nq.nrm * nv.nrm), 4) + 0.0 AS cos
+        |       FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = nbr),
+        |r AS (SELECT qid, qlab, nbr, nlab, cos,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rnk
+        |      FROM c2)
+        |SELECT qid, qlab, CAST(rnk AS INT) AS rank, nbr, nlab, cos
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    Q("q_sign_bits",  // binary (1-bit/dim) sign quantization — the
+      // cheapest retrieval tier (d=64 → two 32-bit words; 128× at
+      // production d): bit i of word w = 1 iff dim 32w+i is strictly
+      // positive. 32-bit words keep every value positive in a signed
+      // BIGINT lane so DuckDB rebuilds them with shift sums bit-for-bit
+      // (the simhashPortable device). One map-side projection of fused
+      // bit-OR expressions, zero shuffle. Gated in LONG form (id, w,
+      // word) — value hashes can't compare array cells.
+      (s, dir) => Similarity.signBits(
+          Tables.table(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), posexplode(col("sigs")).as(Seq("w", "word")))
+        .orderBy("vec_id", "w"),
+      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |        CAST(unnest(range(0, len(embedding))) AS INT) AS i FROM embeddings)
+        |SELECT vec_id, CAST(i // 32 AS INT) AS w,
+        |       CAST(sum(CASE WHEN x > 0
+        |         THEN (CAST(1 AS BIGINT) << (i % 32)) ELSE 0 END) AS BIGINT) AS word
+        |FROM e GROUP BY 1, 2 ORDER BY vec_id, w""".stripMargin)),
+
+    Q("q_binary_recall",  // retrieval recall of the sign-bit tier: per
+      // probe (vec_id%50=0), |top-5 by Hamming ∩ top-5 by exact rounded
+      // cosine|. Both rankings window ONE probe×corpus frame
+      // partitioned once by qid (one exchange, two sort orders);
+      // Hamming ties by id, and the d/2 expected random-pair distance
+      // makes this the matryoshka-style eval for the 1-bit tier.
+      (s, dir) => Similarity.binaryRecall(
+          Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 5, probeEvery = 50)
+        .orderBy("qid"),
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |        CAST(unnest(range(0, len(embedding))) AS INT) AS i FROM embeddings),
+        |n AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+        |w AS MATERIALIZED (SELECT vec_id, i // 32 AS w,
+        |        CAST(sum(CASE WHEN x > 0
+        |          THEN (CAST(1 AS BIGINT) << (i % 32)) ELSE 0 END) AS BIGINT) AS word
+        |      FROM e GROUP BY 1, 2),
+        |hb AS MATERIALIZED (SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |        CAST(sum(bit_count(xor(a.word, b.word))) AS INT) AS ham
+        |      FROM w a JOIN w b ON a.w = b.w AND b.vec_id <> a.vec_id
+        |      WHERE a.vec_id % 50 = 0 GROUP BY 1, 2),
+        |rb_ AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid,
+        |        row_number() OVER (PARTITION BY qid ORDER BY ham, cid) AS r
+        |      FROM hb) WHERE r <= 5),
+        |dfx AS MATERIALIZED (SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.x * b.x) AS dp
+        |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |      WHERE a.vec_id % 50 = 0 GROUP BY 1, 2),
+        |cfx AS (SELECT qid, cid, round(dp / (na.nrm * nb.nrm), 4) AS cos
+        |       FROM dfx JOIN n na ON na.vec_id = qid
+        |       JOIN n nb ON nb.vec_id = cid
+        |       WHERE na.nrm > 0 AND nb.nrm > 0),
+        |re_ AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS r
+        |      FROM cfx) WHERE r <= 5),
+        |jn AS (SELECT rb_.qid, count(*) AS n_common
+        |       FROM rb_ JOIN re_ ON re_.qid = rb_.qid AND re_.cid = rb_.cid
+        |       GROUP BY 1)
+        |SELECT q.vec_id AS qid, CAST(COALESCE(jn.n_common, 0) AS BIGINT) AS n_common
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0) q
+        |LEFT JOIN jn ON jn.qid = q.vec_id ORDER BY qid""".stripMargin)),
+
     Q("q_embed_cov",  // population covariance matrix of the embedding
       // table as (i, j, cov) — the PCA/whitening/Mahalanobis input. Each
       // row expands map-side to ONE d²+d array (outer products ++ the
