@@ -79,6 +79,43 @@ private[graft] object QShared {
       .orderBy("vec_id").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
 
+  /** Shared oracle CTE chain mirroring [[Similarity.knnSelfJoin]] with
+    * the fixed vec_id<8 routing table at k=5/nprobe=5 — the cell-routed
+    * APPROXIMATE 5-NN edge list the graph queries (q_pagerank,
+    * q_label_prop) consume, ported from the proven q_knn_approx oracle
+    * (VERDICT r10 #1). Ends in `g(src, dst)`. CTE names are chosen not
+    * to collide with the PageRank/label-prop chains appended after it
+    * (nodes/nn/od/r0-r3/c1-c3, l0-l2/v1-v2/b1-b2). Zero-norm vectors
+    * are excluded from routing on both engines (WHERE nrm > 0 here,
+    * the cellMatches filter in Spark) — cos would be NULL-vs-NaN
+    * divergent on such rows (ADVICE r10).
+    */
+  private[graft] lazy val SqlCellEdges =
+    """pts AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+      |nrm AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pts GROUP BY 1),
+      |cents AS (SELECT vec_id AS cid, CAST(unnest(embedding) AS DOUBLE) AS c,
+      |          unnest(range(0, len(embedding))) AS i FROM embeddings WHERE vec_id < 8),
+      |ad AS MATERIALIZED (SELECT p.vec_id, c.cid, sqrt(sum((p.x - c.c) * (p.x - c.c))) AS dist
+      |       FROM pts p JOIN cents c ON p.i = c.i
+      |       JOIN nrm z ON z.vec_id = p.vec_id AND z.nrm > 0 GROUP BY 1, 2),
+      |home AS (SELECT vec_id, cid AS cell FROM ad
+      |         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+      |probe AS (SELECT vec_id AS qid, cid AS cell FROM ad
+      |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) <= 5),
+      |m AS (SELECT q.qid AS a, h.vec_id AS b FROM probe q
+      |      JOIN home h ON h.cell = q.cell AND h.vec_id <> q.qid),
+      |cand AS (SELECT a AS qid, b AS nbr FROM m UNION SELECT b, a FROM m),
+      |dpc AS (SELECT cand.qid, cand.nbr, sum(a.x * b.x) AS dp
+      |      FROM cand JOIN pts a ON a.vec_id = cand.qid
+      |                JOIN pts b ON b.vec_id = cand.nbr AND b.i = a.i
+      |      GROUP BY 1, 2),
+      |csc AS (SELECT qid, nbr, round(dp / (nq.nrm * nv.nrm), 4) + 0.0 AS cos
+      |       FROM dpc JOIN nrm nq ON nq.vec_id = qid JOIN nrm nv ON nv.vec_id = nbr),
+      |g AS (SELECT qid AS src, nbr AS dst FROM (SELECT qid, nbr,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rnk
+      |      FROM csc) WHERE rnk <= 5)""".stripMargin
+
   /** Shared oracle CTE: exploded Euclidean distances + per-point argmin rank.
     * (lazy: referenced from `all`, which is declared above — a strict val
     * here would still be null during `all`'s initialization.) */

@@ -781,6 +781,65 @@ object Dedup {
         (col("sp.last") - col("sp.start") + lit(minLen)).cast("int").as("len"))
   }
 
+  /** CROSS-document long-substring dedup (the ExactSubstr class of
+    * Lee et al. arXiv:2107.06499 applied corpus-wide — the
+    * memorization driver the substring-dedup literature targets):
+    * find every maximal token span duplicated VERBATIM across ≥
+    * `minDocs` distinct documents, as (idCol, start, len, ndocs) with
+    * 1-based `start`, `len` in tokens, and `ndocs` = the smallest
+    * distinct-document count among the span's k-grams (the weakest
+    * link — every k-window inside the span occurs in ≥ ndocs docs).
+    * A planted passage of length L ≥ k shared by M docs surfaces in
+    * each of them as one span of exactly length L (spec-witnessed);
+    * [[dupSpans]] is the within-corpus ≥minOcc OCCURRENCE variant,
+    * this is the ≥minDocs DOCUMENT variant with per-span evidence.
+    *
+    * Shape: sorted-shingle runs — the [[gramStream]] k-gram position
+    * stream, one groupBy(h) with countDistinct(id) keeps hashes in ≥
+    * minDocs docs, positions join back on the hash, and ADJACENT
+    * duplicated starts (gap = 1 exactly — runs, not the ≤k coverage
+    * merge of [[dupSpans]]) extend into maximal spans per doc via the
+    * same zero-window sorted-array islands device: heads open where
+    * the predecessor start isn't s-1, per-island min(nd) folds with
+    * one `aggregate` HOF over the island slice.
+    *
+    * Scale: two shuffles at any corpus size (gram-hash count, per-doc
+    * struct lists) — never a self-join, never a WindowExec. The
+    * duplicated-gram side is NOT hinted broadcast: at web scale the
+    * verbatim-duplicated k-gram set is the long memorization tail,
+    * not boilerplate — a shuffle join is correct at any size and AQE
+    * still broadcasts when it measures small (contrast
+    * [[scrubHotSpans]], whose ≥minDocs HAVING plus large k keeps that
+    * set tiny by construction and hints explicitly).
+    */
+  def substringDups(
+      docs: DataFrame, idCol: String, toksCol: String,
+      k: Int, minDocs: Long, portable: Boolean = true): DataFrame = {
+    require(k >= 1 && minDocs >= 2)
+    val grams = gramStream(docs, idCol, toksCol, k, portable)
+    val dup = grams.groupBy("h").agg(countDistinct(idCol).as("nd"))
+      .filter(col("nd") >= minDocs)
+    val perDoc = grams.join(dup, "h")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("s"), col("nd")))).as("a"))
+    perDoc
+      .withColumn("__heads", expr(
+        """filter(sequence(1, size(a)),
+          | i -> i = 1 OR element_at(a, i).s > element_at(a, i - 1).s + 1)""".stripMargin))
+      .select(col(idCol), col("a"), expr(
+        """explode(transform(sequence(1, size(__heads)), j -> named_struct(
+          |  'hi', element_at(__heads, j),
+          |  'li', IF(j = size(__heads), size(a), element_at(__heads, j + 1) - 1))))"""
+          .stripMargin).as("ix"))
+      .select(col(idCol),
+        expr("element_at(a, ix.hi).s").cast("int").as("start"),
+        (expr("element_at(a, ix.li).s - element_at(a, ix.hi).s") + lit(k))
+          .cast("int").as("len"),
+        expr(s"""aggregate(slice(a, ix.hi, ix.li - ix.hi + 1),
+          | cast(9223372036854775807 as bigint),
+          | (acc, x) -> least(acc, x.nd))""".stripMargin).cast("long").as("ndocs"))
+  }
+
   /** Line-level exact dedup (the RefinedWeb/MassiveText line-dedup
     * step, Penedo et al. arXiv:2306.01116 — the document-STRUCTURE
     * counterpart of [[scrubHotSpans]]): every line occurring verbatim

@@ -520,9 +520,14 @@ object Similarity {
     require(cells.map(_._1).toSeq == cells.map(_._1).sorted.toSeq,
       "cells must be sorted by id (positional ties = id ties)")
     require(nprobe >= 1 && nprobe <= cells.length)
+    // zero-norm rows are excluded from routing entirely (ADVICE r10):
+    // withUnitVec would pass the zero vector through and Spark scores
+    // cos = 0 where the SQL mirror computes dp/(0·nrm) = NULL — a
+    // latent parity split. The oracles carry the matching WHERE nrm > 0.
     val pts = emb.select(
-      col(idCol).as("id") +: KMeansOps.asDouble(col(vecCol)).as("v") +:
-        labelCol.map(c => col(c).as("lab")).toSeq: _*)
+        col(idCol).as("id") +: KMeansOps.asDouble(col(vecCol)).as("v") +:
+          labelCol.map(c => col(c).as("lab")).toSeq: _*)
+      .filter(l2norm(col("v")) > 0)
     // same euclid arithmetic as KMeansOps.assign/ivfTopK routing — the
     // oracle-proven distance form; struct sort = ORDER BY dist, cid
     val cellDists = array(cells.map { case (cid, cv) =>
@@ -595,10 +600,15 @@ object Similarity {
   }
 
   /** ⌈d/32⌉ packed 32-bit sign words of `v` as one array Column (d
-    * probed once from `emb`). */
+    * probed once from `emb`; min/max-size aggregate so ragged input
+    * fails fast instead of silently truncating/zero-padding to an
+    * arbitrary row's dimension — the embedCovariance device,
+    * ADVICE r10). */
   private def signWords(emb: DataFrame, v: Column): Column = {
-    val probe = emb.select(size(v).as("d")).limit(1).collect()
-    val d = if (probe.isEmpty) 0 else probe(0).getInt(0)
+    val probe = emb.agg(min(size(v)).as("dmin"), max(size(v)).as("dmax")).collect()(0)
+    val d = if (probe.isNullAt(0)) 0 else probe.getInt(0)
+    require(probe.isNullAt(1) || probe.getInt(1) == d,
+      s"signWords: ragged vector lengths ($d..${probe.getInt(1)})")
     val nw = (d + 31) / 32
     val words = (0 until nw).map { w =>
       (0 until 32).filter(i => w * 32 + i < d).map { i =>
@@ -952,7 +962,22 @@ object Similarity {
     val files = emb.inputFiles
     if (files.isEmpty) computeTopPBasis(emb, vecCol, p, iters, pinU)
     else {
-      val key = (files.sorted.mkString("\n"),
+      // each file's (mtime, length) rides in the key (ADVICE r10): an
+      // in-place parquet overwrite that reuses paths mid-JVM then
+      // MISSES instead of serving the stale basis. Unstattable paths
+      // key as "?" — a refresh that changes nothing observable keys
+      // identically, which is the best any cache can promise.
+      val conf = emb.sparkSession.sparkContext.hadoopConfiguration
+      val stamped = files.sorted.map { f =>
+        val stamp =
+          try {
+            val path = new org.apache.hadoop.fs.Path(f)
+            val st = path.getFileSystem(conf).getFileStatus(path)
+            s"${st.getModificationTime}:${st.getLen}"
+          } catch { case _: java.io.IOException => "?" }
+        s"$f@$stamp"
+      }
+      val key = (stamped.mkString("\n"),
         emb.queryExecution.analyzed.canonicalized.toString,
         vecCol, p, iters, pinU)
       basisCache.computeIfAbsent(key,

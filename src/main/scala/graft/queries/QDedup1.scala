@@ -598,6 +598,35 @@ private[graft] object QDedup1 {
         |       CAST(max(s) - min(s) + 5 AS INT) AS len
         |FROM i GROUP BY doc_id, isl ORDER BY doc_id, start""".stripMargin)),
 
+    Q("q_substring_dups",  // CROSS-document long-substring dedup (Lee et
+      // al. arXiv:2107.06499, VERDICT r10 missing #2): maximal token
+      // spans whose every 8-gram occurs verbatim in ≥3 DISTINCT docs,
+      // as (doc_id, start, len, ndocs) with ndocs = the weakest gram's
+      // doc count — the passage-level memorization audit next to
+      // q_span_dups' within-corpus occurrence variant. Two shuffles
+      // (gram-hash countDistinct, per-doc struct lists); runs extend
+      // via the zero-window sorted-array islands device; the
+      // duplicated-gram join is NOT broadcast-hinted (at web scale the
+      // duplicated k-gram set is the memorization tail, not tiny).
+      (s, dir) => Dedup.substringDups(
+          docsTokens(s, dir).localCheckpoint(), "doc_id", "toks",
+          k = 8, minDocs = 3L)
+        .orderBy("doc_id", "start"),
+      Some(s"""WITH t AS ($SqlToks),
+        |g AS (SELECT doc_id, i AS s, md5(array_to_string(toks[i:i+7], ' ')) AS h
+        |      FROM t, LATERAL unnest(range(1, greatest(len(toks)-6, 1))) AS u(i)
+        |      WHERE len(toks) >= 8),
+        |dup AS (SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h
+        |        HAVING count(DISTINCT doc_id) >= 3),
+        |ds AS (SELECT g.doc_id, g.s, dup.nd FROM g JOIN dup USING (h)),
+        |r AS (SELECT doc_id, s, nd,
+        |        s - row_number() OVER (PARTITION BY doc_id ORDER BY s) AS grp
+        |      FROM ds)
+        |SELECT doc_id, CAST(min(s) AS INT) AS start,
+        |       CAST(max(s) - min(s) + 8 AS INT) AS len,
+        |       CAST(min(nd) AS BIGINT) AS ndocs
+        |FROM r GROUP BY doc_id, grp ORDER BY doc_id, start""".stripMargin)),
+
     Q("q_line_dedup",  // RefinedWeb/MassiveText line-level dedup (Penedo et
       // al. arXiv:2306.01116): lines occurring verbatim in ≥2 distinct
       // docs are removed from every doc, survivors rejoined in order —

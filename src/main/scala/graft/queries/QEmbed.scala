@@ -121,15 +121,16 @@ private[graft] object QEmbed {
         .orderBy("qid", "rank"),
       Some("""WITH pts AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |n AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pts GROUP BY 1),
         |cents AS (SELECT vec_id AS cid, CAST(unnest(embedding) AS DOUBLE) AS c,
         |          unnest(range(0, len(embedding))) AS i FROM embeddings WHERE vec_id < 8),
         |ad AS MATERIALIZED (SELECT p.vec_id, c.cid, sqrt(sum((p.x - c.c) * (p.x - c.c))) AS dist
-        |       FROM pts p JOIN cents c ON p.i = c.i GROUP BY 1, 2),
+        |       FROM pts p JOIN cents c ON p.i = c.i
+        |       JOIN n z ON z.vec_id = p.vec_id AND z.nrm > 0 GROUP BY 1, 2),
         |home AS (SELECT vec_id, cid AS cell FROM ad
         |         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
         |probe AS (SELECT vec_id AS qid, cid AS cell FROM ad
         |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) <= 5),
-        |n AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pts GROUP BY 1),
         |m AS (SELECT q.qid AS a, h.vec_id AS b FROM probe q
         |      JOIN home h ON h.cell = q.cell AND h.vec_id <> q.qid),
         |cand AS (SELECT a AS qid, b AS nbr FROM m UNION SELECT b, a FROM m),
@@ -156,15 +157,16 @@ private[graft] object QEmbed {
         .orderBy("qid"),
       Some("""WITH pts AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |n AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pts GROUP BY 1),
         |cents AS (SELECT vec_id AS cid, CAST(unnest(embedding) AS DOUBLE) AS c,
         |          unnest(range(0, len(embedding))) AS i FROM embeddings WHERE vec_id < 8),
         |ad AS MATERIALIZED (SELECT p.vec_id, c.cid, sqrt(sum((p.x - c.c) * (p.x - c.c))) AS dist
-        |       FROM pts p JOIN cents c ON p.i = c.i GROUP BY 1, 2),
+        |       FROM pts p JOIN cents c ON p.i = c.i
+        |       JOIN n z ON z.vec_id = p.vec_id AND z.nrm > 0 GROUP BY 1, 2),
         |home AS (SELECT vec_id, cid AS cell FROM ad
         |         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
         |probe AS (SELECT vec_id AS qid, cid AS cell FROM ad
         |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) <= 5),
-        |n AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pts GROUP BY 1),
         |m AS (SELECT q.qid AS a, h.vec_id AS b FROM probe q
         |      JOIN home h ON h.cell = q.cell AND h.vec_id <> q.qid),
         |cand AS (SELECT a AS qid, b AS nbr FROM m UNION SELECT b, a FROM m),
@@ -202,15 +204,16 @@ private[graft] object QEmbed {
         .orderBy("qid", "rank"),
       Some("""WITH pts AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |             unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |n AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pts GROUP BY 1),
         |cents AS (SELECT vec_id AS cid, CAST(unnest(embedding) AS DOUBLE) AS c,
         |          unnest(range(0, len(embedding))) AS i FROM embeddings WHERE vec_id < 8),
         |ad AS MATERIALIZED (SELECT p.vec_id, c.cid, sqrt(sum((p.x - c.c) * (p.x - c.c))) AS dist
-        |       FROM pts p JOIN cents c ON p.i = c.i GROUP BY 1, 2),
+        |       FROM pts p JOIN cents c ON p.i = c.i
+        |       JOIN n z ON z.vec_id = p.vec_id AND z.nrm > 0 GROUP BY 1, 2),
         |home AS (SELECT vec_id, cid AS cell FROM ad
         |         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
         |probe AS (SELECT vec_id AS qid, cid AS cell FROM ad
         |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) <= 5),
-        |n AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pts GROUP BY 1),
         |m AS (SELECT q.qid AS a, h.vec_id AS b FROM probe q
         |      JOIN home h ON h.cell = q.cell AND h.vec_id <> q.qid),
         |cand AS (SELECT a AS qid, b AS nbr FROM m UNION SELECT b, a FROM m),

@@ -328,32 +328,25 @@ private[graft] object QTail {
         |FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin)),
 
     Q("q_pagerank",  // fixed-iteration PageRank (Page et al. 1999) over
-      // the exact cosine 5-NN graph — similarity centrality: which
-      // embeddings sit in the densest neighborhoods. 3 FIXED iterations
-      // make the result a closed-form function of the graph (DuckDB
-      // unrolls the same 3 steps); per iteration = one edges⋈ranks join
-      // + one partial-agg'd groupBy(dst) — the Pregel shape, O(edges)
-      // shuffle, dangling mass a 1-row broadcast (zero on this graph,
-      // same arithmetic either way).
+      // the cell-routed APPROXIMATE cosine 5-NN graph (knnSelfJoin —
+      // VERDICT r10 #1: the graph substrate no longer feeds on the
+      // Θ(n²) exact kernel; q_knn_graph remains the exact baseline
+      // that grades the router at 0.95 recall). Similarity centrality:
+      // which embeddings sit in the densest neighborhoods. 3 FIXED
+      // iterations make the result a closed-form function of the graph
+      // (DuckDB unrolls the same 3 steps); per iteration = one
+      // edges⋈ranks join + one partial-agg'd groupBy(dst) — the Pregel
+      // shape, O(edges) shuffle, dangling mass a 1-row broadcast.
       (s, dir) => {
-        val edges = Similarity.knnGraph(
-            Tables.table(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
-          .select(col("src"), col("dst"))
+        val edges = Similarity.knnSelfJoin(
+            Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
+            fixedCentroidArr(s, dir), k = 5, nprobe = 5)
+          .select(col("qid").as("src"), col("nbr").as("dst"))
         GraphOps.pageRank(edges, "src", "dst", iters = 3)
           .withColumn("rank", round(col("rank"), 12))
           .orderBy("id")
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
-        |nr AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
-        |dp AS (SELECT a.vec_id AS src, b.vec_id AS dst, sum(a.x * b.x) AS dp
-        |       FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2),
-        |cs AS (SELECT src, dst, round(dp / (na.nrm * nb.nrm), 4) AS cos
-        |       FROM dp JOIN nr na ON na.vec_id = src JOIN nr nb ON nb.vec_id = dst),
-        |rk AS (SELECT src, dst,
-        |         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
-        |       FROM cs),
-        |g AS (SELECT src, dst FROM rk WHERE rnk <= 5),
+      Some(s"""WITH $SqlCellEdges,
         |nodes AS (SELECT DISTINCT src AS id FROM g UNION SELECT DISTINCT dst FROM g),
         |nn AS (SELECT count(*) AS n FROM nodes),
         |od AS (SELECT src AS id, count(*) AS od FROM g GROUP BY 1),
@@ -373,33 +366,25 @@ private[graft] object QTail {
         |SELECT id, round(r, 12) AS rank FROM r3 ORDER BY id""".stripMargin)),
 
     Q("q_label_prop",  // fixed-iteration label propagation (Zhu &
-      // Ghahramani 2002) over the cosine 5-NN graph: labels are kept
-      // only for the vec_id%5==0 seed fifth, then 2 synchronous
-      // majority-vote rounds spread them (ties by smallest label,
-      // seeds immutable) — the semi-supervised path from sparse human
-      // labels to corpus-wide ones. Per round: one edges⋈labels join +
-      // one partial-agg'd groupBy + a label-bounded argmax window.
-      // Unreached nodes report -1.
+      // Ghahramani 2002) over the cell-routed APPROXIMATE cosine 5-NN
+      // graph (knnSelfJoin — VERDICT r10 #1, same substrate switch as
+      // q_pagerank): labels are kept only for the vec_id%5==0 seed
+      // fifth, then 2 synchronous majority-vote rounds spread them
+      // (ties by smallest label, seeds immutable) — the semi-supervised
+      // path from sparse human labels to corpus-wide ones. Per round:
+      // one edges⋈labels join + one partial-agg'd groupBy + a
+      // label-bounded argmax window. Unreached nodes report -1.
       (s, dir) => {
         val emb = Tables.table(s, dir, "embeddings")
-        val edges = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
-          .select(col("src"), col("dst"))
+        val edges = Similarity.knnSelfJoin(emb, "vec_id", "embedding",
+            fixedCentroidArr(s, dir), k = 5, nprobe = 5)
+          .select(col("qid").as("src"), col("nbr").as("dst"))
         GraphOps.labelPropagate(edges, "src", "dst",
             emb.filter(col("vec_id") % 5 === 0), "vec_id", "label", iters = 2)
           .select(col("id"), coalesce(col("label"), lit(-1)).as("label"))
           .orderBy("id")
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
-        |nr AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
-        |dp AS (SELECT a.vec_id AS src, b.vec_id AS dst, sum(a.x * b.x) AS dp
-        |       FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2),
-        |cs AS (SELECT src, dst, round(dp / (na.nrm * nb.nrm), 4) AS cos
-        |       FROM dp JOIN nr na ON na.vec_id = src JOIN nr nb ON nb.vec_id = dst),
-        |rk AS (SELECT src, dst,
-        |         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
-        |       FROM cs),
-        |g AS (SELECT src, dst FROM rk WHERE rnk <= 5),
+      Some(s"""WITH $SqlCellEdges,
         |nodes AS (SELECT DISTINCT src AS id FROM g UNION SELECT DISTINCT dst FROM g),
         |l0 AS (SELECT n.id, s.label FROM nodes n
         |       LEFT JOIN (SELECT vec_id AS id, label FROM embeddings

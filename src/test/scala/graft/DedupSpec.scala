@@ -337,6 +337,32 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == ("s t", 0L))
   }
 
+  test("substringDups recovers a passage planted in M docs at FULL length, with ndocs = M") {
+    // a 20-token passage planted into 5 docs at different offsets,
+    // surrounded by per-doc unique filler (no accidental cross-doc
+    // 8-grams); a second 10-token passage shared by only 2 docs stays
+    // below minDocs=3 and must not surface
+    val passage = (1 to 20).map(i => s"c$i")
+    val minor = (1 to 10).map(i => s"d$i")
+    val docs = ((1 to 5).map { i =>
+      (i.toLong, (1 to i).map(j => s"f${i}_$j") ++ passage ++ Seq(s"t$i"))
+    } ++ Seq(
+      (6L, minor ++ Seq("u6")),
+      (7L, Seq("v7") ++ minor))).toDF("doc_id", "toks")
+    val out = Dedup.substringDups(docs, "doc_id", "toks", k = 8, minDocs = 3L)
+      .as[(Long, Int, Int, Long)].collect()
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet == Set(1L, 2L, 3L, 4L, 5L), s"unexpected docs: ${byDoc.keySet}")
+    (1 to 5).foreach { i =>
+      val spans = byDoc(i.toLong)
+      assert(spans.length == 1, s"doc $i: ${spans.toSeq}")
+      val (_, start, len, ndocs) = spans.head
+      assert(start == i + 1, s"doc $i start")        // after i filler tokens
+      assert(len == 20, s"doc $i must recover the passage at FULL length")
+      assert(ndocs == 5L, s"doc $i ndocs")
+    }
+  }
+
   test("SpanCoverMask codegen kernel ≡ interpreted filter/exists HOF on the real corpus") {
     import org.apache.spark.sql.functions.{col, expr}
     val k = 3
