@@ -125,6 +125,64 @@ class InvariantSweepSpec extends AnyFunSuite {
         .mkString("""{"sweep":"knn_self_join_recall_c8_np5_sym_k5","sfs":{""", ",", "}}"))
   }
 
+  test("knnSelfJoin on lloyd-TRAINED cells: recall-vs-C sweep artifact + nprobe monotonicity (sf0.1)") {
+    // VERDICT r10 #7: the gated q_knn_approx routes against the fixed
+    // vec_id<8 table (right for oracling); production trains the cell
+    // table with K-Means at C ≈ √n. This sweep grades that path on the
+    // biggest corpus (n=2000, √n ≈ 45): recall of the exact top-5 at
+    // C ∈ {8, 16, 45} × nprobe ∈ {1, 3, 5}, written as a per-round
+    // artifact next to knn_recall_sweep.json. The asserted INVARIANT:
+    // per C, recall is non-decreasing in nprobe — the nprobe slice is
+    // a prefix of one sorted probe list, so the candidate set at
+    // nprobe+1 is a superset, and any candidate that displaces an
+    // exact-top-5 member from the approx top-5 outranks it under the
+    // SAME (rounded cos, id) order, hence sits in the exact top-5
+    // itself — overlap can only grow.
+    import graft.ops.{KMeansOps, Similarity}
+    val sf = "/root/testdata/sf0.1"
+    val emb = Tables.table(spark, sf, "embeddings")
+    val exact = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+      .select($"src".as("qid"), $"dst".as("nbr")).localCheckpoint()
+    val nExact = exact.count().toDouble
+    val report = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val recAt = scala.collection.mutable.Map.empty[(Int, Int), Double]
+    for (c <- Seq(8, 16, 45)) {
+      val cells = KMeansOps.lloyd(emb, "vec_id", "embedding",
+          k = c, seed = 42L, maxIter = 4)
+        .centroids.sortBy(_._1)
+      var prev = -1.0
+      val nps = Seq(1, 3, 5, 8, 12, 16).filter(_ <= cells.length)
+      val recs = nps.map { np =>
+        val approx = Similarity.knnSelfJoin(
+            emb, "vec_id", "embedding", cells, k = 5, nprobe = np)
+          .select($"qid", $"nbr")
+        val rec = approx.join(exact, Seq("qid", "nbr")).count() / nExact
+        assert(rec >= prev - 1e-12,
+          s"C=$c: recall must be non-decreasing in nprobe ($prev -> $rec at np=$np)")
+        prev = rec
+        recAt((c, np)) = rec
+        f""""np$np":$rec%.4f"""
+      }
+      report(s"c$c") = recs.mkString("{", ",", "}")
+    }
+    // evidence-pinned operating points (first sweep measured 0.969 /
+    // 0.954 / 0.947): every C reaches the ≥0.9 bar, and the candidate
+    // volume needed to get there SHRINKS as C grows — np/C 0.63 →
+    // 0.50 → 0.36, i.e. candidates ≈ 0.63n / 0.50n / 0.36n per
+    // vector — the IVF economy that motivates C ≈ √n at corpus scale.
+    // Trained c8/np5 (0.969) also beats the fixed vec_id<8 table at
+    // the same config (0.948, out/knn_recall_sweep.json): lloyd cells
+    // fit the data's density, arbitrary fixed rows don't.
+    for (((c, np), bar) <- Seq((8, 5) -> 0.9, (16, 8) -> 0.9, (45, 16) -> 0.9))
+      assert(recAt((c, np)) >= bar,
+        s"trained C=$c/np=$np recall ${recAt((c, np))} < $bar")
+    new java.io.File("out").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("out/knn_trained_cells_sweep.json"),
+      report.map { case (k, v) => s""""$k":$v""" }
+        .mkString("""{"sweep":"knn_self_join_trained_lloyd_k5_sf0.1","cells":{""", ",", "}}"))
+  }
+
   test("winnowing (xxhash64 scale form) invariant: exact-Jaccard ≥ 0.5 near-dups share ≥1 fingerprint (3 SFs)") {
     // near-dups at J ≥ 0.5 share long token runs in this corpus — the
     // winnowing guarantee (shared run ≥ w+k−1 ⇒ shared fp) must hold
