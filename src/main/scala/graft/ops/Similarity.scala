@@ -599,6 +599,66 @@ object Similarity {
     emb.select(col(idCol), signWords(emb, v).as("sigs"))
   }
 
+  /** PROTOTYPICALITY-based data pruning (Sorscher et al. NeurIPS 2022,
+    * arXiv:2206.14486 "Beyond neural scaling laws"): each vector's
+    * prototypicality is its cosine to its assigned (nearest-Euclid)
+    * cluster centroid — high cos = prototypical/easy, low cos = the
+    * cluster's hard margin — and the paper's abundant-data regime
+    * keeps the HARDEST fraction per cluster (`keepHardest = true`;
+    * false keeps the most prototypical, the scarce-data regime). The
+    * keep quota is per-cell and exact-rational: quota =
+    * ⌈n_c · keepNum / keepDen⌉ in integer arithmetic, rank on
+    * (ROUNDED proto, id) — both engine-independent, so the keep
+    * boundary is value-oracle-able. Output: (idCol, cell, proto,
+    * rank, kept) for EVERY input row — downstream filters on `kept`,
+    * and the full table is the audit trail data-pruning papers
+    * report curves over.
+    *
+    * Scale: scoring is ONE map-side projection — C fused (dist, cid,
+    * proto) structs against driver-literal centroids, sort_array
+    * argmin (the [[cellMatches]] routing device, no n·C explode or
+    * window); the only shuffle is the per-cell rank window, whose
+    * partitions are cluster-sized — at C ≈ √n that is √n rows per
+    * cell, and a skewed mega-cell is the same hot-bucket the other
+    * cell operators document (raise C / pre-split). Zero-norm vectors
+    * carry NULL proto and sort last in ASC (hardest) mode on both
+    * engines via NULLS LAST.
+    */
+  def protoPrune(
+      emb: DataFrame, idCol: String, vecCol: String,
+      cells: Array[(Long, Array[Double])],
+      keepNum: Int, keepDen: Int,
+      keepHardest: Boolean = true, scale: Int = 4): DataFrame = {
+    require(cells.nonEmpty && keepNum >= 0 && keepDen > 0 && keepNum <= keepDen)
+    val pts = emb.select(col(idCol), KMeansOps.asDouble(col(vecCol)).as("v"))
+      // norm hoisted to an attribute so the C structs share ONE 64-term
+      // sum instead of re-inlining it 3C times into the codegen tree
+      .withColumn("__nrm", l2norm(col("v")))
+    val scored = array(cells.map { case (cid, cv) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      struct(
+        KMeansOps.euclid(col("v"), typedlit(cv.toSeq)).as("d"),
+        lit(cid).as("c"),
+        when(col("__nrm") > 0,
+            round(dot(col("v"), typedlit(cv.toSeq)) / (col("__nrm") * lit(cn)),
+              scale) + lit(0.0))
+          .as("p"))
+    }: _*)
+    val best = pts
+      .withColumn("__s", element_at(sort_array(scored), 1))
+      .select(col(idCol), col("__s.c").as("cell"), col("__s.p").as("proto"))
+    val ord =
+      if (keepHardest) Seq(col("proto").asc_nulls_last, col(idCol).asc)
+      else Seq(col("proto").desc_nulls_last, col(idCol).asc)
+    val w = Window.partitionBy(col("cell"))
+    best
+      .withColumn("rank", row_number().over(w.orderBy(ord: _*)).cast("int"))
+      .withColumn("n_c", count(lit(1)).over(w))
+      .withColumn("kept",
+        col("rank") <= expr(s"(n_c * $keepNum + ${keepDen - 1}) DIV $keepDen"))
+      .drop("n_c")
+  }
+
   /** ⌈d/32⌉ packed 32-bit sign words of `v` as one array Column (d
     * probed once from `emb`; min/max-size aggregate so ragged input
     * fails fast instead of silently truncating/zero-padding to an

@@ -293,6 +293,40 @@ private[graft] object QEmbed {
         |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0) q
         |LEFT JOIN jn ON jn.qid = q.vec_id ORDER BY qid""".stripMargin)),
 
+    Q("q_proto_prune",  // prototypicality data pruning (Sorscher et al.
+      // NeurIPS 2022, arXiv:2206.14486): proto = cosine to the assigned
+      // nearest-Euclid centroid, keep the HARDEST ⌈30%⌉ per cell (the
+      // abundant-data regime that beats power-law scaling in the
+      // paper). Scoring is one map-side projection of C fused
+      // (dist, cid, proto) structs against driver-literal centroids —
+      // the cellMatches routing device, zero shuffle; the only
+      // exchange is the per-cell rank window. Quota is exact-rational
+      // integer arithmetic and rank is (rounded proto, id), so the
+      // keep boundary value-oracles.
+      (s, dir) => Similarity.protoPrune(
+          Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
+          fixedCentroidArr(s, dir), keepNum = 3, keepDen = 10)
+        .orderBy("vec_id"),
+      Some(s"""$SqlKmeansAssign,
+        |asg AS (SELECT vec_id, cid AS cell FROM a WHERE rn = 1),
+        |nv AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pts GROUP BY 1),
+        |cnm AS (SELECT cid, sqrt(sum(c * c)) AS nrm FROM cents GROUP BY 1),
+        |dp AS (SELECT p.vec_id, g.cell, sum(p.x * c.c) AS dp
+        |       FROM pts p JOIN asg g USING (vec_id)
+        |       JOIN cents c ON c.cid = g.cell AND c.i = p.i
+        |       GROUP BY 1, 2),
+        |pr AS (SELECT dp.vec_id, dp.cell,
+        |         CASE WHEN nv.nrm > 0
+        |           THEN round(dp / (nv.nrm * cnm.nrm), 4) + 0.0 END AS proto
+        |       FROM dp JOIN nv USING (vec_id) JOIN cnm ON cnm.cid = dp.cell),
+        |rk AS (SELECT vec_id, cell, proto,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY cell ORDER BY proto ASC NULLS LAST, vec_id) AS INT) AS rank,
+        |         count(*) OVER (PARTITION BY cell) AS n_c
+        |       FROM pr)
+        |SELECT vec_id, cell, proto, rank, rank <= (n_c * 3 + 9) // 10 AS kept
+        |FROM rk ORDER BY vec_id""".stripMargin)),
+
     Q("q_embed_cov",  // population covariance matrix of the embedding
       // table as (i, j, cov) — the PCA/whitening/Mahalanobis input. Each
       // row expands map-side to ONE d²+d array (outer products ++ the

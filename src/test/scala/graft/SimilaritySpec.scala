@@ -621,4 +621,40 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("protoPrune closed form: assignment ties, ceil quota, hardest-vs-prototypical regimes") {
+    // c0 = (1,0), c1 = (0,1); id 6 is EQUIDISTANT (dist 1 to both) and
+    // must break to the smaller cid — the SqlKmeansAssign tie rule
+    val cells = Array(0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0))
+    val df = Seq(
+      (1L, Seq(2.0, 0.0)),   // cell0, proto 1.0
+      (2L, Seq(1.0, 0.5)),   // cell0, proto 0.8944
+      (6L, Seq(1.0, 1.0)),   // tie -> cell0, proto 0.7071
+      (3L, Seq(0.6, 0.8)),   // cell1, proto 0.8
+      (4L, Seq(0.0, 3.0)),   // cell1, proto 1.0
+      (5L, Seq(0.1, 1.0)))   // cell1, proto 0.995
+      .toDF("id", "v")
+    def run(num: Int, den: Int, hardest: Boolean) =
+      Similarity.protoPrune(df, "id", "v", cells, num, den, hardest)
+        .select($"id", $"cell", $"proto", $"rank", $"kept")
+        .as[(Long, Long, Double, Int, Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+    val h = run(1, 2, hardest = true)  // quota = ceil(3/2) = 2 per cell
+    assert(h(6L)._2 == 0L, "equidistant point must land in the smaller cid")
+    assert(h(1L)._3 == 1.0 && h(2L)._3 == 0.8944 && h(6L)._3 == 0.7071)
+    // hardest ASC: cell0 keeps 6 (rank1), 2 (rank2); drops 1 (rank3)
+    assert(h(6L)._4 == 1 && h(6L)._5 && h(2L)._4 == 2 && h(2L)._5)
+    assert(h(1L)._4 == 3 && !h(1L)._5)
+    // cell1 keeps 3 (0.8), 5 (0.995); drops 4 (1.0)
+    assert(h(3L)._5 && h(5L)._5 && !h(4L)._5)
+    val p = run(1, 2, hardest = false)  // prototypical DESC flips the keeps
+    assert(p(1L)._5 && p(2L)._5 && !p(6L)._5)
+    assert(p(4L)._5 && p(5L)._5 && !p(3L)._5)
+    val all = run(1, 1, hardest = true)  // keepFrac 1 keeps everything
+    assert(all.values.forall(_._5))
+    // per-cell kept count always equals the exact-rational ceil quota
+    val counts = h.values.groupBy(_._2).map { case (c, rs) =>
+      c -> rs.count(_._5) }
+    assert(counts == Map(0L -> 2, 1L -> 2))
+  }
 }
