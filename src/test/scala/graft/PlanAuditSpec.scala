@@ -183,4 +183,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the one shuffle must key on (domain, canon):\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q_pagerank / q_label_prop: edge substrate is the cell-routed join, NOT the blocked Θ(n²) kernel") {
+    // VERDICT r10 #1: no gated graph plan may feed on
+    // cosinePairsBlocked. That kernel's unmistakable physical
+    // signature is the typed flatMap over collect_list-packed block
+    // pairs — SerializeFromObject + CollectList ops that the
+    // cell-routed knnSelfJoin plan (pure Catalyst joins/windows)
+    // never produces. q_knn_graph keeps the exact kernel by design
+    // (it IS the recall baseline that grades the router).
+    for (name <- Seq("q_pagerank", "q_label_prop")) {
+      val p = plan(name)
+      assert(!p.contains("SerializeFromObject"),
+        s"$name still contains the blocked pair-gen flatMap kernel:\n${p.take(2000)}")
+      assert(!p.toLowerCase.contains("collect_list"),
+        s"$name still packs blocks via collect_list:\n${p.take(2000)}")
+    }
+    assert(plan("q_knn_graph").contains("SerializeFromObject"),
+      "q_knn_graph must REMAIN the exact blocked baseline — if this " +
+        "fires, the marker this audit greps for has drifted")
+  }
 }
