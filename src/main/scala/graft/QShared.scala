@@ -91,14 +91,14 @@ private[graft] object QShared {
     * divergent on such rows (ADVICE r10).
     */
   private[graft] lazy val SqlCellEdges =
-    """pts AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-      |             unnest(range(0, len(embedding))) AS i FROM embeddings),
-      |nrm AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pts GROUP BY 1),
-      |cents AS (SELECT vec_id AS cid, CAST(unnest(embedding) AS DOUBLE) AS c,
-      |          unnest(range(0, len(embedding))) AS i FROM embeddings WHERE vec_id < 8),
-      |ad AS MATERIALIZED (SELECT p.vec_id, c.cid, sqrt(sum((p.x - c.c) * (p.x - c.c))) AS dist
-      |       FROM pts p JOIN cents c ON p.i = c.i
-      |       JOIN nrm z ON z.vec_id = p.vec_id AND z.nrm > 0 GROUP BY 1, 2),
+    """ve AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |             FROM embeddings),
+      |nrm AS MATERIALIZED (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm
+      |             FROM ve),
+      |ad AS MATERIALIZED (SELECT e.vec_id, c.vec_id AS cid,
+      |         list_distance(e.v, c.v) AS dist
+      |       FROM ve e JOIN nrm z ON z.vec_id = e.vec_id AND z.nrm > 0
+      |       CROSS JOIN (SELECT vec_id, v FROM ve WHERE vec_id < 8) c),
       |home AS (SELECT vec_id, cid AS cell FROM ad
       |         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
       |probe AS (SELECT vec_id AS qid, cid AS cell FROM ad
@@ -106,10 +106,9 @@ private[graft] object QShared {
       |m AS (SELECT q.qid AS a, h.vec_id AS b FROM probe q
       |      JOIN home h ON h.cell = q.cell AND h.vec_id <> q.qid),
       |cand AS (SELECT a AS qid, b AS nbr FROM m UNION SELECT b, a FROM m),
-      |dpc AS (SELECT cand.qid, cand.nbr, sum(a.x * b.x) AS dp
-      |      FROM cand JOIN pts a ON a.vec_id = cand.qid
-      |                JOIN pts b ON b.vec_id = cand.nbr AND b.i = a.i
-      |      GROUP BY 1, 2),
+      |dpc AS (SELECT cand.qid, cand.nbr, list_inner_product(a.v, b.v) AS dp
+      |      FROM cand JOIN ve a ON a.vec_id = cand.qid
+      |                JOIN ve b ON b.vec_id = cand.nbr),
       |csc AS (SELECT qid, nbr, round(dp / (nq.nrm * nv.nrm), 4) + 0.0 AS cos
       |       FROM dpc JOIN nrm nq ON nq.vec_id = qid JOIN nrm nv ON nv.vec_id = nbr),
       |g AS (SELECT qid AS src, nbr AS dst FROM (SELECT qid, nbr,

@@ -312,4 +312,80 @@ object TextOps {
     concat(lit("http://"), host, path,
       when(length(kept) > 0, concat(lit("?"), kept)).otherwise(lit("")))
   }
+
+  /** Word stream for [[bpeLearn]]: the q_bpe_tokens pre-tokenizer core
+    * (GPT-2's segmentation rule reduced to letter runs / digit runs /
+    * other-symbol runs), one row per word OCCURRENCE — BPE counts are
+    * frequency-weighted, so duplicates must survive.
+    */
+  def bpeWords(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0))
+
+  /** Initial BPE symbol sequence of one word: every character is its
+    * own symbol, rendered as a TWO-space-delimited, two-space-padded
+    * string ("ab" -> "␣␣a␣␣b␣␣"). The double delimiter is what makes a
+    * merge a plain left-to-right `replace`: the pattern "␣X␣␣Y␣" takes
+    * one space from each boundary, so ADJACENT disjoint occurrences
+    * ("x y x y") don't swallow each other's delimiter, and a pattern
+    * can never match inside a longer symbol ("x ya" vs pair (x,y)).
+    * Both Spark's and DuckDB's `replace` scan left-to-right
+    * non-overlapping — exactly the classic BPE merge pass (newly
+    * formed symbols don't re-trigger within the same pass).
+    */
+  def bpeInitSeq(word: Column): Column =
+    concat(lit("  "), regexp_replace(word, "(.)", "$1  "))
+
+  /** BPE merge learning (Sennrich, Haddow & Birch 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units" — the
+    * byte-pair-encoding vocab induction every GPT-style tokenizer is
+    * trained with). Each round: count adjacent symbol pairs over all
+    * word occurrences, pick the most frequent (ties: lexicographically
+    * smallest pair — an engine-independent boundary), merge it
+    * corpus-wide, repeat. Returns (iter, l, r, cnt) — the learned
+    * merge table in order.
+    *
+    * Scale: one shuffle per round (the pair-count groupBy with
+    * map-side partial aggregation); the winning pair is a 1-row
+    * driver collect (the k-row-scalar family — kmeans centroids,
+    * IDF table), and the merge itself is a map-side literal `replace`.
+    * That is exactly how distributed BPE trainers work: counts are
+    * distributed, the vocab lives on the driver. Lineage grows one
+    * narrow `replace` per round — checkpoint every ~50 rounds when
+    * learning real 30k-merge vocabs (same remedy as
+    * [[graft.ops.KMeansOps]] iteration).
+    */
+  def bpeLearn(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val spark = docs.sparkSession
+    var cur = docs
+      .select(explode(bpeWords(col(textCol))).as("w"))
+      .select(bpeInitSeq(col("w")).as("seq"))
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    var it = 1
+    var exhausted = false
+    while (it <= iters && !exhausted) {
+      val syms = cur.select(split(trim(col("seq")), "  ").as("s"))
+        .filter(size(col("s")) >= 2) // sequence(1,0) would DESCEND
+      val pairs = syms.select(explode(transform(
+        sequence(lit(1), size(col("s")) - 1),
+        i => struct(element_at(col("s"), i).as("l"),
+          element_at(col("s"), i + lit(1)).as("r")))).as("p"))
+      val top = pairs.groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((it, l, r, cnt))
+        cur = cur.select(
+          replace(col("seq"), lit(s" $l  $r "), lit(s" $l$r ")).as("seq"))
+        it += 1
+      }
+    }
+    import spark.implicits._
+    learned.result().toDF("iter", "l", "r", "cnt")
+      .select(col("iter").cast("int"), col("l"), col("r"), col("cnt"))
+  }
 }

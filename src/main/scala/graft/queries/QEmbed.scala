@@ -93,11 +93,11 @@ private[graft] object QEmbed {
       (s, dir) => Similarity.knnGraph(
           Tables.table(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
         .orderBy("src", "rank"),
-      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
-        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
-        |d AS (SELECT a.vec_id AS src, b.vec_id AS dst, sum(a.x * b.x) AS dp
-        |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2),
+      Some("""WITH ve AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM ve),
+        |d AS (SELECT a.vec_id AS src, b.vec_id AS dst, list_inner_product(a.v, b.v) AS dp
+        |      FROM ve a JOIN ve b ON a.vec_id <> b.vec_id),
         |c AS (SELECT src, dst, round(dp / (na.nrm * nb.nrm), 4) + 0.0 AS cos
         |      FROM d JOIN n na ON na.vec_id = src JOIN n nb ON nb.vec_id = dst),
         |r AS (SELECT src, dst, cos,
@@ -119,14 +119,13 @@ private[graft] object QEmbed {
           Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
           fixedCentroidArr(s, dir), k = 5, nprobe = 5)
         .orderBy("qid", "rank"),
-      Some("""WITH pts AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
-        |n AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pts GROUP BY 1),
-        |cents AS (SELECT vec_id AS cid, CAST(unnest(embedding) AS DOUBLE) AS c,
-        |          unnest(range(0, len(embedding))) AS i FROM embeddings WHERE vec_id < 8),
-        |ad AS MATERIALIZED (SELECT p.vec_id, c.cid, sqrt(sum((p.x - c.c) * (p.x - c.c))) AS dist
-        |       FROM pts p JOIN cents c ON p.i = c.i
-        |       JOIN n z ON z.vec_id = p.vec_id AND z.nrm > 0 GROUP BY 1, 2),
+      Some("""WITH ve AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings),
+        |n AS MATERIALIZED (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM ve),
+        |ad AS MATERIALIZED (SELECT e.vec_id, c.vec_id AS cid,
+        |         list_distance(e.v, c.v) AS dist
+        |       FROM ve e JOIN n z ON z.vec_id = e.vec_id AND z.nrm > 0
+        |       CROSS JOIN (SELECT vec_id, v FROM ve WHERE vec_id < 8) c),
         |home AS (SELECT vec_id, cid AS cell FROM ad
         |         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
         |probe AS (SELECT vec_id AS qid, cid AS cell FROM ad
@@ -134,10 +133,9 @@ private[graft] object QEmbed {
         |m AS (SELECT q.qid AS a, h.vec_id AS b FROM probe q
         |      JOIN home h ON h.cell = q.cell AND h.vec_id <> q.qid),
         |cand AS (SELECT a AS qid, b AS nbr FROM m UNION SELECT b, a FROM m),
-        |d AS (SELECT cand.qid, cand.nbr, sum(a.x * b.x) AS dp
-        |      FROM cand JOIN pts a ON a.vec_id = cand.qid
-        |                JOIN pts b ON b.vec_id = cand.nbr AND b.i = a.i
-        |      GROUP BY 1, 2),
+        |d AS (SELECT cand.qid, cand.nbr, list_inner_product(a.v, b.v) AS dp
+        |      FROM cand JOIN ve a ON a.vec_id = cand.qid
+        |                JOIN ve b ON b.vec_id = cand.nbr),
         |c2 AS (SELECT qid, nbr, round(dp / (nq.nrm * nv.nrm), 4) + 0.0 AS cos
         |       FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = nbr),
         |r AS (SELECT qid, nbr, cos,
@@ -155,14 +153,13 @@ private[graft] object QEmbed {
           Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
           fixedCentroidArr(s, dir), k = 5, nprobe = 5)
         .orderBy("qid"),
-      Some("""WITH pts AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
-        |n AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pts GROUP BY 1),
-        |cents AS (SELECT vec_id AS cid, CAST(unnest(embedding) AS DOUBLE) AS c,
-        |          unnest(range(0, len(embedding))) AS i FROM embeddings WHERE vec_id < 8),
-        |ad AS MATERIALIZED (SELECT p.vec_id, c.cid, sqrt(sum((p.x - c.c) * (p.x - c.c))) AS dist
-        |       FROM pts p JOIN cents c ON p.i = c.i
-        |       JOIN n z ON z.vec_id = p.vec_id AND z.nrm > 0 GROUP BY 1, 2),
+      Some("""WITH ve AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings),
+        |n AS MATERIALIZED (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM ve),
+        |ad AS MATERIALIZED (SELECT e.vec_id, c.vec_id AS cid,
+        |         list_distance(e.v, c.v) AS dist
+        |       FROM ve e JOIN n z ON z.vec_id = e.vec_id AND z.nrm > 0
+        |       CROSS JOIN (SELECT vec_id, v FROM ve WHERE vec_id < 8) c),
         |home AS (SELECT vec_id, cid AS cell FROM ad
         |         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
         |probe AS (SELECT vec_id AS qid, cid AS cell FROM ad
@@ -170,17 +167,17 @@ private[graft] object QEmbed {
         |m AS (SELECT q.qid AS a, h.vec_id AS b FROM probe q
         |      JOIN home h ON h.cell = q.cell AND h.vec_id <> q.qid),
         |cand AS (SELECT a AS qid, b AS nbr FROM m UNION SELECT b, a FROM m),
-        |d AS (SELECT cand.qid, cand.nbr, sum(a.x * b.x) AS dp
-        |      FROM cand JOIN pts a ON a.vec_id = cand.qid
-        |                JOIN pts b ON b.vec_id = cand.nbr AND b.i = a.i
-        |      GROUP BY 1, 2),
+        |d AS (SELECT cand.qid, cand.nbr, list_inner_product(a.v, b.v) AS dp
+        |      FROM cand JOIN ve a ON a.vec_id = cand.qid
+        |                JOIN ve b ON b.vec_id = cand.nbr),
         |c2 AS (SELECT qid, nbr, round(dp / (nq.nrm * nv.nrm), 4) AS cos
         |       FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = nbr),
         |ra AS MATERIALIZED (SELECT qid, nbr FROM (SELECT qid, nbr,
         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rnk
         |      FROM c2) WHERE rnk <= 5),
-        |dx AS MATERIALIZED (SELECT a.vec_id AS qid, b.vec_id AS nbr, sum(a.x * b.x) AS dp
-        |      FROM pts a JOIN pts b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2),
+        |dx AS MATERIALIZED (SELECT a.vec_id AS qid, b.vec_id AS nbr,
+        |        list_inner_product(a.v, b.v) AS dp
+        |      FROM ve a JOIN ve b ON a.vec_id <> b.vec_id),
         |cx AS (SELECT qid, nbr, round(dp / (na.nrm * nb.nrm), 4) AS cos
         |       FROM dx JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = nbr),
         |rx AS MATERIALIZED (SELECT qid, nbr FROM (SELECT qid, nbr,
@@ -202,14 +199,13 @@ private[graft] object QEmbed {
           Tables.table(s, dir, "embeddings"), "vec_id", "embedding", "label",
           fixedCentroidArr(s, dir), k = 5, nprobe = 5)
         .orderBy("qid", "rank"),
-      Some("""WITH pts AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
-        |n AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pts GROUP BY 1),
-        |cents AS (SELECT vec_id AS cid, CAST(unnest(embedding) AS DOUBLE) AS c,
-        |          unnest(range(0, len(embedding))) AS i FROM embeddings WHERE vec_id < 8),
-        |ad AS MATERIALIZED (SELECT p.vec_id, c.cid, sqrt(sum((p.x - c.c) * (p.x - c.c))) AS dist
-        |       FROM pts p JOIN cents c ON p.i = c.i
-        |       JOIN n z ON z.vec_id = p.vec_id AND z.nrm > 0 GROUP BY 1, 2),
+      Some("""WITH ve AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings),
+        |n AS MATERIALIZED (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM ve),
+        |ad AS MATERIALIZED (SELECT e.vec_id, c.vec_id AS cid,
+        |         list_distance(e.v, c.v) AS dist
+        |       FROM ve e JOIN n z ON z.vec_id = e.vec_id AND z.nrm > 0
+        |       CROSS JOIN (SELECT vec_id, v FROM ve WHERE vec_id < 8) c),
         |home AS (SELECT vec_id, cid AS cell FROM ad
         |         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
         |probe AS (SELECT vec_id AS qid, cid AS cell FROM ad
@@ -221,10 +217,10 @@ private[graft] object QEmbed {
         |        FROM cand JOIN embeddings la ON la.vec_id = cand.qid
         |                  JOIN embeddings lb ON lb.vec_id = cand.nbr
         |        WHERE la.label <> lb.label),
-        |d AS (SELECT neg.qid, neg.nbr, neg.qlab, neg.nlab, sum(a.x * b.x) AS dp
-        |      FROM neg JOIN pts a ON a.vec_id = neg.qid
-        |               JOIN pts b ON b.vec_id = neg.nbr AND b.i = a.i
-        |      GROUP BY 1, 2, 3, 4),
+        |d AS (SELECT neg.qid, neg.nbr, neg.qlab, neg.nlab,
+        |        list_inner_product(a.v, b.v) AS dp
+        |      FROM neg JOIN ve a ON a.vec_id = neg.qid
+        |               JOIN ve b ON b.vec_id = neg.nbr),
         |c2 AS (SELECT qid, nbr, qlab, nlab, round(dp / (nq.nrm * nv.nrm), 4) + 0.0 AS cos
         |       FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = nbr),
         |r AS (SELECT qid, qlab, nbr, nlab, cos,
@@ -708,11 +704,11 @@ private[graft] object QEmbed {
           Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
           minCos = 0.5)
         .orderBy("id"),
-      Some("""WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |             unnest(range(0, len(embedding))) AS i FROM embeddings),
-        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
-        |d AS (SELECT a.vec_id AS src, b.vec_id AS dst, sum(a.x * b.x) AS dp
-        |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2),
+      Some("""WITH ve AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM ve),
+        |d AS (SELECT a.vec_id AS src, b.vec_id AS dst, list_inner_product(a.v, b.v) AS dp
+        |      FROM ve a JOIN ve b ON a.vec_id <> b.vec_id),
         |c AS (SELECT src, dst, round(dp / (na.nrm * nb.nrm), 4) + 0.0 AS cos
         |      FROM d JOIN n na ON na.vec_id = src JOIN n nb ON nb.vec_id = dst),
         |k AS (SELECT src AS id, count(*) AS n_nbr, max(cos) AS max_cos

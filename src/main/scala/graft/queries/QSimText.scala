@@ -480,6 +480,48 @@ private[graft] object QSimText {
         |    END, 4) AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("q_bpe_learn",  // BPE merge learning (Sennrich 2016): the top-3
+      // most frequent adjacent-symbol merges over the corpus word
+      // stream, greedy left-to-right merge applied between rounds —
+      // the vocab-induction loop every GPT-style tokenizer trains
+      // with. One pair-count shuffle per round + a 1-row driver
+      // collect (k-row-scalar family); merge is a map-side literal
+      // replace whose double-space delimiting makes Spark and DuckDB
+      // agree character-for-character (see TextOps.bpeInitSeq).
+      (s, dir) => TextOps.bpeLearn(Tables.table(s, dir, "documents"), "text", 3)
+        .orderBy("iter"),
+      Some("""WITH w0 AS (
+        |  SELECT '  ' || regexp_replace(w, '(.)', '\1  ', 'g') AS seq
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text),
+        |                '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS w
+        |        FROM documents)),
+        |p1 AS (SELECT s[i + 1] AS l, s[i + 2] AS r, count(*) AS cnt FROM (
+        |        SELECT s, unnest(range(0, len(s) - 1)) AS i
+        |        FROM (SELECT string_split(trim(seq), '  ') AS s FROM w0))
+        |       GROUP BY 1, 2),
+        |b1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+        |w1 AS (SELECT replace(seq, ' ' || l || '  ' || r || ' ',
+        |                      ' ' || l || r || ' ') AS seq
+        |       FROM w0 CROSS JOIN b1),
+        |p2 AS (SELECT s[i + 1] AS l, s[i + 2] AS r, count(*) AS cnt FROM (
+        |        SELECT s, unnest(range(0, len(s) - 1)) AS i
+        |        FROM (SELECT string_split(trim(seq), '  ') AS s FROM w1))
+        |       GROUP BY 1, 2),
+        |b2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |w2 AS (SELECT replace(seq, ' ' || l || '  ' || r || ' ',
+        |                      ' ' || l || r || ' ') AS seq
+        |       FROM w1 CROSS JOIN b2),
+        |p3 AS (SELECT s[i + 1] AS l, s[i + 2] AS r, count(*) AS cnt FROM (
+        |        SELECT s, unnest(range(0, len(s) - 1)) AS i
+        |        FROM (SELECT string_split(trim(seq), '  ') AS s FROM w2))
+        |       GROUP BY 1, 2),
+        |b3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INT) AS iter, l, r, cnt FROM b1
+        |  UNION ALL SELECT CAST(2 AS INT), l, r, cnt FROM b2
+        |  UNION ALL SELECT CAST(3 AS INT), l, r, cnt FROM b3)
+        |ORDER BY iter""".stripMargin)),
+
     Q("q_fingerprint",
       (s, dir) => docsTokens(s, dir)
         .select(col("doc_id"), TextStats.contentFingerprint(col("toks")).as("fp"))

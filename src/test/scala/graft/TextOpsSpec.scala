@@ -411,4 +411,26 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toMap
     assert(fwd(9L) != fwd(10L))
   }
+
+  test("bpeLearn: greedy non-overlap counts, merged symbols re-merge, frequency weighting") {
+    // corpus: "aaaa" ×2, "ab ab ab" ×1.
+    // round 1 pairs: word "aaaa" -> (a,a)×3 each (GREEDY source counts
+    // overlapping positions: a|a a|a a|a = 3), ×2 docs = 6;
+    // "ab"×3 -> (a,b)×3. winner (a,a) cnt 6.
+    // after merge: "aaaa" -> [aa, aa]; round 2: (aa,aa)×2, (a,b)×3 ->
+    // winner (a,b) cnt 3. round 3: "ab" words are single symbols now;
+    // (aa,aa)×2 is all that's left -> winner (aa,aa) cnt 2 — the
+    // MERGED symbol participates in later rounds.
+    val docs = Seq((1L, "aaaa"), (2L, "aaaa"), (3L, "ab ab ab"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeLearn(docs, "text", 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1, "a", "a", 6L), (2, "a", "b", 3L), (3, "aa", "aa", 2L)))
+    // exhaustion: once no pairs remain, learning stops short
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val t = TextOps.bpeLearn(tiny, "text", 5)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(t === Seq((1, "a", "b", 1L)),
+      "single merge exhausts the 2-symbol corpus; later rounds emit nothing")
+  }
 }
