@@ -659,6 +659,43 @@ object Similarity {
       .drop("n_c")
   }
 
+  /** SIMPLIFIED SILHOUETTE per vector (Hruschka et al. 2004; the
+    * centroid form of Rousseeuw 1987 that Vendramin et al. 2010 show
+    * tracks the full O(n²) silhouette at O(n·C)) — the cluster-quality
+    * grade you check BEFORE trusting a cell table: the kNN router,
+    * SemDeDup's cluster pruning and [[protoPrune]] all inherit their
+    * failure modes from a bad C, and full silhouette is exactly the
+    * n² pass this engine refuses to ship. s = (b − a)/max(a, b) with
+    * a = distance to the ASSIGNED (nearest) centroid and b = distance
+    * to the nearest OTHER centroid; s ∈ [−1, 1], ~0 = on a cell
+    * boundary, 1 = dead center, 0 by convention when both distances
+    * are 0. Every distance is rounded to 9 dp BEFORE ranking and
+    * arithmetic so assignment, b, and the ratio run on bitwise-equal
+    * doubles in any engine (the PCA-deflation device).
+    *
+    * Scale: ONE map-side projection of C fused codegen (dist, cid)
+    * structs against driver-literal centroids — no join, no shuffle,
+    * no n·C explode; the plan is [[KMeansOps.assign]]'s with a second
+    * struct read. Same hot-cell caveats as the other cell operators.
+    */
+  def silhouette(
+      emb: DataFrame, idCol: String, vecCol: String,
+      cells: Array[(Long, Array[Double])], scale: Int = 6): DataFrame = {
+    require(cells.length >= 2, "silhouette needs at least 2 cells")
+    val pts = emb.select(col(idCol), KMeansOps.asDouble(col(vecCol)).as("v"))
+    val scored = sort_array(array(cells.map { case (cid, cv) =>
+      struct(
+        round(KMeansOps.euclid(col("v"), typedlit(cv.toSeq)), 9).as("d"),
+        lit(cid).as("c"))
+    }: _*))
+    val a = col("__s")(0)("d")
+    val b = col("__s")(1)("d")
+    pts.withColumn("__s", scored)
+      .select(col(idCol), col("__s")(0)("c").as("cell"),
+        (round(when(greatest(a, b) === 0, lit(0.0))
+          .otherwise((b - a) / greatest(a, b)), scale) + lit(0.0)).as("sil"))
+  }
+
   /** ⌈d/32⌉ packed 32-bit sign words of `v` as one array Column (d
     * probed once from `emb`; min/max-size aggregate so ragged input
     * fails fast instead of silently truncating/zero-padding to an

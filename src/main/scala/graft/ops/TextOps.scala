@@ -388,4 +388,47 @@ object TextOps {
     learned.result().toDF("iter", "l", "r", "cnt")
       .select(col("iter").cast("int"), col("l"), col("r"), col("cnt"))
   }
+
+  /** BPE ENCODING under a learned merge table — the apply half of the
+    * Sennrich loop (what the tokenizer does to the corpus at training
+    * time, millions of times more often than learning runs). Re-learns
+    * `iters` merges on `docs` (a k-row driver table), then tokenizes
+    * every document: per doc, the char-symbol count before any merge
+    * (`n_chars` — what a byte-level tokenizer would emit) and the
+    * symbol count after the merges (`n_bpe`), i.e. the compression the
+    * vocab buys. Zero-word docs report (0, 0).
+    *
+    * Scale: learning is [[bpeLearn]] (one shuffle + 1-row collect per
+    * round); encoding is ONE map-side chain of literal `replace`s in
+    * merge-rank order over the exploded word stream — merges ride as
+    * driver literals, the corpus never joins anything — then one
+    * groupBy(doc) count shuffle and a doc-table left join to restore
+    * wordless docs. At a real 30k-merge vocab the replace chain
+    * becomes a scalar loop in one codegen'd expression or a
+    * mapPartitions trie pass; the plan shape (broadcast vocab,
+    * map-side encode, no corpus self-join) is already the production
+    * one.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                iters: Int): DataFrame = {
+    val merges = bpeLearn(docs, textCol, iters)
+      .orderBy("iter").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    var seqd = docs
+      .select(col(idCol), explode(bpeWords(col(textCol))).as("w"))
+      .select(col(idCol), length(col("w")).as("wlen"),
+        bpeInitSeq(col("w")).as("seq"))
+    for ((l, r) <- merges)
+      seqd = seqd.withColumn("seq",
+        replace(col("seq"), lit(s" $l  $r "), lit(s" $l$r ")))
+    val counts = seqd
+      .select(col(idCol), col("wlen"),
+        size(split(trim(col("seq")), "  ")).as("ntok"))
+      .groupBy(idCol)
+      .agg(sum("wlen").as("__nc"), sum("ntok").as("__nb"))
+    docs.select(col(idCol)).join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nc"), lit(0L)).as("n_chars"),
+        coalesce(col("__nb"), lit(0L)).as("n_bpe"))
+  }
 }

@@ -323,6 +323,37 @@ private[graft] object QEmbed {
         |SELECT vec_id, cell, proto, rank, rank <= (n_c * 3 + 9) // 10 AS kept
         |FROM rk ORDER BY vec_id""".stripMargin)),
 
+    Q("q_silhouette",  // simplified silhouette (Hruschka et al. 2004;
+      // Vendramin et al. 2010 validation) per vector against the fixed
+      // cell table — the O(n·C) cluster-quality grade checked before
+      // trusting any cell-routed operator (kNN router, SemDeDup,
+      // proto-prune); full Rousseeuw silhouette is the n² pass this
+      // engine refuses. s = (b−a)/max(a,b), a = assigned-centroid
+      // dist, b = nearest-other dist, distances rounded to 9 dp
+      // BEFORE ranking/arithmetic so both engines run on identical
+      // doubles. One map-side projection of C fused (dist, cid)
+      // structs, zero shuffle.
+      (s, dir) => Similarity.silhouette(
+          Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
+          fixedCentroidArr(s, dir))
+        .orderBy("vec_id"),
+      Some("""WITH ve AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings),
+        |ad AS MATERIALIZED (SELECT e.vec_id, c.vec_id AS cid,
+        |         round(list_distance(e.v, c.v), 9) AS dist
+        |       FROM ve e
+        |       CROSS JOIN (SELECT vec_id, v FROM ve WHERE vec_id < 8) c),
+        |r AS (SELECT vec_id, cid, dist,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |      FROM ad),
+        |ab AS (SELECT a.vec_id, a.cid AS cell, a.dist AS da, b.dist AS db
+        |       FROM r a JOIN r b ON b.vec_id = a.vec_id AND b.rn = 2
+        |       WHERE a.rn = 1)
+        |SELECT vec_id, cell,
+        |  round(CASE WHEN greatest(da, db) = 0 THEN 0.0
+        |        ELSE (db - da) / greatest(da, db) END, 6) + 0.0 AS sil
+        |FROM ab ORDER BY vec_id""".stripMargin)),
+
     Q("q_embed_cov",  // population covariance matrix of the embedding
       // table as (i, j, cov) — the PCA/whitening/Mahalanobis input. Each
       // row expands map-side to ONE d²+d array (outer products ++ the

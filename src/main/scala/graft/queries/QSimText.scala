@@ -522,6 +522,56 @@ private[graft] object QSimText {
         |  UNION ALL SELECT CAST(3 AS INT), l, r, cnt FROM b3)
         |ORDER BY iter""".stripMargin)),
 
+    Q("q_bpe_encode",  // BPE ENCODING under the learned merge table —
+      // the apply half of q_bpe_learn's loop: per-doc char-symbol
+      // count vs symbol count after 3 learned merges (the compression
+      // the vocab buys). Merges ride as driver literals; the encode is
+      // one map-side replace chain over the word stream, then a
+      // groupBy(doc_id) and a doc-table left join for wordless docs.
+      (s, dir) => TextOps.bpeEncode(
+          Tables.table(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id"),
+      Some("""WITH w0 AS MATERIALIZED (
+        |  SELECT doc_id, length(w) AS wlen,
+        |         '  ' || regexp_replace(w, '(.)', '\1  ', 'g') AS seq
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        |                '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS w
+        |        FROM documents)),
+        |p1 AS (SELECT s[i + 1] AS l, s[i + 2] AS r, count(*) AS cnt FROM (
+        |        SELECT s, unnest(range(0, len(s) - 1)) AS i
+        |        FROM (SELECT string_split(trim(seq), '  ') AS s FROM w0))
+        |       GROUP BY 1, 2),
+        |b1 AS (SELECT l, r FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+        |w1 AS MATERIALIZED (SELECT doc_id, wlen,
+        |         replace(seq, ' ' || l || '  ' || r || ' ',
+        |                 ' ' || l || r || ' ') AS seq
+        |       FROM w0 CROSS JOIN b1),
+        |p2 AS (SELECT s[i + 1] AS l, s[i + 2] AS r, count(*) AS cnt FROM (
+        |        SELECT s, unnest(range(0, len(s) - 1)) AS i
+        |        FROM (SELECT string_split(trim(seq), '  ') AS s FROM w1))
+        |       GROUP BY 1, 2),
+        |b2 AS (SELECT l, r FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |w2 AS MATERIALIZED (SELECT doc_id, wlen,
+        |         replace(seq, ' ' || l || '  ' || r || ' ',
+        |                 ' ' || l || r || ' ') AS seq
+        |       FROM w1 CROSS JOIN b2),
+        |p3 AS (SELECT s[i + 1] AS l, s[i + 2] AS r, count(*) AS cnt FROM (
+        |        SELECT s, unnest(range(0, len(s) - 1)) AS i
+        |        FROM (SELECT string_split(trim(seq), '  ') AS s FROM w2))
+        |       GROUP BY 1, 2),
+        |b3 AS (SELECT l, r FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+        |w3 AS (SELECT doc_id, wlen,
+        |         replace(seq, ' ' || l || '  ' || r || ' ',
+        |                 ' ' || l || r || ' ') AS seq
+        |       FROM w2 CROSS JOIN b3),
+        |c AS (SELECT doc_id, CAST(sum(wlen) AS BIGINT) AS nc,
+        |        CAST(sum(len(string_split(trim(seq), '  '))) AS BIGINT) AS nb
+        |      FROM w3 GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(nc, 0) AS BIGINT) AS n_chars,
+        |       CAST(coalesce(nb, 0) AS BIGINT) AS n_bpe
+        |FROM documents d LEFT JOIN c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
     Q("q_fingerprint",
       (s, dir) => docsTokens(s, dir)
         .select(col("doc_id"), TextStats.contentFingerprint(col("toks")).as("fp"))

@@ -62,6 +62,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("join"), s"assign must not join:\n$p")
   }
 
+  test("silhouette is a zero-shuffle map-side projection: no Exchange, no join") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.table(spark, TestSpark.Sf, "embeddings")
+    val cells = QShared.fixedCentroidArr(spark, TestSpark.Sf)
+    val p = graft.ops.Similarity.silhouette(emb, "vec_id", "embedding", cells)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"silhouette must not shuffle:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"silhouette must not join:\n$p")
+  }
+
   test("q_seq_ids/q_pack/q_shuffle_det: no single-partition window — the at-scale offset form is the gated plan") {
     for (q <- Seq("q_seq_ids", "q_pack", "q_shuffle_det")) {
       val p = plan(q)

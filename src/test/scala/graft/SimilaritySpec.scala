@@ -657,4 +657,32 @@ class SimilaritySpec extends AnyFunSuite {
       c -> rs.count(_._5) }
     assert(counts == Map(0L -> 2, 1L -> 2))
   }
+
+  test("silhouette closed form: ratio, boundary zero, dead-center one, tie assignment, degenerate cells") {
+    // centroids on a line: c0 = (0,0), c1 = (4,0)
+    val cells = Array(0L -> Array(0.0, 0.0), 1L -> Array(4.0, 0.0))
+    val df = Seq(
+      (10L, Seq(1.0, 0.0)),  // a=1 b=3 -> (3-1)/3 = 0.666667, cell0
+      (11L, Seq(2.0, 0.0)),  // equidistant: cell ties to 0, sil 0.0
+      (12L, Seq(0.0, 0.0)),  // dead center: a=0 b=4 -> 1.0
+      (13L, Seq(6.0, 0.0)))  // cell1, a=2 b=6 -> 0.666667
+      .toDF("id", "v")
+    val got = Similarity.silhouette(df, "id", "v", cells)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(10L) == (0L, 0.666667))
+    assert(got(11L) == (0L, 0.0), "boundary point: smaller cid wins, sil 0")
+    assert(got(12L) == (0L, 1.0))
+    assert(got(13L) == (1L, 0.666667))
+    assert(got.values.forall { case (_, s) => s >= -1.0 && s <= 1.0 })
+    // both distances zero (identical centroids): 0 by convention, not NaN
+    val dup = Array(0L -> Array(1.0, 1.0), 1L -> Array(1.0, 1.0))
+    val z = Similarity.silhouette(
+        Seq((1L, Seq(1.0, 1.0))).toDF("id", "v"), "id", "v", dup)
+      .as[(Long, Long, Double)].collect()
+    assert(z.toSeq == Seq((1L, 0L, 0.0)))
+    // single cell has no "nearest other" — rejected, not mis-scored
+    intercept[IllegalArgumentException] {
+      Similarity.silhouette(df, "id", "v", cells.take(1))
+    }
+  }
 }

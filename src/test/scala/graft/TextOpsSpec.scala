@@ -433,4 +433,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(t === Seq((1, "a", "b", 1L)),
       "single merge exhausts the 2-symbol corpus; later rounds emit nothing")
   }
+
+  test("bpeEncode: merge chain compresses, merged-of-merged applies, wordless doc -> (0,0)") {
+    // merges learned on this corpus (proven above): (a,a), (a,b), (aa,aa).
+    // "aaaa" -> m1 [aa,aa] -> m3 [aaaa] = 1 token from 4 chars;
+    // "ab ab ab" -> m2 [ab][ab][ab] = 3 tokens from 6 chars;
+    // doc 4 has no extractable words at all.
+    val docs = Seq((1L, "aaaa"), (2L, "aaaa"), (3L, "ab ab ab"), (4L, "   "))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeEncode(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 4L, 1L), (2L, 4L, 1L), (3L, 6L, 3L), (4L, 0L, 0L)))
+    assert(got.forall { case (_, nc, nb) => nb <= nc },
+      "a merge can only shrink the symbol count")
+  }
 }
