@@ -696,6 +696,64 @@ object Similarity {
           .otherwise((b - a) / greatest(a, b)), scale) + lit(0.0)).as("sil"))
   }
 
+  /** DAVIES–BOULDIN index per cell (Davies & Bouldin TPAMI 1979) —
+    * [[silhouette]]'s complement: where silhouette grades each POINT,
+    * DB grades each CELL by its worst separation-to-scatter ratio,
+    * R_ij = (σ_i + σ_j)/‖c_i − c_j‖, db_i = max_{j≠i} R_ij (lower is
+    * better; the corpus DB index is the mean of db_i). The same
+    * pre-flight check on a cell table before the kNN router /
+    * SemDeDup / [[protoPrune]] trust it, at O(n·C) + O(C²).
+    *
+    * Determinism: assignment distances round to 9 dp before ranking
+    * (the [[silhouette]] device); σ_i rounds to 6 dp straight out of
+    * the avg so the C² driver arithmetic runs on engine-identical
+    * doubles (the avg's sub-6dp sum-order noise is absorbed exactly
+    * like q_kmeans_sse's). Scale: one zero-shuffle map-side
+    * assignment projection, ONE narrow groupBy(cell) exchange of
+    * (cell, dist) rows, then C rows collect (k-row-scalar family) and
+    * the C×C max on the driver — the corpus never joins anything.
+    */
+  def daviesBouldin(
+      emb: DataFrame, idCol: String, vecCol: String,
+      cells: Array[(Long, Array[Double])]): DataFrame = {
+    require(cells.length >= 2, "daviesBouldin needs at least 2 cells")
+    val spark = emb.sparkSession
+    val pts = emb.select(KMeansOps.asDouble(col(vecCol)).as("v"))
+    val scored = sort_array(array(cells.map { case (cid, cv) =>
+      struct(
+        round(KMeansOps.euclid(col("v"), typedlit(cv.toSeq)), 9).as("d"),
+        lit(cid).as("c"))
+    }: _*))(0)
+    val sig = pts.select(scored("c").as("cell"), scored("d").as("dist"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), round(avg("dist"), 6).as("sigma"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byId = sig.map(s => s._1 -> s).toMap
+    val cent = cells.toMap
+    def m(i: Long, j: Long): Double = {
+      val (a, b) = (cent(i), cent(j))
+      val d = BigDecimal(math.sqrt(
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      require(d > 0, s"daviesBouldin: cells $i and $j share a centroid")
+      d
+    }
+    val rows = cells.map(_._1).sorted.map { i =>
+      // a cell no point assigns to scatters nothing: σ = 0, n = 0
+      val (_, n, si) = byId.getOrElse(i, (i, 0L, 0.0))
+      val worst = cells.map(_._1).filter(_ != i).map { j =>
+        val sj = byId.get(j).map(_._3).getOrElse(0.0)
+        (si + sj) / m(i, j)
+      }.max
+      val db = BigDecimal(worst)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (i, n, si, db)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("cell", "n", "sigma", "db")
+  }
+
   /** ⌈d/32⌉ packed 32-bit sign words of `v` as one array Column (d
     * probed once from `emb`; min/max-size aggregate so ragged input
     * fails fast instead of silently truncating/zero-padding to an

@@ -354,6 +354,43 @@ private[graft] object QEmbed {
         |        ELSE (db - da) / greatest(da, db) END, 6) + 0.0 AS sil
         |FROM ab ORDER BY vec_id""".stripMargin)),
 
+    Q("q_davies_bouldin",  // Davies–Bouldin index per cell (Davies &
+      // Bouldin TPAMI 1979) — silhouette's complement: grades each
+      // CELL by its worst separation-to-scatter ratio R_ij =
+      // (σi+σj)/‖ci−cj‖, db_i = max_{j≠i} R_ij (lower = better). One
+      // zero-shuffle assignment projection + ONE narrow groupBy(cell)
+      // + a C-row collect; the C×C max runs on the driver
+      // (k-row-scalar family). σ rounds to 6 dp out of the avg and
+      // assignment dists to 9 dp, so the driver arithmetic runs on
+      // engine-identical doubles.
+      (s, dir) => Similarity.daviesBouldin(
+          Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
+          fixedCentroidArr(s, dir))
+        .orderBy("cell"),
+      Some("""WITH ve AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings),
+        |cents AS MATERIALIZED (SELECT vec_id AS cid, v FROM ve WHERE vec_id < 8),
+        |ad AS MATERIALIZED (SELECT e.vec_id, c.cid,
+        |         round(list_distance(e.v, c.v), 9) AS dist
+        |       FROM ve e CROSS JOIN cents c),
+        |asg AS (SELECT vec_id, cid AS cell, dist FROM ad
+        |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+        |sig AS (SELECT cell, count(*) AS n, round(avg(dist), 6) AS sigma
+        |        FROM asg GROUP BY 1),
+        |allc AS (SELECT cid AS cell, coalesce(n, 0) AS n,
+        |           coalesce(sigma, 0.0) AS sigma
+        |         FROM cents LEFT JOIN sig ON sig.cell = cents.cid),
+        |m AS (SELECT a.cid AS i, b.cid AS j,
+        |        round(list_distance(a.v, b.v), 9) AS m
+        |      FROM cents a JOIN cents b ON a.cid <> b.cid),
+        |r AS (SELECT m.i AS cell, max((si.sigma + sj.sigma) / m.m) AS worst
+        |      FROM m JOIN allc si ON si.cell = m.i
+        |             JOIN allc sj ON sj.cell = m.j
+        |      GROUP BY 1)
+        |SELECT allc.cell, CAST(allc.n AS BIGINT) AS n, allc.sigma,
+        |       round(r.worst, 6) AS db
+        |FROM allc JOIN r USING (cell) ORDER BY cell""".stripMargin)),
+
     Q("q_embed_cov",  // population covariance matrix of the embedding
       // table as (i, j, cov) — the PCA/whitening/Mahalanobis input. Each
       // row expands map-side to ONE d²+d array (outer products ++ the

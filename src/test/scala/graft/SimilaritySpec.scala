@@ -685,4 +685,25 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.silhouette(df, "id", "v", cells.take(1))
     }
   }
+
+  test("daviesBouldin closed form: worst-ratio per cell, empty cell scatters zero, dup centroids rejected") {
+    // c0=(0,0), c1=(4,0), c2=(0,3); two points at dist 1 from each of
+    // c0/c1, none assigned to c2. σ0=σ1=1, σ2=0; M01=4, M02=3, M12=5.
+    // db0 = max(2/4, 1/3) = 0.5; db1 = max(2/4, 1/5) = 0.5;
+    // db2 = max(1/3, 1/5) = 0.333333.
+    val cells = Array(0L -> Array(0.0, 0.0), 1L -> Array(4.0, 0.0),
+      2L -> Array(0.0, 3.0))
+    val df = Seq(
+      (10L, Seq(1.0, 0.0)), (11L, Seq(0.0, 1.0)),
+      (12L, Seq(4.0, 1.0)), (13L, Seq(5.0, 0.0)))
+      .toDF("id", "v")
+    val got = Similarity.daviesBouldin(df, "id", "v", cells)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (0L, 2L, 1.0, 0.5), (1L, 2L, 1.0, 0.5), (2L, 0L, 0.0, 0.333333)))
+    intercept[IllegalArgumentException] {
+      Similarity.daviesBouldin(df, "id", "v",
+        Array(0L -> Array(1.0, 0.0), 1L -> Array(1.0, 0.0)))
+    }
+  }
 }
