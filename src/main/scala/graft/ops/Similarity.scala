@@ -559,6 +559,56 @@ object Similarity {
     scored.unionByName(scored.select(mirror: _*)).distinct()
   }
 
+  /** Per-cell ROUTING LOAD of the [[knnSelfJoin]]/[[hardNegatives]]
+    * candidate kernel — the skew report that prices the router before
+    * a 100 TB run: `n_home` = vectors homed in the cell, `n_probe` =
+    * (vector, probe) hits on the cell, `n_cand` = candidate pairs the
+    * cell contributes (n_probe·n_home − n_home self-pairs — exactly
+    * the Σ_c |cell|·|probes(c)| term the approximate join's cost is),
+    * `share` = the cell's fraction of total candidate volume. A cell
+    * with share ≫ 1/C is the hot bucket the scaladocs keep pointing
+    * at — raise C or pre-split BEFORE the join, not after it OOMs.
+    *
+    * Same routing arithmetic as [[knnSelfJoin]] (raw euclid struct
+    * sort, zero-norm rows excluded): the report describes the join
+    * that actually runs. Scale: one map-side routing projection, one
+    * C-row groupBy — the report costs one narrow shuffle at any
+    * corpus size; the driver fill of never-probed cells is C rows
+    * (k-row-scalar family).
+    */
+  def cellLoad(
+      emb: DataFrame, idCol: String, vecCol: String,
+      cells: Array[(Long, Array[Double])], nprobe: Int): DataFrame = {
+    require(cells.nonEmpty && nprobe >= 1 && nprobe <= cells.length)
+    val spark = emb.sparkSession
+    val pts = emb.select(KMeansOps.asDouble(col(vecCol)).as("v"))
+      .filter(l2norm(col("v")) > 0)
+    val cellDists = array(cells.map { case (cid, cv) =>
+      struct(KMeansOps.euclid(col("v"), typedlit(cv.toSeq)).as("d"),
+        lit(cid).as("c"))
+    }: _*)
+    val probed = pts
+      .withColumn("pc",
+        transform(slice(sort_array(cellDists), 1, nprobe), p => p.getField("c")))
+      .select(posexplode(col("pc")).as(Seq("pos", "cell")))
+    val got = probed.groupBy("cell")
+      .agg(sum(when(col("pos") === 0, 1L).otherwise(0L)).as("n_home"),
+        count(lit(1)).as("n_probe"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val full = cells.map(_._1).sorted.map { cid =>
+      val (h, p) = got.getOrElse(cid, (0L, 0L))
+      (cid, h, p, p * h - h)
+    }
+    val total = full.map(_._4).sum.toDouble
+    import spark.implicits._
+    full.map { case (cid, h, p, cand) =>
+      val share = if (total == 0) 0.0
+        else BigDecimal(cand / total)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (cid, h, p, cand, share)
+    }.toSeq.toDF("cell", "n_home", "n_probe", "n_cand", "share")
+  }
+
   /** HARD-NEGATIVE mining for contrastive training (the ANCE/DPR prep
     * step): per anchor, the top-`k` most similar corpus vectors whose
     * `labelCol` DIFFERS from the anchor's — semantically close,

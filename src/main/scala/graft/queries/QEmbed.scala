@@ -323,6 +323,43 @@ private[graft] object QEmbed {
         |SELECT vec_id, cell, proto, rank, rank <= (n_c * 3 + 9) // 10 AS kept
         |FROM rk ORDER BY vec_id""".stripMargin)),
 
+    Q("q_cell_load",  // per-cell routing load of the kNN candidate
+      // kernel at the gated (C=8, nprobe=5) config — the skew report
+      // that prices the approximate join BEFORE a 100 TB run: n_cand
+      // = n_probe·n_home − n_home is exactly the Σ|cell|·|probes(c)|
+      // cost term, share ≫ 1/C marks the hot bucket (raise C /
+      // pre-split). Same raw-euclid routing as knnSelfJoin so the
+      // report describes the join that actually runs; one map-side
+      // routing projection + one C-row groupBy.
+      (s, dir) => Similarity.cellLoad(
+          Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
+          fixedCentroidArr(s, dir), nprobe = 5)
+        .orderBy("cell"),
+      Some("""WITH ve AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM ve),
+        |ad AS MATERIALIZED (SELECT e.vec_id, c.vec_id AS cid,
+        |         list_distance(e.v, c.v) AS dist
+        |       FROM ve e JOIN n z ON z.vec_id = e.vec_id AND z.nrm > 0
+        |       CROSS JOIN (SELECT vec_id, v FROM ve WHERE vec_id < 8) c),
+        |pr AS (SELECT vec_id, cid,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |       FROM ad),
+        |s AS (SELECT cid AS cell,
+        |        CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_home,
+        |        CAST(count(*) AS BIGINT) AS n_probe
+        |      FROM pr WHERE rn <= 5 GROUP BY 1),
+        |t AS (SELECT c.vec_id AS cell,
+        |        coalesce(n_home, 0) AS n_home, coalesce(n_probe, 0) AS n_probe,
+        |        coalesce(n_probe * n_home - n_home, 0) AS n_cand
+        |      FROM (SELECT vec_id FROM ve WHERE vec_id < 8) c
+        |      LEFT JOIN s ON s.cell = c.vec_id)
+        |SELECT cell, n_home, n_probe, CAST(n_cand AS BIGINT) AS n_cand,
+        |  CASE WHEN sum(n_cand) OVER () = 0 THEN 0.0
+        |    ELSE round(CAST(n_cand AS DOUBLE)
+        |               / CAST(sum(n_cand) OVER () AS DOUBLE), 6) END AS share
+        |FROM t ORDER BY cell""".stripMargin)),
+
     Q("q_silhouette",  // simplified silhouette (Hruschka et al. 2004;
       // Vendramin et al. 2010 validation) per vector against the fixed
       // cell table — the O(n·C) cluster-quality grade checked before

@@ -706,4 +706,24 @@ class SimilaritySpec extends AnyFunSuite {
         Array(0L -> Array(1.0, 0.0), 1L -> Array(1.0, 0.0)))
     }
   }
+
+  test("cellLoad closed form: home/probe/candidate accounting, zero-norm excluded, conservation") {
+    val cells = Array(0L -> Array(0.0, 0.0), 1L -> Array(10.0, 0.0),
+      2L -> Array(20.0, 0.0))
+    val df = Seq(
+      (1L, Seq(1.0, 0.0)),    // home c0, probes {c0, c1}
+      (9L, Seq(9.0, 0.0)),    // home c1, probes {c1, c0}
+      (19L, Seq(19.0, 0.0)),  // home c2, probes {c2, c1}
+      (21L, Seq(21.0, 0.0)),  // home c2, probes {c2, c1}
+      (99L, Seq(0.0, 0.0)))   // zero-norm: excluded from routing
+      .toDF("id", "v")
+    val got = Similarity.cellLoad(df, "id", "v", cells, nprobe = 2)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (0L, 1L, 2L, 1L, 0.166667),
+      (1L, 1L, 4L, 3L, 0.5),
+      (2L, 2L, 2L, 2L, 0.333333)))
+    assert(got.map(_._2).sum == 4L, "every routed vector homes exactly once")
+    assert(got.map(_._3).sum == 8L, "every routed vector probes exactly nprobe cells")
+  }
 }
