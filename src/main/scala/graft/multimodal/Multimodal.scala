@@ -385,12 +385,16 @@ object Multimodal {
     *
     * Scale — exact-hash grouping FIRST: identical-image floods
     * (hamming 0) are the pathological bucket of naive banding, so the
-    * corpus collapses to DISTINCT (w, h, ahash) groups (one groupBy —
-    * at most 2^(w·h) groups, in practice orders of magnitude below the
-    * image count) before anything quadratic runs. Banding, the exact
-    * per-position check, and the expansion joins all operate on group
-    * REPRESENTATIVES; members re-attach by broadcast-joining the tiny
-    * group table. Within-group pairs are emitted at hamming 0 without
+    * corpus collapses to DISTINCT ahash groups (one groupBy — at most
+    * 2^64 with the fixed 8×8 resample, in practice orders of
+    * magnitude below the image count for re-encode/resize floods;
+    * dimensions are output metadata, NOT key, since r11's resample)
+    * before anything quadratic runs. Banding, the exact per-position
+    * check, and the expansion joins all operate on group
+    * REPRESENTATIVES; members re-attach by a plain shuffle join on
+    * the hash key (no broadcast hint — on organic corpora distinct
+    * hashes grow with distinct images; AQE still broadcasts when the
+    * side measures small). Within-group pairs are emitted at hamming 0 without
     * any comparison; cross-group pairs inherit their reps' distance
     * (identical hashes ⇒ identical distances). Candidate volume is
     * Σ_bucket |bucket|² over DISTINCT hashes — the SimHash hot-bucket

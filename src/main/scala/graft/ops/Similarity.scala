@@ -577,7 +577,7 @@ object Similarity {
     * (k-row-scalar family).
     */
   def cellLoad(
-      emb: DataFrame, idCol: String, vecCol: String,
+      emb: DataFrame, vecCol: String,
       cells: Array[(Long, Array[Double])], nprobe: Int): DataFrame = {
     require(cells.nonEmpty && nprobe >= 1 && nprobe <= cells.length)
     val spark = emb.sparkSession

@@ -332,7 +332,7 @@ private[graft] object QEmbed {
       // report describes the join that actually runs; one map-side
       // routing projection + one C-row groupBy.
       (s, dir) => Similarity.cellLoad(
-          Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
+          Tables.table(s, dir, "embeddings"), "embedding",
           fixedCentroidArr(s, dir), nprobe = 5)
         .orderBy("cell"),
       Some("""WITH ve AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -543,27 +543,30 @@ private[graft] object QSimText {
         |       GROUP BY 1, 2),
         |b1 AS (SELECT l, r FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
         |w1 AS MATERIALIZED (SELECT doc_id, wlen,
-        |         replace(seq, ' ' || l || '  ' || r || ' ',
-        |                 ' ' || l || r || ' ') AS seq
-        |       FROM w0 CROSS JOIN b1),
+        |         CASE WHEN l IS NULL THEN seq
+        |           ELSE replace(seq, ' ' || l || '  ' || r || ' ',
+        |                        ' ' || l || r || ' ') END AS seq
+        |       FROM w0 LEFT JOIN b1 ON TRUE),
         |p2 AS (SELECT s[i + 1] AS l, s[i + 2] AS r, count(*) AS cnt FROM (
         |        SELECT s, unnest(range(0, len(s) - 1)) AS i
         |        FROM (SELECT string_split(trim(seq), '  ') AS s FROM w1))
         |       GROUP BY 1, 2),
         |b2 AS (SELECT l, r FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
         |w2 AS MATERIALIZED (SELECT doc_id, wlen,
-        |         replace(seq, ' ' || l || '  ' || r || ' ',
-        |                 ' ' || l || r || ' ') AS seq
-        |       FROM w1 CROSS JOIN b2),
+        |         CASE WHEN l IS NULL THEN seq
+        |           ELSE replace(seq, ' ' || l || '  ' || r || ' ',
+        |                        ' ' || l || r || ' ') END AS seq
+        |       FROM w1 LEFT JOIN b2 ON TRUE),
         |p3 AS (SELECT s[i + 1] AS l, s[i + 2] AS r, count(*) AS cnt FROM (
         |        SELECT s, unnest(range(0, len(s) - 1)) AS i
         |        FROM (SELECT string_split(trim(seq), '  ') AS s FROM w2))
         |       GROUP BY 1, 2),
         |b3 AS (SELECT l, r FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
         |w3 AS (SELECT doc_id, wlen,
-        |         replace(seq, ' ' || l || '  ' || r || ' ',
-        |                 ' ' || l || r || ' ') AS seq
-        |       FROM w2 CROSS JOIN b3),
+        |         CASE WHEN l IS NULL THEN seq
+        |           ELSE replace(seq, ' ' || l || '  ' || r || ' ',
+        |                        ' ' || l || r || ' ') END AS seq
+        |       FROM w2 LEFT JOIN b3 ON TRUE),
         |c AS (SELECT doc_id, CAST(sum(wlen) AS BIGINT) AS nc,
         |        CAST(sum(len(string_split(trim(seq), '  '))) AS BIGINT) AS nb
         |      FROM w3 GROUP BY doc_id)

@@ -196,18 +196,43 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("q_pagerank / q_label_prop: edge substrate is the cell-routed join, NOT the blocked Θ(n²) kernel") {
     // VERDICT r10 #1: no gated graph plan may feed on
-    // cosinePairsBlocked. That kernel's unmistakable physical
-    // signature is the typed flatMap over collect_list-packed block
-    // pairs — SerializeFromObject + CollectList ops that the
-    // cell-routed knnSelfJoin plan (pure Catalyst joins/windows)
-    // never produces. q_knn_graph keeps the exact kernel by design
-    // (it IS the recall baseline that grades the router).
+    // cosinePairsBlocked. GraphOps localCheckpoints the edge list, so
+    // the gated queries' executedPlan is an ExistingRDD scan that
+    // would pass a whole-plan grep NO MATTER what built the edges
+    // (r11 review finding — the first version of this audit was
+    // vacuous). Audit in two halves instead:
+    // (1) the exact substrate expression the queries call —
+    //     knnSelfJoin at the gated (C=8, nprobe=5) config — must plan
+    //     free of the blocked kernel's unmistakable physical
+    //     signature (the typed flatMap over collect_list-packed block
+    //     pairs: SerializeFromObject + collect_list);
+    // (2) the query definitions must wire their edges through
+    //     knnSelfJoin and never call the exact knnGraph — asserted on
+    //     the registry source, the only place the wiring exists
+    //     before the checkpoint erases it.
+    // q_knn_graph keeps the exact kernel by design (it IS the recall
+    // baseline that grades the router).
+    val emb = Tables.table(spark, TestSpark.Sf, "embeddings")
+    val cells = QShared.fixedCentroidArr(spark, TestSpark.Sf)
+    val sub = graft.ops.Similarity
+      .knnSelfJoin(emb, "vec_id", "embedding", cells, k = 5, nprobe = 5)
+      .queryExecution.executedPlan.toString
+    assert(!sub.contains("SerializeFromObject"),
+      s"the graph substrate contains the blocked pair-gen flatMap kernel:\n${sub.take(2000)}")
+    assert(!sub.toLowerCase.contains("collect_list"),
+      s"the graph substrate packs blocks via collect_list:\n${sub.take(2000)}")
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/queries/QTail.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
     for (name <- Seq("q_pagerank", "q_label_prop")) {
-      val p = plan(name)
-      assert(!p.contains("SerializeFromObject"),
-        s"$name still contains the blocked pair-gen flatMap kernel:\n${p.take(2000)}")
-      assert(!p.toLowerCase.contains("collect_list"),
-        s"$name still packs blocks via collect_list:\n${p.take(2000)}")
+      val from = src.indexOf("Q(\"" + name + "\"")
+      assert(from >= 0, s"$name not found in QTail.scala")
+      val next = src.indexOf("Q(\"", from + 1)
+      val block = if (next < 0) src.substring(from) else src.substring(from, next)
+      assert(block.contains("knnSelfJoin"),
+        s"$name must build its edges via Similarity.knnSelfJoin")
+      assert(!block.contains("knnGraph"),
+        s"$name must not call the exact Θ(n²) knnGraph kernel")
     }
     assert(plan("q_knn_graph").contains("SerializeFromObject"),
       "q_knn_graph must REMAIN the exact blocked baseline — if this " +

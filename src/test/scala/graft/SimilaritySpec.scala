@@ -717,7 +717,7 @@ class SimilaritySpec extends AnyFunSuite {
       (21L, Seq(21.0, 0.0)),  // home c2, probes {c2, c1}
       (99L, Seq(0.0, 0.0)))   // zero-norm: excluded from routing
       .toDF("id", "v")
-    val got = Similarity.cellLoad(df, "id", "v", cells, nprobe = 2)
+    val got = Similarity.cellLoad(df, "v", cells, nprobe = 2)
       .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
     assert(got === Seq(
       (0L, 1L, 2L, 1L, 0.166667),
