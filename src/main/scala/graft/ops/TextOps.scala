@@ -357,9 +357,15 @@ object TextOps {
   def bpeLearn(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
     require(iters >= 1)
     val spark = docs.sparkSession
-    var cur = docs
+    // every round's pair-count action re-derives the word stream from
+    // the scan; cache the explode once (round i still recomputes its
+    // i cheap map-side replaces on top of the cached stream — the
+    // scan + regex explode is the expensive part)
+    val base = docs
       .select(explode(bpeWords(col(textCol))).as("w"))
       .select(bpeInitSeq(col("w")).as("seq"))
+      .persist()
+    var cur = base
     val learned = Seq.newBuilder[(Int, String, String, Long)]
     var it = 1
     var exhausted = false
@@ -384,6 +390,7 @@ object TextOps {
         it += 1
       }
     }
+    base.unpersist(blocking = false)
     import spark.implicits._
     learned.result().toDF("iter", "l", "r", "cnt")
       .select(col("iter").cast("int"), col("l"), col("r"), col("cnt"))
