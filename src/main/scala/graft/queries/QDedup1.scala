@@ -961,6 +961,42 @@ private[graft] object QDedup1 {
         |SELECT level, sz, n_groups FROM hd UNION ALL
         |SELECT level, sz, n_groups FROM hl ORDER BY level, sz""".stripMargin)),
 
+    Q("q_dedup_sim_hist",  // NEAR-dup similarity histogram — the
+      // θ-tuning curve q_dedup_report's exact-dup histogram can't
+      // show: candidate-pair counts per Jaccard decile from the same
+      // bucket-capped 3-shingle kernel the dedup funnel runs, floored
+      // at 0.05 (below that, pairs never materialize — by design the
+      // candidate space IS the report's domain). Where to cut θ =
+      // where the histogram's boilerplate hump ends. Bucket =
+      // ⌊10·round(j,6)+1e-9⌋ capped at 9 — the epsilon-corrected
+      // floor both engines compute identically on the exact-rational
+      // jaccard (j=1.0 lands in the [0.9,1.0] bucket). One extra
+      // C≤10-row groupBy over the pair set; pair-gen audited in
+      // q_ngram3_jaccard_capped.
+      (s, dir) => Dedup.jaccardPairsBucketed(
+          Dedup.shingleHashesViaArrays(docsTokens(s, dir), "doc_id", "toks", k = 3)
+            .localCheckpoint(),  // referenced twice (sizes + buckets)
+          0.05, maxBucket = 1000)
+        .select(least(floor(round(col("jaccard"), 6) * 10 + 1e-9), lit(9.0))
+          .cast("int").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bucket"),
+      Some(s"""WITH t AS ($SqlToks),
+        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |      FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS w, len(sh) AS sz FROM s),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter,
+        |             max(a.sz) AS s1, max(b.sz) AS s2
+        |      FROM e a JOIN e b ON a.w = b.w AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |j AS (SELECT round(CAST(inter AS DOUBLE) / (s1 + s2 - inter), 6) AS j
+        |      FROM p WHERE CAST(inter AS DOUBLE) / (s1 + s2 - inter) >= 0.05)
+        |SELECT CAST(least(floor(j * 10 + 1e-9), 9) AS INT) AS bucket,
+        |       count(*) AS n_pairs
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("q_stream_dedup",  // second ORACLED streaming row, this one
       // STATEFUL: exact dedup as dropDuplicates on the content hash
       // over a parquet file source → exactly-once parquet sink. The

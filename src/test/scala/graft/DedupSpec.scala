@@ -510,6 +510,20 @@ class DedupSpec extends AnyFunSuite {
     assert(cross.nonEmpty, "fixture must produce at least one cross pair")
   }
 
+  test("q_dedup_sim_hist: buckets within [0,9] and pair-count conservation vs the kernel") {
+    val hist = SparkEntry.queries("q_dedup_sim_hist")(spark, TestSpark.Sf)
+      .as[(Int, Long)].collect().toSeq
+    assert(hist.nonEmpty)
+    assert(hist.forall { case (b, n) => b >= 0 && b <= 9 && n > 0 })
+    val pairs = Dedup.jaccardPairsBucketed(
+      Dedup.shingleHashesViaArrays(
+          QShared.docsTokens(spark, TestSpark.Sf), "doc_id", "toks", k = 3)
+        .localCheckpoint(),
+      0.05, maxBucket = 1000).count()
+    assert(hist.map(_._2).sum == pairs,
+      "histogram must account for every candidate pair exactly once")
+  }
+
   test("dropDupsByKey keeps exactly one row per key, the min-id one") {
     val withFp = docs.withColumn("fp", Dedup.wordSetFingerprint($"toks"))
     val kept = Dedup.dropDupsByKey(withFp.select($"doc_id", $"fp"), "doc_id", "fp")
