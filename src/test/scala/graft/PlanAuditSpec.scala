@@ -72,6 +72,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("join"), s"silhouette must not join:\n$p")
   }
 
+  test("protoPrune: map-side scoring, exactly one exchange (the per-cell rank window), no join") {
+    val emb = Tables.table(spark, TestSpark.Sf, "embeddings")
+    val cells = QShared.fixedCentroidArr(spark, TestSpark.Sf)
+    val p = graft.ops.Similarity
+      .protoPrune(emb, "vec_id", "embedding", cells, keepNum = 3, keepDen = 10)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange \\w+".r.findAllMatchIn(p).map(_.matched).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("hashpartitioning"),
+      s"protoPrune must shuffle exactly once, on the cell window:\n$exchanges\n$p")
+    assert(!p.toLowerCase.contains("join"), s"protoPrune must not join:\n$p")
+  }
+
   test("q_seq_ids/q_pack/q_shuffle_det: no single-partition window — the at-scale offset form is the gated plan") {
     for (q <- Seq("q_seq_ids", "q_pack", "q_shuffle_det")) {
       val p = plan(q)
