@@ -369,7 +369,7 @@ object TextOps {
     val learned = Seq.newBuilder[(Int, String, String, Long)]
     var it = 1
     var exhausted = false
-    while (it <= iters && !exhausted) {
+    try while (it <= iters && !exhausted) {
       val syms = cur.select(split(trim(col("seq")), "  ").as("s"))
         .filter(size(col("s")) >= 2) // sequence(1,0) would DESCEND
       val pairs = syms.select(explode(transform(
@@ -390,7 +390,10 @@ object TextOps {
         it += 1
       }
     }
-    base.unpersist(blocking = false)
+    // finally, not straight-line: a mid-loop failure (executor OOM, job
+    // cancel) must not leave the corpus-scale word stream pinned in a
+    // session shared with ~190 other queries (r11 review finding)
+    finally base.unpersist(blocking = false)
     import spark.implicits._
     learned.result().toDF("iter", "l", "r", "cnt")
       .select(col("iter").cast("int"), col("l"), col("r"), col("cnt"))

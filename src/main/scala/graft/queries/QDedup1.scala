@@ -972,7 +972,10 @@ private[graft] object QDedup1 {
       // floor both engines compute identically on the exact-rational
       // jaccard (j=1.0 lands in the [0.9,1.0] bucket). One extra
       // C≤10-row groupBy over the pair set; pair-gen audited in
-      // q_ngram3_jaccard_capped.
+      // q_ngram3_jaccard_capped. Unlike that θ=0.5 witness, θ=0.05 is
+      // IN the regime hot-bucket caps bite, so the oracle models the
+      // maxBucket=1000 drop (keep CTE) — at this θ capped pairs are
+      // the query's own subject matter, not filtered noise.
       (s, dir) => Dedup.jaccardPairsBucketed(
           Dedup.shingleHashesViaArrays(docsTokens(s, dir), "doc_id", "toks", k = 3)
             .localCheckpoint(),  // referenced twice (sizes + buckets)
@@ -987,9 +990,11 @@ private[graft] object QDedup1 {
         |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
         |      FROM t),
         |e AS (SELECT doc_id, unnest(sh) AS w, len(sh) AS sz FROM s),
+        |keep AS (SELECT w FROM e GROUP BY w HAVING count(*) BETWEEN 2 AND 1000),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter,
         |             max(a.sz) AS s1, max(b.sz) AS s2
-        |      FROM e a JOIN e b ON a.w = b.w AND a.doc_id < b.doc_id
+        |      FROM e a JOIN keep USING (w)
+        |      JOIN e b ON a.w = b.w AND a.doc_id < b.doc_id
         |      GROUP BY 1, 2),
         |j AS (SELECT round(CAST(inter AS DOUBLE) / (s1 + s2 - inter), 6) AS j
         |      FROM p WHERE CAST(inter AS DOUBLE) / (s1 + s2 - inter) >= 0.05)

@@ -241,10 +241,16 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(from >= 0, s"$name not found in QTail.scala")
       val next = src.indexOf("Q(\"", from + 1)
       val block = if (next < 0) src.substring(from) else src.substring(from, next)
-      assert(block.contains("knnSelfJoin"),
-        s"$name must build its edges via Similarity.knnSelfJoin")
-      assert(!block.contains("knnGraph"),
-        s"$name must not call the exact Θ(n²) knnGraph kernel")
+      // match the CALL SITE, not prose — the scaladoc above each query
+      // mentions knnSelfJoin too, and a comment must not satisfy the
+      // audit (r11 review finding); ban every route into the blocked
+      // kernel, not just the knnGraph wrapper
+      assert(block.contains("Similarity.knnSelfJoin("),
+        s"$name must build its edges via the Similarity.knnSelfJoin(...) call")
+      for (banned <- Seq("knnGraph", "cosinePairsBlocked", "cosinePairsAuto",
+          "cosinePairsSparse"))
+        assert(!block.contains(banned),
+          s"$name must not route edges through the $banned kernel")
     }
     assert(plan("q_knn_graph").contains("SerializeFromObject"),
       "q_knn_graph must REMAIN the exact blocked baseline — if this " +
