@@ -23,7 +23,11 @@ private[graft] object QDedup2 {
       // shingles — the quote/sub-document duplication detector (a short
       // doc fully embedded in a long one is ~1.0 containment but ~0.01
       // Jaccard, invisible to every Jaccard-thresholded query). Bucketed
-      // in-bucket pair-gen with hot-bucket caps (Dedup.containmentPairs).
+      // in-bucket pair-gen with hot-bucket caps (Dedup.containmentPairs);
+      // the oracle models the maxBucket=1000 drop (keep CTE, r11) —
+      // containment's small-denominator short docs are exactly where
+      // boilerplate-hot shingles land in-domain, so an uncapped oracle
+      // is a latent at-scale parity split (the q_dedup_sim_hist lesson).
       (s, dir) => Dedup.containmentPairs(
           Dedup.shingleHashesViaArrays(docsTokens(s, dir), "doc_id", "toks", k = 3)
             .localCheckpoint(),  // referenced twice (sizes + buckets)
@@ -36,9 +40,11 @@ private[graft] object QDedup2 {
         |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
         |      FROM t),
         |e AS (SELECT doc_id, unnest(sh) AS w, len(sh) AS sz FROM s),
+        |keep AS (SELECT w FROM e GROUP BY w HAVING count(*) BETWEEN 2 AND 1000),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter,
         |             max(a.sz) AS s1, max(b.sz) AS s2
-        |      FROM e a JOIN e b ON a.w = b.w AND a.doc_id < b.doc_id
+        |      FROM e a JOIN keep USING (w)
+        |      JOIN e b ON a.w = b.w AND a.doc_id < b.doc_id
         |      GROUP BY 1, 2)
         |SELECT id1, id2,
         |       round(CAST(inter AS DOUBLE) / least(s1, s2), 6) AS containment
