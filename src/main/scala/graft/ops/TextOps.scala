@@ -288,6 +288,48 @@ object TextOps {
   def urlApex(u: Column): Column =
     regexp_extract(urlHost(u), "([^.]+\\.[^.]+)$", 1)
 
+  /** Common two-label public suffixes (curated subset of the Mozilla
+    * Public Suffix List — the ccTLD second-level registries under
+    * which "last two labels" is a REGISTRY, not a registrant). Used by
+    * [[urlApexPsl]]; swap in the full PSL as a side-input list where
+    * completeness matters (wildcard/exception PSL rules are out of
+    * scope for this subset).
+    */
+  val PublicSuffixes2Ld: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "ad.jp", "ed.jp", "gr.jp", "lg.jp", "com.au", "net.au", "org.au",
+    "edu.au", "gov.au", "asn.au", "id.au", "com.br", "net.br", "org.br",
+    "gov.br", "edu.br", "co.in", "net.in", "org.in", "gen.in", "firm.in",
+    "ind.in", "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "com.cn",
+    "net.cn", "org.cn", "gov.cn", "edu.cn", "com.mx", "org.mx", "net.mx",
+    "gob.mx", "edu.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "co.za", "org.za", "net.za", "co.kr", "or.kr", "com.my", "com.id",
+    "co.id", "com.ph", "com.vn", "com.eg", "com.sa", "com.pk", "com.ng",
+    "co.th", "in.th", "co.il", "org.il", "com.ua", "com.pl", "net.pl",
+    "org.pl", "com.ru", "com.co", "com.pe", "com.ve", "co.ve", "com.ec",
+    "com.uy", "com.do", "com.gt", "com.py", "com.bo", "com.ni", "com.sv",
+    "com.hn", "com.pa")
+
+  /** PSL-aware registrable-domain apex — the [[urlApex]] caveat closed
+    * for the common ccTLD registries: when the last two host labels
+    * are themselves a public suffix ("co.uk"), the registrable domain
+    * is the last THREE labels ("example.co.uk"), else the last two. A
+    * bare-suffix host ("co.uk") has no registrant label and falls back
+    * to itself. Pure map-side regex + literal `isin` probe over the
+    * driver-held suffix list — zero shuffle, zero joins; at full-PSL
+    * size the list rides as one broadcast set through the
+    * [[filterByDictDf]] device instead.
+    */
+  def urlApexPsl(u: Column,
+      suffixes: Seq[String] = PublicSuffixes2Ld): Column = {
+    val host = urlHost(u)
+    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    when(last2.isin(suffixes: _*) && length(last3) > length(last2), last3)
+      .otherwise(last2)
+  }
+
   /** URL canonicalization for near-dup URL keying — the standard crawl
     * pipeline normalization [[normalizeText]] does not cover: scheme
     * unified to http, host lowercased with default ports and "www."

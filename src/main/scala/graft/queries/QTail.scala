@@ -93,6 +93,53 @@ private[graft] object QTail {
         |  (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) AS canon
         |FROM kq ORDER BY doc_id""".stripMargin)),
 
+    Q("q_url_apex",  // PSL-aware registrable-domain extraction — the
+      // urlApex caveat closed: under a two-label public suffix
+      // ("co.uk") the registrable domain is the last THREE labels.
+      // Hosts are synthesized deterministically per doc (both engines
+      // build the identical fixture) cycling PSL and non-PSL TLDs,
+      // deep subdomains, and a bare-suffix host (no registrant label
+      // -> falls back to itself). Pure map-side regex + literal isin
+      // probe, zero shuffle; the oracle carries the full suffix list.
+      (s, dir) => {
+        val tld = when(col("doc_id") % 4 === 0, lit("co.uk"))
+          .when(col("doc_id") % 4 === 1, lit("com"))
+          .when(col("doc_id") % 4 === 2, lit("com.au"))
+          .otherwise(lit("org"))
+        val url = concat(lit("http://"),
+          when(col("doc_id") % 3 === 0, lit("news.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(""))
+            .otherwise(concat(col("source"), lit("."))),
+          tld, lit("/p/"), (col("doc_id") % 9).cast("string"))
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), url.as("url"))
+          .withColumn("host", ops.TextOps.urlHost(col("url")))
+          .withColumn("apex", ops.TextOps.urlApex(col("url")))
+          .withColumn("apex_psl", ops.TextOps.urlApexPsl(col("url")))
+          .drop("url")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, 'http://' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'news.' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN '' ELSE source || '.' END) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN 'co.uk'
+        |        WHEN doc_id % 4 = 1 THEN 'com'
+        |        WHEN doc_id % 4 = 2 THEN 'com.au' ELSE 'org' END) ||
+        |  '/p/' || CAST(doc_id % 9 AS VARCHAR) AS url FROM documents),
+        |h AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(lower(regexp_extract(
+        |    regexp_replace(trim(url), '#.*', ''),
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+        |    ':(80|443)$$', ''), '^www\\.', '') AS host FROM u),
+        |x AS (SELECT doc_id, host,
+        |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS l2,
+        |  regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS l3 FROM h)
+        |SELECT doc_id, host, l2 AS apex,
+        |  CASE WHEN l3 <> '' AND l2 IN (${
+          graft.ops.TextOps.PublicSuffixes2Ld.map("'" + _ + "'").mkString(", ")
+        }) THEN l3 ELSE l2 END AS apex_psl
+        |FROM x ORDER BY doc_id""".stripMargin)),
+
     Q("q_domain_dedup",  // per-domain URL dedup over the canonical key
       // — keep-first (min doc_id) per (domain, canon), with the dup
       // count the crawl-frontier report wants. ONE shuffle on the

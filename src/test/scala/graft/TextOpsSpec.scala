@@ -434,6 +434,24 @@ class TextOpsSpec extends AnyFunSuite {
       "single merge exhausts the 2-symbol corpus; later rounds emit nothing")
   }
 
+  test("urlApexPsl: PSL suffix takes three labels, plain TLD two, bare suffix falls back") {
+    val got = Seq(
+      (1L, "http://shop.example.co.uk/x"),   // PSL: registrable = example.co.uk
+      (2L, "http://www.example.com/x"),      // plain TLD: example.com
+      (3L, "http://co.uk/x"),                // bare suffix: no registrant label
+      (4L, "http://a.b.news.com.au/x"),      // deep subdomain under PSL
+      (5L, "http://example.org/x"))          // plain, no subdomain
+      .toDF("id", "u")
+      .select($"id", TextOps.urlApex($"u").as("a"), TextOps.urlApexPsl($"u").as("p"))
+      .as[(Long, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ("co.uk", "example.co.uk"),
+      "the heuristic apex stops at the registry; PSL recovers the registrant")
+    assert(got(2L) == ("example.com", "example.com"))
+    assert(got(3L) == ("co.uk", "co.uk"))
+    assert(got(4L) == ("com.au", "news.com.au"))
+    assert(got(5L) == ("example.org", "example.org"))
+  }
+
   test("bpeEncode: merge chain compresses, merged-of-merged applies, wordless doc -> (0,0)") {
     // merges learned on this corpus (proven above): (a,a), (a,b), (aa,aa).
     // "aaaa" -> m1 [aa,aa] -> m3 [aaaa] = 1 token from 4 chars;
