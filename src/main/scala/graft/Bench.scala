@@ -136,7 +136,8 @@ object Bench {
           }
         }
       spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => beforeWarm(id) }
+        .filterNot { case (id, _) =>
+          beforeWarm(id) || ops.DfMemo.protectedRddIds(id) }
         .values.foreach(_.unpersist(blocking = false))
     }
     // PREDICTIVE budget (r9 task #5: n_single_pass 23 → <10). The old
@@ -273,8 +274,13 @@ object Bench {
         }
       }
       System.err.println(f"[bench] $name cold=$cold%.2f warm=$warm%.2f t=$elapsedS%.0f")
+      // release what this query pinned — EXCEPT checkpoint lineage of
+      // run-scoped DfMemo frames: those blocks are the only copy, and
+      // unpersisting them kills every later consumer of the memo
+      // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — found the hard way in r12)
       spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => before(id) }
+        .filterNot { case (id, _) =>
+          before(id) || ops.DfMemo.protectedRddIds(id) }
         .values.foreach(_.unpersist(blocking = false))
       resultsBuf += ((name, cold, warm))
     }

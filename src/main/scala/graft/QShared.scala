@@ -46,6 +46,21 @@ private[graft] object QShared {
 
 
 
+  /** Near-dup cluster map (id → rep) over the 3-shingle Jaccard ≥ 0.5
+    * pair graph, prefix-filtered + star-contracted — the derivation
+    * q_dedup_clusters, q_dedup_canonical and q_dedup_best all consume.
+    * Run-scoped [[graft.ops.DfMemo]] memo keyed on the documents table:
+    * the pair-gen + CC funnel (the suite's most expensive substrate)
+    * runs once per JVM instead of three times. */
+  private[graft] def dedupClusters3(s: SparkSession, dir: String): DataFrame = {
+    val toks = docsTokens(s, dir)
+    DfMemo.cached(toks, "dedupClusters3:k=3:thr=0.5") {
+      Dedup.dedupClusters(
+        Dedup.jaccardPairsPrefix(
+          Dedup.shingleHashesViaArrays(toks, "doc_id", "toks", k = 3), 0.5))
+    }
+  }
+
   /** embeddings with float vectors cast to double (IEEE parity with the oracle). */
   private[graft] def embDouble(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")

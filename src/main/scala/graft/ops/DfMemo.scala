@@ -1,0 +1,127 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Run-scoped memo for DERIVED DataFrames — the frame-valued sibling of
+  * [[Similarity.topPBasis]]'s `basisCache` (VERDICT r9 #7): several
+  * gated queries re-derive the IDENTICAL expensive substrate from the
+  * same parquet table in one JVM run —
+  *
+  *   - the cell-routed candidate kernel (`Similarity.cellMatches`):
+  *     q_knn_approx, q_knn_approx_recall, q_pagerank, q_label_prop
+  *     (and q_hard_negatives on its labeled variant),
+  *   - the exact Θ(n²) kNN graph (`Similarity.knnGraph`): q_knn_graph,
+  *     q_knn_approx_recall,
+  *   - the 3-shingle Jaccard≥0.5 near-dup cluster map
+  *     (`QShared.dedupClusters3`): q_dedup_clusters, q_dedup_canonical,
+  *     q_dedup_best.
+  *
+  * The memo keys on (session identity, stamped backing files,
+  * canonicalized logical plan, caller tag) and stores the derived frame
+  * `persist(MEMORY_AND_DISK)` — materialized by the first action, free
+  * for every later consumer. The key discipline is `basisCache`'s,
+  * verbatim:
+  *
+  *   - each backing file's (mtime, length) rides in the key, so an
+  *     in-place parquet overwrite mid-JVM MISSES instead of serving
+  *     stale rows; unstattable paths stamp as "?";
+  *   - the canonical plan string means a filtered/derived view never
+  *     aliases its source table;
+  *   - in-memory frames (spec fixtures) have no inputFiles → computed
+  *     fresh every call, no cross-test aliasing;
+  *   - the session identity component keeps a frame from leaking into
+  *     a different SparkSession, where its plan could not execute.
+  *
+  * Scale: the memo holds ONE persisted frame per distinct substrate per
+  * run — at 100 TB that is the candidate/edge/cluster table a single
+  * query would materialize anyway, and MEMORY_AND_DISK spills rather
+  * than OOMs. This is a single-JVM device (driver-held map); on a
+  * multi-tenant cluster the same role is played by a materialized
+  * intermediate table.
+  */
+private[graft] object DfMemo {
+
+  private val cache =
+    new ConcurrentHashMap[(Int, String, String, String), DataFrame]()
+
+  /** RDD-level pins (localCheckpoint blocks) created while computing a
+    * memoized derivation. A lazily-localCheckpointed RDD's blocks are
+    * its ONLY copy once materialized — an external "release what this
+    * query pinned" sweep (graft.Bench's per-query cleanup) that
+    * unpersists them kills every cached frame built on top, permanently
+    * (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the next action). Such
+    * sweeps must exempt these ids; Dataset-level persists (the memo
+    * frames themselves) never appear in `sc.getPersistentRDDs`, so the
+    * checkpoint pins are the only cross-query state to protect. */
+  private val protectedIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** RDD ids that back live memoized frames — external cache sweeps
+    * must skip these (see [[protectedIds]]). */
+  def protectedRddIds: Set[Int] = {
+    import scala.jdk.CollectionConverters._
+    protectedIds.asScala.toSet
+  }
+
+  /** Stable stamp of a frame's backing files, or None for in-memory
+    * frames (which must never be memoized — no files, no identity). */
+  private[graft] def stampedFiles(df: DataFrame): Option[String] = {
+    val files = df.inputFiles
+    if (files.isEmpty) None
+    else {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      Some(files.sorted.map { f =>
+        val stamp =
+          try {
+            val path = new org.apache.hadoop.fs.Path(f)
+            val st = path.getFileSystem(conf).getFileStatus(path)
+            s"${st.getModificationTime}:${st.getLen}"
+          } catch { case _: java.io.IOException => "?" }
+        s"$f@$stamp"
+      }.mkString("\n"))
+    }
+  }
+
+  /** Return the memoized derivation of `input` for `tag`, computing and
+    * persisting it on first use. `tag` must encode EVERY parameter the
+    * derivation depends on beyond `input` itself (k, nprobe, thresholds,
+    * cell-table contents, …) — two calls with the same input and tag
+    * must be semantically interchangeable. */
+  def cached(input: DataFrame, tag: String)(compute: => DataFrame): DataFrame =
+    stampedFiles(input) match {
+      case None => compute
+      case Some(fs) =>
+        val key = (System.identityHashCode(input.sparkSession), fs,
+          input.queryExecution.analyzed.canonicalized.toString, tag)
+        cache.computeIfAbsent(key, { _ =>
+          // snapshot the RDD-level pins around the compute: any
+          // localCheckpoint the derivation registers (dedupClusters'
+          // CC loop, cosinePairsBlocked's exploded postings) is
+          // load-bearing lineage of the cached frame and must survive
+          // external per-query cache sweeps (see protectedIds)
+          val sc = input.sparkSession.sparkContext
+          val before = sc.getPersistentRDDs.keySet
+          val df = compute.persist(StorageLevel.MEMORY_AND_DISK)
+          sc.getPersistentRDDs.keysIterator
+            .filterNot(before).foreach(protectedIds.add(_))
+          df
+        })
+    }
+
+  /** Test/maintenance hook: unpersist and drop every memoized frame
+    * (e.g. after overwriting a parquet table in place mid-JVM). */
+  private[graft] def clear(): Unit = {
+    cache.values.forEach { df =>
+      try df.unpersist()
+      catch { case _: IllegalStateException => () /* session stopped */ }
+    }
+    cache.clear()
+    protectedIds.clear()
+  }
+
+  /** Number of live entries (spec observability). */
+  private[graft] def size: Int = cache.size
+}

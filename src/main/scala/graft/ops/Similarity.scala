@@ -455,16 +455,20 @@ object Similarity {
     */
   def knnGraph(
       emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      scale: Int = 4, blocks: Int = 8): DataFrame = {
-    val pairs = cosinePairsBlocked(emb, idCol, vecCol, minCos = -2.0, blocks)
-      .withColumn("cos", round(col("cos"), scale))
-    val sym = pairs.select(col("id1").as("src"), col("id2").as("dst"), col("cos"))
-      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst"), col("cos")))
-    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-    sym.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
-      .select(col("src"), col("rank"), col("dst"), col("cos"))
-  }
+      scale: Int = 4, blocks: Int = 8): DataFrame =
+    // run-scoped memo (the basisCache device, frame-valued): the exact
+    // graph is the recall baseline q_knn_approx_recall re-derives after
+    // q_knn_graph already built it — one Θ(n²) kernel per run, not two
+    DfMemo.cached(emb, s"knnGraph:$idCol:$vecCol:$k:$scale:$blocks") {
+      val pairs = cosinePairsBlocked(emb, idCol, vecCol, minCos = -2.0, blocks)
+        .withColumn("cos", round(col("cos"), scale))
+      val sym = pairs.select(col("id1").as("src"), col("id2").as("dst"), col("cos"))
+        .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst"), col("cos")))
+      val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+      sym.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= k)
+        .select(col("src"), col("rank"), col("dst"), col("cos"))
+    }
 
   /** Cell-routed APPROXIMATE kNN self-join — the scale path that
     * removes [[knnGraph]]'s Θ(n²) pair kernel from the graph substrate
@@ -520,6 +524,24 @@ object Similarity {
     require(cells.map(_._1).toSeq == cells.map(_._1).sorted.toSeq,
       "cells must be sorted by id (positional ties = id ties)")
     require(nprobe >= 1 && nprobe <= cells.length)
+    // run-scoped memo (the basisCache device, frame-valued): five gated
+    // queries route the same corpus against the same cell table —
+    // q_knn_approx/q_knn_approx_recall/q_pagerank/q_label_prop share the
+    // unlabeled kernel, q_hard_negatives its labeled variant. The full
+    // cell-table CONTENT rides in the tag: two different centroid sets
+    // over the same corpus must never alias.
+    val cellTag = cells.map { case (c, v) => s"$c=${v.mkString(",")}" }
+      .mkString(";")
+    DfMemo.cached(emb,
+      s"cellMatches:$idCol:$vecCol:${labelCol.getOrElse("")}:$nprobe:$scale:" +
+        cellTag) {
+      cellMatchesCompute(emb, idCol, vecCol, labelCol, cells, nprobe, scale)
+    }
+  }
+
+  private def cellMatchesCompute(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: Option[String],
+      cells: Array[(Long, Array[Double])], nprobe: Int, scale: Int): DataFrame = {
     // zero-norm rows are excluded from routing entirely (ADVICE r10):
     // withUnitVec would pass the zero vector through and Spark scores
     // cos = 0 where the SQL mirror computes dp/(0·nrm) = NULL — a
@@ -1164,29 +1186,20 @@ object Similarity {
     // plan string, so a filtered/derived view never aliases its source
     // and a re-read of the same parquet HITS. In-memory frames (specs)
     // have no inputFiles → computed fresh, no cross-test aliasing.
-    val files = emb.inputFiles
-    if (files.isEmpty) computeTopPBasis(emb, vecCol, p, iters, pinU)
-    else {
-      // each file's (mtime, length) rides in the key (ADVICE r10): an
-      // in-place parquet overwrite that reuses paths mid-JVM then
-      // MISSES instead of serving the stale basis. Unstattable paths
-      // key as "?" — a refresh that changes nothing observable keys
-      // identically, which is the best any cache can promise.
-      val conf = emb.sparkSession.sparkContext.hadoopConfiguration
-      val stamped = files.sorted.map { f =>
-        val stamp =
-          try {
-            val path = new org.apache.hadoop.fs.Path(f)
-            val st = path.getFileSystem(conf).getFileStatus(path)
-            s"${st.getModificationTime}:${st.getLen}"
-          } catch { case _: java.io.IOException => "?" }
-        s"$f@$stamp"
-      }
-      val key = (stamped.mkString("\n"),
-        emb.queryExecution.analyzed.canonicalized.toString,
-        vecCol, p, iters, pinU)
-      basisCache.computeIfAbsent(key,
-        _ => computeTopPBasis(emb, vecCol, p, iters, pinU))
+    // each file's (mtime, length) rides in the key (ADVICE r10): an
+    // in-place parquet overwrite that reuses paths mid-JVM then
+    // MISSES instead of serving the stale basis. Unstattable paths
+    // key as "?" — a refresh that changes nothing observable keys
+    // identically, which is the best any cache can promise. The
+    // stamping device is shared with the frame-valued [[DfMemo]].
+    DfMemo.stampedFiles(emb) match {
+      case None => computeTopPBasis(emb, vecCol, p, iters, pinU)
+      case Some(stamped) =>
+        val key = (stamped,
+          emb.queryExecution.analyzed.canonicalized.toString,
+          vecCol, p, iters, pinU)
+        basisCache.computeIfAbsent(key,
+          _ => computeTopPBasis(emb, vecCol, p, iters, pinU))
     }
   }
 

@@ -210,10 +210,9 @@ private[graft] object QDedup1 {
       // the direct self-join's Σ_h |docs_h|² fan-out quadratic on one key;
       // prefix filtering indexes only each doc's rarest tokens, so the
       // candidate join never sees the hot keys. Exact ⇒ oracle unchanged.
-      (s, dir) => Dedup.dedupClusters(
-          Dedup.jaccardPairsPrefix(
-            Dedup.shingleHashesViaArrays(docsTokens(s, dir), "doc_id", "toks", k = 3), 0.5))
-        .orderBy("id"),
+      // The cluster map is the run-scoped dedupClusters3 memo shared
+      // with q_dedup_canonical/q_dedup_best (DfMemo — one funnel/run).
+      (s, dir) => dedupClusters3(s, dir).orderBy("id"),
       Some(s"""WITH RECURSIVE t AS ($SqlToks),
         |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
         |        ELSE list_transform(range(1, len(toks) - 1),
@@ -233,15 +232,12 @@ private[graft] object QDedup1 {
         |SELECT id, min(reach) AS rep FROM rr GROUP BY id ORDER BY id""".stripMargin)),
 
     Q("q_dedup_canonical",  // the cluster-aware corpus after dedup: one
-      (s, dir) => {         // representative per near-dup cluster survives
-        // prefix-filtered exact pairs — hot-shingle-safe (see q_dedup_clusters)
-        val pairs = Dedup.jaccardPairsPrefix(
-          Dedup.shingleHashesViaArrays(docsTokens(s, dir), "doc_id", "toks", k = 3), 0.5)
+      (s, dir) =>           // representative per near-dup cluster survives
+        // cluster map = the shared dedupClusters3 memo (one funnel/run)
         Dedup.dropClusterDuplicates(
-            Tables.table(s, dir, "documents"), "doc_id", Dedup.dedupClusters(pairs))
+            Tables.table(s, dir, "documents"), "doc_id", dedupClusters3(s, dir))
           .select(col("doc_id"), col("source"))
-          .orderBy("doc_id")
-      },
+          .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE t AS ($SqlToks),
         |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
         |        ELSE list_transform(range(1, len(toks) - 1),
@@ -267,15 +263,12 @@ private[graft] object QDedup1 {
       // cluster keep the HIGHEST-quality member (ties → min doc_id), not
       // the min-id one — survivors should be the best copy of a near-dup
       (s, dir) => {
-        // tokenization feeds BOTH the pair generator and the scorer —
-        // checkpoint once instead of re-tokenizing the corpus twice
-        val toks = docsTokens(s, dir).localCheckpoint()
-        // prefix-filtered exact pairs — hot-shingle-safe (see q_dedup_clusters)
-        val pairs = Dedup.jaccardPairsPrefix(
-          Dedup.shingleHashesViaArrays(toks, "doc_id", "toks", k = 3), 0.5)
-        val scored = toks.select(col("doc_id"),
+        // cluster map = the shared dedupClusters3 memo (one funnel/run);
+        // the scorer re-tokenizes — one map pass, cheaper than pinning a
+        // second copy of the token stream next to the memoized clusters
+        val scored = docsTokens(s, dir).select(col("doc_id"),
           TextStats.qualityScore(col("toks"), Stop).as("q"))
-        Dedup.dropClusterDuplicatesBy(scored, "doc_id", "q", Dedup.dedupClusters(pairs))
+        Dedup.dropClusterDuplicatesBy(scored, "doc_id", "q", dedupClusters3(s, dir))
           .select(col("doc_id"), round(col("q"), 6).as("q"))
           .orderBy("doc_id")
       },

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DfMemo, Similarity}
+
+/** Behavior of the run-scoped derived-frame memo (round 12): the
+  * frame-valued sibling of the PCA basisCache. The contract under test
+  * is the cache-key discipline — file-backed inputs memoize, in-memory
+  * fixtures never do, and distinct tags/plans never alias.
+  */
+class DfMemoSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val emb = Tables.table(spark, TestSpark.Sf, "embeddings")
+
+  test("in-memory frames are computed fresh, never cached") {
+    DfMemo.clear()
+    val mem = Seq((1L, 2.0), (2L, 3.0)).toDF("id", "x")
+    var calls = 0
+    def derive() = DfMemo.cached(mem, "spec:mem") {
+      calls += 1; mem.withColumn("y", col("x") * 2)
+    }
+    assert(derive().collect().length == 2)
+    assert(derive().collect().length == 2)
+    assert(calls == 2, "no inputFiles → no identity → no memo")
+    assert(DfMemo.size == 0)
+  }
+
+  test("file-backed derivations memoize: one compute, same frame back") {
+    DfMemo.clear()
+    var calls = 0
+    def derive() = DfMemo.cached(emb, "spec:file") {
+      calls += 1; emb.select(col("vec_id"), size(col("embedding")).as("d"))
+    }
+    val a = derive()
+    val b = derive()
+    assert(calls == 1, "second call must hit")
+    assert(a eq b, "hit returns the SAME persisted frame")
+    assert(a.count() == b.count())
+    assert(DfMemo.size == 1)
+    // a different tag over the same input is a different derivation
+    val c = DfMemo.cached(emb, "spec:file:other") {
+      emb.select(col("vec_id"))
+    }
+    assert(!(c eq a) && DfMemo.size == 2)
+    DfMemo.clear()
+    assert(DfMemo.size == 0)
+  }
+
+  test("distinct plans over the same files never alias") {
+    DfMemo.clear()
+    val full = DfMemo.cached(emb, "spec:plan")(emb.select(col("vec_id")))
+    val half = DfMemo.cached(emb.filter(col("vec_id") % 2 === 0), "spec:plan")(
+      emb.filter(col("vec_id") % 2 === 0).select(col("vec_id")))
+    assert(full.count() > half.count(),
+      "the canonical-plan key component must separate a filtered view from its source")
+    DfMemo.clear()
+  }
+
+  test("checkpoint lineage survives a Bench-style per-query cache sweep") {
+    // Bench releases every RDD a query pinned after the query finishes;
+    // DfMemo frames whose lineage contains localCheckpoint blocks (the
+    // dedupClusters CC loop) die permanently under that sweep unless
+    // their pins are exempted — the r12 CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+    // regression this spec locks down.
+    DfMemo.clear()
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val docs = Tables.table(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"),
+        graft.ops.TextOps.tokenizeFiltered(col("text"),
+          Dictionaries.Stopwords, Nil).as("toks"))
+    val clusters = DfMemo.cached(docs, "spec:sweep") {
+      graft.ops.Dedup.dedupClusters(
+        graft.ops.Dedup.jaccardPairsPrefix(
+          graft.ops.Dedup.shingleHashesViaArrays(docs, "doc_id", "toks", k = 3),
+          0.5))
+    }
+    val first = clusters.count()
+    // the derivation's checkpoint pins must be registered as protected
+    assert(DfMemo.protectedRddIds.nonEmpty,
+      "the CC loop's localCheckpoint pins must be recorded")
+    // Bench's sweep: unpersist everything this 'query' pinned, EXCEPT
+    // the protected ids — exactly the production cleanup predicate
+    sc.getPersistentRDDs
+      .filterNot { case (id, _) => before(id) || DfMemo.protectedRddIds(id) }
+      .values.foreach(_.unpersist(blocking = false))
+    // the memoized frame must still be computable afterwards
+    val again = DfMemo.cached(docs, "spec:sweep") {
+      fail("second call must be a cache hit"); docs
+    }
+    assert(again.count() == first)
+    DfMemo.clear()
+  }
+
+  test("memoized kernels return identical results on hit (cellMatches + knnGraph)") {
+    DfMemo.clear()
+    val cells = emb
+      .select($"vec_id".cast("long"),
+        graft.ops.KMeansOps.asDouble($"embedding").as("v"))
+      .filter($"vec_id" < 8).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val miss = Similarity.knnSelfJoin(emb, "vec_id", "embedding", cells,
+        k = 5, nprobe = 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val n0 = DfMemo.size
+    assert(n0 >= 1, "the cell-routed candidate kernel must be memoized")
+    val hit = Similarity.knnSelfJoin(emb, "vec_id", "embedding", cells,
+        k = 5, nprobe = 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(DfMemo.size == n0, "identical args must not add an entry")
+    assert(hit == miss)
+    // a different nprobe is a different substrate — new entry, not a hit
+    Similarity.knnSelfJoin(emb, "vec_id", "embedding", cells, k = 5, nprobe = 2)
+      .limit(1).collect()
+    assert(DfMemo.size == n0 + 1)
+    val g1 = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+    val g2 = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+    assert(g1 eq g2, "the exact kernel memoizes too (recall grade reuses it)")
+    DfMemo.clear()
+  }
+}
