@@ -119,6 +119,74 @@ object GraphOps {
       .select(col("id").as("word"), col("rank"))
   }
 
+  /** Fixed-iteration HITS hubs & authorities (Kleinberg, "Authoritative
+    * sources in a hyperlinked environment", JACM 1999) over a directed
+    * edge list — [[pageRank]]'s complement on the same kNN substrate:
+    * where PageRank scores one notion of centrality, HITS separates
+    * REFERENCE quality (authority: pointed at by good hubs) from
+    * SURVEY quality (hub: points at good authorities). On a similarity
+    * graph authorities are the densely-referenced prototype documents,
+    * hubs the broad connectors that stitch clusters together — both
+    * useful curation signals (prototype mining / bridge detection).
+    *
+    * Per iteration: auth(v) = Σ_{u→v} hub(u), then hub(u) = Σ_{u→v}
+    * auth(v) with the FRESH auth (the standard sequential update);
+    * each vector is L1-normalized (sum = 1 — Kleinberg's L2 is
+    * root-of-sum-of-squares; L1 keeps every intermediate an exact
+    * rational of 9-dp-pinned inputs, the oracle discipline). All
+    * intermediates round to 9 dp BEFORE the next stage — the
+    * power-iteration parity device ([[graft.ops.Similarity.topPBasis]]
+    * scaladoc): both engines then run on bitwise-equal doubles.
+    * Fixed `iters`, no convergence test — deterministic closed form
+    * of the graph (value-oracle-able). Isolated zero-sum rounds guard
+    * to 0 rather than dividing by zero.
+    *
+    * Scale (the Pregel shape, like [[pageRank]]): per iteration TWO
+    * edge joins + TWO partial-agg'd groupBys — O(edges) shuffle and
+    * nothing else; each normalizer is a 1-row broadcast; score tables
+    * lazily checkpointed per iteration (constant plan depth). Output:
+    * (id, auth, hub) over every node appearing as src or dst.
+    */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint()
+    // missing aggregate → score 0 (a node nobody points at has no
+    // authority; a node pointing nowhere has no hub weight)
+    def l1Normalized(raw: DataFrame, outCol: String): DataFrame = {
+      val filled = nodes.join(raw, Seq("id"), "left")
+        .select(col("id"), coalesce(col("raw"), lit(0.0)).as("raw"))
+      val s = filled.agg(round(sum(col("raw")), 9).as("s"))
+      filled.crossJoin(broadcast(s))
+        .select(col("id"),
+          (when(col("s") === 0, lit(0.0))
+            .otherwise(round(col("raw") / col("s"), 9)) + lit(0.0)).as(outCol))
+    }
+    var hub = nodes.select(col("id"), lit(1.0).as("hub"))
+    var auth = nodes.select(col("id"), lit(0.0).as("auth"))
+    var it = 0
+    while (it < iters) {
+      auth = l1Normalized(
+        e.join(hub.select(col("id").as("src"), col("hub")), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(round(sum(col("hub")), 9).as("raw")),
+        "auth").localCheckpoint(eager = false)
+      hub = l1Normalized(
+        e.join(auth.select(col("id").as("dst"), col("auth")), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(round(sum(col("auth")), 9).as("raw")),
+        "hub").localCheckpoint(eager = false)
+      it += 1
+    }
+    auth.join(hub, Seq("id")).select(col("id"), col("auth"), col("hub"))
+  }
+
   /** Fixed-iteration synchronous label propagation (Zhu & Ghahramani
     * 2002 / Raghavan et al. 2007 LPA): seed nodes carry known labels;
     * each round, every still-unlabeled node adopts the MAJORITY label

@@ -826,6 +826,79 @@ object Similarity {
     rows.toSeq.toDF("cell", "n", "sigma", "db")
   }
 
+  /** CALINSKI–HARABASZ index (Caliński & Harabasz, "A dendrite method
+    * for cluster analysis", Comm. in Statistics 1974) — the third leg
+    * of the cluster-quality triptych next to [[silhouette]] (per-point)
+    * and [[daviesBouldin]] (per-cell): ONE corpus-level variance-ratio
+    * grade, CH = (B/(k−1)) / (W/(n−k)) with B = Σ_c n_c·‖μ_c − μ‖²
+    * (between-cluster scatter) and W = Σ_c Σ_{x∈c} ‖x − μ_c‖²
+    * (within-cluster scatter). Higher = tighter, better-separated
+    * cells; the standard "pick C" elbow statistic sklearn ships as
+    * `calinski_harabasz_score`. Assignment is to the nearest cell of
+    * the GIVEN table (9-dp-rounded distances, the [[silhouette]]
+    * device); scatter is against the assigned-member MEANS (rounded
+    * 9 dp), per the definition — not the routing centroids.
+    *
+    * Scale: one zero-shuffle map-side assignment projection; two
+    * narrow partial-agg'd exchanges of ≤ C·d and d rows (cell/global
+    * dim means — k-row-scalar collects); then W in ONE more map-side
+    * pass — each point's squared distance to its cell's driver-literal
+    * mean, rounded 9 dp, partial-agg summed to a single scalar. B and
+    * the final ratio are C-term driver arithmetic. The per-point
+    * zip_with fold is interpreted (HOF) — at 100 TB lift it to the
+    * [[graft.functions.DotProduct]] codegen pattern. Output: one row
+    * (k, n, b, w, ch), k = non-empty cells, b/w/ch rounded 6 dp.
+    */
+  def calinskiHarabasz(
+      emb: DataFrame, idCol: String, vecCol: String,
+      cells: Array[(Long, Array[Double])]): DataFrame = {
+    require(cells.length >= 2, "calinskiHarabasz needs at least 2 cells")
+    val spark = emb.sparkSession
+    val pts = emb.select(KMeansOps.asDouble(col(vecCol)).as("v"))
+    val scored = sort_array(array(cells.map { case (cid, cv) =>
+      struct(
+        round(KMeansOps.euclid(col("v"), typedlit(cv.toSeq)), 9).as("d"),
+        lit(cid).as("c"))
+    }: _*))(0)
+    val assigned = pts.select(scored("c").as("cell"), col("v"))
+    val cellStats = assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("cell"), col("i"))
+      .agg(round(avg(col("x")), 9).as("mu"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    val gMean = assigned.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(round(avg(col("x")), 9).as("mu"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val byCell = cellStats.groupBy(_._1).map { case (cid, rows) =>
+      (cid, rows.sortBy(_._2).map(_._3), rows.head._4)
+    }.toSeq.sortBy(_._1)
+    val meanCol = byCell.foldLeft(lit(null).cast("array<double>")) {
+      case (acc, (cid, mu, _)) =>
+        when(col("cell") === cid, typedlit(mu.toSeq)).otherwise(acc)
+    }
+    val wRow = assigned
+      .select(round(aggregate(zip_with(col("v"), meanCol,
+          (x, y) => (x - y) * (x - y)), lit(0.0), _ + _), 9).as("sq"))
+      .agg(sum(col("sq")).as("w"), count(lit(1)).as("n")).collect()(0)
+    val (w, n) = (wRow.getDouble(0), wRow.getLong(1))
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val k = byCell.size
+    require(k >= 2 && n > k,
+      s"calinskiHarabasz needs >=2 non-empty cells and n > k (k=$k, n=$n)")
+    val b = byCell.map { case (_, mu, nc) =>
+      var s = 0.0
+      var i = 0
+      while (i < mu.length) { val dI = mu(i) - gMean(i); s += dI * dI; i += 1 }
+      r9(nc * s)
+    }.sum
+    val ch = r6((b / (k - 1)) / (w / (n - k)))
+    import spark.implicits._
+    Seq((k, n, r6(b), r6(w), ch)).toDF("k", "n", "b", "w", "ch")
+  }
+
   /** ⌈d/32⌉ packed 32-bit sign words of `v` as one array Column (d
     * probed once from `emb`; min/max-size aggregate so ragged input
     * fails fast instead of silently truncating/zero-padding to an

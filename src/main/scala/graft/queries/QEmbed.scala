@@ -428,6 +428,53 @@ private[graft] object QEmbed {
         |       round(r.worst, 6) AS db
         |FROM allc JOIN r USING (cell) ORDER BY cell""".stripMargin)),
 
+    Q("q_calinski",  // Calinski–Harabasz variance-ratio index (1974) —
+      // the third cluster-quality leg next to q_silhouette (per-point)
+      // and q_davies_bouldin (per-cell): one corpus-level grade
+      // CH = (B/(k−1))/(W/(n−k)) of the fixed cell table, scatter
+      // measured against assigned-member MEANS (not the routing
+      // centroids). Zero-shuffle assignment; two narrow dim-mean
+      // exchanges (k-row-scalar collects); W in one map-side pass vs
+      // driver-literal cell means. 9-dp pins on distances/means/terms,
+      // 6-dp output.
+      (s, dir) => Similarity.calinskiHarabasz(
+          Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
+          fixedCentroidArr(s, dir)),
+      Some("""WITH ve AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings),
+        |cents AS MATERIALIZED (SELECT vec_id AS cid, v FROM ve WHERE vec_id < 8),
+        |ad AS MATERIALIZED (SELECT e.vec_id, c.cid,
+        |         round(list_distance(e.v, c.v), 9) AS dist
+        |       FROM ve e CROSS JOIN cents c),
+        |asg AS MATERIALIZED (SELECT a.vec_id, a.cid AS cell, e.v
+        |      FROM (SELECT vec_id, cid FROM ad
+        |            QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                                       ORDER BY dist, cid) = 1) a
+        |      JOIN ve e USING (vec_id)),
+        |ex AS MATERIALIZED (SELECT cell, unnest(v) AS x,
+        |        unnest(range(0, len(v))) AS i FROM asg),
+        |cm AS MATERIALIZED (SELECT cell, i, round(avg(x), 9) AS mu,
+        |        count(*) AS cnt FROM ex GROUP BY 1, 2),
+        |gm AS MATERIALIZED (SELECT i, round(avg(x), 9) AS mu
+        |      FROM ex GROUP BY 1),
+        |cma AS MATERIALIZED (SELECT cell, list(mu ORDER BY i) AS muv,
+        |        max(cnt) AS n_c FROM cm GROUP BY 1),
+        |wp AS (SELECT round(list_sum(list_transform(range(1, len(a.v) + 1),
+        |         ix -> (a.v[ix] - c.muv[ix]) * (a.v[ix] - c.muv[ix]))), 9) AS sq
+        |       FROM asg a JOIN cma c USING (cell)),
+        |wt AS (SELECT sum(sq) AS w, count(*) AS n FROM wp),
+        |bt AS (SELECT round(c.n_c * list_sum(list_transform(
+        |           range(1, len(c.muv) + 1),
+        |           ix -> (c.muv[ix] - g.muv[ix]) * (c.muv[ix] - g.muv[ix]))), 9)
+        |         AS term
+        |       FROM cma c CROSS JOIN
+        |         (SELECT list(mu ORDER BY i) AS muv FROM gm) g),
+        |bb AS (SELECT sum(term) AS b, count(*) AS k FROM bt)
+        |SELECT CAST(bb.k AS INT) AS k, CAST(wt.n AS BIGINT) AS n,
+        |  round(bb.b, 6) AS b, round(wt.w, 6) AS w,
+        |  round((bb.b / (bb.k - 1)) / (wt.w / (wt.n - bb.k)), 6) AS ch
+        |FROM bb CROSS JOIN wt""".stripMargin)),
+
     Q("q_embed_cov",  // population covariance matrix of the embedding
       // table as (i, j, cov) — the PCA/whitening/Mahalanobis input. Each
       // row expands map-side to ONE d²+d array (outer products ++ the

@@ -453,6 +453,63 @@ private[graft] object QTail {
         |SELECT id, CAST(COALESCE(label, -1) AS INT) AS label
         |FROM l2 ORDER BY id""".stripMargin)),
 
+    Q("q_hits",  // fixed-iteration HITS hubs & authorities (Kleinberg
+      // JACM 1999) over the same cell-routed approximate 5-NN graph as
+      // q_pagerank — the centrality pair that SEPARATES reference
+      // quality (authority: pointed at by good hubs ⇒ prototype docs)
+      // from survey quality (hub: points at good authorities ⇒ bridge
+      // docs stitching clusters). 2 fixed iterations, L1-normalized,
+      // every intermediate pinned to 9 dp on both engines (the
+      // power-iteration parity device). Per iteration: two edge joins
+      // + two partial-agg'd groupBys — O(edges) shuffle, normalizers
+      // are 1-row broadcasts; the edge substrate is the run-scoped
+      // DfMemo'd cellMatches kernel shared with the other graph
+      // queries.
+      (s, dir) => {
+        val edges = Similarity.knnSelfJoin(
+            Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
+            fixedCentroidArr(s, dir), k = 5, nprobe = 5)
+          .select(col("qid").as("src"), col("nbr").as("dst"))
+        GraphOps.hits(edges, "src", "dst", iters = 2)
+          .orderBy("id")
+      },
+      Some(s"""WITH $SqlCellEdges,
+        |hn AS MATERIALIZED (SELECT DISTINCT src AS id FROM g
+        |      UNION SELECT DISTINCT dst FROM g),
+        |a1r AS (SELECT g.dst AS id, round(sum(1.0), 9) AS raw FROM g GROUP BY 1),
+        |a1f AS (SELECT hn.id, COALESCE(a1r.raw, 0.0) AS raw
+        |        FROM hn LEFT JOIN a1r USING (id)),
+        |a1s AS (SELECT round(sum(raw), 9) AS s FROM a1f),
+        |a1 AS MATERIALIZED (SELECT id, CASE WHEN a1s.s = 0 THEN 0.0
+        |        ELSE round(raw / a1s.s, 9) END + 0.0 AS auth
+        |      FROM a1f CROSS JOIN a1s),
+        |h1r AS (SELECT g.src AS id, round(sum(a.auth), 9) AS raw
+        |        FROM g JOIN a1 a ON a.id = g.dst GROUP BY 1),
+        |h1f AS (SELECT hn.id, COALESCE(h1r.raw, 0.0) AS raw
+        |        FROM hn LEFT JOIN h1r USING (id)),
+        |h1s AS (SELECT round(sum(raw), 9) AS s FROM h1f),
+        |h1 AS MATERIALIZED (SELECT id, CASE WHEN h1s.s = 0 THEN 0.0
+        |        ELSE round(raw / h1s.s, 9) END + 0.0 AS hub
+        |      FROM h1f CROSS JOIN h1s),
+        |a2r AS (SELECT g.dst AS id, round(sum(h.hub), 9) AS raw
+        |        FROM g JOIN h1 h ON h.id = g.src GROUP BY 1),
+        |a2f AS (SELECT hn.id, COALESCE(a2r.raw, 0.0) AS raw
+        |        FROM hn LEFT JOIN a2r USING (id)),
+        |a2s AS (SELECT round(sum(raw), 9) AS s FROM a2f),
+        |a2 AS MATERIALIZED (SELECT id, CASE WHEN a2s.s = 0 THEN 0.0
+        |        ELSE round(raw / a2s.s, 9) END + 0.0 AS auth
+        |      FROM a2f CROSS JOIN a2s),
+        |h2r AS (SELECT g.src AS id, round(sum(a.auth), 9) AS raw
+        |        FROM g JOIN a2 a ON a.id = g.dst GROUP BY 1),
+        |h2f AS (SELECT hn.id, COALESCE(h2r.raw, 0.0) AS raw
+        |        FROM hn LEFT JOIN h2r USING (id)),
+        |h2s AS (SELECT round(sum(raw), 9) AS s FROM h2f),
+        |h2 AS MATERIALIZED (SELECT id, CASE WHEN h2s.s = 0 THEN 0.0
+        |        ELSE round(raw / h2s.s, 9) END + 0.0 AS hub
+        |      FROM h2f CROSS JOIN h2s)
+        |SELECT a2.id, a2.auth, h2.hub
+        |FROM a2 JOIN h2 USING (id) ORDER BY id""".stripMargin)),
+
     Q("q_textrank",  // TextRank keyword scoring (Mihalcea & Tarau,
       // EMNLP 2004 §3.1): PageRank over the undirected word adjacency
       // graph — distinct corpus word bigrams mirrored both ways,

@@ -106,6 +106,42 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(math.abs(got("a") - got("c")) < 1e-12, "endpoints symmetric")
   }
 
+  test("hits: star closed form — center is the sole authority, leaves the hubs") {
+    // leaves 2,3,4 all point at center 1:
+    //   auth1: raw = (1,0,0,0)·indeg = center 3, leaves 0 → auth = (1,0,0,0)
+    //   hub1:  each leaf raw = auth(center) = 1, center raw 0 → hubs = 1/3 each
+    // iteration 2 is a fixed point of the same shape
+    val star = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("s", "d")
+    val h = GraphOps.hits(star, "s", "d", iters = 2)
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, a, hb) => id -> (a, hb) }.toMap
+    assert(h(1L)._1 == 1.0 && h(1L)._2 == 0.0, h)
+    Seq(2L, 3L, 4L).foreach { l =>
+      assert(h(l)._1 == 0.0, h)
+      assert(math.abs(h(l)._2 - 1.0 / 3) < 1e-9, h)
+    }
+  }
+
+  test("hits: L1 mass = 1 for both scores on the real kNN graph; all non-negative") {
+    val edges = Similarity.knnSelfJoin(
+        Tables.table(spark, TestSpark.Sf, "embeddings"), "vec_id", "embedding",
+        Tables.table(spark, TestSpark.Sf, "embeddings")
+          .select($"vec_id".cast("long"),
+            graft.ops.KMeansOps.asDouble($"embedding").as("v"))
+          .filter($"vec_id" < 8).orderBy("vec_id").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray),
+        k = 5, nprobe = 5)
+      .select($"qid".as("src"), $"nbr".as("dst"))
+    val rows = GraphOps.hits(edges, "src", "dst", iters = 2)
+      .as[(Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, a, hb) => a >= 0 && hb >= 0 })
+    // L1 normalization at 9 dp: sums land within n·5e-10 of 1
+    val tol = rows.length * 5e-10
+    assert(math.abs(rows.map(_._2).sum - 1.0) < tol)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < tol)
+  }
+
   test("pageRank: iters=0 returns the uniform start vector") {
     val g = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
     val r = GraphOps.pageRank(g, "s", "d", iters = 0)

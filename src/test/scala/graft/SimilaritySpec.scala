@@ -707,6 +707,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("calinskiHarabasz closed form: member-mean scatter, two balanced clusters") {
+    // cells at (0,0) and (10,0); members (0,0),(2,0) → cluster mean
+    // (1,0); (10,0),(12,0) → (11,0). Global mean (6,0).
+    // W = (1+1)+(1+1) = 4; B = 2·25 + 2·25 = 100; k=2, n=4 →
+    // CH = (100/1)/(4/2) = 50.
+    val cells = Array(0L -> Array(0.0, 0.0), 1L -> Array(10.0, 0.0))
+    val df = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(2.0, 0.0)),
+      (3L, Seq(10.0, 0.0)), (4L, Seq(12.0, 0.0)))
+      .toDF("id", "v")
+    val got = Similarity.calinskiHarabasz(df, "id", "v", cells)
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    assert(got === Seq((2, 4L, 100.0, 4.0, 50.0)))
+    // n == k (every cluster a singleton) is degenerate — rejected
+    intercept[IllegalArgumentException] {
+      Similarity.calinskiHarabasz(
+        Seq((1L, Seq(0.0, 0.0)), (2L, Seq(10.0, 0.0))).toDF("id", "v"),
+        "id", "v", cells)
+    }
+  }
+
   test("cellLoad closed form: home/probe/candidate accounting, zero-norm excluded, conservation") {
     val cells = Array(0L -> Array(0.0, 0.0), 1L -> Array(10.0, 0.0),
       2L -> Array(20.0, 0.0))
