@@ -238,6 +238,81 @@ object TextStats {
     */
   def contentFingerprint(tokens: Column): Column = md5(concat_ws(" ", tokens))
 
+  /** Per-document CHARACTER Shannon entropy — the cheapest
+    * gibberish/compressibility signal in the quality-filter toolbox
+    * (low entropy = repeated-character padding, base64-ish blobs sit
+    * HIGH — both tails are filter targets; natural English plateaus
+    * ≈ 4.1 bits ≈ 2.85 nats): H = ln L − (Σ_ch c·ln c)/L in nats,
+    * computed in the one-pass rearrangement so no per-char division
+    * ever happens. Empty documents report (0, 0.0) rather than
+    * dropping out.
+    *
+    * Scale: one explode to the char stream, but the groupBy
+    * (doc, char) partial-aggregates map-side to ≤ |alphabet| rows per
+    * doc per partition BEFORE the exchange — shuffle volume is
+    * docs × alphabet, not corpus characters; the second groupBy(doc)
+    * is a fold of those ≤ |alphabet| rows. Chars are Java code UNITS
+    * (= code points = DuckDB characters for the BMP; supplementary-
+    * plane text would split surrogate pairs where an oracle counts
+    * one char — the corpus is ASCII, noted for completeness).
+    * Output: (idCol, len, entropy) with entropy in nats, rounded 6.
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
+    val ent = counts.groupBy(col(idCol))
+      .agg(sum(col("c")).as("len"),
+        sum(col("c") * log(col("c"))).as("clogc"))
+      .select(col(idCol), col("len"),
+        round(log(col("len")) - col("clogc") / col("len"), 6).as("entropy"))
+    docs.select(col(idCol)).join(ent, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("len"), lit(0L)).as("len"),
+        (coalesce(col("entropy"), lit(0.0)) + lit(0.0)).as("entropy"))
+  }
+
+  /** Threshold-free ROC-AUC of a continuous score against a boolean
+    * label — the standard grade for every soft signal this engine
+    * ships (quality logits, LM perplexities, language-ID marker rates)
+    * before anyone picks a cutoff: AUC = P(score⁺ > score⁻) + ½·ties,
+    * computed as the tie-averaged Mann–Whitney rank-sum. The whole
+    * statistic stays in INTEGER arithmetic until one final division —
+    * grouping by score value, with `cum` = items strictly below the
+    * group, each group contributes n_pos·(2·cum + n_tot + 1) half-
+    * ranks, and AUC = (Σ − P(P+1)) / (2·P·N) — so the value oracles
+    * exactly, no float-sum noise anywhere.
+    *
+    * Scale: one groupBy(score) with map-side partial aggregation
+    * (shuffle = distinct score values, not rows), then a global
+    * cumulative window over those DISTINCT scores — fine for the
+    * rational-valued scores this suite emits (cardinality ≪ corpus);
+    * a continuous-score corpus at 100 TB would bucket scores first or
+    * use the two-pass partition-offset device ([[graft.ops.IdOps]]).
+    * Output: one row (n_pos, n_neg, auc rounded 6); auc NULL when a
+    * class is empty (undefined, not 0).
+    */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = df
+      .select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("boolean").as("y"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("nt"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("np"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    g.withColumn("cum", coalesce(sum(col("nt")).over(w), lit(0L)))
+      .agg(
+        sum(col("np") * (lit(2) * col("cum") + col("nt") + lit(1))).as("s2"),
+        sum(col("np")).as("p"),
+        sum(col("nt") - col("np")).as("n"))
+      .select(col("p").as("n_pos"), col("n").as("n_neg"),
+        when(col("p") > 0 && col("n") > 0,
+          round((col("s2") - col("p") * (col("p") + 1))
+            / (lit(2.0) * col("p") * col("n")), 6))
+          .as("auc"))
+  }
+
   /** Unigram-LM cross-entropy per document — the CCNet-style
     * "perplexity filter" signal (Wenzek et al., "CCNet: Extracting
     * high quality monolingual datasets from web crawl data",

@@ -232,6 +232,32 @@ private[graft] object QDedup2 {
         |         AS entropy
         |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("q_char_entropy",  // per-doc CHARACTER Shannon entropy — the
+      // cheapest gibberish/compressibility quality signal next to
+      // q_lexical_diversity's word-level entropy: repeated-character
+      // padding sits LOW, base64-ish blobs HIGH, natural English
+      // plateaus ≈ 2.85 nats. One-pass form H = ln L − (Σ c·ln c)/L —
+      // no per-char division; the (doc, char) groupBy partial-aggs
+      // map-side to ≤ |alphabet| rows per doc before the exchange, so
+      // shuffle is docs×alphabet, not corpus characters. Empty docs
+      // report (0, 0.0) via the left join.
+      (s, dir) => TextStats.charEntropy(
+          Tables.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH ch AS MATERIALIZED (SELECT doc_id,
+        |        substr(text, CAST(i AS INT), 1) AS ch
+        |      FROM (SELECT doc_id, text,
+        |              unnest(range(1, length(text) + 1)) AS i
+        |            FROM documents)),
+        |cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |e AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS len,
+        |        round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+        |      FROM cc GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(e.len, 0) AS BIGINT) AS len,
+        |       COALESCE(e.entropy, 0.0) + 0.0 AS entropy
+        |FROM documents d LEFT JOIN e USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
     Q("q_cooccur_pmi",  // word co-occurrence PMI (Church & Hanks 1990):
       // within-doc DISTINCT co-occurrence counts → pmi =
       // ln(c_ab·N / (df_a·df_b)), top-100 by rounded pmi with a

@@ -235,6 +235,51 @@ private[graft] object QSimText {
         |       ELSE 'und' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin)),
 
+    Q("q_lang_auc",  // ROC-AUC of the language-ID heuristic's English
+      // marker RATE against the corpus's ground-truth lang column —
+      // the threshold-free grade a pipeline runs before trusting a
+      // lang filter (q_lang_id gives the argmax decision; this grades
+      // the underlying score). Tie-averaged Mann–Whitney rank-sum in
+      // EXACT integer arithmetic (one final division), so the value
+      // oracles bit-for-bit. Shuffle = distinct score values (a small
+      // rational family), then one window over those distinct scores.
+      // NOTE the testdata's lang column is a random label over the
+      // same English-ish synthetic vocabulary, so AUC ≈ 0.5 here IS
+      // the correct answer — the discriminating closed forms (1.0 /
+      // 0.0 / tie cases) live in the rocAuc spec.
+      (s, dir) => {
+        val toks = TextOps.tokenize(col("text"))
+        val enMarkers = TextStats.LangMarkers.toMap.apply("en")
+        val enRate = when(size(toks) === 0, lit(0.0)).otherwise(
+          size(filter(toks, t => t.isin(enMarkers: _*))).cast("double")
+            / size(toks))
+        TextStats.rocAuc(
+          Tables.table(s, dir, "documents")
+            .select(enRate.as("score"), (col("lang") === "en").as("label")),
+          "score", "label")
+      },
+      Some("""WITH t AS (SELECT lang,
+        |        regexp_extract_all(lower(text), '\b\w\w+\b') AS toks
+        |      FROM documents),
+        |sc AS (SELECT CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(toks,
+        |                x -> x IN ('the','and','is','of','to','in'))) AS DOUBLE)
+        |              / len(toks) END AS s,
+        |        (lang = 'en') AS y FROM t),
+        |g AS (SELECT s, count(*) AS nt,
+        |        sum(CASE WHEN y THEN 1 ELSE 0 END) AS np
+        |      FROM sc GROUP BY 1),
+        |r AS (SELECT np, nt,
+        |        COALESCE(sum(nt) OVER (ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |      FROM g),
+        |a AS (SELECT sum(np * (2 * cum + nt + 1)) AS s2, sum(np) AS p,
+        |        sum(nt - np) AS n FROM r)
+        |SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+        |  CASE WHEN p > 0 AND n > 0
+        |    THEN round((s2 - p * (p + 1)) / (2.0 * p * n), 6) END AS auc
+        |FROM a""".stripMargin)),
+
     Q("q_quality",
       (s, dir) => {
         val toks = TextOps.tokenize(col("text"))

@@ -22,6 +22,49 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!got.contains(3L), "empty doc has no distribution to score")
   }
 
+  test("rocAuc closed forms: perfect, inverted, tied, mixed-with-ties, one-class undefined") {
+    def auc(rows: Seq[(Double, Boolean)]): (Long, Long, Option[Double]) = {
+      val r = TextStats.rocAuc(rows.toDF("score", "label"), "score", "label")
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }
+    // perfect separation → 1.0; inverted → 0.0
+    assert(auc(Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false)))
+      == (2L, 2L, Some(1.0)))
+    assert(auc(Seq((0.1, true), (0.2, true), (0.8, false), (0.9, false)))
+      == (2L, 2L, Some(0.0)))
+    // all scores identical → pure chance 0.5 regardless of class balance
+    assert(auc(Seq((0.5, true), (0.5, false), (0.5, false))) == (1L, 2L, Some(0.5)))
+    // mixed with a cross-class tie: pos {0.8, 0.5}, neg {0.5, 0.2}.
+    // Pairs: (0.8>0.5)=1, (0.8>0.2)=1, (0.5=0.5)=0.5, (0.5>0.2)=1
+    // → AUC = 3.5/4 = 0.875
+    assert(auc(Seq((0.8, true), (0.5, true), (0.5, false), (0.2, false)))
+      == (2L, 2L, Some(0.875)))
+    // a single class has no ranking to grade — NULL, not 0
+    assert(auc(Seq((0.9, true), (0.1, true))) == (2L, 0L, None))
+  }
+
+  test("charEntropy: closed forms — uniform, constant, empty; len counts chars") {
+    val docs = Seq(
+      (1L, "aaaa"),      // one symbol: H = 0
+      (2L, "ab"),        // two equiprobable: H = ln 2
+      (3L, ""),          // empty doc reports (0, 0.0), not a dropped row
+      (4L, "aabb"))      // two symbols twice each: still ln 2
+      .toDF("doc_id", "text")
+    val got = TextStats.charEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (4L, 0.0))
+    assert(got(2L)._1 == 2L && math.abs(got(2L)._2 - math.log(2)) < 1e-6)
+    assert(got(3L) == (0L, 0.0))
+    assert(got(4L)._1 == 4L && math.abs(got(4L)._2 - math.log(2)) < 1e-6)
+    // richer alphabet ⇒ strictly more entropy than a repeated char
+    val real = TextStats.charEntropy(
+        Tables.table(spark, TestSpark.Sf, "documents"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(real.forall(r => r._3 >= 0.0))
+    assert(real.exists(r => r._3 > 2.0), "English text should clear 2 nats")
+  }
+
   test("dsirWeights: target-typical tokens weigh positive, off-target negative; smoothing keeps unseen finite") {
     // target doc is all 'x'; proposal adds 'y'-heavy docs. V=2.
     val docs = Seq(
