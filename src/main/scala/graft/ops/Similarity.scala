@@ -985,6 +985,41 @@ object Similarity {
       .select(col("qid"), coalesce(col("n_common"), lit(0L)).as("n_common"))
   }
 
+  /** NDCG@k of the cell-routed approximate kNN ranking against the
+    * exact-cosine ranking — the GRADED complement of [[knnSelfRecall]]:
+    * recall counts set overlap, NDCG also charges the router for
+    * returning the right neighbors in the wrong order and for trading
+    * a 0.99-cosine neighbor for a 0.90 one (both invisible to recall).
+    * Relevance of a retrieved neighbor is its TRUE (exact, rounded)
+    * cosine mapped to the non-negative gain (cos+1)/2; DCG discounts
+    * by log₂(rank+1); IDCG is the same sum over the exact top-k.
+    * ndcg = 1 ⇔ the router returned the exact top-k in exact order.
+    *
+    * Both substrates are the run-scoped memos ([[DfMemo]]) the
+    * recall/graph queries already share — the eval adds two k-row
+    * folds and a join, nothing corpus-scale. DCG/IDCG round to 6 dp
+    * BEFORE the ratio (parity pin). Output: (qid, dcg, idcg, ndcg),
+    * every exact-side qid present, routers that returned nothing
+    * score 0; ndcg NULL if idcg is 0 (degenerate all-cos=−1 corner).
+    */
+  def knnNdcg(
+      emb: DataFrame, idCol: String, vecCol: String,
+      cells: Array[(Long, Array[Double])],
+      k: Int, nprobe: Int, scale: Int = 4, blocks: Int = 8): DataFrame = {
+    def gainAt(cos: Column, rank: Column): Column =
+      ((cos + lit(1.0)) / lit(2.0)) / log(2.0, rank.cast("double") + lit(1.0))
+    val dcg = knnSelfJoin(emb, idCol, vecCol, cells, k, nprobe, scale)
+      .select(col("qid"), gainAt(col("cos"), col("rank")).as("g"))
+      .groupBy(col("qid")).agg(round(sum(col("g")), 6).as("dcg"))
+    val idcg = knnGraph(emb, idCol, vecCol, k, scale, blocks)
+      .select(col("src").as("qid"), gainAt(col("cos"), col("rank")).as("g"))
+      .groupBy(col("qid")).agg(round(sum(col("g")), 6).as("idcg"))
+    idcg.join(dcg, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("dcg"), lit(0.0)).as("dcg"), col("idcg"),
+        when(col("idcg") > 0,
+          round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6)).as("ndcg"))
+  }
+
   /** Population covariance matrix of an embedding column, exploded as
     * (i, j, cov) — the input to PCA whitening, Mahalanobis outlier
     * screens, and embedding-drift monitoring. cov(i,j) =

@@ -189,6 +189,56 @@ private[graft] object QEmbed {
         |FROM embeddings e LEFT JOIN jn ON jn.qid = e.vec_id
         |ORDER BY qid""".stripMargin)),
 
+    Q("q_knn_ndcg",  // NDCG@5 of the cell-routed approximate ranking
+      // against exact-cosine graded relevance — the graded complement
+      // of q_knn_approx_recall: recall counts set overlap, NDCG also
+      // charges order inversions and quality substitutions. Gain =
+      // (true cos + 1)/2, discount log2(rank+1), DCG/IDCG rounded 6
+      // before the ratio. Both substrates are the shared DfMemo
+      // kernels — the eval itself is two k-row folds and a join.
+      (s, dir) => Similarity.knnNdcg(
+          Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
+          fixedCentroidArr(s, dir), k = 5, nprobe = 5)
+        .orderBy("qid"),
+      Some("""WITH ve AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings),
+        |n AS MATERIALIZED (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM ve),
+        |ad AS MATERIALIZED (SELECT e.vec_id, c.vec_id AS cid,
+        |         list_distance(e.v, c.v) AS dist
+        |       FROM ve e JOIN n z ON z.vec_id = e.vec_id AND z.nrm > 0
+        |       CROSS JOIN (SELECT vec_id, v FROM ve WHERE vec_id < 8) c),
+        |home AS (SELECT vec_id, cid AS cell FROM ad
+        |         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+        |probe AS (SELECT vec_id AS qid, cid AS cell FROM ad
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) <= 5),
+        |m AS (SELECT q.qid AS a, h.vec_id AS b FROM probe q
+        |      JOIN home h ON h.cell = q.cell AND h.vec_id <> q.qid),
+        |cand AS (SELECT a AS qid, b AS nbr FROM m UNION SELECT b, a FROM m),
+        |d AS (SELECT cand.qid, cand.nbr, list_inner_product(a.v, b.v) AS dp
+        |      FROM cand JOIN ve a ON a.vec_id = cand.qid
+        |                JOIN ve b ON b.vec_id = cand.nbr),
+        |c2 AS (SELECT qid, nbr, round(dp / (nq.nrm * nv.nrm), 4) AS cos
+        |       FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = nbr),
+        |ra AS MATERIALIZED (SELECT qid, cos, rnk FROM (SELECT qid, cos,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rnk
+        |      FROM c2) WHERE rnk <= 5),
+        |dx AS MATERIALIZED (SELECT a.vec_id AS qid, b.vec_id AS nbr,
+        |        list_inner_product(a.v, b.v) AS dp
+        |      FROM ve a JOIN ve b ON a.vec_id <> b.vec_id),
+        |cx AS (SELECT qid, nbr, round(dp / (na.nrm * nb.nrm), 4) AS cos
+        |       FROM dx JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = nbr),
+        |rx AS MATERIALIZED (SELECT qid, cos, rnk FROM (SELECT qid, cos,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rnk
+        |      FROM cx) WHERE rnk <= 5),
+        |da AS (SELECT qid, round(sum(((cos + 1.0) / 2.0)
+        |         / log2(rnk + 1.0)), 6) AS dcg FROM ra GROUP BY 1),
+        |di AS (SELECT qid, round(sum(((cos + 1.0) / 2.0)
+        |         / log2(rnk + 1.0)), 6) AS idcg FROM rx GROUP BY 1)
+        |SELECT di.qid, COALESCE(da.dcg, 0.0) AS dcg, di.idcg,
+        |  CASE WHEN di.idcg > 0
+        |    THEN round(COALESCE(da.dcg, 0.0) / di.idcg, 6) END AS ndcg
+        |FROM di LEFT JOIN da USING (qid) ORDER BY qid""".stripMargin)),
+
     Q("q_hard_negatives",  // contrastive-training hard-negative mining
       // (ANCE/DPR prep): per anchor, top-5 most-similar vectors with a
       // DIFFERENT label — semantically close, label-wise wrong, the

@@ -707,6 +707,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("knnNdcg: full probing scores exactly 1 everywhere; partial probing bounded by (0, 1]") {
+    val cells = emb
+      .select($"vec_id".cast("long"),
+        graft.ops.KMeansOps.asDouble($"embedding").as("v"))
+      .filter($"vec_id" < 8).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    // nprobe = C: the router IS the exact ranking — every qid at 1.0,
+    // dcg ≡ idcg (the degeneracy anchor, same device as the recall spec)
+    val full = Similarity.knnNdcg(emb, "vec_id", "embedding", cells,
+        k = 5, nprobe = 8)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(full.nonEmpty)
+    assert(full.forall { case (_, d, i, nd) => nd == 1.0 && d == i })
+    // partial probing: never above 1, and the mean stays high (the
+    // 0.9-recall router should not crater graded quality)
+    val part = Similarity.knnNdcg(emb, "vec_id", "embedding", cells,
+        k = 5, nprobe = 2)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(part.forall { case (_, d, i, nd) => nd <= 1.0 + 1e-12 && d <= i + 1e-9 })
+    val mean = part.map(_._4).sum / part.length
+    assert(mean > 0.8, s"nprobe=2 mean ndcg $mean")
+  }
+
   test("calinskiHarabasz closed form: member-mean scatter, two balanced clusters") {
     // cells at (0,0) and (10,0); members (0,0),(2,0) → cluster mean
     // (1,0); (10,0),(12,0) → (11,0). Global mean (6,0).
