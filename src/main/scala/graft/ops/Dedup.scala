@@ -247,6 +247,54 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** EDIT-DISTANCE-verified near-dup pairs — the character-level dedup
+    * modality the shingle family is blind INSIDE of: token-level
+    * Jaccard treats re-spellings ("colour"→"color"), OCR confusions
+    * and small in-word edits as wholly different tokens (every
+    * k-shingle containing the edited word breaks), while Levenshtein
+    * prices them as the few character operations they are — the
+    * near-dup detector for short/templated text where a handful of
+    * character edits IS the difference. Candidates come from the
+    * prefix-filtered 3-shingle kernel at a LOOSE `candJ` (lossless at
+    * that threshold, hot-shingle-safe; near-identical texts keep most
+    * shingles, so real edit-pairs survive a low bar easily), a
+    * length-difference pre-filter drops pairs that cannot pass
+    * (dist ≥ |L1−L2|, so |L1−L2| > maxNed·max ⇒ ned > maxNed) BEFORE
+    * any O(L²) work, and exact Levenshtein verifies the survivors.
+    * ned = dist/max(L1, L2), rounded to 6 dp BEFORE the threshold
+    * compare (the engine-independent-boundary device); two empty
+    * texts define ned = 0.
+    *
+    * Scale: candidate volume is the prefix kernel's (bounded,
+    * plan-audited elsewhere); the verify is O(L²) per SURVIVING pair
+    * — candJ is the cost dial, and the standard upgrade is Ukkonen's
+    * banded k-limited DP once maxNed·L is small. Both engines'
+    * levenshtein are the classic DP with identical integer results.
+    * Output: (id1, id2, dist, ned), ned ≤ maxNed.
+    */
+  def editPairs(
+      docs: DataFrame, idCol: String, textCol: String, toksCol: String,
+      candJ: Double = 0.3, maxNed: Double = 0.5): DataFrame = {
+    val cand = jaccardPairsPrefix(
+        shingleHashesViaArrays(
+          docs.select(col(idCol), col(toksCol)), idCol, toksCol, k = 3),
+        candJ)
+      .select(col("id1"), col("id2"))
+    val t = docs.select(col(idCol), col(textCol))
+    cand
+      .join(t.select(col(idCol).as("id1"), col(textCol).as("t1"),
+        length(col(textCol)).as("l1")), Seq("id1"))
+      .join(t.select(col(idCol).as("id2"), col(textCol).as("t2"),
+        length(col(textCol)).as("l2")), Seq("id2"))
+      .withColumn("mx", greatest(col("l1"), col("l2")))
+      .filter(abs(col("l1") - col("l2")) <= col("mx") * lit(maxNed))
+      .withColumn("dist", levenshtein(col("t1"), col("t2")))
+      .withColumn("ned", when(col("mx") === 0, lit(0.0))
+        .otherwise(round(col("dist") / col("mx"), 6)))
+      .filter(col("ned") <= maxNed)
+      .select(col("id1"), col("id2"), col("dist"), col("ned"))
+  }
+
   /** Cross-corpus near-duplicate retrieval (R-S Jaccard join): corpus
     * documents with Jaccard ≥ minJ against ANY document of a reference
     * set — the near-dup generalization of exact-match decontamination

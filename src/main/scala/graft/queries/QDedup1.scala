@@ -297,6 +297,48 @@ private[graft] object QDedup1 {
         |SELECT doc_id, round(q, 6) AS q FROM rk WHERE rk = 1
         |ORDER BY doc_id""".stripMargin)),
 
+    Q("q_edit_pairs",  // EDIT-DISTANCE-verified near-dup pairs — the
+      // character-level modality the shingle family is blind inside
+      // of: re-spellings/OCR edits break every k-shingle containing
+      // the word, but Levenshtein prices them as the few character
+      // operations they are. Candidates = the prefix-filtered
+      // 3-shingle kernel at the loose candJ=0.3 (lossless there), a
+      // length-diff pre-filter (dist ≥ |L1−L2|) skips impossible
+      // pairs before any O(L²) work, exact levenshtein verifies.
+      // ned = dist/max(L1,L2) rounded BEFORE the ≤ 0.5 compare.
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            TextOps.tokenizeFiltered(col("text"), Stop, Nil).as("toks"))
+        Dedup.editPairs(docs, "doc_id", "text", "toks",
+            candJ = 0.3, maxNed = 0.5)
+          .orderBy("id1", "id2")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |      FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS w, len(sh) AS sz FROM s),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |      FROM e a JOIN e b ON a.w = b.w AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2
+        |      HAVING CAST(count(*) AS DOUBLE)
+        |             / (max(a.sz) + max(b.sz) - count(*)) >= 0.3),
+        |x AS (SELECT p.id1, p.id2, a.text AS t1, b.text AS t2,
+        |        length(a.text) AS l1, length(b.text) AS l2
+        |      FROM p JOIN documents a ON a.doc_id = p.id1
+        |             JOIN documents b ON b.doc_id = p.id2),
+        |v AS (SELECT id1, id2, greatest(l1, l2) AS mx,
+        |        levenshtein(t1, t2) AS dist
+        |      FROM x WHERE abs(l1 - l2) <= greatest(l1, l2) * 0.5),
+        |n AS (SELECT id1, id2, CAST(dist AS INT) AS dist,
+        |        CASE WHEN mx = 0 THEN 0.0
+        |             ELSE round(CAST(dist AS DOUBLE) / mx, 6) END AS ned
+        |      FROM v)
+        |SELECT id1, id2, dist, ned FROM n WHERE ned <= 0.5
+        |ORDER BY id1, id2""".stripMargin)),
+
     Q("q_dedup_clusters_lsh",  // the COMPLETE 100 TB near-dup funnel in ONE
       // gated plan: MinHash signatures → LSH band buckets → candidate pairs
       // → EXACT Jaccard verify on candidates only → connected components.

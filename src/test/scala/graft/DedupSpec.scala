@@ -524,6 +524,30 @@ class DedupSpec extends AnyFunSuite {
       "histogram must account for every candidate pair exactly once")
   }
 
+  test("editPairs: one-word typo pairs at its true edit distance; unrelated text never candidates; ned boundary rounded") {
+    val base = "quick brown fox jumps over lazy dog again again tonight"
+    val typo = base.replace("over", "ovre") // transposition: levenshtein 2
+    val other = "completely different content about spark shuffles and joins here now"
+    val docs = Seq((1L, base), (2L, typo), (3L, other))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text",
+        graft.ops.TextOps.tokenizeFiltered($"text",
+          Dictionaries.Stopwords, Nil).as("toks"))
+    val got = Dedup.editPairs(docs, "doc_id", "text", "toks",
+        candJ = 0.3, maxNed = 0.5)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"exactly the typo pair must survive: $got")
+    val (_, _, dist, ned) = got.head
+    assert(dist == 2, s"ovre↔over is a 2-op edit, got $dist")
+    val expNed = BigDecimal(2.0 / base.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ned == expNed)
+    // a tight maxNed excludes the pair — the threshold is live
+    assert(Dedup.editPairs(docs, "doc_id", "text", "toks",
+      candJ = 0.3, maxNed = 0.01).count() == 0)
+  }
+
   test("dropDupsByKey keeps exactly one row per key, the min-id one") {
     val withFp = docs.withColumn("fp", Dedup.wordSetFingerprint($"toks"))
     val kept = Dedup.dropDupsByKey(withFp.select($"doc_id", $"fp"), "doc_id", "fp")

@@ -224,6 +224,12 @@ class PlanAuditSpec extends AnyFunSuite {
     //     before the checkpoint erases it.
     // q_knn_graph keeps the exact kernel by design (it IS the recall
     // baseline that grades the router).
+    // drop the run-scoped substrate memo first (r12): a cache hit from
+    // an earlier suite would hand back a persisted frame whose plan
+    // prints as an InMemoryTableScan — and this audit would pass no
+    // matter what built the kernel (the same vacuity the r11 review
+    // caught in this test's first version)
+    graft.ops.DfMemo.clear()
     val emb = Tables.table(spark, TestSpark.Sf, "embeddings")
     val cells = QShared.fixedCentroidArr(spark, TestSpark.Sf)
     val sub = graft.ops.Similarity
