@@ -52,12 +52,26 @@ private[graft] object QShared {
     * Run-scoped [[graft.ops.DfMemo]] memo keyed on the documents table:
     * the pair-gen + CC funnel (the suite's most expensive substrate)
     * runs once per JVM instead of three times. */
+  /** Verified 3-shingle Jaccard ≥ 0.5 near-dup PAIRS (id1, id2,
+    * jaccard) — the pair substrate under [[dedupClusters3]], memoized
+    * separately so q_edit_pairs' levenshtein verify can ride the same
+    * kernel instead of re-running pair generation. */
+  private[graft] def dedupPairs3(s: SparkSession, dir: String): DataFrame = {
+    val toks = docsTokens(s, dir)
+    DfMemo.cached(toks, "dedupPairs3:k=3:thr=0.5") {
+      Dedup.jaccardPairsPrefix(
+        Dedup.shingleHashesViaArrays(toks, "doc_id", "toks", k = 3), 0.5)
+    }
+  }
+
   private[graft] def dedupClusters3(s: SparkSession, dir: String): DataFrame = {
     val toks = docsTokens(s, dir)
+    // resolve the pairs memo BEFORE entering the clusters memo — a
+    // computeIfAbsent nested inside another on the same map can hit
+    // ConcurrentHashMap's recursive-update IllegalStateException
+    val pairs = dedupPairs3(s, dir)
     DfMemo.cached(toks, "dedupClusters3:k=3:thr=0.5") {
-      Dedup.dedupClusters(
-        Dedup.jaccardPairsPrefix(
-          Dedup.shingleHashesViaArrays(toks, "doc_id", "toks", k = 3), 0.5))
+      Dedup.dedupClusters(pairs)
     }
   }
 

@@ -274,14 +274,27 @@ object Dedup {
     */
   def editPairs(
       docs: DataFrame, idCol: String, textCol: String, toksCol: String,
-      candJ: Double = 0.3, maxNed: Double = 0.5): DataFrame = {
-    val cand = jaccardPairsPrefix(
+      candJ: Double = 0.3, maxNed: Double = 0.5): DataFrame =
+    editVerify(
+      jaccardPairsPrefix(
         shingleHashesViaArrays(
           docs.select(col(idCol), col(toksCol)), idCol, toksCol, k = 3),
-        candJ)
-      .select(col("id1"), col("id2"))
+        candJ),
+      docs, idCol, textCol, maxNed)
+
+  /** The Levenshtein verify tail of [[editPairs]], over an EXTERNAL
+    * candidate pair frame (id1, id2) — the composition point that lets
+    * the gated query ride an already-memoized pair substrate
+    * (QShared.dedupPairs3) instead of re-running pair generation: any
+    * full-recall candidate generator composes here, same contract as
+    * [[verifyJaccard]]. Length-diff pre-filter, exact levenshtein,
+    * rounded-ned boundary — see [[editPairs]].
+    */
+  def editVerify(
+      cand: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      maxNed: Double): DataFrame = {
     val t = docs.select(col(idCol), col(textCol))
-    cand
+    cand.select(col("id1"), col("id2"))
       .join(t.select(col(idCol).as("id1"), col(textCol).as("t1"),
         length(col(textCol)).as("l1")), Seq("id1"))
       .join(t.select(col(idCol).as("id2"), col(textCol).as("t2"),

@@ -529,7 +529,10 @@ object Similarity {
     // q_knn_approx/q_knn_approx_recall/q_pagerank/q_label_prop share the
     // unlabeled kernel, q_hard_negatives its labeled variant. The full
     // cell-table CONTENT rides in the tag: two different centroid sets
-    // over the same corpus must never alias.
+    // over the same corpus must never alias — content, not a hash,
+    // because a silent key collision would serve WRONG results, while
+    // the cost is a driver-local C·d-double string per CALL (≈1 MB at
+    // C=1000, d=64 — microseconds, never shipped to executors).
     val cellTag = cells.map { case (c, v) => s"$c=${v.mkString(",")}" }
       .mkString(";")
     DfMemo.cached(emb,

@@ -301,19 +301,19 @@ private[graft] object QDedup1 {
       // character-level modality the shingle family is blind inside
       // of: re-spellings/OCR edits break every k-shingle containing
       // the word, but Levenshtein prices them as the few character
-      // operations they are. Candidates = the prefix-filtered
-      // 3-shingle kernel at the loose candJ=0.3 (lossless there), a
-      // length-diff pre-filter (dist ≥ |L1−L2|) skips impossible
-      // pairs before any O(L²) work, exact levenshtein verifies.
-      // ned = dist/max(L1,L2) rounded BEFORE the ≤ 0.5 compare.
-      (s, dir) => {
-        val docs = Tables.table(s, dir, "documents")
-          .select(col("doc_id"), col("text"),
-            TextOps.tokenizeFiltered(col("text"), Stop, Nil).as("toks"))
-        Dedup.editPairs(docs, "doc_id", "text", "toks",
-            candJ = 0.3, maxNed = 0.5)
-          .orderBy("id1", "id2")
-      },
+      // operations they are. Candidates = the run-scoped dedupPairs3
+      // memo (the SAME verified Jaccard ≥ 0.5 pair substrate the
+      // dedup funnel runs on — one kernel per JVM, not two; the
+      // looser-candJ standalone form stays in the Dedup.editPairs
+      // API for recall-generous runs), a length-diff pre-filter
+      // (dist ≥ |L1−L2|) skips impossible pairs before any O(L²)
+      // work, exact levenshtein verifies. ned = dist/max(L1,L2)
+      // rounded BEFORE the ≤ 0.5 compare.
+      (s, dir) => Dedup.editVerify(
+          dedupPairs3(s, dir),
+          Tables.table(s, dir, "documents"), "doc_id", "text",
+          maxNed = 0.5)
+        .orderBy("id1", "id2"),
       Some(s"""WITH t AS ($SqlToks),
         |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
         |        ELSE list_transform(range(1, len(toks) - 1),
@@ -324,7 +324,7 @@ private[graft] object QDedup1 {
         |      FROM e a JOIN e b ON a.w = b.w AND a.doc_id < b.doc_id
         |      GROUP BY 1, 2
         |      HAVING CAST(count(*) AS DOUBLE)
-        |             / (max(a.sz) + max(b.sz) - count(*)) >= 0.3),
+        |             / (max(a.sz) + max(b.sz) - count(*)) >= 0.5),
         |x AS (SELECT p.id1, p.id2, a.text AS t1, b.text AS t2,
         |        length(a.text) AS l1, length(b.text) AS l2
         |      FROM p JOIN documents a ON a.doc_id = p.id1
