@@ -202,6 +202,75 @@ private[graft] object QDedup1 {
         |SELECT id1, id2 FROM cand ORDER BY id1, id2""".stripMargin
       }),
 
+    Q("q_minhash_err",  // MinHash ESTIMATOR CALIBRATION — the grade on
+      // the sketch itself, next to the pipeline witnesses: for every
+      // EXACT near-dup pair (the run-scoped dedupPairs3 memo, Jaccard
+      // ≥ 0.5), the md5-portable 16-hash signature estimate
+      // est = matches/16 against the true Jaccard, with the absolute
+      // error per pair — the evidence that prices "how many hashes do
+      // I need" before a 100 TB MinHash run (E[err] ~ √(j(1−j)/k)).
+      // Signatures are built ONLY for pair members (semi-join first):
+      // the md5 sig cost scales with the pair set, not the corpus.
+      // est is an exact multiple of 1/16 and jaccard an exact
+      // rational, so every value oracles bit-for-bit.
+      (s, dir) => {
+        val pairs = dedupPairs3(s, dir)
+          .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        val members = pairs.select(col("id1").as("doc_id"))
+          .unionByName(pairs.select(col("id2").as("doc_id"))).distinct()
+        val e = docsTokens(s, dir).join(members, Seq("doc_id"))
+          .select(col("doc_id").as("id"),
+            explode(Dedup.tokenShingles(col("toks"), 3)).as("w"))
+          .select(col("id"),
+            conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("h"))
+        val sigs = Dedup.minhashFromHashes(e, numHashes = 16, seed = 42L)
+        pairs
+          .join(sigs.select(col("id").as("id1"), col("sig").as("s1")), Seq("id1"))
+          .join(sigs.select(col("id").as("id2"), col("sig").as("s2")), Seq("id2"))
+          .withColumn("est", round(
+            size(filter(zip_with(col("s1"), col("s2"), (a, b) => a === b),
+              x => x)).cast("double") / 16, 6))
+          .withColumn("err", round(abs(col("est") - col("jaccard")), 6))
+          .select(col("id1"), col("id2"), col("jaccard"), col("est"), col("err"))
+          .orderBy("id1", "id2")
+      },
+      Some {
+        val ps = Dedup.hashParams(16, 42L).zipWithIndex
+          .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+        s"""WITH t AS ($SqlToks),
+        |sd AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |      FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS w, len(sh) AS sz FROM sd),
+        |p AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |        round(CAST(count(*) AS DOUBLE)
+        |              / (max(a.sz) + max(b.sz) - count(*)), 6) AS jaccard
+        |      FROM e a JOIN e b ON a.w = b.w AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2
+        |      HAVING CAST(count(*) AS DOUBLE)
+        |             / (max(a.sz) + max(b.sz) - count(*)) >= 0.5),
+        |m AS (SELECT id1 AS doc_id FROM p UNION SELECT id2 FROM p),
+        |sa AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+        |      FROM t WHERE doc_id IN (SELECT doc_id FROM m)),
+        |x AS (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(unnest(sh)), 1, 8)) AS BIGINT) AS x
+        |      FROM sa),
+        |pr(j, a, b) AS (VALUES $ps),
+        |sig AS MATERIALIZED (SELECT doc_id, j,
+        |        min((a * (x % 2147483647) + b) % 2147483647) AS h
+        |      FROM x, pr GROUP BY doc_id, j),
+        |pe AS (SELECT p.id1, p.id2, p.jaccard,
+        |        round(sum(CASE WHEN ga.h = gb.h THEN 1 ELSE 0 END) / 16.0, 6) AS est
+        |      FROM p JOIN sig ga ON ga.doc_id = p.id1
+        |             JOIN sig gb ON gb.doc_id = p.id2 AND gb.j = ga.j
+        |      GROUP BY 1, 2, 3)
+        |SELECT id1, id2, jaccard, est, round(abs(est - jaccard), 6) AS err
+        |FROM pe ORDER BY id1, id2""".stripMargin
+      }),
+
     Q("q_dedup_clusters",  // near-dup CLUSTERING: connected components over the
       // exact 3-shingle Jaccard ≥ 0.5 pairs (star contraction) — A≈B≈C
       // collapses to one survivor even when A≉C; oracled via recursive CTE.

@@ -548,6 +548,22 @@ class DedupSpec extends AnyFunSuite {
       candJ = 0.3, maxNed = 0.01).count() == 0)
   }
 
+  test("q_minhash_err: est is an exact multiple of 1/16 in [0,1]; err consistent and bounded") {
+    val got = SparkEntry.queries("q_minhash_err")(spark, TestSpark.Sf).collect()
+    assert(got.nonEmpty, "the sf0.001 corpus has exact near-dup pairs to grade")
+    got.foreach { r =>
+      val (j, est, err) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(j >= 0.5 && j <= 1.0)
+      assert(est >= 0.0 && est <= 1.0)
+      assert(math.abs(est * 16 - math.round(est * 16)) < 1e-6,
+        s"est $est must be a multiple of 1/16")
+      assert(math.abs(err - math.abs(est - j)) < 1e-9)
+    }
+    // k=16 binomial noise: mean |est−j| stays well inside √(j(1−j)/16)
+    val mean = got.map(_.getDouble(4)).sum / got.length
+    assert(mean < 0.15, s"mean |est-j| $mean out of calibration")
+  }
+
   test("dropDupsByKey keeps exactly one row per key, the min-id one") {
     val withFp = docs.withColumn("fp", Dedup.wordSetFingerprint($"toks"))
     val kept = Dedup.dropDupsByKey(withFp.select($"doc_id", $"fp"), "doc_id", "fp")
