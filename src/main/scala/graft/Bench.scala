@@ -135,9 +135,9 @@ object Bench {
             System.err.println(s"[bench] warmup $n failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
           }
         }
+      val prot = ops.DfMemo.protectedRddIds
       spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) =>
-          beforeWarm(id) || ops.DfMemo.protectedRddIds(id) }
+        .filterNot { case (id, _) => beforeWarm(id) || prot(id) }
         .values.foreach(_.unpersist(blocking = false))
     }
     // PREDICTIVE budget (r9 task #5: n_single_pass 23 → <10). The old
@@ -274,13 +274,15 @@ object Bench {
         }
       }
       System.err.println(f"[bench] $name cold=$cold%.2f warm=$warm%.2f t=$elapsedS%.0f")
-      // release what this query pinned — EXCEPT checkpoint lineage of
-      // run-scoped DfMemo frames: those blocks are the only copy, and
-      // unpersisting them kills every later consumer of the memo
-      // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — found the hard way in r12)
+      // release what this query pinned — EXCEPT DfMemo's protected
+      // pins: the memo frames' checkpoint lineage (the only copy —
+      // unpersisting it kills every later consumer with
+      // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND) AND their cache buffers
+      // (Dataset.persist registers the buffer RDD here at first
+      // materialization; sweeping it silently defeats the sharing)
+      val prot = ops.DfMemo.protectedRddIds
       spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) =>
-          before(id) || ops.DfMemo.protectedRddIds(id) }
+        .filterNot { case (id, _) => before(id) || prot(id) }
         .values.foreach(_.unpersist(blocking = false))
       resultsBuf += ((name, cold, warm))
     }

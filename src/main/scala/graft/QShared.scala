@@ -46,12 +46,6 @@ private[graft] object QShared {
 
 
 
-  /** Near-dup cluster map (id → rep) over the 3-shingle Jaccard ≥ 0.5
-    * pair graph, prefix-filtered + star-contracted — the derivation
-    * q_dedup_clusters, q_dedup_canonical and q_dedup_best all consume.
-    * Run-scoped [[graft.ops.DfMemo]] memo keyed on the documents table:
-    * the pair-gen + CC funnel (the suite's most expensive substrate)
-    * runs once per JVM instead of three times. */
   /** Verified 3-shingle Jaccard ≥ 0.5 near-dup PAIRS (id1, id2,
     * jaccard) — the pair substrate under [[dedupClusters3]], memoized
     * separately so q_edit_pairs' levenshtein verify can ride the same
@@ -64,6 +58,12 @@ private[graft] object QShared {
     }
   }
 
+  /** Near-dup cluster map (id → rep) over the 3-shingle Jaccard ≥ 0.5
+    * pair graph, prefix-filtered + star-contracted — the derivation
+    * q_dedup_clusters, q_dedup_canonical and q_dedup_best all consume.
+    * Run-scoped [[graft.ops.DfMemo]] memo keyed on the documents table:
+    * the pair-gen + CC funnel (the suite's most expensive substrate)
+    * runs once per JVM instead of three times. */
   private[graft] def dedupClusters3(s: SparkSession, dir: String): DataFrame = {
     val toks = docsTokens(s, dir)
     // resolve the pairs memo BEFORE entering the clusters memo — a

@@ -259,11 +259,16 @@ object Dedup {
     * that threshold, hot-shingle-safe; near-identical texts keep most
     * shingles, so real edit-pairs survive a low bar easily), a
     * length-difference pre-filter drops pairs that cannot pass
-    * (dist ≥ |L1−L2|, so |L1−L2| > maxNed·max ⇒ ned > maxNed) BEFORE
-    * any O(L²) work, and exact Levenshtein verifies the survivors.
-    * ned = dist/max(L1, L2), rounded to 6 dp BEFORE the threshold
-    * compare (the engine-independent-boundary device); two empty
-    * texts define ned = 0.
+    * (dist ≥ |L1−L2|, so |L1−L2| > maxNed·max ⇒ raw ned > maxNed)
+    * BEFORE any O(L²) work, and exact Levenshtein verifies the
+    * survivors. ned = dist/max(L1, L2), rounded to 6 dp BEFORE the
+    * threshold compare (the engine-independent-boundary device); two
+    * empty texts define ned = 0. Boundary fine print: the pre-filter
+    * compares the RAW ratio while the final compare uses the ROUNDED
+    * ned, so a pair whose raw ned exceeds maxNed by < 5e-7 (texts in
+    * the megabyte range) is pre-filtered even though the rounded
+    * compare would have admitted it — the SQL oracle applies the
+    * identical pre-filter, so the two engines always agree.
     *
     * Scale: candidate volume is the prefix kernel's (bounded,
     * plan-audited elsewhere); the verify is O(L²) per SURVIVING pair

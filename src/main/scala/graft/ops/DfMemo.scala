@@ -47,15 +47,27 @@ private[graft] object DfMemo {
   private val cache =
     new ConcurrentHashMap[(Int, String, String, String), DataFrame]()
 
-  /** RDD-level pins (localCheckpoint blocks) created while computing a
-    * memoized derivation. A lazily-localCheckpointed RDD's blocks are
-    * its ONLY copy once materialized — an external "release what this
-    * query pinned" sweep (graft.Bench's per-query cleanup) that
-    * unpersists them kills every cached frame built on top, permanently
-    * (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the next action). Such
-    * sweeps must exempt these ids; Dataset-level persists (the memo
-    * frames themselves) never appear in `sc.getPersistentRDDs`, so the
-    * checkpoint pins are the only cross-query state to protect. */
+  /** RDD-level pins created while computing AND materializing a
+    * memoized derivation. Two kinds, both load-bearing:
+    *
+    *   - localCheckpoint blocks registered during the compute (the
+    *     dedupClusters CC loop, cosinePairsBlocked's exploded
+    *     postings): a lazily-localCheckpointed RDD's blocks are its
+    *     ONLY copy once materialized — an external "release what this
+    *     query pinned" sweep (graft.Bench's per-query cleanup) that
+    *     unpersists them kills every cached frame built on top,
+    *     permanently (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND);
+    *   - the memo frame's OWN cache buffer: Dataset.persist routes
+    *     through CachedRDDBuilder.buildBuffers(), which calls
+    *     RDD.persist on the buffer RDD at FIRST MATERIALIZATION — so
+    *     it DOES appear in `sc.getPersistentRDDs` (review r12: an
+    *     earlier version believed otherwise and only protected the
+    *     checkpoints; the sweep then silently evicted every memo
+    *     buffer after its first consumer, and non-checkpoint-backed
+    *     substrates like cellMatches recomputed per query — correct,
+    *     but the sharing this memo exists for was inert). cached()
+    *     therefore materializes eagerly INSIDE the snapshot window so
+    *     the buffer id lands in the protected delta. */
   private val protectedIds =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
@@ -97,14 +109,16 @@ private[graft] object DfMemo {
         val key = (System.identityHashCode(input.sparkSession), fs,
           input.queryExecution.analyzed.canonicalized.toString, tag)
         cache.computeIfAbsent(key, { _ =>
-          // snapshot the RDD-level pins around the compute: any
-          // localCheckpoint the derivation registers (dedupClusters'
-          // CC loop, cosinePairsBlocked's exploded postings) is
-          // load-bearing lineage of the cached frame and must survive
-          // external per-query cache sweeps (see protectedIds)
+          // snapshot the RDD-level pins around compute + FIRST
+          // materialization: checkpoint lineage registers during the
+          // compute, the frame's own cache buffer registers at first
+          // action (see protectedIds) — the count() pulls that
+          // registration inside the window, and costs nothing extra
+          // (the first consumer was about to materialize anyway)
           val sc = input.sparkSession.sparkContext
           val before = sc.getPersistentRDDs.keySet
           val df = compute.persist(StorageLevel.MEMORY_AND_DISK)
+          df.count()
           sc.getPersistentRDDs.keysIterator
             .filterNot(before).foreach(protectedIds.add(_))
           df
