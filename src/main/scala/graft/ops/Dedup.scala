@@ -271,10 +271,18 @@ object Dedup {
     * identical pre-filter, so the two engines always agree.
     *
     * Scale: candidate volume is the prefix kernel's (bounded,
-    * plan-audited elsewhere); the verify is O(L²) per SURVIVING pair
-    * — candJ is the cost dial, and the standard upgrade is Ukkonen's
-    * banded k-limited DP once maxNed·L is small. Both engines'
-    * levenshtein are the classic DP with identical integer results.
+    * plan-audited elsewhere); the verify runs Ukkonen's banded
+    * k-limited DP — O(k·L) per surviving pair with
+    * k = ⌈maxNed·max(L1,L2)⌉+1, via Spark's threshold-limited
+    * levenshtein driven with a per-row bound
+    * ([[graft.functions.BoundedLevenshtein]]) — not the full O(L²)
+    * table; a pair whose true distance exceeds k returns -1 and is
+    * dropped, which is exactly the set the rounded-ned compare would
+    * have dropped (for texts under ~2·10⁶ chars, where 1/mx > 5e-7
+    * keeps the +1 slack outside the 6-dp rounding window; the DuckDB
+    * oracle's full DP agrees pair-for-pair, and the parity spec
+    * asserts it against the unbounded form on the real corpus). Both
+    * engines' kept rows carry identical integer distances.
     * Output: (id1, id2, dist, ned), ned ≤ maxNed.
     */
   def editPairs(
@@ -306,10 +314,13 @@ object Dedup {
         length(col(textCol)).as("l2")), Seq("id2"))
       .withColumn("mx", greatest(col("l1"), col("l2")))
       .filter(abs(col("l1") - col("l2")) <= col("mx") * lit(maxNed))
-      .withColumn("dist", levenshtein(col("t1"), col("t2")))
+      // banded k-limited DP, k per pair (see editPairs scaladoc):
+      // -1 = distance provably > k = provably over maxNed → dropped
+      .withColumn("dist", graft.functions.BoundedLevenshtein(
+        col("t1"), col("t2"), ceil(col("mx") * lit(maxNed)) + lit(1)))
       .withColumn("ned", when(col("mx") === 0, lit(0.0))
         .otherwise(round(col("dist") / col("mx"), 6)))
-      .filter(col("ned") <= maxNed)
+      .filter(col("dist") >= 0 && col("ned") <= maxNed)
       .select(col("id1"), col("id2"), col("dist"), col("ned"))
   }
 

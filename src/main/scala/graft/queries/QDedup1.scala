@@ -375,9 +375,12 @@ private[graft] object QDedup1 {
       // dedup funnel runs on — one kernel per JVM, not two; the
       // looser-candJ standalone form stays in the Dedup.editPairs
       // API for recall-generous runs), a length-diff pre-filter
-      // (dist ≥ |L1−L2|) skips impossible pairs before any O(L²)
-      // work, exact levenshtein verifies. ned = dist/max(L1,L2)
-      // rounded BEFORE the ≤ 0.5 compare.
+      // (dist ≥ |L1−L2|) skips impossible pairs before any DP work,
+      // and the Ukkonen-banded k-limited levenshtein verifies
+      // (O(k·L) per pair, k = ⌈maxNed·mx⌉+1 — BoundedLevenshtein;
+      // over-band pairs return -1 and are dropped, exactly the set
+      // the oracle's full DP drops). ned = dist/max(L1,L2) rounded
+      // BEFORE the ≤ 0.5 compare.
       (s, dir) => Dedup.editVerify(
           dedupPairs3(s, dir),
           Tables.table(s, dir, "documents"), "doc_id", "text",

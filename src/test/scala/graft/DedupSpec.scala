@@ -548,6 +548,46 @@ class DedupSpec extends AnyFunSuite {
       candJ = 0.3, maxNed = 0.01).count() == 0)
   }
 
+  test("editVerify banded DP ≡ full DP on the real corpus; band boundary exact") {
+    // parity on the real sf0.001 documents: the banded k-limited verify
+    // (BoundedLevenshtein, k = ceil(mx·maxNed)+1) must keep exactly the
+    // pairs the unbounded DP keeps, with identical distances — at BOTH a
+    // tight and a generous maxNed (different bands, same answer)
+    val documents = Tables.table(spark, TestSpark.Sf, "documents")
+    for (maxNed <- Seq(0.2, 0.5)) {
+      val cand = QShared.dedupPairs3(spark, TestSpark.Sf)
+      val banded = Dedup.editVerify(cand, documents, "doc_id", "text", maxNed)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      val t = documents.select($"doc_id", $"text")
+      val full = cand.select($"id1", $"id2")
+        .join(t.select($"doc_id".as("id1"), $"text".as("t1"),
+          length($"text").as("l1")), Seq("id1"))
+        .join(t.select($"doc_id".as("id2"), $"text".as("t2"),
+          length($"text").as("l2")), Seq("id2"))
+        .withColumn("mx", greatest($"l1", $"l2"))
+        .filter(abs($"l1" - $"l2") <= $"mx" * lit(maxNed))
+        .withColumn("dist", levenshtein($"t1", $"t2")) // full O(L²) DP
+        .withColumn("ned", when($"mx" === 0, lit(0.0))
+          .otherwise(round($"dist" / $"mx", 6)))
+        .filter($"ned" <= maxNed)
+        .select($"id1", $"id2", $"dist", $"ned")
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(banded == full,
+        s"banded and full DP disagree at maxNed=$maxNed: " +
+          s"banded-only=${(banded -- full).take(3)} full-only=${(full -- banded).take(3)}")
+      assert(full.nonEmpty || maxNed < 0.5,
+        "the sf0.001 corpus has verified edit pairs at maxNed=0.5")
+    }
+    // band boundary at unit scale: dist == k is kept exactly, dist == k+1
+    // returns -1 and is dropped (Spark's threshold contract)
+    import graft.functions.BoundedLevenshtein
+    val row = Seq(("kitten", "sitting")).toDF("a", "b") // dist = 3
+    assert(row.select(BoundedLevenshtein($"a", $"b", lit(3)))
+      .as[Int].head() == 3)
+    assert(row.select(BoundedLevenshtein($"a", $"b", lit(2)))
+      .as[Int].head() == -1)
+  }
+
   test("q_minhash_err: est is an exact multiple of 1/16 in [0,1]; err consistent and bounded") {
     val got = SparkEntry.queries("q_minhash_err")(spark, TestSpark.Sf).collect()
     assert(got.nonEmpty, "the sf0.001 corpus has exact near-dup pairs to grade")
