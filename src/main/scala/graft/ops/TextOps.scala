@@ -288,46 +288,220 @@ object TextOps {
   def urlApex(u: Column): Column =
     regexp_extract(urlHost(u), "([^.]+\\.[^.]+)$", 1)
 
-  /** Common two-label public suffixes (curated subset of the Mozilla
-    * Public Suffix List — the ccTLD second-level registries under
-    * which "last two labels" is a REGISTRY, not a registrant). Used by
-    * [[urlApexPsl]]; swap in the full PSL as a side-input list where
-    * completeness matters (wildcard/exception PSL rules are out of
-    * scope for this subset).
+  /** Public Suffix List rule snapshot in the list's own rule syntax
+    * (publicsuffix.org/list — plain rules, `*.` wildcard rules, `!`
+    * exception rules), curated from the public Mozilla PSL's ICANN
+    * section: the ccTLD second-level registry families plus every rule
+    * SHAPE the full list uses — single-label wildcards (`*.ck`), the
+    * jp city wildcard blocks (`*.kobe.jp`), their exceptions
+    * (`!www.ck`, `!city.kobe.jp`), and three-label US locality
+    * registries (`k12.ca.us`). [[urlApexPsl]] implements the COMPLETE
+    * PSL matching semantics over whatever rule list it is handed
+    * (longest match wins, exceptions prevail, implicit `*` floor), so
+    * a production deployment swaps the full 15k-line list in through
+    * the `rules` parameter without code changes; only this DATA is a
+    * subset (honest caveats: 4+-label rules like `pvt.k12.ma.us` and
+    * IDN/punycode normalization are outside the snapshot).
     */
-  val PublicSuffixes2Ld: Seq[String] = Seq(
+  val PslRules: Seq[String] = Seq(
+    // single-label wildcards + their exceptions
+    "*.ck", "!www.ck", "*.bd", "*.er", "*.fk", "*.jm", "*.kh", "*.mm",
+    "*.np", "*.pg", "*.ye",
+    // jp second-level + city wildcard blocks with exceptions
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "gr.jp", "lg.jp",
+    "*.kawasaki.jp", "*.kitakyushu.jp", "*.kobe.jp", "*.nagoya.jp",
+    "*.sapporo.jp", "*.sendai.jp", "*.yokohama.jp",
+    "!city.kawasaki.jp", "!city.kitakyushu.jp", "!city.kobe.jp",
+    "!city.nagoya.jp", "!city.sapporo.jp", "!city.sendai.jp",
+    "!city.yokohama.jp",
+    // uk
     "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
-    "plc.uk", "sch.uk", "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
-    "ad.jp", "ed.jp", "gr.jp", "lg.jp", "com.au", "net.au", "org.au",
-    "edu.au", "gov.au", "asn.au", "id.au", "com.br", "net.br", "org.br",
-    "gov.br", "edu.br", "co.in", "net.in", "org.in", "gen.in", "firm.in",
-    "ind.in", "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "com.cn",
-    "net.cn", "org.cn", "gov.cn", "edu.cn", "com.mx", "org.mx", "net.mx",
-    "gob.mx", "edu.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
-    "co.za", "org.za", "net.za", "co.kr", "or.kr", "com.my", "com.id",
-    "co.id", "com.ph", "com.vn", "com.eg", "com.sa", "com.pk", "com.ng",
-    "co.th", "in.th", "co.il", "org.il", "com.ua", "com.pl", "net.pl",
-    "org.pl", "com.ru", "com.co", "com.pe", "com.ve", "co.ve", "com.ec",
-    "com.uy", "com.do", "com.gt", "com.py", "com.bo", "com.ni", "com.sv",
-    "com.hn", "com.pa")
+    "plc.uk", "sch.uk", "nhs.uk", "police.uk",
+    // au / nz
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz", "gen.nz",
+    "kiwi.nz", "maori.nz", "school.nz", "cri.nz", "iwi.nz",
+    // americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br", "art.br",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "com.ar", "edu.ar", "gob.ar", "int.ar", "mil.ar", "net.ar", "org.ar",
+    "tur.ar", "com.co", "edu.co", "gov.co", "mil.co", "net.co", "org.co",
+    "nom.co", "com.pe", "edu.pe", "gob.pe", "mil.pe", "net.pe", "nom.pe",
+    "org.pe", "com.ve", "co.ve", "gob.ve", "net.ve", "org.ve", "edu.ve",
+    "info.ve", "web.ve", "com.ec", "edu.ec", "fin.ec", "gob.ec", "gov.ec",
+    "info.ec", "k12.ec", "med.ec", "mil.ec", "net.ec", "org.ec", "pro.ec",
+    "com.uy", "edu.uy", "gub.uy", "mil.uy", "net.uy", "org.uy",
+    "com.do", "com.gt", "com.py", "com.bo", "com.ni", "com.sv", "com.hn",
+    "com.pa", "gob.cl", "gov.cl", "mil.cl",
+    // asia
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in", "ac.in",
+    "edu.in", "res.in", "gov.in", "mil.in", "nic.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    "co.kr", "or.kr", "go.kr", "re.kr", "ne.kr", "pe.kr", "ac.kr",
+    "mil.kr", "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr",
+    "com.sg", "edu.sg", "gov.sg", "net.sg", "org.sg", "per.sg",
+    "com.hk", "edu.hk", "gov.hk", "net.hk", "org.hk", "idv.hk",
+    "com.tw", "edu.tw", "gov.tw", "net.tw", "org.tw", "idv.tw",
+    "game.tw", "ebiz.tw", "club.tw",
+    "co.th", "in.th", "ac.th", "go.th", "net.th", "or.th", "mi.th",
+    "com.my", "edu.my", "gov.my", "net.my", "org.my", "mil.my", "name.my",
+    "com.id", "co.id", "ac.id", "go.id", "mil.id", "net.id", "or.id",
+    "sch.id", "web.id", "my.id", "biz.id",
+    "com.ph", "edu.ph", "gov.ph", "net.ph", "org.ph", "mil.ph", "ngo.ph",
+    "i.ph", "com.vn", "edu.vn", "gov.vn", "net.vn", "org.vn", "int.vn",
+    "ac.vn", "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
+    "com.pk", "edu.pk", "gov.pk", "net.pk", "org.pk", "fam.pk", "biz.pk",
+    "web.pk",
+    // middle east / africa
+    "co.il", "org.il", "ac.il", "gov.il", "idf.il", "k12.il", "muni.il",
+    "net.il", "com.tr", "gen.tr", "web.tr", "org.tr", "net.tr", "gov.tr",
+    "edu.tr", "av.tr", "bbs.tr", "com.sa", "edu.sa", "gov.sa", "med.sa",
+    "net.sa", "org.sa", "pub.sa", "sch.sa",
+    "com.eg", "edu.eg", "gov.eg", "net.eg", "org.eg", "sci.eg",
+    "com.ng", "edu.ng", "gov.ng", "net.ng", "org.ng", "i.ng",
+    "co.za", "org.za", "net.za", "ac.za", "gov.za", "edu.za", "web.za",
+    // europe
+    "com.ua", "edu.ua", "gov.ua", "net.ua", "org.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "info.pl", "biz.pl", "waw.pl",
+    "com.ru", "net.ru", "org.ru", "int.ru", "ac.ru", "msk.ru", "spb.ru",
+    "com.gr", "edu.gr", "net.gr", "org.gr", "gov.gr",
+    "com.pt", "edu.pt", "gov.pt", "int.pt", "net.pt", "org.pt", "publ.pt",
+    "com.ro", "org.ro", "info.ro", "arts.ro", "firm.ro", "store.ro",
+    "tm.ro", "co.hu", "org.hu", "info.hu",
+    // three-label US locality registries (k12/cc/lib per state)
+    "k12.ca.us", "k12.ny.us", "k12.tx.us", "k12.il.us", "k12.ma.us",
+    "k12.wa.us", "k12.or.us", "k12.fl.us", "k12.oh.us", "k12.mi.us",
+    "k12.pa.us", "k12.va.us", "k12.nc.us", "k12.ga.us", "k12.nj.us",
+    "k12.mn.us", "k12.az.us", "k12.co.us", "k12.in.us", "k12.mo.us",
+    "cc.ca.us", "cc.ny.us", "cc.tx.us", "cc.il.us", "cc.ma.us",
+    "cc.wa.us", "cc.or.us", "cc.fl.us", "cc.oh.us", "cc.mi.us",
+    "lib.ca.us", "lib.ny.us", "lib.tx.us", "lib.il.us", "lib.ma.us",
+    "lib.wa.us", "lib.or.us", "lib.fl.us", "lib.oh.us", "lib.mi.us")
 
-  /** PSL-aware registrable-domain apex — the [[urlApex]] caveat closed
-    * for the common ccTLD registries: when the last two host labels
-    * are themselves a public suffix ("co.uk"), the registrable domain
-    * is the last THREE labels ("example.co.uk"), else the last two. A
-    * bare-suffix host ("co.uk") has no registrant label and falls back
-    * to itself. Pure map-side regex + literal `isin` probe over the
-    * driver-held suffix list — zero shuffle, zero joins; at full-PSL
-    * size the list rides as one broadcast set through the
-    * [[filterByDictDf]] device instead.
+  /** PSL rule set parsed into per-label-count probe sets: `plain(n)` =
+    * n-label plain rules, `wild(n)` = n-label BASES of `*.base`
+    * wildcard rules (public suffix = base + 1 label), `exc(n)` =
+    * n-label exception rules (public suffix = rule minus its leftmost
+    * label). `maxP` = the largest public-suffix label count any rule
+    * can produce.
     */
-  def urlApexPsl(u: Column,
-      suffixes: Seq[String] = PublicSuffixes2Ld): Column = {
+  private[graft] final case class PslParsed(
+      plain: Map[Int, Seq[String]],
+      wild: Map[Int, Seq[String]],
+      exc: Map[Int, Seq[String]]) {
+    val maxP: Int = (Seq(1) ++ plain.keys ++ wild.keys.map(_ + 1) ++
+      exc.keys.map(_ - 1)).max
+  }
+
+  private[graft] def parsePsl(rules: Seq[String]): PslParsed = {
+    val r = rules.map(_.trim.toLowerCase)
+      .filter(s => s.nonEmpty && !s.startsWith("//"))
+    def byLen(xs: Seq[String]) = xs.groupBy(_.count(_ == '.') + 1)
+    PslParsed(
+      byLen(r.filterNot(s => s.startsWith("*.") || s.startsWith("!"))),
+      byLen(r.filter(_.startsWith("*.")).map(_.drop(2))),
+      byLen(r.filter(_.startsWith("!")).map(_.drop(1))))
+  }
+
+  /** The last `i` dot-labels of `host` ('' when host has fewer). */
+  private def lastLabels(host: Column, i: Int): Column =
+    regexp_extract(host, s"((?:[^.]+\\.){${i - 1}}[^.]+)$$", 1)
+
+  /** PSL-aware registrable-domain apex — [[urlApex]] upgraded to the
+    * COMPLETE Public Suffix List semantics over an arbitrary rule list
+    * (default [[PslRules]]): among all matching rules the one with the
+    * most labels prevails, `*.base` wildcards match exactly one extra
+    * label, `!rule` exceptions prevail over everything (public suffix
+    * = the exception minus its leftmost label), and the implicit `*`
+    * rule makes the bare TLD the floor. The registrable domain is the
+    * public suffix plus one label; a host that IS a public suffix has
+    * no registrant label and falls back to itself.
+    *
+    * Execution shape: the rule list compiles to a fixed `when` chain
+    * of literal `isin` probes over the last-1..last-(maxP+1) label
+    * extracts — Catalyst turns the large literal lists into O(1)
+    * `InSet` hash probes inside whole-stage codegen. Pure map-side,
+    * zero shuffle, zero joins, and the full 15k-rule list costs one
+    * driver-held set per probe length (a few hundred KB broadcast with
+    * the task binary) — the right 100 TB shape for a per-row key
+    * extraction. The DuckDB oracle twin is generated from the SAME
+    * parsed rule set by [[pslPSql]]/[[pslApexSql]].
+    */
+  def urlApexPsl(u: Column, rules: Seq[String] = PslRules): Column = {
+    val rs = parsePsl(rules)
     val host = urlHost(u)
-    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
-    val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
-    when(last2.isin(suffixes: _*) && length(last3) > length(last2), last3)
-      .otherwise(last2)
+    def inSet(c: Column, xs: Seq[String]): Option[Column] =
+      if (xs.isEmpty) None else Some(c.isin(xs: _*))
+    // exceptions first (longest first), then prevailing label count
+    // descending, then the implicit `*` floor of 1
+    val excCases: Seq[(Column, Int)] =
+      (rs.maxP + 1 to 2 by -1).flatMap(i =>
+        inSet(lastLabels(host, i), rs.exc.getOrElse(i, Nil)).map(_ -> (i - 1)))
+    val ruleCases: Seq[(Column, Int)] =
+      (rs.maxP to 2 by -1).flatMap { p =>
+        val viaPlain = inSet(lastLabels(host, p), rs.plain.getOrElse(p, Nil))
+        val viaWild = inSet(lastLabels(host, p - 1), rs.wild.getOrElse(p - 1, Nil))
+          .map(_ && lastLabels(host, p) =!= "")
+        (viaPlain.toSeq ++ viaWild.toSeq).reduceOption(_ || _).map(_ -> p)
+      }
+    val p = (excCases ++ ruleCases).foldRight(lit(1)) {
+      case ((c, v), acc) => when(c, lit(v)).otherwise(acc)
+    }
+    (rs.maxP to 2 by -1).foldLeft(
+        when(lastLabels(host, 2) =!= "", lastLabels(host, 2)).otherwise(host)) {
+      case (acc, pp) =>
+        when(p === pp,
+          when(lastLabels(host, pp + 1) =!= "", lastLabels(host, pp + 1))
+            .otherwise(host))
+          .otherwise(acc)
+    }
+  }
+
+  /** The last `i` dot-labels of SQL expression `host`, DuckDB form. */
+  private def lastLabelsSql(host: String, i: Int): String =
+    s"regexp_extract($host, '((?:[^.]+\\.){${i - 1}}[^.]+)$$', 1)"
+
+  /** DuckDB expression for the prevailing public-suffix label count of
+    * `host` — the oracle-side twin of [[urlApexPsl]]'s `p`, generated
+    * from the SAME parsed rule set. Compute it once in a CTE and feed
+    * it to [[pslApexSql]].
+    */
+  def pslPSql(host: String, rules: Seq[String] = PslRules): String = {
+    val rs = parsePsl(rules)
+    def inList(c: String, xs: Seq[String]) =
+      s"$c IN (${xs.sorted.map("'" + _ + "'").mkString(", ")})"
+    val excCases = (rs.maxP + 1 to 2 by -1).flatMap { i =>
+      rs.exc.getOrElse(i, Nil) match {
+        case Nil => None
+        case xs => Some(s"WHEN ${inList(lastLabelsSql(host, i), xs)} THEN ${i - 1}")
+      }
+    }
+    val ruleCases = (rs.maxP to 2 by -1).flatMap { p =>
+      val conds =
+        rs.plain.getOrElse(p, Nil).map(_ => // non-empty marker
+          inList(lastLabelsSql(host, p), rs.plain(p))).headOption.toSeq ++
+        rs.wild.getOrElse(p - 1, Nil).map(_ =>
+          s"(${inList(lastLabelsSql(host, p - 1), rs.wild(p - 1))} AND " +
+            s"${lastLabelsSql(host, p)} <> '')").headOption.toSeq
+      if (conds.isEmpty) None else Some(s"WHEN ${conds.mkString(" OR ")} THEN $p")
+    }
+    s"CASE ${(excCases ++ ruleCases).mkString(" ")} ELSE 1 END"
+  }
+
+  /** DuckDB expression for the registrable-domain apex of `host` given
+    * `pCol` (a column holding [[pslPSql]]'s result) — the oracle-side
+    * twin of [[urlApexPsl]]'s final select.
+    */
+  def pslApexSql(host: String, pCol: String,
+      rules: Seq[String] = PslRules): String = {
+    val rs = parsePsl(rules)
+    val cases = (rs.maxP to 2 by -1).map { pp =>
+      s"WHEN $pCol = $pp THEN (CASE WHEN ${lastLabelsSql(host, pp + 1)} <> '' " +
+        s"THEN ${lastLabelsSql(host, pp + 1)} ELSE $host END)"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE (CASE WHEN ${lastLabelsSql(host, 2)} " +
+      s"<> '' THEN ${lastLabelsSql(host, 2)} ELSE $host END) END"
   }
 
   /** URL canonicalization for near-dup URL keying — the standard crawl

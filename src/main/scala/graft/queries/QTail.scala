@@ -93,19 +93,28 @@ private[graft] object QTail {
         |  (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) AS canon
         |FROM kq ORDER BY doc_id""".stripMargin)),
 
-    Q("q_url_apex",  // PSL-aware registrable-domain extraction — the
-      // urlApex caveat closed: under a two-label public suffix
-      // ("co.uk") the registrable domain is the last THREE labels.
-      // Hosts are synthesized deterministically per doc (both engines
-      // build the identical fixture) cycling PSL and non-PSL TLDs,
-      // deep subdomains, and a bare-suffix host (no registrant label
-      // -> falls back to itself). Pure map-side regex + literal isin
-      // probe, zero shuffle; the oracle carries the full suffix list.
+    Q("q_url_apex",  // PSL-aware registrable-domain extraction with the
+      // COMPLETE Public Suffix List semantics (VERDICT r12 #4): plain
+      // multi-label suffixes ("co.uk", the 3-label "k12.ca.us"),
+      // wildcard rules ("*.ck", "*.kobe.jp" — one extra label is part
+      // of the suffix), exception rules ("!city.kobe.jp" — prevails,
+      // suffix = rule minus leftmost label), implicit "*" floor, and
+      // the bare-suffix self-fallback. Hosts are synthesized
+      // deterministically per doc (both engines build the identical
+      // fixture) cycling all five rule shapes with/without deep
+      // subdomains and registrant labels. Pure map-side literal InSet
+      // probes, zero shuffle; the oracle's CASE/IN twin is GENERATED
+      // from the same parsed rule set (pslPSql/pslApexSql — single
+      // source of truth).
       (s, dir) => {
-        val tld = when(col("doc_id") % 4 === 0, lit("co.uk"))
-          .when(col("doc_id") % 4 === 1, lit("com"))
-          .when(col("doc_id") % 4 === 2, lit("com.au"))
-          .otherwise(lit("org"))
+        val tld = when(col("doc_id") % 8 === 0, lit("co.uk"))
+          .when(col("doc_id") % 8 === 1, lit("com"))
+          .when(col("doc_id") % 8 === 2, lit("com.au"))
+          .when(col("doc_id") % 8 === 3, lit("org"))
+          .when(col("doc_id") % 8 === 4, lit("foo.ck"))
+          .when(col("doc_id") % 8 === 5, lit("city.kobe.jp"))
+          .when(col("doc_id") % 8 === 6, lit("kobe.jp"))
+          .otherwise(lit("k12.ca.us"))
         val url = concat(lit("http://"),
           when(col("doc_id") % 3 === 0, lit("news.")).otherwise(lit("")),
           when(col("doc_id") % 7 === 0, lit(""))
@@ -122,9 +131,14 @@ private[graft] object QTail {
       Some(s"""WITH u AS (SELECT doc_id, 'http://' ||
         |  (CASE WHEN doc_id % 3 = 0 THEN 'news.' ELSE '' END) ||
         |  (CASE WHEN doc_id % 7 = 0 THEN '' ELSE source || '.' END) ||
-        |  (CASE WHEN doc_id % 4 = 0 THEN 'co.uk'
-        |        WHEN doc_id % 4 = 1 THEN 'com'
-        |        WHEN doc_id % 4 = 2 THEN 'com.au' ELSE 'org' END) ||
+        |  (CASE WHEN doc_id % 8 = 0 THEN 'co.uk'
+        |        WHEN doc_id % 8 = 1 THEN 'com'
+        |        WHEN doc_id % 8 = 2 THEN 'com.au'
+        |        WHEN doc_id % 8 = 3 THEN 'org'
+        |        WHEN doc_id % 8 = 4 THEN 'foo.ck'
+        |        WHEN doc_id % 8 = 5 THEN 'city.kobe.jp'
+        |        WHEN doc_id % 8 = 6 THEN 'kobe.jp'
+        |        ELSE 'k12.ca.us' END) ||
         |  '/p/' || CAST(doc_id % 9 AS VARCHAR) AS url FROM documents),
         |h AS (SELECT doc_id,
         |  regexp_replace(regexp_replace(lower(regexp_extract(
@@ -132,12 +146,10 @@ private[graft] object QTail {
         |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
         |    ':(80|443)$$', ''), '^www\\.', '') AS host FROM u),
         |x AS (SELECT doc_id, host,
-        |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS l2,
-        |  regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS l3 FROM h)
-        |SELECT doc_id, host, l2 AS apex,
-        |  CASE WHEN l3 <> '' AND l2 IN (${
-          graft.ops.TextOps.PublicSuffixes2Ld.map("'" + _ + "'").mkString(", ")
-        }) THEN l3 ELSE l2 END AS apex_psl
+        |  ${graft.ops.TextOps.pslPSql("host")} AS p FROM h)
+        |SELECT doc_id, host,
+        |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS apex,
+        |  ${graft.ops.TextOps.pslApexSql("host", "p")} AS apex_psl
         |FROM x ORDER BY doc_id""".stripMargin)),
 
     Q("q_domain_dedup",  // per-domain URL dedup over the canonical key

@@ -495,6 +495,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(5L) == ("example.org", "example.org"))
   }
 
+  test("urlApexPsl: full PSL semantics — wildcard, exception, 3-label, implicit *, longest match") {
+    def psl(u: String): String = Seq(Tuple1(u)).toDF("u")
+      .select(TextOps.urlApexPsl($"u")).as[String].head()
+    // wildcard *.ck: one extra label joins the public suffix
+    assert(psl("http://a.b.foo.ck/x") == "b.foo.ck")
+    assert(psl("http://b.foo.ck/x") == "b.foo.ck")
+    assert(psl("http://foo.ck/x") == "foo.ck",
+      "a host that IS a wildcard public suffix falls back to itself")
+    // exception !www.ck prevails over *.ck: suffix is just 'ck'
+    // (leading www. is stripped by urlHost, so probe via a subdomain)
+    assert(psl("http://a.www.ck/x") == "www.ck")
+    // jp city wildcard block + its exception
+    assert(psl("http://sub.example.kawasaki.jp/x") == "sub.example.kawasaki.jp")
+    assert(psl("http://example.kawasaki.jp/x") == "example.kawasaki.jp",
+      "host == wildcard suffix → self")
+    assert(psl("http://sub.city.kawasaki.jp/x") == "city.kawasaki.jp",
+      "!city.kawasaki.jp: the city domain is registrable")
+    assert(psl("http://city.kawasaki.jp/x") == "city.kawasaki.jp")
+    // 3-label plain rule
+    assert(psl("http://school.k12.ca.us/x") == "school.k12.ca.us")
+    assert(psl("http://www2.school.k12.ca.us/x") == "school.k12.ca.us")
+    assert(psl("http://k12.ca.us/x") == "k12.ca.us", "bare 3-label suffix → self")
+    // implicit * : unknown TLD takes last two labels
+    assert(psl("http://deep.sub.example.zz/x") == "example.zz")
+    // longest match: co.jp (plain 2-label) vs jp implicit
+    assert(psl("http://a.b.example.co.jp/x") == "example.co.jp")
+    // parsePsl shape sanity: the snapshot yields maxP = 3
+    assert(TextOps.parsePsl(TextOps.PslRules).maxP == 3)
+  }
+
   test("bpeEncode: merge chain compresses, merged-of-merged applies, wordless doc -> (0,0)") {
     // merges learned on this corpus (proven above): (a,a), (a,b), (aa,aa).
     // "aaaa" -> m1 [aa,aa] -> m3 [aaaa] = 1 token from 4 chars;
