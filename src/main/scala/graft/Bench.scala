@@ -26,6 +26,53 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private[graft] def scratchDir(): String = Scratch.dir("graft-local")
 
+  /** Git SHA of the tree this run measures (+ "-dirty" when the work
+    * tree has uncommitted tracked changes), or "unknown". Stamped into
+    * the bench JSON so the medians merge can REJECT cross-SHA sample
+    * mixing (VERDICT r12 #7 — the q_edit_pairs mid-round rewire left 6
+    * passes measuring a dead plan; hand-maintained exclusion lists
+    * don't scale). Exec `git` when available, fall back to parsing
+    * .git/HEAD (then packed-refs), never throw.
+    */
+  private[graft] def gitSha(): String = {
+    val repo = Seq(sys.props.get("graft.repo.dir"), sys.props.get("user.dir"))
+      .flatten.map(new java.io.File(_))
+      .find(d => new java.io.File(d, ".git").exists)
+    repo.fold("unknown") { d =>
+      def exec(args: String*): Option[String] =
+        try {
+          val p = new ProcessBuilder(("git" +: "-C" +: d.getPath +: args): _*)
+            .redirectErrorStream(false).start()
+          val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+          if (p.waitFor() == 0) Some(out) else None
+        } catch { case _: Exception => None }
+      val viaGit = exec("rev-parse", "HEAD").map { sha =>
+        val dirty = exec("status", "--porcelain", "-uno").exists(_.nonEmpty)
+        if (dirty) s"$sha-dirty" else sha
+      }
+      def viaFiles: Option[String] =
+        try {
+          val head = java.nio.file.Files.readString(
+            new java.io.File(d, ".git/HEAD").toPath).trim
+          if (!head.startsWith("ref: ")) Some(head)
+          else {
+            val ref = head.drop(5)
+            val refFile = new java.io.File(d, s".git/$ref")
+            if (refFile.exists)
+              Some(java.nio.file.Files.readString(refFile.toPath).trim)
+            else {
+              val packed = new java.io.File(d, ".git/packed-refs")
+              if (!packed.exists) None
+              else java.nio.file.Files.readAllLines(packed.toPath)
+                .toArray(Array.empty[String])
+                .find(_.endsWith(s" $ref")).map(_.split(' ').head)
+            }
+          }
+        } catch { case _: Exception => None }
+      viaGit.orElse(viaFiles).getOrElse("unknown")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDirOrig = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // read inputs from a tmpfs copy: one slow disk pass instead of one
@@ -139,7 +186,27 @@ object Bench {
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => beforeWarm(id) || prot(id) }
         .values.foreach(_.unpersist(blocking = false))
+      // drop any DfMemo substrate a warmup query happened to build
+      // (ADVICE r12): the pin-exempt sweep above would otherwise carry
+      // it into the measured loop with NOBODY billed for the build —
+      // the explicit substrate pass below is the only billing point
+      ops.DfMemo.clear()
     }
+    // EXPLICIT substrate billing (VERDICT r12 #1): materialize each
+    // run-scoped DfMemo substrate OUTSIDE any query's timed window and
+    // report the build as its own `substrate:*` line. Under
+    // first-consumer-pays, BENCH_r12 priced the 1.2 s q_hard_negatives
+    // at 9.4 s because it drew the shared cell-kernel build; now every
+    // consumer measures pure query cost and the kernel cost is a
+    // visible, attributed line of its own (one pass — a substrate
+    // build is definitionally cold; consumers measure the warm reuse).
+    val substrateResults = Substrates.all.map { case (name, fn) =>
+      val t = once(name, fn)
+      System.err.println(f"[bench] $name built in $t%.2f s t=$elapsedS%.0f")
+      if (t.isNaN) failures ::= name
+      (name, t, t)
+    }
+    val substrateNames = substrateResults.map(_._1)
     // PREDICTIVE budget (r9 task #5: n_single_pass 23 → <10). The old
     // policy 2-passed greedily until the wall and then single-passed
     // EVERYTHING after — so host stalls late in the run cascaded into
@@ -286,7 +353,7 @@ object Bench {
         .values.foreach(_.unpersist(blocking = false))
       resultsBuf += ((name, cold, warm))
     }
-    val results = resultsBuf.result()
+    val results = substrateResults.toList ++ resultsBuf.result()
     // JSON has no NaN: failed samples serialize as -1 and are excluded
     // from the gated totals.
     def j(v: Double): String = if (v.isNaN) "-1" else v.toString
@@ -310,6 +377,7 @@ object Bench {
     val isDegraded =
       singlePass.nonEmpty || failures.nonEmpty || skippedWall.nonEmpty
     def arr(xs: List[String]) = xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sha = gitSha()
     println(s"""{"metric":"total","value":$warmTotal,"unit":"sec",""" +
       s""""cold_total":${ok.map(_._2).sum},"warm_total_measured":$warmTotal,""" +
       s""""n_warm_measured":$nWarm,"degraded":$isDegraded,""" +
@@ -317,7 +385,9 @@ object Bench {
       s""""n_failed":${failures.size},"failures":${arr(failures)},""" +
       s""""single_pass":${arr(singlePass)},""" +
       s""""n_skipped_wall":${skippedWall.size},"skipped_wall":${arr(skippedWall)},""" +
-      s""""elapsed_s":$elapsedS,""" +
+      s""""substrates":${arr(substrateNames.toList)},""" +
+      s""""substrate_total":${substrateResults.map(_._3).filterNot(_.isNaN).sum},""" +
+      s""""sha":"$sha","elapsed_s":$elapsedS,""" +
       s""""queries":${obj(r => r._1 -> r._3)},"queries_cold":${obj(r => r._1 -> r._2)},""" +
       s""""sf":"$sfDirOrig"}""")
     // The driver keeps only the LAST ~2000 chars of output (r6: the big
@@ -330,7 +400,7 @@ object Bench {
       s""""degraded":$isDegraded,"n_failed":${failures.size},""" +
       s""""n_single_pass":${singlePass.size},""" +
       s""""n_skipped_wall":${skippedWall.size},"elapsed_s":$elapsedS,""" +
-      s""""summary_of":"preceding full line","sf":"$sfDirOrig"}""")
+      s""""sha":"$sha","summary_of":"preceding full line","sf":"$sfDirOrig"}""")
     System.out.flush()
     spark.stop()
   }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.Similarity
+
+/** The run-scoped [[ops.DfMemo]] substrates, enumerated for EXPLICIT
+  * pre-materialization and billing (VERDICT r12 #1): under
+  * first-consumer-pays, a shared kernel's build cost lands on whichever
+  * gated query happens to run first — BENCH_r12 priced the 1.2 s
+  * q_hard_negatives at 9.4 s because it drew the cell-kernel build.
+  * Bench now materializes each substrate OUTSIDE any query's timed
+  * window and reports the build as its own `substrate:*` line, so the
+  * cost is visible, attributed, and never skews a query's median.
+  *
+  * Each entry invokes the SAME function with the SAME parameters its
+  * gated consumers use — the DfMemo key is (session, files, plan, tag),
+  * so parameter identity is what makes the pre-build hit. Calling the
+  * function is sufficient to materialize: DfMemo.cached persists and
+  * counts inside the memo miss.
+  */
+object Substrates {
+
+  /** name → builder; names carry the `substrate:` prefix they are
+    * reported under. Consumers, for the record:
+    *   - dedup_pairs3: q_edit_pairs + the clusters3 derivation below
+    *   - dedup_clusters3: q_dedup_clusters/_canonical/_best,
+    *     q_minhash_err
+    *   - knn_graph: q_knn_graph, q_knn_approx_recall, q_knn_ndcg
+    *   - cell_kernel: q_knn_approx, q_knn_approx_recall, q_knn_ndcg,
+    *     q_pagerank, q_label_prop, q_hits, q_textrank
+    *   - cell_kernel_labeled: q_hard_negatives
+    */
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "substrate:dedup_pairs3" ->
+      ((s: SparkSession, d: String) => QShared.dedupPairs3(s, d)),
+    "substrate:dedup_clusters3" ->
+      ((s: SparkSession, d: String) => QShared.dedupClusters3(s, d)),
+    "substrate:knn_graph" ->
+      ((s: SparkSession, d: String) => Similarity.knnGraph(
+        Tables.table(s, d, "embeddings"), "vec_id", "embedding", k = 5)),
+    "substrate:cell_kernel" ->
+      ((s: SparkSession, d: String) => Similarity.cellMatches(
+        Tables.table(s, d, "embeddings"), "vec_id", "embedding", None,
+        QShared.fixedCentroidArr(s, d), nprobe = 5, scale = 4)),
+    "substrate:cell_kernel_labeled" ->
+      ((s: SparkSession, d: String) => Similarity.cellMatches(
+        Tables.table(s, d, "embeddings"), "vec_id", "embedding", Some("label"),
+        QShared.fixedCentroidArr(s, d), nprobe = 5, scale = 4)))
+}

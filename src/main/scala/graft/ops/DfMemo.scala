@@ -44,8 +44,25 @@ import org.apache.spark.storage.StorageLevel
   */
 private[graft] object DfMemo {
 
+  /** One memo slot. The map stores cells, not frames: computeIfAbsent
+    * only CONSTRUCTS the (cheap, side-effect-free) cell inside the CHM
+    * bin lock; the Spark job that computes + materializes the frame
+    * runs through the cell's `lazy val`, OUTSIDE the map lock. That
+    * makes nested/concurrent cached() calls structurally safe — a
+    * substrate composed inside another substrate's compute resolves its
+    * own (different-key) cell without tripping ConcurrentHashMap's
+    * recursive-update IllegalStateException, and two threads racing the
+    * same key serialize on the cell's lazy-init monitor, not on a map
+    * bin. (Same-key re-entrance — a substrate derived from itself —
+    * would self-deadlock, but is definitionally impossible.)
+    */
+  private final class Cell(compute: () => DataFrame) {
+    @volatile private[DfMemo] var built = false
+    lazy val df: DataFrame = { val d = compute(); built = true; d }
+  }
+
   private val cache =
-    new ConcurrentHashMap[(Int, String, String, String), DataFrame]()
+    new ConcurrentHashMap[(Int, String, String, String), Cell]()
 
   /** RDD-level pins created while computing AND materializing a
     * memoized derivation. Two kinds, both load-bearing:
@@ -109,28 +126,43 @@ private[graft] object DfMemo {
         val key = (System.identityHashCode(input.sparkSession), fs,
           input.queryExecution.analyzed.canonicalized.toString, tag)
         cache.computeIfAbsent(key, { _ =>
-          // snapshot the RDD-level pins around compute + FIRST
-          // materialization: checkpoint lineage registers during the
-          // compute, the frame's own cache buffer registers at first
-          // action (see protectedIds) — the count() pulls that
-          // registration inside the window, and costs nothing extra
-          // (the first consumer was about to materialize anyway)
-          val sc = input.sparkSession.sparkContext
-          val before = sc.getPersistentRDDs.keySet
-          val df = compute.persist(StorageLevel.MEMORY_AND_DISK)
-          df.count()
-          sc.getPersistentRDDs.keysIterator
-            .filterNot(before).foreach(protectedIds.add(_))
-          df
-        })
+          new Cell(() => {
+            // snapshot the RDD-level pins around compute + FIRST
+            // materialization: checkpoint lineage registers during the
+            // compute, the frame's own cache buffer registers at first
+            // action (see protectedIds) — the count() pulls that
+            // registration inside the window, and costs nothing extra
+            // (the first consumer was about to materialize anyway).
+            // Known over-protection (ADVICE r12): the delta also pins
+            // dead compute intermediates (per-iteration CC-loop
+            // localCheckpoint blocks) and anything a CONCURRENT thread
+            // persists inside the window, and entries release only via
+            // clear(). Deliberate trade: a stale pin costs idle cached
+            // blocks; a missed pin costs
+            // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND for every later
+            // consumer. Long-lived JVMs bound growth with clear()
+            // (Bench clears after its warmup sweep).
+            val sc = input.sparkSession.sparkContext
+            val before = sc.getPersistentRDDs.keySet
+            val df = compute.persist(StorageLevel.MEMORY_AND_DISK)
+            df.count()
+            sc.getPersistentRDDs.keysIterator
+              .filterNot(before).foreach(protectedIds.add(_))
+            df
+          })
+        }).df
     }
 
   /** Test/maintenance hook: unpersist and drop every memoized frame
     * (e.g. after overwriting a parquet table in place mid-JVM). */
   private[graft] def clear(): Unit = {
-    cache.values.forEach { df =>
-      try df.unpersist()
-      catch { case _: IllegalStateException => () /* session stopped */ }
+    cache.values.forEach { cell =>
+      // only touch MATERIALIZED cells — forcing a pending lazy val here
+      // would run its whole Spark job just to unpersist the result
+      if (cell.built) {
+        try cell.df.unpersist()
+        catch { case _: IllegalStateException => () /* session stopped */ }
+      }
     }
     cache.clear()
     protectedIds.clear()

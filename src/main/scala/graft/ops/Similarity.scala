@@ -517,7 +517,7 @@ object Similarity {
     * (joining them onto the candidate set afterwards would shuffle
     * the whole edge set twice).
     */
-  private def cellMatches(
+  private[graft] def cellMatches(
       emb: DataFrame, idCol: String, vecCol: String, labelCol: Option[String],
       cells: Array[(Long, Array[Double])], nprobe: Int, scale: Int): DataFrame = {
     require(cells.nonEmpty, "cells must be non-empty")
