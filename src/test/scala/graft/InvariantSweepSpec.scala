@@ -151,7 +151,7 @@ class InvariantSweepSpec extends AnyFunSuite {
           k = c, seed = 42L, maxIter = 4)
         .centroids.sortBy(_._1)
       var prev = -1.0
-      val nps = Seq(1, 3, 5, 8, 12, 16).filter(_ <= cells.length)
+      val nps = Seq(1, 3, 5, 8, 12, 16, 18, 20, 24).filter(_ <= cells.length)
       val recs = nps.map { np =>
         val approx = Similarity.knnSelfJoin(
             emb, "vec_id", "embedding", cells, k = 5, nprobe = np)
@@ -181,6 +181,32 @@ class InvariantSweepSpec extends AnyFunSuite {
       java.nio.file.Paths.get("out/knn_trained_cells_sweep.json"),
       report.map { case (k, v) => s""""$k":$v""" }
         .mkString("""{"sweep":"knn_self_join_trained_lloyd_k5_sf0.1","cells":{""", ",", "}}"))
+  }
+
+  test("production (C, nprobe) rule: C = ⌈√n⌉ lloyd cells with nprobe = ⌈C^0.75⌉ hits recall ≥ 0.95 (3 SFs)") {
+    // VERDICT r12 #6 — the operating rule derived from the extended
+    // out/knn_trained_cells_sweep.json: the recall-0.95 crossing sits
+    // at nprobe/C ≈ C^(-1/4) (c8→np5 0.969, c16→np8 0.954, c45→np18
+    // 0.962 — the probed-mass fraction SHRINKS as C grows, the IVF
+    // economy), i.e. nprobe = ⌈C^(3/4)⌉ for a 0.95 target. This gates
+    // the rule end-to-end at every SF: train C = ⌈√n⌉ cells with the
+    // production lloyd path, probe ⌈C^(3/4)⌉, demand ≥ 0.95 of the
+    // exact top-5.
+    import graft.ops.{KMeansOps, Similarity}
+    for (sf <- Sfs) {
+      val emb = Tables.table(spark, sf, "embeddings")
+      val n = emb.count()
+      val c = math.ceil(math.sqrt(n.toDouble)).toInt
+      val cells = KMeansOps.lloyd(emb, "vec_id", "embedding",
+          k = c, seed = 42L, maxIter = 4)
+        .centroids.sortBy(_._1)
+      val np = math.min(cells.length, math.ceil(math.pow(c, 0.75)).toInt)
+      val rec = Similarity.knnSelfRecall(
+          emb, "vec_id", "embedding", cells, k = 5, nprobe = np)
+        .agg(avg($"n_common") / 5.0).as[Double].collect()(0)
+      assert(rec >= 0.95,
+        f"$sf: n=$n C=$c nprobe=$np recall $rec%.4f < 0.95")
+    }
   }
 
   test("winnowing (xxhash64 scale form) invariant: exact-Jaccard ≥ 0.5 near-dups share ≥1 fingerprint (3 SFs)") {
@@ -260,27 +286,21 @@ class InvariantSweepSpec extends AnyFunSuite {
     }
   }
 
-  test("audio/video stub decode equals a driver-side recompute on a sample (3 SFs)") {
+  test("video decode recovers the closed-form per-frame means (3 SFs)") {
     for (sf <- Sfs) {
-      val media = Multimodal.fromText(
-        Tables.table(spark, sf, "documents").filter($"doc_id" < 20),
-        "doc_id", "text", "source")
-      val got = Multimodal.decodeStub(media, dim = 8).collect()
-        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
-      val texts = Tables.table(spark, sf, "documents").filter($"doc_id" < 20)
-        .select($"doc_id", $"text").as[(Long, String)].collect().toMap
-      assert(got.keySet == texts.keySet && got.nonEmpty)
-      texts.foreach { case (id, text) =>
-        val bytes = text.getBytes("UTF-8")
-        val exp = Array.tabulate(8) { d =>
-          if (bytes.isEmpty) 0.0
-          else {
-            var s = 0L; var i = d; var n = 0
-            while (i < bytes.length) { s += (bytes(i) & 0xff); i += 8; n += 1 }
-            if (n == 0) 0.0 else (s.toDouble / n) / 255.0
-          }
-        }
-        assert(got(id).toSeq == exp.toSeq, s"$sf doc $id")
+      val avi = Multimodal.syntheticAvi(
+        Tables.table(spark, sf, "documents").filter($"doc_id" < 20), "doc_id")
+      val got = Multimodal.videoFrames(avi).collect()
+      assert(got.nonEmpty && got.forall(_.getBoolean(1)), s"$sf: all frames decode")
+      val ids = got.map(_.getLong(0)).toSet
+      assert(ids == (0L until 20L).toSet, s"$sf: every video decoded")
+      got.foreach { r =>
+        val id = r.getLong(0); val f = r.getInt(5)
+        val w = (id % 5 + 2).toInt; val h = (id % 3 + 2).toInt
+        assert(r.getInt(2) == w && r.getInt(3) == h, s"$sf doc $id dims")
+        assert(r.getDouble(6) == (id * 13 % 200) + (w - 1) / 2.0 + f, s"$sf doc $id/$f r")
+        assert(r.getDouble(7) == (id * 7 % 200) + (h - 1) / 2.0, s"$sf doc $id/$f g")
+        assert(r.getDouble(8) == (id % 200).toDouble, s"$sf doc $id/$f b")
       }
     }
   }

@@ -18,18 +18,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
-  test("decodeStub: deterministic, fixed dim, values in [0,1]") {
-    val a = Multimodal.decodeStub(media, dim = 8).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    val b = Multimodal.decodeStub(media, dim = 8).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    assert(a == b, "stub decode must be deterministic")
-    assert(a.values.forall(_.length == 8))
-    assert(a.values.forall(_.forall(f => f >= 0.0 && f <= 1.0)))
+  test("videoFrames: raw-DIB AVI roundtrip recovers exact dims, frame count and per-frame means") {
+    val avi = Multimodal.syntheticAvi(
+      Tables.table(spark, TestSpark.Sf, "documents").filter($"doc_id" < 30), "doc_id")
+    // payloads really are AVIs (RIFF....AVI magic), not text
+    val magic = avi.select($"payload").as[Array[Byte]].head()
+    assert(magic.take(4).toSeq == "RIFF".getBytes("US-ASCII").toSeq)
+    assert(magic.slice(8, 12).toSeq == "AVI ".getBytes("US-ASCII").toSeq)
+    val got = Multimodal.videoFrames(avi).collect()
+      .map(r => (r.getLong(0), r.getInt(5)) -> r).toMap
+    got.foreach { case ((id, f), r) =>
+      assert(r.getBoolean(1), s"doc $id must decode")
+      val w = (id % 5 + 2).toInt; val h = (id % 3 + 2).toInt
+      val n = (id % 4 + 2).toInt
+      assert(r.getInt(2) == w && r.getInt(3) == h && r.getInt(4) == n,
+        s"doc $id geometry")
+      assert(r.getDouble(6) == (id * 13 % 200) + (w - 1) / 2.0 + f, s"doc $id/$f mean_r")
+      assert(r.getDouble(7) == (id * 7 % 200) + (h - 1) / 2.0, s"doc $id/$f mean_g")
+      assert(r.getDouble(8) == (id % 200).toDouble, s"doc $id/$f mean_b")
+    }
+    // every frame of every video decoded: Σ n_frames rows
+    val expRows = (0L until 30L).map(id => (id % 4 + 2)).sum
+    assert(got.size == expRows)
     // partition count must not change results
-    val c = Multimodal.decodeStub(media.repartition(7), dim = 8).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    assert(a == c, "stub decode must be partitioning-invariant")
+    val repart = Multimodal.videoFrames(avi.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getInt(5)) -> r.toSeq).toMap
+    assert(repart == got.map { case (k, v) => k -> v.toSeq })
+  }
+
+  test("videoFrames: MJPG AVI decodes through ImageIO with exact structure, close means") {
+    val avi = Multimodal.syntheticMjpegAvi(
+      Tables.table(spark, TestSpark.Sf, "documents").filter($"doc_id" < 12), "doc_id")
+    val got = Multimodal.videoFrames(avi).collect()
+    assert(got.nonEmpty && got.forall(_.getBoolean(1)), "all MJPG frames must decode")
+    got.foreach { r =>
+      val id = r.getLong(0); val f = r.getInt(5)
+      val w = (id % 5 + 2).toInt; val h = (id % 3 + 2).toInt
+      assert(r.getInt(2) == w && r.getInt(3) == h && r.getInt(4) == (id % 4 + 2).toInt)
+      // JPEG is lossy: means land near the raw gradient's closed form
+      assert(math.abs(r.getDouble(6) - ((id * 13 % 200) + (w - 1) / 2.0 + f)) < 16.0)
+      assert(math.abs(r.getDouble(7) - ((id * 7 % 200) + (h - 1) / 2.0)) < 16.0)
+      assert(math.abs(r.getDouble(8) - (id % 200).toDouble) < 16.0)
+    }
+  }
+
+  test("videoFrames: undecodable payloads yield one decoded=false row, not a task failure") {
+    val out = Multimodal.videoFrames(media.limit(5)).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(!r.getBoolean(1), "text bytes must not decode as video")
+      assert(r.isNullAt(2) && r.isNullAt(5) && r.isNullAt(6))
+    }
   }
 
   test("decodeImage: real ImageIO roundtrip recovers exact dims and channel means") {
