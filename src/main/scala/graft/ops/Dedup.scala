@@ -324,6 +324,47 @@ object Dedup {
       .select(col("id1"), col("id2"), col("dist"), col("ned"))
   }
 
+  /** WEIGHTED (multiset) Jaccard verify over an external candidate
+    * pair frame — the token-frequency-aware grade the set-based family
+    * is blind to: set Jaccard treats "spam spam spam spam ham" and
+    * "spam ham" as identical ({spam, ham} both), while the multiset
+    * form J_w(a,b) = Σ_t min(c_a(t), c_b(t)) / Σ_t max(c_a(t), c_b(t))
+    * prices repetition — the dedup-grading signal for boilerplate/
+    * template text where COUNTS are the difference (and the exact
+    * quantity Ioffe's weighted MinHash estimates at sketch scale).
+    *
+    * Shape: per-doc token counts (one partial-agged groupBy), then the
+    * candidate-scoped union trick — each pair's two count vectors meet
+    * as (id1, id2, tok, ca, cb) rows built from ONE union + ONE
+    * composite-key groupBy (no full-outer join), and Σmin/Σmax
+    * partial-aggs map-side. Everything after the candidate join is
+    * proportional to candidate-pair vocabulary, never corpus² —
+    * composes with any full-recall generator ([[jaccardPairsPrefix]],
+    * LSH funnels) exactly like [[verifyJaccard]]/[[editVerify]].
+    * Output: (id1, id2, jw) with jw rounded to 6 dp, jw ≥ minJw.
+    */
+  def weightedJaccardVerify(
+      cand: DataFrame, docs: DataFrame, idCol: String, toksCol: String,
+      minJw: Double = 0.0): DataFrame = {
+    val counts = docs
+      .select(col(idCol).as("id"), explode(col(toksCol)).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
+    val p = cand.select(col("id1"), col("id2"))
+    val a = p.join(counts.select(col("id").as("id1"), col("tok"),
+      col("c").as("ca")), Seq("id1"))
+      .select(col("id1"), col("id2"), col("tok"), col("ca"), lit(0L).as("cb"))
+    val b = p.join(counts.select(col("id").as("id2"), col("tok"),
+      col("c").as("cb")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("tok"), lit(0L).as("ca"), col("cb"))
+    a.unionByName(b)
+      .groupBy(col("id1"), col("id2"), col("tok"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(round(sum(least(col("ca"), col("cb"))) /
+        sum(greatest(col("ca"), col("cb"))), 6).as("jw"))
+      .filter(col("jw") >= minJw)
+  }
+
   /** Cross-corpus near-duplicate retrieval (R-S Jaccard join): corpus
     * documents with Jaccard ≥ minJ against ANY document of a reference
     * set — the near-dup generalization of exact-match decontamination

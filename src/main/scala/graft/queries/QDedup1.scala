@@ -411,6 +411,44 @@ private[graft] object QDedup1 {
         |SELECT id1, id2, dist, ned FROM n WHERE ned <= 0.5
         |ORDER BY id1, id2""".stripMargin)),
 
+    Q("q_weighted_jaccard",  // WEIGHTED (multiset) Jaccard over the
+      // memoized near-dup candidate substrate — the token-frequency-
+      // aware grade set Jaccard is blind to: J_w = Σ min(counts) /
+      // Σ max(counts) prices repetition (boilerplate/template text),
+      // and is exactly what Ioffe's weighted MinHash estimates at
+      // sketch scale. Candidates = the run-scoped dedupPairs3 memo
+      // (same kernel as the dedup funnel + q_edit_pairs); the verify
+      // is ONE union + ONE composite-key groupBy over candidate-pair
+      // vocabulary — never corpus².
+      (s, dir) => Dedup.weightedJaccardVerify(
+          dedupPairs3(s, dir), docsTokens(s, dir), "doc_id", "toks")
+        .orderBy("id1", "id2"),
+      Some(s"""WITH t AS ($SqlToks),
+        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |      FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS w, len(sh) AS sz FROM s),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |      FROM e a JOIN e b ON a.w = b.w AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2
+        |      HAVING CAST(count(*) AS DOUBLE)
+        |             / (max(a.sz) + max(b.sz) - count(*)) >= 0.5),
+        |tc AS (SELECT doc_id, tok, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        |       GROUP BY 1, 2),
+        |u AS (SELECT p.id1, p.id2, tc.tok, tc.c AS ca, 0 AS cb
+        |      FROM p JOIN tc ON tc.doc_id = p.id1
+        |      UNION ALL
+        |      SELECT p.id1, p.id2, tc.tok, 0, tc.c
+        |      FROM p JOIN tc ON tc.doc_id = p.id2),
+        |g AS (SELECT id1, id2, tok, sum(ca) AS ca, sum(cb) AS cb
+        |      FROM u GROUP BY 1, 2, 3)
+        |SELECT id1, id2,
+        |  round(CAST(sum(least(ca, cb)) AS DOUBLE)
+        |        / sum(greatest(ca, cb)), 6) AS jw
+        |FROM g GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin)),
+
     Q("q_dedup_clusters_lsh",  // the COMPLETE 100 TB near-dup funnel in ONE
       // gated plan: MinHash signatures → LSH band buckets → candidate pairs
       // → EXACT Jaccard verify on candidates only → connected components.

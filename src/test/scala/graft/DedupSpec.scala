@@ -548,6 +548,34 @@ class DedupSpec extends AnyFunSuite {
       candJ = 0.3, maxNed = 0.01).count() == 0)
   }
 
+  test("weightedJaccardVerify: multiset semantics, repetition-sensitive, self-pair = 1") {
+    // counts: doc1 {a:2, b:1}, doc2 {a:1, b:2} → Σmin = 1+1 = 2,
+    // Σmax = 2+2 = 4 → jw = 0.5 — while SET jaccard would say 1.0
+    val toy = Seq(
+      (1L, Seq("a", "a", "b")),
+      (2L, Seq("a", "b", "b")),
+      (3L, Seq("a", "a", "b")),   // identical multiset to doc 1
+      (4L, Seq("c", "c")))        // disjoint
+      .toDF("doc_id", "toks")
+    val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id1", "id2")
+    val got = Dedup.weightedJaccardVerify(cand, toy, "doc_id", "toks")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) == 0.5)
+    assert(got((1L, 3L)) == 1.0, "identical multisets must grade 1.0")
+    assert(got((1L, 4L)) == 0.0, "disjoint vocab grades 0.0")
+    // threshold is live
+    assert(Dedup.weightedJaccardVerify(cand, toy, "doc_id", "toks", minJw = 0.6)
+      .count() == 1)
+    // real corpus: jw ∈ [0, 1] and bounded above by... nothing in general,
+    // but candidate pairs at shingle-J ≥ 0.5 should mostly keep high jw
+    val corpus = Dedup.weightedJaccardVerify(
+        QShared.dedupPairs3(spark, TestSpark.Sf),
+        QShared.docsTokens(spark, TestSpark.Sf), "doc_id", "toks")
+      .as[(Long, Long, Double)].collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.forall { case (_, _, jw) => jw >= 0.0 && jw <= 1.0 })
+  }
+
   test("editVerify banded DP ≡ full DP on the real corpus; band boundary exact") {
     // parity on the real sf0.001 documents: the banded k-limited verify
     // (BoundedLevenshtein, k = ceil(mx·maxNed)+1) must keep exactly the
