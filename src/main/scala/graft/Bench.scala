@@ -47,7 +47,12 @@ object Bench {
           if (p.waitFor() == 0) Some(out) else None
         } catch { case _: Exception => None }
       val viaGit = exec("rev-parse", "HEAD").map { sha =>
-        val dirty = exec("status", "--porcelain", "-uno").exists(_.nonEmpty)
+        // dirty = MEASUREMENT-RELEVANT paths only: the driver's
+        // PROGRESS.jsonl tracking file is permanently modified and kept
+        // every r13 pass stamped -dirty despite a clean build; what can
+        // change the measured binary/plans is src/ and build.sbt
+        val dirty = exec("status", "--porcelain", "-uno",
+          "--", "src", "build.sbt").exists(_.nonEmpty)
         if (dirty) s"$sha-dirty" else sha
       }
       def viaFiles: Option[String] =
