@@ -50,8 +50,12 @@ object Bench {
         // dirty = MEASUREMENT-RELEVANT paths only: the driver's
         // PROGRESS.jsonl tracking file is permanently modified and kept
         // every r13 pass stamped -dirty despite a clean build; what can
-        // change the measured binary/plans is src/ and build.sbt
-        val dirty = exec("status", "--porcelain", "-uno",
+        // change the measured binary/plans is src/ and build.sbt.
+        // -unormal (NOT -uno): a brand-new uncommitted source file is
+        // exactly how plan-changing code arrives mid-round (review r13 —
+        // Substrates.scala itself arrived that way), and -uno would
+        // stamp such a run with the clean HEAD SHA
+        val dirty = exec("status", "--porcelain", "-unormal",
           "--", "src", "build.sbt").exists(_.nonEmpty)
         if (dirty) s"$sha-dirty" else sha
       }
@@ -205,12 +209,32 @@ object Bench {
     // consumer measures pure query cost and the kernel cost is a
     // visible, attributed line of its own (one pass — a substrate
     // build is definitionally cold; consumers measure the warm reuse).
-    val substrateResults = Substrates.all.map { case (name, fn) =>
-      val t = once(name, fn)
-      System.err.println(f"[bench] $name built in $t%.2f s t=$elapsedS%.0f")
-      if (t.isNaN) failures ::= name
-      (name, t, t)
-    }
+    // SPARK_GRAFT_ONLY debug runs skip the substrate pass entirely —
+    // paying all five builds (~40 s at sf0.1) to debug one query
+    // multiplies every iteration's latency for nothing; the selected
+    // queries then build what they need first-consumer-pays, which is
+    // fine for debugging (review r13)
+    var substrateStallSuspect = List.empty[String]
+    val substrateResults =
+      if (only.nonEmpty) Nil
+      else Substrates.all.map { case (name, fn) =>
+        val t = once(name, fn)
+        // a substrate build is one cold pass with no in-JVM retry
+        // possible (a second run would hit the freshly-built memo and
+        // measure nothing), so a stall during the build cannot be
+        // re-sampled here — flag it against the recorded median
+        // (3× floor 2 s, the stall-retry signature) so single-run
+        // consumers know, and let the cross-pass median merge absorb it
+        // (review r13)
+        for (m <- medians.get(name) if t > math.max(2.0, 3 * m)) {
+          substrateStallSuspect ::= name
+          System.err.println(f"[bench] $name build $t%.2f s is 3x its " +
+            f"median $m%.2f — host stall suspected, flagged")
+        }
+        System.err.println(f"[bench] $name built in $t%.2f s t=$elapsedS%.0f")
+        if (t.isNaN) failures ::= name
+        (name, t, t)
+      }
     val substrateNames = substrateResults.map(_._1)
     // PREDICTIVE budget (r9 task #5: n_single_pass 23 → <10). The old
     // policy 2-passed greedily until the wall and then single-passed
@@ -377,8 +401,12 @@ object Bench {
     // ADVICE r7: "value" covers n_warm_measured queries, NOT n_queries —
     // publish the denominator explicitly, and flag any run whose warm
     // set shrank (budget-tripped queries) as degraded so cross-run
-    // comparisons never silently mix different query sets.
-    val nWarm = warmed.size
+    // comparisons never silently mix different query sets. Substrate
+    // build lines stay INSIDE the warm total (one build per suite is
+    // the honest amortized accounting) but OUT of n_warm_measured —
+    // they are cold builds, not warm-measured queries (review r13).
+    val subSet = substrateNames.toSet
+    val nWarm = warmed.count(r => !subSet(r._1))
     val isDegraded =
       singlePass.nonEmpty || failures.nonEmpty || skippedWall.nonEmpty
     def arr(xs: List[String]) = xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -392,6 +420,7 @@ object Bench {
       s""""n_skipped_wall":${skippedWall.size},"skipped_wall":${arr(skippedWall)},""" +
       s""""substrates":${arr(substrateNames.toList)},""" +
       s""""substrate_total":${substrateResults.map(_._3).filterNot(_.isNaN).sum},""" +
+      s""""substrate_stall_suspect":${arr(substrateStallSuspect)},""" +
       s""""sha":"$sha","elapsed_s":$elapsedS,""" +
       s""""queries":${obj(r => r._1 -> r._3)},"queries_cold":${obj(r => r._1 -> r._2)},""" +
       s""""sf":"$sfDirOrig"}""")

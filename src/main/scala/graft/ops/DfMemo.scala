@@ -156,6 +156,20 @@ private[graft] object DfMemo {
   /** Test/maintenance hook: unpersist and drop every memoized frame
     * (e.g. after overwriting a parquet table in place mid-JVM). */
   private[graft] def clear(): Unit = {
+    import scala.jdk.CollectionConverters._
+    // release the TRACKED pins too, not just the memo frames: the
+    // protected delta also holds checkpoint-lineage RDDs (the CC loop's
+    // localCheckpoint blocks) that nothing else will ever unpersist —
+    // clearing only the id SET would orphan them as permanently cached
+    // dead blocks for the JVM lifetime (review r13)
+    val ids = protectedIds.asScala.toSet
+    cache.values.asScala.filter(_.built)
+      .map(_.df.sparkSession.sparkContext).toSet[org.apache.spark.SparkContext]
+      .foreach { sc =>
+        try sc.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (ids(id)) rdd.unpersist(blocking = false)
+        } catch { case _: IllegalStateException => () /* context stopped */ }
+      }
     cache.values.forEach { cell =>
       // only touch MATERIALIZED cells — forcing a pending lazy val here
       // would run its whole Spark job just to unpersist the result

@@ -62,6 +62,64 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("videoFrames: audio-first mux — video as stream 1, '01db' frames, audio strf ignored") {
+    // hand-built two-stream AVI: stream 0 = 'auds' (whose strf is a
+    // 40-byte WAVEFORMATEX-ish blob that would yield garbage dims if
+    // misparsed as video), stream 1 = 'vids' raw-DIB 2×2; one '01db'
+    // frame of constant (R,G,B) = (10, 20, 30)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array.tabulate[Byte](4)(i => ((v >> (8 * i)) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(typ: String, parts: Array[Byte]*): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ parts.flatten)
+    val avih = chunk("avih", le32(100000) ++ Array.fill(13)(le32(0)).flatten)
+    def strh(typ: String, handler: String) =
+      chunk("strh", typ.getBytes ++ handler.getBytes ++ Array.fill(48)(0.toByte))
+    // audio strf: 40 bytes, first dwords nonzero (poison if misparsed)
+    val strfA = chunk("strf", le32(1) ++ le32(999999) ++ le32(888888) ++
+      Array.fill(28)(0x5a.toByte))
+    val (w, h) = (2, 2)
+    val strfV = chunk("strf", le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++
+      le16(24) ++ le32(0) ++ le32(16) ++ Array.fill(16)(0.toByte))
+    // bottom-up BGR rows, stride 8 for w=2
+    val row = Array[Byte](30, 20, 10, 30, 20, 10, 0, 0)
+    val frame = chunk("01db", row ++ row)
+    val avi = "RIFF".getBytes ++ le32(0) ++ "AVI ".getBytes ++
+      list("hdrl", avih, list("strl", strh("auds", "auds"),
+        strfA), list("strl", strh("vids", "DIB "), strfV)) ++
+      list("movi", frame)
+    // patch RIFF size
+    val sz = le32(avi.length - 8)
+    System.arraycopy(sz, 0, avi, 4, 4)
+    val df = Seq((7L, avi)).toDF("media_id", "payload")
+    val got = Multimodal.videoFrames(df).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getBoolean(1), "audio-first AVI must still decode its video stream")
+    assert(r.getInt(2) == w && r.getInt(3) == h && r.getInt(4) == 1 && r.getInt(5) == 0)
+    assert(r.getDouble(6) == 10.0 && r.getDouble(7) == 20.0 && r.getDouble(8) == 30.0)
+  }
+
+  test("videoFrames: corrupt BITMAPINFOHEADER dims yield decoded=false, not an exception") {
+    // take a valid raw-DIB AVI and poison biWidth to 2^30 — the Long
+    // bounds guard must reject instead of overflowing into an AIOOBE
+    val avi = Multimodal.syntheticAvi(
+      Tables.table(spark, TestSpark.Sf, "documents").filter($"doc_id" === 3), "doc_id")
+      .select($"payload").as[Array[Byte]].head()
+    // strf layout: ...'strf' sz | biSize(4) biWidth(4)... find 'strf'
+    val idx = avi.indexOfSlice("strf".getBytes("US-ASCII").toSeq)
+    assert(idx > 0)
+    val poisoned = avi.clone()
+    val wOff = idx + 8 + 4 // chunk id + size + biSize
+    poisoned(wOff) = 0; poisoned(wOff + 1) = 0
+    poisoned(wOff + 2) = 0; poisoned(wOff + 3) = 0x40 // biWidth = 2^30
+    val out = Multimodal.videoFrames(
+      Seq((1L, poisoned)).toDF("media_id", "payload")).collect()
+    assert(out.length == 1 && !out.head.getBoolean(1))
+  }
+
   test("videoFrames: undecodable payloads yield one decoded=false row, not a task failure") {
     val out = Multimodal.videoFrames(media.limit(5)).collect()
     assert(out.length == 5)
