@@ -449,6 +449,90 @@ private[graft] object QDedup1 {
         |        / sum(greatest(ca, cb)), 6) AS jw
         |FROM g GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin)),
 
+    Q("q_weighted_minhash_md5",  // WEIGHTED MinHash estimator
+      // calibration — the sketch path for q_weighted_jaccard's exact
+      // grade: with INTEGER counts, weighted Jaccard over multisets
+      // EQUALS set Jaccard over the expanded element space
+      // {tok#1 … tok#c(tok)} (each occurrence index is its own
+      // element: |min ∩| = Σ min(ca,cb), |max ∪| = Σ max(ca,cb)), so
+      // an ordinary MinHash over the EXPANDED elements IS a weighted
+      // MinHash — the integer-weight case of Ioffe's CWS, and fully
+      // md5-portable. Per exact candidate pair: est = matches/16 vs
+      // true jw with |err| — prices "how many hashes" for a weighted
+      // 100 TB dedup run. Expansion size = token OCCURRENCES of pair
+      // members only (semi-join first), never corpus tokens.
+      (s, dir) => {
+        val pairs = Dedup.weightedJaccardVerify(
+          dedupPairs3(s, dir), docsTokens(s, dir), "doc_id", "toks")
+        val members = pairs.select(col("id1").as("doc_id"))
+          .unionByName(pairs.select(col("id2").as("doc_id"))).distinct()
+        val e = docsTokens(s, dir).join(members, Seq("doc_id"))
+          .select(col("doc_id").as("id"), explode(col("toks")).as("tok"))
+          .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
+          .select(col("id"), col("tok"),
+            explode(sequence(lit(1L), col("c"))).as("i"))
+          .select(col("id"), conv(substring(
+            md5(concat(col("tok"), lit("#"), col("i"))), 1, 8), 16, 10)
+            .cast("long").as("h"))
+        val sigs = Dedup.minhashFromHashes(e, numHashes = 16, seed = 42L)
+        pairs
+          .join(sigs.select(col("id").as("id1"), col("sig").as("s1")), Seq("id1"))
+          .join(sigs.select(col("id").as("id2"), col("sig").as("s2")), Seq("id2"))
+          .withColumn("est", round(
+            size(filter(zip_with(col("s1"), col("s2"), (a, b) => a === b),
+              x => x)).cast("double") / 16, 6))
+          .withColumn("err", round(abs(col("est") - col("jw")), 6))
+          .select(col("id1"), col("id2"), col("jw"), col("est"), col("err"))
+          .orderBy("id1", "id2")
+      },
+      Some {
+        val ps = Dedup.hashParams(16, 42L).zipWithIndex
+          .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+        s"""WITH t AS ($SqlToks),
+        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |      FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS w, len(sh) AS sz FROM s),
+        |p AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |      FROM e a JOIN e b ON a.w = b.w AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2
+        |      HAVING CAST(count(*) AS DOUBLE)
+        |             / (max(a.sz) + max(b.sz) - count(*)) >= 0.5),
+        |tc AS MATERIALIZED (SELECT doc_id, tok, count(*) AS c
+        |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        |      GROUP BY 1, 2),
+        |u AS (SELECT p.id1, p.id2, tc.tok, tc.c AS ca, 0 AS cb
+        |      FROM p JOIN tc ON tc.doc_id = p.id1
+        |      UNION ALL
+        |      SELECT p.id1, p.id2, tc.tok, 0, tc.c
+        |      FROM p JOIN tc ON tc.doc_id = p.id2),
+        |g AS (SELECT id1, id2, tok, sum(ca) AS ca, sum(cb) AS cb
+        |      FROM u GROUP BY 1, 2, 3),
+        |jw AS MATERIALIZED (SELECT id1, id2,
+        |        round(CAST(sum(least(ca, cb)) AS DOUBLE)
+        |              / sum(greatest(ca, cb)), 6) AS jw
+        |      FROM g GROUP BY id1, id2),
+        |m AS (SELECT id1 AS doc_id FROM jw UNION SELECT id2 FROM jw),
+        |ex AS (SELECT doc_id,
+        |        tok || '#' || CAST(unnest(range(1, c + 1)) AS VARCHAR) AS el
+        |      FROM tc WHERE doc_id IN (SELECT doc_id FROM m)),
+        |x AS (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(el), 1, 8)) AS BIGINT) AS x
+        |      FROM ex),
+        |pr(j, a, b) AS (VALUES $ps),
+        |sig AS MATERIALIZED (SELECT doc_id, j,
+        |        min((a * (x % 2147483647) + b) % 2147483647) AS h
+        |      FROM x, pr GROUP BY doc_id, j),
+        |pe AS (SELECT jw.id1, jw.id2, jw.jw,
+        |        round(sum(CASE WHEN ga.h = gb.h THEN 1 ELSE 0 END) / 16.0, 6) AS est
+        |      FROM jw JOIN sig ga ON ga.doc_id = jw.id1
+        |              JOIN sig gb ON gb.doc_id = jw.id2 AND gb.j = ga.j
+        |      GROUP BY 1, 2, 3)
+        |SELECT id1, id2, jw, est, round(abs(est - jw), 6) AS err
+        |FROM pe ORDER BY id1, id2""".stripMargin
+      }),
+
     Q("q_dedup_clusters_lsh",  // the COMPLETE 100 TB near-dup funnel in ONE
       // gated plan: MinHash signatures → LSH band buckets → candidate pairs
       // → EXACT Jaccard verify on candidates only → connected components.

@@ -576,6 +576,30 @@ class DedupSpec extends AnyFunSuite {
     assert(corpus.forall { case (_, _, jw) => jw >= 0.0 && jw <= 1.0 })
   }
 
+  test("q_weighted_minhash_md5: identical multisets estimate 1.0; corpus calibration bounded") {
+    val got = SparkEntry.queries("q_weighted_minhash_md5")(spark, TestSpark.Sf)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty, "the sf0.001 corpus has weighted-Jaccard candidate pairs")
+    got.foreach { case (_, _, jw, est, err) =>
+      assert(jw >= 0.0 && jw <= 1.0 && est >= 0.0 && est <= 1.0)
+      assert(math.abs(est * 16 - math.round(est * 16)) < 1e-6,
+        s"est $est must be a multiple of 1/16")
+      assert(math.abs(err - math.abs(est - jw)) < 1e-9)
+      // the multiset-expansion equivalence is exact: jw = 1 means the
+      // two expanded element SETS are identical, so every minhash slot
+      // must agree
+      if (jw == 1.0) assert(est == 1.0,
+        "identical multisets must produce identical expanded-element signatures")
+    }
+    // k=16 binomial calibration: mean |err| should sit near
+    // mean √(jw(1−jw)/16) on these high-jw pairs — allow 3× slack
+    val meanErr = got.map(_._5).sum / got.length
+    val bound = 3 * got.map { case (_, _, jw, _, _) =>
+      math.sqrt(jw * (1 - jw) / 16) }.sum / got.length
+    assert(meanErr <= math.max(bound, 0.08),
+      f"mean |err| $meanErr%.4f exceeds calibration bound $bound%.4f")
+  }
+
   test("editVerify banded DP ≡ full DP on the real corpus; band boundary exact") {
     // parity on the real sf0.001 documents: the banded k-limited verify
     // (BoundedLevenshtein, k = ceil(mx·maxNed)+1) must keep exactly the
