@@ -29,7 +29,10 @@ object Substrates {
     *   - knn_graph: q_knn_graph, q_knn_approx_recall, q_knn_ndcg
     *   - cell_kernel: q_knn_approx, q_knn_approx_recall, q_knn_ndcg,
     *     q_pagerank, q_label_prop, q_hits, q_textrank
-    *   - cell_kernel_labeled: q_hard_negatives
+    *   - cell_kernel_labeled: q_hard_negatives — since r14 a cheap
+    *     DERIVATION of cell_kernel (two label joins on the memoized
+    *     edge list, not a second kNN build — VERDICT r13 #1), kept in
+    *     the list so the derivation is still pre-built and billed
     */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "substrate:dedup_pairs3" ->

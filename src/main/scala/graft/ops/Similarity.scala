@@ -512,10 +512,16 @@ object Similarity {
 
   /** Shared candidate kernel of [[knnSelfJoin]]/[[hardNegatives]]:
     * symmetric cell-routed scored matches (qid, nbr, cos[, qlab,
-    * nlab]), deduped on the edge key. `labelCol` rides THROUGH the
-    * routing projection when given — labels cost zero extra joins
-    * (joining them onto the candidate set afterwards would shuffle
-    * the whole edge set twice).
+    * nlab]), deduped on the edge key. There is exactly ONE kernel
+    * build per (corpus, cell table, nprobe, scale) — the labeled
+    * variant is DERIVED from the unlabeled memo by two hash joins of
+    * the 2-column (id, label) projection onto the persisted edge list
+    * (VERDICT r13 #1: the earlier design rode labels through the
+    * routing projection, which duplicated the entire cell-routed kNN
+    * build just to carry a label column — ~8 s/pass at sf0.1, real
+    * money at 100 TB; labels are functionally dependent on the id, so
+    * a post-hoc join is semantically identical and costs edge-list
+    * joins, not a second n-way candidate join).
     */
   private[graft] def cellMatches(
       emb: DataFrame, idCol: String, vecCol: String, labelCol: Option[String],
@@ -527,31 +533,47 @@ object Similarity {
     // run-scoped memo (the basisCache device, frame-valued): five gated
     // queries route the same corpus against the same cell table —
     // q_knn_approx/q_knn_approx_recall/q_pagerank/q_label_prop share the
-    // unlabeled kernel, q_hard_negatives its labeled variant. The full
-    // cell-table CONTENT rides in the tag: two different centroid sets
-    // over the same corpus must never alias — content, not a hash,
+    // unlabeled kernel, q_hard_negatives its labeled derivation. The
+    // full cell-table CONTENT rides in the tag: two different centroid
+    // sets over the same corpus must never alias — content, not a hash,
     // because a silent key collision would serve WRONG results, while
     // the cost is a driver-local C·d-double string per CALL (≈1 MB at
     // C=1000, d=64 — microseconds, never shipped to executors).
     val cellTag = cells.map { case (c, v) => s"$c=${v.mkString(",")}" }
       .mkString(";")
-    DfMemo.cached(emb,
-      s"cellMatches:$idCol:$vecCol:${labelCol.getOrElse("")}:$nprobe:$scale:" +
-        cellTag) {
-      cellMatchesCompute(emb, idCol, vecCol, labelCol, cells, nprobe, scale)
+    val base = DfMemo.cached(emb,
+      s"cellMatches:$idCol:$vecCol::$nprobe:$scale:" + cellTag) {
+      cellMatchesCompute(emb, idCol, vecCol, cells, nprobe, scale)
+    }
+    labelCol match {
+      case None => base
+      case Some(lc) =>
+        // memoized too (nested cached() is structurally safe — see
+        // DfMemo.Cell): the joins are cheap, but q_hard_negatives and
+        // the substrate pre-build should still share one labeled frame
+        DfMemo.cached(emb,
+          s"cellMatchesLabeled:$idCol:$vecCol:$lc:$nprobe:$scale:" + cellTag) {
+          val labs = emb.select(col(idCol).as("lid"), col(lc).as("lab"))
+          base
+            .join(labs.select(col("lid").as("qid"), col("lab").as("qlab")),
+              Seq("qid"))
+            .join(labs.select(col("lid").as("nbr"), col("lab").as("nlab")),
+              Seq("nbr"))
+            .select(col("qid"), col("nbr"), col("cos"),
+              col("qlab"), col("nlab"))
+        }
     }
   }
 
   private def cellMatchesCompute(
-      emb: DataFrame, idCol: String, vecCol: String, labelCol: Option[String],
+      emb: DataFrame, idCol: String, vecCol: String,
       cells: Array[(Long, Array[Double])], nprobe: Int, scale: Int): DataFrame = {
     // zero-norm rows are excluded from routing entirely (ADVICE r10):
     // withUnitVec would pass the zero vector through and Spark scores
     // cos = 0 where the SQL mirror computes dp/(0·nrm) = NULL — a
     // latent parity split. The oracles carry the matching WHERE nrm > 0.
     val pts = emb.select(
-        col(idCol).as("id") +: KMeansOps.asDouble(col(vecCol)).as("v") +:
-          labelCol.map(c => col(c).as("lab")).toSeq: _*)
+        col(idCol).as("id"), KMeansOps.asDouble(col(vecCol)).as("v"))
       .filter(l2norm(col("v")) > 0)
     // same euclid arithmetic as KMeansOps.assign/ivfTopK routing — the
     // oracle-proven distance form; struct sort = ORDER BY dist, cid
@@ -564,24 +586,18 @@ object Similarity {
         transform(slice(sort_array(cellDists), 1, nprobe),
           p => p.getField("c"))),
       "v", "u")
-    val lab = labelCol.isDefined
-    val home = routed.select(col("id").as("nbr") +:
-      element_at(col("pc"), 1).as("cell") +: col("u").as("cu") +:
-      (if (lab) Seq(col("lab").as("nlab")) else Nil): _*)
-    val probes = routed.select(col("id").as("qid") +:
-      explode(col("pc")).as("cell") +: col("u").as("qu") +:
-      (if (lab) Seq(col("lab").as("qlab")) else Nil): _*)
-    val keep = Seq(col("qid"), col("nbr"),
-        (round(dot(col("qu"), col("cu")), scale) + lit(0.0)).as("cos")) ++
-      (if (lab) Seq(col("qlab"), col("nlab")) else Nil)
+    val home = routed.select(col("id").as("nbr"),
+      element_at(col("pc"), 1).as("cell"), col("u").as("cu"))
+    val probes = routed.select(col("id").as("qid"),
+      explode(col("pc")).as("cell"), col("u").as("qu"))
     val scored = probes.join(home, Seq("cell"))
       .filter(col("qid") =!= col("nbr"))
-      .select(keep: _*)
+      .select(col("qid"), col("nbr"),
+        (round(dot(col("qu"), col("cu")), scale) + lit(0.0)).as("cos"))
     // symmetric candidacy: mirror every scored match, dedup the edge
     // key (a pair found in both directions scores identically)
-    val mirror = Seq(col("nbr").as("qid"), col("qid").as("nbr"), col("cos")) ++
-      (if (lab) Seq(col("nlab").as("qlab"), col("qlab").as("nlab")) else Nil)
-    scored.unionByName(scored.select(mirror: _*)).distinct()
+    scored.unionByName(scored.select(col("nbr").as("qid"),
+      col("qid").as("nbr"), col("cos"))).distinct()
   }
 
   /** Per-cell ROUTING LOAD of the [[knnSelfJoin]]/[[hardNegatives]]
@@ -641,9 +657,11 @@ object Similarity {
     * Candidates come from the same symmetric cell routing as
     * [[knnSelfJoin]] (approximate by design — router recall applies);
     * the label filter runs BEFORE ranking so every returned rank is a
-    * true negative, and labels ride through the routing projection
-    * (zero extra joins). Ranking on ROUNDED cosine, ties by neighbor
-    * id. Output: (qid, qlab, rank, nbr, nlab, cos).
+    * true negative, and labels attach to the SHARED unlabeled kernel
+    * via two cheap (id, label)-projection joins — one kernel build per
+    * run, not a labeled duplicate (VERDICT r13 #1). Ranking on ROUNDED
+    * cosine, ties by neighbor id. Output: (qid, qlab, rank, nbr, nlab,
+    * cos).
     */
   def hardNegatives(
       emb: DataFrame, idCol: String, vecCol: String, labelCol: String,

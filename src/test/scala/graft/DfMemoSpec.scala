@@ -122,4 +122,40 @@ class DfMemoSpec extends AnyFunSuite {
     assert(g1 eq g2, "the exact kernel memoizes too (recall grade reuses it)")
     DfMemo.clear()
   }
+
+  test("labeled cell kernel derives from the shared unlabeled build (r14)") {
+    DfMemo.clear()
+    val cells = emb
+      .select($"vec_id".cast("long"),
+        graft.ops.KMeansOps.asDouble($"embedding").as("v"))
+      .filter($"vec_id" < 8).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    // labeled path first: must create the BASE kernel entry plus its
+    // cheap label-join derivation — exactly two memo slots, one build
+    val labeled = Similarity.cellMatches(emb, "vec_id", "embedding",
+      Some("label"), cells, nprobe = 5, scale = 4)
+    labeled.count()
+    assert(DfMemo.size == 2,
+      "labeled = shared base kernel + label-join derivation, not a rebuild")
+    // the unlabeled consumer then HITS the base the labeled path built
+    val unlabeled = Similarity.cellMatches(emb, "vec_id", "embedding",
+      None, cells, nprobe = 5, scale = 4)
+    unlabeled.count()
+    assert(DfMemo.size == 2,
+      "unlabeled consumer must hit the base built by the labeled path")
+    // semantics: labeled edges = unlabeled edges, labels functionally
+    // dependent on the ids (the property that makes the join legal)
+    val lset = labeled.select("qid", "nbr", "cos")
+      .as[(Long, Long, Double)].collect().toSet
+    val uset = unlabeled.as[(Long, Long, Double)].collect().toSet
+    assert(lset == uset)
+    val labs = emb.select($"vec_id".cast("long"), $"label".cast("string"))
+      .as[(Long, String)].collect().toMap
+    labeled.select("qid", "qlab", "nbr", "nlab")
+      .as[(Long, String, Long, String)].collect().foreach {
+        case (q, ql, n, nl) =>
+          assert(labs(q) == ql && labs(n) == nl)
+      }
+    DfMemo.clear()
+  }
 }
