@@ -24,9 +24,16 @@ object MicroBench {
         TextOps.tokenizeFiltered(col("text"), Dictionaries.Stopwords, Nil).as("toks"))
     def e3 = Dedup.shingleHashesViaArrays(docsTokens, "doc_id", "toks", k = 3)
     def time(name: String)(f: => Long): Unit = {
+      // release only what the block itself persisted: an unconditional
+      // sweep unpersists the long-lived localCheckpoint fixtures
+      // (editFixture/editCand) and every later consumer dies with
+      // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime(); val n = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before(id) }
+        .values.foreach(_.unpersist(false))
     }
     def gramsRepart = docsTokens
       .repartition(spark.sparkContext.defaultParallelism)
@@ -143,6 +150,25 @@ object MicroBench {
         corpus.select(col("doc_id"), size(col("g5")).as("n_grams"))
           .join(hits, Seq("doc_id"), "left").count()
       }
+      // PSL compile cost (r14): the full ~9.5k-rule list vs the ~300-rule
+      // snapshot — plan-build+analyze time and end-to-end eval over the
+      // corpus. The InSet probes must stay map-side whatever the list.
+      def urls = Tables.table(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://"), col("source"), lit(".example.co.uk/p/"),
+            (col("doc_id") % 9).cast("string")).as("url"))
+      def pslCompile(rules: Seq[String]): Long = {
+        val df = urls.select(col("doc_id"),
+          TextOps.urlApexPsl(col("url"), rules).as("apex"))
+        df.queryExecution.executedPlan // force analyze+optimize+plan
+        df.schema.length.toLong
+      }
+      time("psl_compile_snapshot") { pslCompile(TextOps.PslRules) }
+      time("psl_compile_full")     { pslCompile(TextOps.PslRulesFull) }
+      time("psl_eval_snapshot") { urls.select(
+        TextOps.urlApexPsl(col("url"), TextOps.PslRules)).count() }
+      time("psl_eval_full")     { urls.select(
+        TextOps.urlApexPsl(col("url"), TextOps.PslRulesFull)).count() }
     }
     spark.stop()
   }

@@ -269,15 +269,20 @@ object TextOps {
   }
 
   /** Host of a URL, canonicalized for dedup keying: lowercased, default
-    * ports (:80/:443) and a leading "www." stripped. Empty string when
-    * the input has no scheme://host shape. Pure map-side regex — the
+    * ports (:80/:443) and a leading "www." stripped, unicode labels
+    * IDNA-normalized to their punycode `xn--` form (r14 — see
+    * [[graft.functions.IdnAscii]]; all-ASCII hosts pass through
+    * bitwise unchanged, so the DuckDB-oracled URL queries are
+    * unaffected). Empty string when the input has no scheme://host
+    * shape. Pure map-side regex + one codegen static call — the
     * per-DOMAIN partitioning key a crawl pipeline shards on.
     */
   def urlHost(u: Column): Column = {
     val noFrag = regexp_replace(trim(u), "#.*", "")
     val host = lower(regexp_extract(noFrag,
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
-    regexp_replace(regexp_replace(host, ":(80|443)$", ""), "^www\\.", "")
+    graft.functions.IdnAscii.idn_ascii(
+      regexp_replace(regexp_replace(host, ":(80|443)$", ""), "^www\\.", ""))
   }
 
   /** Apex-domain heuristic: the last two dot-labels of [[urlHost]]
@@ -288,20 +293,35 @@ object TextOps {
   def urlApex(u: Column): Column =
     regexp_extract(urlHost(u), "([^.]+\\.[^.]+)$", 1)
 
-  /** Public Suffix List rule snapshot in the list's own rule syntax
+  /** The FULL Public Suffix List (publicsuffix.org — the Mozilla-
+    * maintained public dataset, MPL 2.0; the `.dat` file ships
+    * verbatim as a bundled resource with its license header intact),
+    * ICANN + PRIVATE sections: ~9.5k rules, all five rule shapes
+    * including 4-label plain rules (`pvt.k12.ma.us`) and 4-label
+    * wildcard bases (`*.compute.amazonaws.com.cn`). This is the
+    * DEFAULT rule set of [[urlApexPsl]]/[[pslPSql]]/[[pslApexSql]]
+    * since r14 (VERDICT r13 #3 — the curated [[PslRules]] snapshot
+    * remains for shape-focused specs). Unicode rules are IDNA-
+    * normalized to punycode at parse time by [[parsePsl]] so they meet
+    * the [[urlHost]]-normalized hosts in one canonical ASCII space.
+    */
+  lazy val PslRulesFull: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    require(in != null, "bundled public_suffix_list.dat resource missing")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    finally in.close()
+  }
+
+  /** Public Suffix List rule SNAPSHOT in the list's own rule syntax
     * (publicsuffix.org/list — plain rules, `*.` wildcard rules, `!`
     * exception rules), curated from the public Mozilla PSL's ICANN
     * section: the ccTLD second-level registry families plus every rule
     * SHAPE the full list uses — single-label wildcards (`*.ck`), the
     * jp city wildcard blocks (`*.kobe.jp`), their exceptions
     * (`!www.ck`, `!city.kobe.jp`), and three-label US locality
-    * registries (`k12.ca.us`). [[urlApexPsl]] implements the COMPLETE
-    * PSL matching semantics over whatever rule list it is handed
-    * (longest match wins, exceptions prevail, implicit `*` floor), so
-    * a production deployment swaps the full 15k-line list in through
-    * the `rules` parameter without code changes; only this DATA is a
-    * subset (honest caveats: 4+-label rules like `pvt.k12.ma.us` and
-    * IDN/punycode normalization are outside the snapshot).
+    * registries (`k12.ca.us`). Kept for the shape-focused specs and as
+    * a small worked example; production (and the gated q_url_apex)
+    * runs on [[PslRulesFull]].
     */
   val PslRules: Seq[String] = Seq(
     // single-label wildcards + their exceptions
@@ -395,8 +415,15 @@ object TextOps {
   }
 
   private[graft] def parsePsl(rules: Seq[String]): PslParsed = {
+    // IDNA-normalize each rule's labels to punycode (the `!`/`*.`
+    // markers are ASCII and survive the per-label fast path) so the
+    // list's 466 unicode rules land in the same canonical ASCII space
+    // urlHost normalizes hosts into; dedup because the full list spells
+    // some suffixes in both unicode and punycode
     val r = rules.map(_.trim.toLowerCase)
       .filter(s => s.nonEmpty && !s.startsWith("//"))
+      .map(graft.functions.IdnAscii.toAsciiHostString)
+      .distinct
     def byLen(xs: Seq[String]) = xs.groupBy(_.count(_ == '.') + 1)
     PslParsed(
       byLen(r.filterNot(s => s.startsWith("*.") || s.startsWith("!"))),
@@ -428,7 +455,7 @@ object TextOps {
     * extraction. The DuckDB oracle twin is generated from the SAME
     * parsed rule set by [[pslPSql]]/[[pslApexSql]].
     */
-  def urlApexPsl(u: Column, rules: Seq[String] = PslRules): Column = {
+  def urlApexPsl(u: Column, rules: Seq[String] = PslRulesFull): Column = {
     val rs = parsePsl(rules)
     val host = urlHost(u)
     def inSet(c: Column, xs: Seq[String]): Option[Column] =
@@ -467,7 +494,7 @@ object TextOps {
     * from the SAME parsed rule set. Compute it once in a CTE and feed
     * it to [[pslApexSql]].
     */
-  def pslPSql(host: String, rules: Seq[String] = PslRules): String = {
+  def pslPSql(host: String, rules: Seq[String] = PslRulesFull): String = {
     val rs = parsePsl(rules)
     def inList(c: String, xs: Seq[String]) =
       s"$c IN (${xs.sorted.map("'" + _ + "'").mkString(", ")})"
@@ -494,7 +521,7 @@ object TextOps {
     * twin of [[urlApexPsl]]'s final select.
     */
   def pslApexSql(host: String, pCol: String,
-      rules: Seq[String] = PslRules): String = {
+      rules: Seq[String] = PslRulesFull): String = {
     val rs = parsePsl(rules)
     val cases = (rs.maxP to 2 by -1).map { pp =>
       s"WHEN $pCol = $pp THEN (CASE WHEN ${lastLabelsSql(host, pp + 1)} <> '' " +
@@ -510,14 +537,15 @@ object TextOps {
     * stripped, fragment dropped, ONE trailing path slash stripped
     * (path case PRESERVED — paths are case-sensitive), tracking query
     * params removed (utm_*, fbclid, gclid, msclkid, ref) and the rest
-    * SORTED so param order never splits a dup group. Pure map-side
-    * regex/array expressions, zero shuffle.
+    * SORTED so param order never splits a dup group, unicode host
+    * labels IDNA-punycoded (r14 — ASCII hosts bitwise unchanged).
+    * Pure map-side regex/array expressions, zero shuffle.
     */
   def canonicalizeUrl(u: Column): Column = {
     val noFrag = regexp_replace(trim(u), "#.*", "")
-    val host = regexp_replace(regexp_replace(
+    val host = graft.functions.IdnAscii.idn_ascii(regexp_replace(regexp_replace(
       lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
-      ":(80|443)$", ""), "^www\\.", "")
+      ":(80|443)$", ""), "^www\\.", ""))
     val path0 = regexp_extract(noFrag,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val path = when(path0 === "", lit("/"))

