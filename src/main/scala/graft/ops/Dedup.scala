@@ -365,6 +365,102 @@ object Dedup {
       .filter(col("jw") >= minJw)
   }
 
+  /** Exact REAL-weighted Jaccard verify — [[weightedJaccardVerify]]
+    * generalized from integer counts to an arbitrary positive real
+    * weight frame `weights` = (id, tok, w) (tf-idf, BM25, learned
+    * term weights): J_w(a,b) = Σ_t min(w_a(t), w_b(t)) /
+    * Σ_t max(w_a(t), w_b(t)). This is the exact quantity Ioffe's
+    * consistent weighted sampling ([[cwsSigRows]]) estimates at sketch
+    * scale, and the calibration target of q_cws_err.
+    *
+    * Same candidate-scoped union-trick shape as the integer form: one
+    * union + one composite-key groupBy, Σmin/Σmax partial-agged —
+    * everything after the candidate join is proportional to
+    * candidate-pair vocabulary, never corpus². Output: (id1, id2, jw)
+    * rounded 6 dp, jw ≥ minJw.
+    */
+  def weightedJaccardVerifyReal(
+      cand: DataFrame, weights: DataFrame, minJw: Double = 0.0): DataFrame = {
+    val p = cand.select(col("id1"), col("id2"))
+    val a = p.join(weights.select(col("id").as("id1"), col("tok"),
+      col("w").as("wa")), Seq("id1"))
+      .select(col("id1"), col("id2"), col("tok"), col("wa"), lit(0.0).as("wb"))
+    val b = p.join(weights.select(col("id").as("id2"), col("tok"),
+      col("w").as("wb")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("tok"), lit(0.0).as("wa"), col("wb"))
+    a.unionByName(b)
+      .groupBy(col("id1"), col("id2"), col("tok"))
+      .agg(sum(col("wa")).as("wa"), sum(col("wb")).as("wb"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(round(sum(least(col("wa"), col("wb"))) /
+        sum(greatest(col("wa"), col("wb"))), 6).as("jw"))
+      .filter(col("jw") >= minJw)
+  }
+
+  /** Consistent Weighted Sampling signatures (Ioffe, ICDM 2010,
+    * "Improved Consistent Sampling, Weighted Minhash and L1 Sketching")
+    * — the REAL-valued weighted MinHash: for every (element t, hash j)
+    * draw r,c ~ Gamma(2,1) and β ~ Uniform(0,1) as pure functions of
+    * (t, j, salt), then
+    *
+    *   t_j = ⌊ln w_t / r + β⌋,  ln a = ln c − r·(t_j + 1 − β),
+    *
+    * and the sample for hash j is the element minimizing ln a; two
+    * documents pick the same (t, t_j) with probability EXACTLY
+    * J_w(a,b) = Σmin(w)/Σmax(w) over their real weight vectors — the
+    * quantity [[weightedJaccardVerifyReal]] computes exactly. (The r13
+    * integer-count estimator reaches the same target via occurrence
+    * expansion; CWS handles tf-idf-style REAL weights, closing VERDICT
+    * r13 #4.)
+    *
+    * Engine portability (the md5-portable twin discipline, SURVEY
+    * §7.6): uniforms are exact rationals (md5₃₂ + 0.5)/2³², Gamma(2,1)
+    * = −ln(u·u′), and every libm-dependent intermediate (r, ln c,
+    * ln w) is rounded to 9 dp the moment it is produced — after that,
+    * t_j and ln a are pure IEEE arithmetic on identical doubles, so
+    * the argmin row is bit-identical in any engine (the chain-rounding
+    * device the PCA oracles use). The argmin itself is
+    * `min(struct(lna, th, tj))` — lexicographic struct ordering, ties
+    * broken by element hash, portable to DuckDB's struct `min`.
+    *
+    * Scale: one explode to numHashes rows per (doc, element), then ONE
+    * (id, j) groupBy whose min-struct aggregate partial-aggs map-side
+    * — shuffle volume is n_docs·numHashes rows, independent of
+    * vocabulary. Output: (id, j, th, tj) sample rows — join two docs
+    * on j and count (th, tj) matches to estimate J_w.
+    *
+    * @param weights (id, tok, w) with w > 0 (zero/negative-weight
+    *                elements must be filtered upstream; ln w)
+    */
+  def cwsSigRows(
+      weights: DataFrame, numHashes: Int, salt: String = "cws"): DataFrame = {
+    require(numHashes >= 1)
+    def u(tag: String): Column =
+      (conv(substring(md5(concat_ws("|", col("tok"), col("j").cast("string"),
+        lit(s"$salt:$tag"))), 1, 8), 16, 10).cast("double") + lit(0.5)) /
+        lit(4294967296.0)
+    weights
+      .select(col("id"), col("tok"), col("w"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("j"))
+      // r rounds to 0 only when u1·u2 ≈ 1 (p ≈ 1e-10); the floor keeps
+      // the division defined and is identically applied in the oracle
+      .withColumn("r", greatest(round(-log(u("r1") * u("r2")), 9),
+        lit(1e-9)))
+      .withColumn("lnc", round(log(-log(u("c1") * u("c2"))), 9))
+      .withColumn("b", u("b"))
+      .withColumn("lnw", round(log(col("w")), 9))
+      .withColumn("tj",
+        floor(col("lnw") / col("r") + col("b")).cast("long"))
+      .withColumn("lna",
+        col("lnc") - col("r") * (col("tj") + lit(1.0) - col("b")))
+      .withColumn("th",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .groupBy(col("id"), col("j"))
+      .agg(min(struct(col("lna"), col("th"), col("tj"))).as("s"))
+      .select(col("id"), col("j"),
+        col("s.th").as("th"), col("s.tj").as("tj"))
+  }
+
   /** Cross-corpus near-duplicate retrieval (R-S Jaccard join): corpus
     * documents with Jaccard ≥ minJ against ANY document of a reference
     * set — the near-dup generalization of exact-match decontamination

@@ -533,6 +533,113 @@ private[graft] object QDedup1 {
         |FROM pe ORDER BY id1, id2""".stripMargin
       }),
 
+    Q("q_cws_err",  // REAL-valued weighted MinHash (Ioffe's Consistent
+      // Weighted Sampling, ICDM 2010) calibrated against the exact
+      // real-weighted Jaccard — the r14 closing of the weighted-dedup
+      // family: q_weighted_minhash_md5's occurrence expansion only
+      // covers INTEGER counts; tf-idf-weighted dedup needs CWS. Per
+      // exact candidate pair (the memoized dedupPairs3 substrate),
+      // weights w = tf·idf (idf smoothed, rounded 9 dp — the
+      // chain-rounding device), exact jw = Σmin/Σmax vs est =
+      // (th,tj)-sample matches / 16, |err|. Every libm intermediate
+      // (r, ln c, ln w, idf) rounds to 9 dp on both engines, after
+      // which t_j and ln a are pure IEEE arithmetic — the argmin
+      // min(struct(lna, th, tj)) row is bit-identical in DuckDB.
+      // Scale: sig shuffle = n_members·16 rows, verify ∝ candidate
+      // vocabulary; nothing corpus².
+      (s, dir) => {
+        val toks = docsTokens(s, dir)
+        val pairsRaw = dedupPairs3(s, dir).select(col("id1"), col("id2"))
+        val members = pairsRaw.select(col("id1").as("doc_id"))
+          .unionByName(pairsRaw.select(col("id2").as("doc_id"))).distinct()
+        val counts = toks.join(members, Seq("doc_id"))
+          .select(col("doc_id").as("id"), explode(col("toks")).as("tok"))
+          .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
+        val weights = counts
+          .join(vocabIdf(toks).withColumnRenamed("word", "tok")
+            .select(col("tok"), col("idf")), Seq("tok"))
+          .select(col("id"), col("tok"),
+            (col("c") * round(col("idf"), 9)).as("w"))
+          .localCheckpoint()  // feeds both the exact verify and the sigs
+        val jw = Dedup.weightedJaccardVerifyReal(pairsRaw, weights)
+        val sig = Dedup.cwsSigRows(weights, numHashes = 16, salt = "cws42")
+        jw
+          .join(sig.select(col("id").as("id1"), col("j"),
+            col("th").as("h1"), col("tj").as("t1")), Seq("id1"))
+          .join(sig.select(col("id").as("id2"), col("j"),
+            col("th").as("h2"), col("tj").as("t2")), Seq("id2", "j"))
+          .groupBy(col("id1"), col("id2"), col("jw"))
+          .agg(round(sum(when(col("h1") === col("h2") &&
+            col("t1") === col("t2"), 1L).otherwise(0L)) / lit(16.0), 6)
+            .as("est"))
+          .withColumn("err", round(abs(col("est") - col("jw")), 6))
+          .select(col("id1"), col("id2"), col("jw"), col("est"), col("err"))
+          .orderBy("id1", "id2")
+      },
+      Some {
+        def u32(expr: String) =
+          s"((CAST(('0x' || substr(md5($expr), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)"
+        def uj(tag: String) = u32(s"tok || '|' || CAST(j AS VARCHAR) || '|cws42:$tag'")
+        s"""WITH t AS ($SqlToks),
+        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |      FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS w, len(sh) AS sz FROM s),
+        |p AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |      FROM e a JOIN e b ON a.w = b.w AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2
+        |      HAVING CAST(count(*) AS DOUBLE)
+        |             / (max(a.sz) + max(b.sz) - count(*)) >= 0.5),
+        |m AS (SELECT id1 AS doc_id FROM p UNION SELECT id2 FROM p),
+        |nn AS (SELECT count(*) AS n FROM t),
+        |dfq AS MATERIALIZED (SELECT tok, count(*) AS df FROM
+        |        (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t)
+        |      GROUP BY 1),
+        |tc AS (SELECT doc_id, tok, count(*) AS c
+        |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t
+        |            WHERE doc_id IN (SELECT doc_id FROM m))
+        |      GROUP BY 1, 2),
+        |wt AS MATERIALIZED (SELECT tc.doc_id AS id, tc.tok,
+        |        tc.c * round(ln((nn.n + 1.0) / (dfq.df + 1.0)) + 1.0, 9) AS w
+        |      FROM tc JOIN dfq ON dfq.tok = tc.tok CROSS JOIN nn),
+        |u AS (SELECT p.id1, p.id2, wt.tok, wt.w AS wa, 0.0 AS wb
+        |      FROM p JOIN wt ON wt.id = p.id1
+        |      UNION ALL
+        |      SELECT p.id1, p.id2, wt.tok, 0.0, wt.w
+        |      FROM p JOIN wt ON wt.id = p.id2),
+        |g AS (SELECT id1, id2, tok, sum(wa) AS wa, sum(wb) AS wb
+        |      FROM u GROUP BY 1, 2, 3),
+        |jw AS MATERIALIZED (SELECT id1, id2,
+        |        round(sum(least(wa, wb)) / sum(greatest(wa, wb)), 6) AS jw
+        |      FROM g GROUP BY 1, 2),
+        |cj AS (SELECT id, tok, w, unnest(range(16)) AS j FROM wt),
+        |hx AS (SELECT id, j,
+        |        CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS th,
+        |        greatest(round(-ln(${uj("r1")} * ${uj("r2")}), 9),
+        |          0.000000001) AS r,
+        |        round(ln(-ln(${uj("c1")} * ${uj("c2")})), 9) AS lnc,
+        |        ${uj("b")} AS b,
+        |        round(ln(w), 9) AS lnw
+        |      FROM cj),
+        |cv AS (SELECT id, j, th,
+        |        CAST(floor(lnw / r + b) AS BIGINT) AS tj,
+        |        lnc - r * (CAST(floor(lnw / r + b) AS BIGINT) + 1.0 - b) AS lna
+        |      FROM hx),
+        |sig AS MATERIALIZED (SELECT id, j,
+        |        min(struct_pack(lna := lna, th := th, tj := tj)) AS sm
+        |      FROM cv GROUP BY 1, 2),
+        |pe AS (SELECT jw.id1, jw.id2, jw.jw,
+        |        round(sum(CASE WHEN (a.sm).th = (b.sm).th
+        |                        AND (a.sm).tj = (b.sm).tj
+        |                  THEN 1 ELSE 0 END) / 16.0, 6) AS est
+        |      FROM jw JOIN sig a ON a.id = jw.id1
+        |              JOIN sig b ON b.id = jw.id2 AND b.j = a.j
+        |      GROUP BY 1, 2, 3)
+        |SELECT id1, id2, jw, est, round(abs(est - jw), 6) AS err
+        |FROM pe ORDER BY id1, id2""".stripMargin
+      }),
+
     Q("q_dedup_clusters_lsh",  // the COMPLETE 100 TB near-dup funnel in ONE
       // gated plan: MinHash signatures → LSH band buckets → candidate pairs
       // → EXACT Jaccard verify on candidates only → connected components.

@@ -600,6 +600,39 @@ class DedupSpec extends AnyFunSuite {
       f"mean |err| $meanErr%.4f exceeds calibration bound $bound%.4f")
   }
 
+  test("cwsSigRows + weightedJaccardVerifyReal: real-weight CWS is consistent and calibrated") {
+    // exact real-weighted verify on a hand fixture:
+    // doc1 {a:2.5, b:1}, doc2 {a:1, b:2} → Σmin = 1+1, Σmax = 2.5+2
+    val w = Seq(
+      (1L, "a", 2.5), (1L, "b", 1.0),
+      (2L, "a", 1.0), (2L, "b", 2.0),
+      (3L, "a", 2.5), (3L, "b", 1.0),   // identical weight vector to doc 1
+      (4L, "c", 4.0))                   // disjoint vocabulary
+      .toDF("id", "tok", "w")
+    val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id1", "id2")
+    val got = Dedup.weightedJaccardVerifyReal(cand, w)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) == 0.444444, "2/4.5 rounded 6 dp")
+    assert(got((1L, 3L)) == 1.0, "identical real weight vectors grade 1.0")
+    assert(got((1L, 4L)) == 0.0, "disjoint vocab grades 0.0")
+    // the defining CWS property: samples are a pure function of
+    // (tok, j, w) — identical weight vectors sample identically on
+    // EVERY hash (that consistency is what makes Pr[match] = J_w)
+    val sig = Dedup.cwsSigRows(w, numHashes = 256, salt = "spec")
+      .as[(Long, Int, Long, Long)].collect()
+    val byId = sig.groupBy(_._1)
+      .view.mapValues(_.map(r => r._2 -> (r._3, r._4)).toMap).toMap
+    assert(byId.keySet == Set(1L, 2L, 3L, 4L))
+    assert(byId(1L).size == 256, "one sample per hash index")
+    assert(byId(1L) == byId(3L), "identical vectors → identical samples")
+    // disjoint docs can never agree (different tokens → different th)
+    assert((0 until 256).forall(j => byId(1L)(j) != byId(4L)(j)))
+    // unbiasedness smoke at K=256: est within ±0.15 (≈5σ) of J_w=0.4444
+    val est12 = (0 until 256).count(j => byId(1L)(j) == byId(2L)(j)) / 256.0
+    assert(math.abs(est12 - 0.444444) < 0.15,
+      f"CWS estimate $est12%.4f far from true J_w 0.4444 at K=256")
+  }
+
   test("editVerify banded DP ≡ full DP on the real corpus; band boundary exact") {
     // parity on the real sf0.001 documents: the banded k-limited verify
     // (BoundedLevenshtein, k = ceil(mx·maxNed)+1) must keep exactly the
