@@ -746,6 +746,17 @@ object Dedup {
       // fixed point: same count + same xor, confirmed by an empty diff
       // (equal counts over distinct sets make one direction sufficient)
       converged = nfp == fp && next.exceptAll(edges).isEmpty
+      // the superseded round's checkpoint blocks are DEAD the moment
+      // the fingerprint + diff jobs above have read them — `next` is
+      // materialized as its own checkpoint by those same jobs, and
+      // nothing downstream references the old round. Release now
+      // (VERDICT r13 #6): on a long CC run the per-iteration pins are
+      // the block manager's largest idle tenant, and releasing at the
+      // source is the only safe point — an after-the-fact reachability
+      // sweep cannot see broadcast-side subtrees and killed live pins
+      // when tried (r14).
+      org.apache.spark.sql.GraftSqlBridge.checkpointRdd(edges)
+        .foreach(_.unpersist(blocking = false))
       edges = next
       fp = nfp
       it += 1

@@ -133,15 +133,19 @@ private[graft] object DfMemo {
             // action (see protectedIds) — the count() pulls that
             // registration inside the window, and costs nothing extra
             // (the first consumer was about to materialize anyway).
-            // Known over-protection (ADVICE r12): the delta also pins
-            // dead compute intermediates (per-iteration CC-loop
-            // localCheckpoint blocks) and anything a CONCURRENT thread
-            // persists inside the window, and entries release only via
-            // clear(). Deliberate trade: a stale pin costs idle cached
-            // blocks; a missed pin costs
-            // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND for every later
-            // consumer. Long-lived JVMs bound growth with clear()
-            // (Bench clears after its warmup sweep).
+            // The delta protects EVERYTHING new — deliberately, after
+            // an r14 lesson: a lineage-reachability walk from
+            // df.queryExecution.toRdd cannot see broadcast-side
+            // subtrees (a BroadcastHashJoin's build side executes as
+            // its own RDD DAG, not an RDD dependency), so "unreachable
+            // = dead" released live checkpoint pins and every later
+            // consumer died with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
+            // The dead-intermediate problem (ADVICE r12 / VERDICT r13
+            // #6) is instead solved at the SOURCE: the dedupClusters
+            // CC loop unpersists each superseded round's checkpoint
+            // the moment the convergence check has read it, so dead
+            // blocks never reach this window at all. A stale pin here
+            // costs idle storage; a wrongly released one is data loss.
             val sc = input.sparkSession.sparkContext
             val before = sc.getPersistentRDDs.keySet
             val df = compute.persist(StorageLevel.MEMORY_AND_DISK)

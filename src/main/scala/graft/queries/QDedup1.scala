@@ -1439,6 +1439,107 @@ private[graft] object QDedup1 {
         |  (SELECT doc_id, unnest(g5) AS g FROM g WHERE doc_id % 7 <> 0)
         |JOIN bg USING (g) ORDER BY doc_id""".stripMargin)),
 
+    Q("q_stream_wverify",  // ORACLED streaming row completing the
+      // weighted-dedup family (VERDICT r13 #7): WEIGHTED near-dup
+      // verification of the arriving stream against a STATIC reference
+      // substrate (the doc_id%7 split, as q_stream_decon). Per
+      // micro-batch: candidates = arriving docs sharing a 5-shingle
+      // with any reference doc (broadcast probe — the decontamination
+      // gram rarity that keeps the cross pair space sparse at scale;
+      // 3-shingles admit ~70x more pairs), each pair graded by
+      // the SAME batch kernel (weightedJaccardVerifyReal) on tf·idf
+      // weights with the full-corpus idf side-input. Every arriving
+      // doc is verified whole, in its own batch, against the full
+      // static side — so the per-batch union equals the batch run and
+      // the DuckDB oracle covers candidate gen + weighted verify
+      // end-to-end through a real foreachBatch parquet sink.
+      (s, dir) => {
+        val out = Scratch.dir("stream-wverify-out")
+        val cp = Scratch.dir("stream-wverify-cp")
+        val schema = Tables.table(s, dir, "documents").schema
+        val src = new java.io.File(s"$dir/documents.parquet")
+        val streamDir =
+          if (src.isDirectory) src.toString
+          else {
+            val d = new java.io.File(Scratch.dir("stream-wverify-src"))
+            java.nio.file.Files.copy(src.toPath,
+              new java.io.File(d, "documents.parquet").toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            d.toString
+          }
+        val toks = docsTokens(s, dir)
+        val idf = vocabIdf(toks).select(col("word").as("tok"), col("idf"))
+          .localCheckpoint()
+        val refToks = toks.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id").as("id"), col("toks"))
+          .localCheckpoint()
+        val refW = graft.streaming.StreamOps.tfidfWeights(refToks, idf)
+          .localCheckpoint()
+        val refSh = refToks.select(col("id"), explode(array_distinct(
+            Dedup.tokenShingles(col("toks"), 5))).as("sh"))
+          .localCheckpoint()
+        s.readStream.schema(schema).parquet(streamDir)
+          .filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id").as("id"),
+            TextOps.tokenizeFiltered(col("text"), Stop, Nil).as("toks"))
+          .writeStream
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              graft.streaming.StreamOps
+                .weightedVerifyBatch(b, refW, refSh, idf, k = 5, minJw = 0.1)
+                .write.mode("append").parquet(out)
+              ()
+          }
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        // explicit schema: a zero-match run leaves no data files and
+        // inference would throw on the read-back
+        s.read.schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id1",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("id2",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("jw",
+              org.apache.spark.sql.types.DoubleType))))
+          .parquet(out).orderBy("id1", "id2")
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |nn AS (SELECT count(*) AS n FROM t),
+        |dfq AS MATERIALIZED (SELECT tok, count(*) AS df FROM
+        |        (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t)
+        |      GROUP BY 1),
+        |idf AS MATERIALIZED (SELECT tok,
+        |        round(ln((nn.n + 1.0) / (dfq.df + 1.0)) + 1.0, 9) AS idf
+        |      FROM dfq CROSS JOIN nn),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5 THEN []
+        |        ELSE list_transform(range(1, len(toks) - 3),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+        |               || toks[i+3] || ' ' || toks[i+4]) END) AS s5
+        |      FROM t),
+        |p AS MATERIALIZED (SELECT DISTINCT b.doc_id AS id1, r.doc_id AS id2
+        |      FROM (SELECT doc_id, unnest(s5) AS g FROM sh WHERE doc_id % 7 <> 0) b
+        |      JOIN (SELECT doc_id, unnest(s5) AS g FROM sh WHERE doc_id % 7 = 0) r
+        |      USING (g)),
+        |tc AS MATERIALIZED (SELECT doc_id, tok, count(*) AS c FROM
+        |        (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+        |wt AS MATERIALIZED (SELECT tc.doc_id AS id, tc.tok, tc.c * idf.idf AS w
+        |      FROM tc JOIN idf USING (tok)),
+        |u AS (SELECT p.id1, p.id2, wt.tok, wt.w AS wa, 0.0 AS wb
+        |      FROM p JOIN wt ON wt.id = p.id1
+        |      UNION ALL
+        |      SELECT p.id1, p.id2, wt.tok, 0.0, wt.w
+        |      FROM p JOIN wt ON wt.id = p.id2),
+        |g AS (SELECT id1, id2, tok, sum(wa) AS wa, sum(wb) AS wb
+        |      FROM u GROUP BY 1, 2, 3),
+        |j AS (SELECT id1, id2,
+        |        round(sum(least(wa, wb)) / sum(greatest(wa, wb)), 6) AS jw
+        |      FROM g GROUP BY 1, 2)
+        |SELECT id1, id2, jw FROM j WHERE jw >= 0.1
+        |ORDER BY id1, id2""".stripMargin)),
+
     Q("q_stream_window",  // third ORACLED streaming row — WATERMARKED,
       // WINDOWED, APPEND: hourly event-type counts with a 2 h watermark
       // over a parquet file source into an exactly-once append sink.

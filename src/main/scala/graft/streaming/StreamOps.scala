@@ -247,4 +247,56 @@ object StreamOps {
           (acc, w) => acc + element_at(m, w))
           / size(col(toksCol)).cast("double")).as("xent"))
   }
+
+  /** tf·idf term-weight vectors (id, tok, w) for [[weightedVerifyBatch]]:
+    * per-doc term counts times the STATIC idf side-input, idf rounded
+    * 9 dp first (the chain-rounding device — both engines multiply
+    * identical doubles). The idf frame is broadcast: it is a
+    * vocabulary-sized side-input, the classic dictionary-join shape.
+    */
+  def tfidfWeights(docs: DataFrame, idf: DataFrame): DataFrame =
+    docs.select(col("id"), explode(col("toks")).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
+      .join(broadcast(idf.select(col("tok"), col("idf"))), Seq("tok"))
+      .select(col("id"), col("tok"),
+        (col("c") * round(col("idf"), 9)).as("w"))
+
+  /** Streaming WEIGHTED near-dup verification of arriving docs against
+    * a STATIC reference substrate — the per-micro-batch kernel of the
+    * r13 #7 family completion: candidates are the arriving docs that
+    * share a k-shingle with any reference doc (the [[graft.ops.Dedup.crossJaccardPairs]]
+    * broadcast-probe shape — the reference side is an eval suite or
+    * prior snapshot, tiny against the stream), and each candidate pair
+    * is graded with the SAME batch kernel
+    * ([[graft.ops.Dedup.weightedJaccardVerifyReal]]) over tf·idf
+    * weights. Because every arriving doc is verified whole, within its
+    * own micro-batch, against the full static side, the union of the
+    * per-batch outputs is EXACTLY the batch run over the union of the
+    * batches — stream/batch parity is structural, not approximate
+    * (StreamingSpec locks it via MemoryStream).
+    *
+    * Wire it as `writeStream.foreachBatch((b, _) =>
+    * weightedVerifyBatch(b, …).write.mode("append")…)` — the
+    * documented exact-verify stage behind [[lshCandidatesStream]]-style
+    * candidate generation. Stream/ref id spaces must be disjoint.
+    *
+    * @param batch      the micro-batch, (id, toks)
+    * @param refWeights static (id, tok, w) reference weight vectors —
+    *                   build with [[tfidfWeights]] on the same idf
+    * @param refShingles static exploded distinct (id, sh) k-shingles
+    * @param idf        static (tok, idf) side-input (full-corpus idf)
+    */
+  def weightedVerifyBatch(
+      batch: DataFrame, refWeights: DataFrame, refShingles: DataFrame,
+      idf: DataFrame, k: Int = 3, minJw: Double = 0.0): DataFrame = {
+    import graft.ops.Dedup
+    val bSh = batch.select(col("id"),
+      explode(array_distinct(Dedup.tokenShingles(col("toks"), k))).as("sh"))
+    val cand = bSh
+      .join(broadcast(refShingles.select(col("id").as("id2"), col("sh"))),
+        Seq("sh"))
+      .select(col("id").as("id1"), col("id2")).distinct()
+    val bW = tfidfWeights(batch, idf)
+    Dedup.weightedJaccardVerifyReal(cand, bW.unionByName(refWeights), minJw)
+  }
 }

@@ -123,6 +123,44 @@ class DfMemoSpec extends AnyFunSuite {
     DfMemo.clear()
   }
 
+  test("dead CC-loop checkpoint pins are released at build; live tail survives (r14)") {
+    DfMemo.clear()
+    val sc = spark.sparkContext
+    // file-backed chain fixture: a 16-node path needs several
+    // large-star/small-star rounds, each leaving a localCheckpoint —
+    // all but the final one dead once the loop converges. The CC loop
+    // releases each superseded round's blocks AT THE SOURCE (the only
+    // safe point — an after-the-fact reachability sweep cannot see
+    // broadcast-side subtrees and killed live pins when tried in r14),
+    // so by the time the memo window closes only the live tail is
+    // pinned.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-deadpins").toString
+    (0L until 15L).map(i => (i, i + 1)).toDF("id1", "id2")
+      .write.mode("overwrite").parquet(tmp)
+    val pairs = spark.read.parquet(tmp)
+    val before = sc.getPersistentRDDs.keySet
+    val clusters = DfMemo.cached(pairs, "spec:deadpins") {
+      graft.ops.Dedup.dedupClusters(pairs)
+    }
+    val first = clusters.count()
+    assert(first == 16, "one (id, rep) row per chain node")
+    val fresh = sc.getPersistentRDDs.filterNot { case (id, _) => before(id) }
+    val ckpts = fresh.values
+      .filter(org.apache.spark.rdd.GraftRddBridge.isLocallyCheckpointed).toSeq
+    assert(ckpts.nonEmpty, "the live tail checkpoint must stay pinned")
+    assert(ckpts.size == 1,
+      s"dead per-iteration checkpoint pins must be released at build; " +
+        s"${ckpts.size} still persisted")
+    // the release must not hurt later consumers: memo hit, stable result
+    val again = DfMemo.cached(pairs, "spec:deadpins") {
+      fail("second call must be a cache hit"); pairs
+    }
+    assert(again.count() == first)
+    assert(again.as[(Long, Long)].collect().forall(_._2 == 0L),
+      "every chain node resolves to the component minimum")
+    DfMemo.clear()
+  }
+
   test("labeled cell kernel derives from the shared unlabeled build (r14)") {
     DfMemo.clear()
     val cells = emb

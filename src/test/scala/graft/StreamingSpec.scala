@@ -441,4 +441,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(finalByUser(2L) == UserAgg(2L, 1L, 1.0))
     } finally q.stop()
   }
+
+  test("weightedVerifyBatch: per-micro-batch union == one batch run (r14)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val toks = QShared.docsTokens(spark, TestSpark.Sf)
+    val idf = QShared.vocabIdf(toks)
+      .select(col("word").as("tok"), col("idf")).localCheckpoint()
+    val refToks = toks.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("id"), col("toks")).localCheckpoint()
+    val refW = StreamOps.tfidfWeights(refToks, idf).localCheckpoint()
+    val refSh = refToks.select(col("id"), explode(array_distinct(
+        graft.ops.Dedup.tokenShingles(col("toks"), 5))).as("sh"))
+      .localCheckpoint()
+    def verify(b: org.apache.spark.sql.DataFrame) =
+      StreamOps.weightedVerifyBatch(b, refW, refSh, idf, k = 5, minJw = 0.0)
+    // batch reference: one run over ALL stream-side docs at once
+    val streamDocs = toks.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id").as("id"), col("toks"))
+    val batchOut = verify(streamDocs).as[(Long, Long, Double)].collect().toSet
+    assert(batchOut.nonEmpty, "the sf0.001 cross split has weighted matches")
+    // streamed arrival in 3 micro-batches: the parity is STRUCTURAL —
+    // each doc is verified whole, in its own batch, against the full
+    // static side, so the accumulated union must be exactly batchOut
+    val docsSeq = streamDocs.as[(Long, Seq[String])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[String])]
+    val acc = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val q = mem.toDF().toDF("id", "toks").writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          acc ++= verify(b).as[(Long, Long, Double)].collect(); ()
+      }.start()
+    try {
+      docsSeq.grouped(math.max(1, docsSeq.length / 3 + 1)).foreach { g =>
+        mem.addData(g: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(acc.toSet == batchOut,
+      "union of per-micro-batch weighted verifies must equal the batch run")
+  }
 }
