@@ -78,7 +78,12 @@ object Bench {
             }
           }
         } catch { case _: Exception => None }
-      viaGit.orElse(viaFiles).getOrElse("unknown")
+      // the file-parse fallback cannot see uncommitted changes — mark
+      // it so bench_median.py refuses the stamp by default exactly
+      // like "-dirty"/"unknown" (ADVICE r13: an unmarked fallback SHA
+      // would let a dirty tree masquerade as clean HEAD when the git
+      // binary is unavailable)
+      viaGit.orElse(viaFiles.map(_ + "-unverified")).getOrElse("unknown")
     }
   }
 
@@ -106,8 +111,20 @@ object Bench {
     // last 2-pass costs".
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "475").toDouble
     val hardWallS = sys.env.getOrElse("SPARK_GRAFT_BENCH_HARDWALL", "500").toDouble
+    // Pool CAPPED at 8 like the shuffle width below (r14, VERDICT r13
+    // #2): the driver runs SPARK_GRAFT_CPUS=32, and BENCH_r10 measured
+    // that pool's cost precisely — the sub-second majority ran ~1.8×
+    // the 4-cpu records (+~0.3 s/pass of task-wakeup latency on tiny
+    // per-task data) while the expensive tail gained ~nothing (~0.95×).
+    // Across ~400 passes that tax alone (~100 s) was what pushed the
+    // driver-default run into degraded sheds (BENCH_r13: 5
+    // single-pass). Every checked-in median ran at cpus ≤ 8, so the
+    // cap also brings driver runs back onto the recorded
+    // comparability surface. This is Bench-only policy — Verify and
+    // the library itself still use whatever the session gives them.
+    val pool = math.min(cpus.toInt, 8)
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(s"local[$pool]")
       // shuffle partitions CAPPED at 8 even when the pool is wider
       // (r11): the driver runs cpus=32, and BENCH_r10 measured its
       // per-query cost ~1.8× the 4-cpu records on the sub-second
@@ -407,12 +424,33 @@ object Bench {
     // they are cold builds, not warm-measured queries (review r13).
     val subSet = substrateNames.toSet
     val nWarm = warmed.count(r => !subSet(r._1))
+    // queries-only warm total, published ALONGSIDE the r13-defined
+    // "value" (which includes the cold substrate builds — the honest
+    // amortized accounting): pre-r13 totals priced substrate builds
+    // inside whichever query drew them, so round-over-round "value"
+    // comparisons mix definitions (ADVICE r13) — warm_total_queries is
+    // the like-for-like per-query series.
+    val warmTotalQueries = warmed.filterNot(r => subSet(r._1)).map(_._3).sum
+    // Stall-suspect flag for QUERY samples (VERDICT r13 #8 — the
+    // mechanism substrates already have): a recorded sample 3× its
+    // committed median (floor 2 s) is this host's stall signature, not
+    // a plan property — single-pass samples especially, which the
+    // conditional warm-retry never re-checks. Flag, don't censor: the
+    // number still counts, the reader just stops chasing ghosts.
+    val stallSuspect = ok.filterNot(r => subSet(r._1)).collect {
+      case (n, _, w) if medians.get(n).exists(m => w > math.max(2.0, 3 * m)) => n
+    }.toList
+    stallSuspect.foreach { n =>
+      System.err.println(f"[bench] $n sample is 3x its committed median — " +
+        "host stall suspected, flagged")
+    }
     val isDegraded =
       singlePass.nonEmpty || failures.nonEmpty || skippedWall.nonEmpty
     def arr(xs: List[String]) = xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sha = gitSha()
     println(s"""{"metric":"total","value":$warmTotal,"unit":"sec",""" +
       s""""cold_total":${ok.map(_._2).sum},"warm_total_measured":$warmTotal,""" +
+      s""""warm_total_queries":$warmTotalQueries,""" +
       s""""n_warm_measured":$nWarm,"degraded":$isDegraded,""" +
       s""""single_pass_total":$singleTotal,"n_queries":${results.size + skippedWall.size},""" +
       s""""n_failed":${failures.size},"failures":${arr(failures)},""" +
@@ -421,6 +459,7 @@ object Bench {
       s""""substrates":${arr(substrateNames.toList)},""" +
       s""""substrate_total":${substrateResults.map(_._3).filterNot(_.isNaN).sum},""" +
       s""""substrate_stall_suspect":${arr(substrateStallSuspect)},""" +
+      s""""stall_suspect":${arr(stallSuspect)},""" +
       s""""sha":"$sha","elapsed_s":$elapsedS,""" +
       s""""queries":${obj(r => r._1 -> r._3)},"queries_cold":${obj(r => r._1 -> r._2)},""" +
       s""""sf":"$sfDirOrig"}""")
@@ -430,9 +469,10 @@ object Bench {
     // line always fits inside that tail window.
     println(s"""{"metric":"total","value":$warmTotal,"unit":"sec",""" +
       s""""cold_total":${ok.map(_._2).sum},"single_pass_total":$singleTotal,""" +
+      s""""warm_total_queries":$warmTotalQueries,""" +
       s""""n_queries":${results.size + skippedWall.size},"n_warm_measured":$nWarm,""" +
       s""""degraded":$isDegraded,"n_failed":${failures.size},""" +
-      s""""n_single_pass":${singlePass.size},""" +
+      s""""n_single_pass":${singlePass.size},"n_stall_suspect":${stallSuspect.size},""" +
       s""""n_skipped_wall":${skippedWall.size},"elapsed_s":$elapsedS,""" +
       s""""sha":"$sha","summary_of":"preceding full line","sf":"$sfDirOrig"}""")
     System.out.flush()

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.Similarity
+import graft.ops.{Similarity, TextOps}
 
 /** The run-scoped [[ops.DfMemo]] substrates, enumerated for EXPLICIT
   * pre-materialization and billing (VERDICT r12 #1): under
@@ -33,8 +33,14 @@ object Substrates {
     *     DERIVATION of cell_kernel (two label joins on the memoized
     *     edge list, not a second kNN build — VERDICT r13 #1), kept in
     *     the list so the derivation is still pre-built and billed
+    *   - bpe_merges: q_bpe_learn + q_bpe_encode (which re-learns
+    *     internally) — the 3-round merge-learning loop, shared since
+    *     r14
     */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "substrate:bpe_merges" ->
+      ((s: SparkSession, d: String) => TextOps.bpeLearn(
+        Tables.table(s, d, "documents"), "text", 3)),
     "substrate:dedup_pairs3" ->
       ((s: SparkSession, d: String) => QShared.dedupPairs3(s, d)),
     "substrate:dedup_clusters3" ->

@@ -244,7 +244,10 @@ object Multimodal {
         off = body + sz + (sz & 1)
       }
     }
-    walk(12, math.min(bytes.length, 8 + u32(bytes, 4).toInt))
+    // end bound in LONG: a RIFF size ≥ 2³¹−8 would overflow Int to a
+    // negative end and reject valid ~2 GB AVIs as decoded=false
+    // (ADVICE r13); clamp to the payload length BEFORE narrowing
+    walk(12, math.min(bytes.length.toLong, 8L + u32(bytes, 4)).toInt)
     if (truncated || w <= 0 || hRaw == 0 || bc <= 0 || frames.isEmpty) None
     else Some(AviParsed(w, math.abs(hRaw), hRaw < 0, bc, comp,
       frames.toIndexedSeq))

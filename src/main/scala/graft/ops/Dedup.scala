@@ -273,16 +273,20 @@ object Dedup {
     * Scale: candidate volume is the prefix kernel's (bounded,
     * plan-audited elsewhere); the verify runs Ukkonen's banded
     * k-limited DP — O(k·L) per surviving pair with
-    * k = ⌈maxNed·max(L1,L2)⌉+1, via Spark's threshold-limited
+    * k = ⌈(maxNed+5e-7)·max(L1,L2)⌉+1, via Spark's threshold-limited
     * levenshtein driven with a per-row bound
     * ([[graft.functions.BoundedLevenshtein]]) — not the full O(L²)
     * table; a pair whose true distance exceeds k returns -1 and is
     * dropped, which is exactly the set the rounded-ned compare would
-    * have dropped (for texts under ~2·10⁶ chars, where 1/mx > 5e-7
-    * keeps the +1 slack outside the 6-dp rounding window; the DuckDB
-    * oracle's full DP agrees pair-for-pair, and the parity spec
-    * asserts it against the unbounded form on the real corpus). Both
-    * engines' kept rows carry identical integer distances.
+    * have dropped AT ANY TEXT LENGTH: the 6-dp rounded compare admits
+    * dist up to mx·(maxNed + 5e-7), and the band carries that half-ulp
+    * term explicitly (ADVICE r13 — the earlier ⌈maxNed·mx⌉+1 band was
+    * only equivalent below ~2·10⁶ chars, where 1/mx > 5e-7 kept the
+    * +1 slack outside the rounding window; the precondition is now
+    * arithmetic, not documentation). The DuckDB oracle's full DP
+    * agrees pair-for-pair, and the parity spec asserts it against the
+    * unbounded form on the real corpus. Both engines' kept rows carry
+    * identical integer distances.
     * Output: (id1, id2, dist, ned), ned ≤ maxNed.
     */
   def editPairs(
@@ -314,10 +318,12 @@ object Dedup {
         length(col(textCol)).as("l2")), Seq("id2"))
       .withColumn("mx", greatest(col("l1"), col("l2")))
       .filter(abs(col("l1") - col("l2")) <= col("mx") * lit(maxNed))
-      // banded k-limited DP, k per pair (see editPairs scaladoc):
-      // -1 = distance provably > k = provably over maxNed → dropped
+      // banded k-limited DP, k per pair (see editPairs scaladoc): the
+      // +5e-7 carries the 6-dp rounding half-ulp so the band is exact
+      // at any text length, and -1 = distance provably > k = provably
+      // over maxNed → dropped
       .withColumn("dist", graft.functions.BoundedLevenshtein(
-        col("t1"), col("t2"), ceil(col("mx") * lit(maxNed)) + lit(1)))
+        col("t1"), col("t2"), ceil(col("mx") * lit(maxNed + 5e-7)) + lit(1)))
       .withColumn("ned", when(col("mx") === 0, lit(0.0))
         .otherwise(round(col("dist") / col("mx"), 6)))
       .filter(col("dist") >= 0 && col("ned") <= maxNed)

