@@ -27,7 +27,7 @@ object SparkEntry {
 
   private lazy val all: Seq[Q] =
     QCore.qs ++ QDedup1.qs ++ QDedup2.qs ++ QSimText.qs ++
-      QRelEvents.qs ++ QCuration.qs ++ QEmbed.qs ++ QTail.qs
+      QRelEvents.qs ++ QCuration.qs ++ QEmbed.qs ++ QTail.qs ++ QCorpus.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -240,4 +240,42 @@ object GraphOps {
     }
     labels
   }
+
+  /** Per-node triangle counts + local clustering coefficient over a
+    * directed edge list treated as undirected: canonicalize each edge
+    * low→high and dedup, then enumerate every triangle exactly once
+    * via the a<b<c oriented double join — the edge-iterator algorithm
+    * (Schank & Wagner 2005). The density signal LCC adds on top of
+    * degree: spam farms and template clusters close triangles, organic
+    * neighborhoods don't.
+    *
+    * Scale: with bounded out-degree d (a kNN graph), wedge candidates
+    * are O(n·d²) and both joins are plain shuffle hash joins on node
+    * keys — no cartesian, no window over the corpus; per-node counts
+    * partial-aggregate map-side. Output: (id, degree, tri, lcc) with
+    * lcc = 2·tri/(deg·(deg−1)), 0 when deg < 2.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("id"), "left").na.fill(0L, Seq("tri"))
+      .select(col("id"), col("degree"), col("tri"),
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(round(
+            lit(2.0) * col("tri") / (col("degree") * (col("degree") - lit(1))), 6))
+          .as("lcc"))
+  }
 }

@@ -91,6 +91,27 @@ object IdOps {
       .drop("__h")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    * 2006, "Weighted random sampling with a reservoir"): each row
+    * draws `u ∈ (0,1)` and competes with key `u^(1/w)`; the k largest
+    * keys are exactly a weight-proportional sample without
+    * replacement — P(row drawn first) = w_i/Σw, then recursively on
+    * the remainder. `u` is the keyed-hash uniform (md5 of salt+key —
+    * the [[sampleKByHash]] device), so any engine reproduces the
+    * draw; the orderBy+limit plans as TakeOrdered (per-partition
+    * top-k + k-row merge, no global sort — the reservoir form of the
+    * paper, which is what survives at 100 TB).
+    */
+  def weightedSampleK(
+      df: DataFrame, keyCol: String, weightCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    val u = (conv(substring(md5(concat_ws("_", lit(salt),
+        col(keyCol).cast("string"))), 1, 8), 16, 10).cast("long")
+        + lit(0.5)) / lit(4294967296.0)
+    df.withColumn("es_key", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col("es_key").desc, col(keyCol)).limit(k)
+  }
+
   /** Deterministic global shuffle — training-order randomization as a
     * pure function of the key: rank every row by
     * `md5(salt || "_" || key)` (a keyed-hash permutation, the

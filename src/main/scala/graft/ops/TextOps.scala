@@ -117,6 +117,53 @@ object TextOps {
     regexp_count(text, lit(EmailRe)) +
       regexp_count(regexp_replace(text, EmailRe, token), lit(PhoneRe))
 
+  /** Candidate payment-card numbers: maximal 13–19 digit runs
+    * (ISO/IEC 7812 length range). Candidates only — feed through
+    * [[luhnOk]] to drop the ~90% of random digit runs that fail the
+    * checksum, which is what keeps card redaction from eating order
+    * ids and timestamps.
+    */
+  def cardCandidates(text: Column): Column =
+    regexp_extract_all(text, lit("\\b\\d{13,19}\\b"), lit(0))
+
+  /** Luhn checksum validity (ISO/IEC 7812) of a digits-only string,
+    * as explicit position arithmetic — doubling every second digit
+    * from the right, subtracting 9 from two-digit products, sum ≡ 0
+    * (mod 10). Implemented manually rather than via the engine's
+    * `luhn_check` so the DuckDB oracle runs the IDENTICAL recipe
+    * digit-for-digit; parity with Spark's builtin is locked in
+    * TextOpsSpec.
+    */
+  def luhnOk(digits: Column): Column = {
+    val n = length(digits)
+    val vals = transform(sequence(lit(1), n), i => {
+      val d = digits.substr(i, lit(1)).cast("int")
+      val dd = when((n - i) % 2 === 1, d * 2).otherwise(d)
+      when(dd > 9, dd - 9).otherwise(dd).cast("long")
+    })
+    (n > 0) && aggregate(vals, lit(0L), _ + _) % 10 === 0
+  }
+
+  /** Candidate IPv4 addresses: four 1–3 digit groups joined by dots.
+    * Shape only — [[ipv4Valid]] enforces the 0–255 octet range.
+    */
+  def ipv4Candidates(text: Column): Column =
+    regexp_extract_all(text,
+      lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"), lit(0))
+
+  /** True iff every dot-separated octet of a [[ipv4Candidates]] match
+    * is ≤ 255 (the 1–3 digit shape already bounds below at 0). */
+  def ipv4Valid(ip: Column): Column =
+    forall(split(ip, "\\."), o => o.cast("int") <= 255)
+
+  /** Replace every string in `matches` with `token` — the fold that
+    * turns a validated-candidate list (Luhn-passing cards, in-range
+    * IPs) into a redacted text. Per-row array fold, zero shuffle;
+    * replacement is literal (not regex), all occurrences.
+    */
+  def redactAll(text: Column, matches: Column, token: String): Column =
+    aggregate(matches, text, (acc, m) => replace(acc, m, lit(token)))
+
   /** Canonical text normalization — the pre-dedup cleanup pass
     * (C4/CCNet both normalize before hashing): lowercase, collapse
     * every run of non-alphanumeric characters (typographic quotes,

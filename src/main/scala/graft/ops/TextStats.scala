@@ -558,4 +558,73 @@ object TextStats {
       .groupBy(col(idCol))
       .agg(avg(col("lr")).as("dsir_logw"))
   }
+
+  /** Bernoulli-presence Naive Bayes, trained and applied in ONE plan —
+    * the learned sibling of the fixed-weight logistic filter
+    * (`qualityLogit`): given boolean labels, learn per-token log-odds
+    * `ln((c1+1)/(n1+2)) − ln((c0+1)/(n0+2))` (Laplace-smoothed
+    * presence counts) and score each document as the class prior plus
+    * the sum of its distinct tokens' log-odds — the standard shape of
+    * fastText-style quality classifiers distilled to their linear
+    * core. Output: (idCol, labelCol, nb_logit).
+    *
+    * Scale: the model is a vocabulary-sized (token, log-odds)
+    * relation built by one explode + groupBy pass and joined back on
+    * the token key — the tf-idf shuffle family; class totals and the
+    * prior travel as 1-row broadcasts. Nothing is collected, so corpus
+    * and vocabulary can grow independently of executor memory. Token
+    * log-odds are fixed-point-quantized to 1e-9 and summed as EXACT
+    * integers, so the per-doc logit is a pure function of the model —
+    * independent of summation order across engines and partitionings.
+    * (The softer 9-dp-double-sum form of the SURVEY §7.6 rounding law
+    * landed exactly on a 6-dp rounding half-boundary at sf0.1 and
+    * flipped between engines; integer accumulation closes the class.)
+    */
+  def nbTrainScore(
+      docs: DataFrame, idCol: String, toksCol: String, labelCol: String): DataFrame = {
+    val feats = docs.select(col(idCol), col(labelCol).as("__y"),
+      explode(array_distinct(col(toksCol))).as("w"))
+    val cnt = feats.groupBy(col("w")).agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("c1"),
+      sum(when(col("__y"), 0L).otherwise(1L)).as("c0"))
+    val nn = docs.agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("n1"),
+      sum(when(col(labelCol), 0L).otherwise(1L)).as("n0"))
+    val model = cnt.crossJoin(broadcast(nn)).select(col("w"),
+      round((log((col("c1") + lit(1.0)) / (col("n1") + lit(2.0)))
+        - log((col("c0") + lit(1.0)) / (col("n0") + lit(2.0)))) * lit(1e9), 0)
+        .cast("long").as("lo9"))
+    val prior = nn.select(
+      round(log((col("n1") + lit(1.0)) / (col("n0") + lit(1.0))) * lit(1e9), 0)
+        .cast("long").as("prior9"))
+    val slo = feats.join(model, "w").groupBy(col(idCol)).agg(sum("lo9").as("slo9"))
+    docs.select(col(idCol), col(labelCol))
+      .join(slo, Seq(idCol), "left").na.fill(0L, Seq("slo9"))
+      .crossJoin(broadcast(prior))
+      .select(col(idCol), col(labelCol),
+        ((col("prior9") + col("slo9")) / lit(1e9)).as("nb_logit"))
+  }
+
+  /** C4 line-level cleaning (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2 — the rule set every web-scale corpus pipeline starts from):
+    * a line of a newline-delimited text survives iff it ends in a
+    * terminal punctuation mark (`.`/`!`/`?`/`"`), has at least
+    * `minWords` space-separated words, and does not mention
+    * "javascript" (boilerplate cookie/JS warnings). Pure map-side
+    * column expression — the zero-shuffle first pass at any scale.
+    */
+  def c4KeptLines(text: Column, minWords: Int = 5): Column =
+    filter(split(text, "\n"), l =>
+      l.rlike("[.!?\"]$") && size(split(l, " ")) >= minWords &&
+        !l.contains("javascript"))
+
+  /** C4 document-level guards over the original text and the
+    * [[c4KeptLines]]-cleaned text: drop documents containing a curly
+    * brace (code), the "lorem ipsum" placeholder, or fewer than
+    * `minSentences` sentences (terminal punctuation marks) after line
+    * cleaning. Returns the keep/drop boolean.
+    */
+  def c4KeepDoc(text: Column, keptText: Column, minSentences: Int = 3): Column =
+    !text.contains("{") && !text.contains("lorem ipsum") &&
+      size(regexp_extract_all(keptText, lit("[.!?]"), lit(0))) >= minSentences
 }

@@ -1,0 +1,319 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+import graft.SparkEntry.Q
+import graft.QShared._
+
+/** Query registry — corpus-hygiene additions (r14): the C4 line-level
+  * cleaning rule set, a corpus-TRAINED Naive-Bayes quality classifier
+  * (the fixed-weight q_quality_clf's learned sibling), Luhn-validated
+  * payment-card + IPv4 PII detection, Efraimidis–Spirakis weighted
+  * sampling without replacement, and triangle counting / local
+  * clustering coefficients on the cell-routed kNN graph.
+  * Split-registry structure per SparkEntry's scaladoc.
+  */
+private[graft] object QCorpus {
+  import Dictionaries.{Stopwords => Stop}
+
+  def qs: Seq[Q] = Seq(
+
+    Q("q_c4_filters",  // the C4 cleaning rule set (Raffel et al. 2020,
+      // arXiv:1910.10683 §2.2): keep lines ending in terminal
+      // punctuation with >= 5 words and no "javascript"; drop docs
+      // containing '{' or "lorem ipsum" or fewer than 3 sentences
+      // after line cleaning. The synthetic corpus is single-line prose
+      // with no punctuation, so (house fixture pattern, see
+      // q_url_canon) a newline-structured text is synthesized
+      // deterministically per doc — 8-token lines, punctuation /
+      // "javascript" / "lorem ipsum" / '{' injected on doc_id
+      // arithmetic both engines reproduce — and the OPERATOR under
+      // test (TextStats.c4KeptLines/c4KeepDoc) is the real map-side
+      // rule set. Zero shuffle beyond the output sort.
+      (s, dir) => {
+        val toks = TextOps.tokenize(col("text"))
+        val n = size(toks)
+        val nchunks = greatest(lit(1), floor((n + lit(7)) / lit(8)).cast("int"))
+        val lines = transform(sequence(lit(0), nchunks - 1), i =>
+          concat(
+            array_join(slice(toks, i * lit(8) + 1, lit(8)), " "),
+            when((col("doc_id") + i) % 7 === 0, lit(" javascript"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 17 === 0 && i === 0, lit(" lorem ipsum"))
+              .otherwise(lit("")),
+            when((col("doc_id") + i) % 3 =!= 0, lit(".")).otherwise(lit(""))))
+        val ctext = concat(array_join(lines, "\n"),
+          when(col("doc_id") % 13 === 0, lit("\n{")).otherwise(lit("")))
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), ctext.as("ctext"))
+          .select(col("doc_id"), col("ctext"),
+            size(split(col("ctext"), "\n")).as("n_lines"),
+            TextStats.c4KeptLines(col("ctext")).as("kept"))
+          .select(col("doc_id"), col("n_lines"),
+            size(col("kept")).as("kept_lines"),
+            array_join(col("kept"), "\n").as("kept_text"), col("ctext"))
+          .select(col("doc_id"), col("n_lines"), col("kept_lines"),
+            size(regexp_extract_all(col("kept_text"), lit("[.!?]"), lit(0)))
+              .as("n_sentences"),
+            TextStats.c4KeepDoc(col("ctext"), col("kept_text")).as("keep_doc"),
+            md5(col("kept_text")).as("kept_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |        regexp_extract_all(lower(text), '\b\w\w+\b') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks,
+        |        greatest(1, CAST(floor((len(toks) + 7) / 8.0) AS INT)) AS nc FROM t),
+        |l AS (SELECT doc_id,
+        |        list_transform(range(0, nc), i ->
+        |          array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ')
+        |          || CASE WHEN (doc_id + i) % 7 = 0 THEN ' javascript' ELSE '' END
+        |          || CASE WHEN doc_id % 17 = 0 AND i = 0 THEN ' lorem ipsum' ELSE '' END
+        |          || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END) AS lines
+        |      FROM b),
+        |c AS (SELECT doc_id, array_to_string(lines, chr(10))
+        |        || CASE WHEN doc_id % 13 = 0 THEN chr(10) || '{' ELSE '' END AS ctext
+        |      FROM l),
+        |k AS (SELECT doc_id, ctext,
+        |        len(string_split(ctext, chr(10))) AS n_lines,
+        |        list_filter(string_split(ctext, chr(10)), x ->
+        |          regexp_matches(x, '[.!?"]$')
+        |          AND len(string_split(x, ' ')) >= 5
+        |          AND NOT contains(x, 'javascript')) AS kept
+        |      FROM c),
+        |m AS (SELECT doc_id, n_lines, len(kept) AS kept_lines,
+        |        COALESCE(array_to_string(kept, chr(10)), '') AS kept_text, ctext
+        |      FROM k)
+        |SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+        |  CAST(kept_lines AS INT) AS kept_lines,
+        |  CAST(len(regexp_extract_all(kept_text, '[.!?]')) AS INT) AS n_sentences,
+        |  (NOT contains(ctext, '{') AND NOT contains(ctext, 'lorem ipsum')
+        |   AND len(regexp_extract_all(kept_text, '[.!?]')) >= 3) AS keep_doc,
+        |  md5(kept_text) AS kept_md5
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
+    Q("q_nb_quality",  // corpus-TRAINED Naive-Bayes quality classifier
+      // (the fixed-weight q_quality_clf's learned sibling): label =
+      // heuristic quality >= 0.62 (~45/55 split at every SF), features
+      // = distinct-token presence, model = Laplace-smoothed per-token
+      // log-odds learned by one explode+groupBy pass and joined back
+      // on the token key (tf-idf shuffle family; totals/prior as 1-row
+      // broadcasts — nothing collected). Token log-odds are 1e-9
+      // fixed-point integers summed EXACTLY on both engines (a 9-dp
+      // double sum hit a 6-dp rounding half-boundary at sf0.1), so
+      // logit and prediction are order-independent.
+      (s, dir) => {
+        val lab = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
+          .withColumn("y", TextStats.qualityScore(col("toks"), Stop) >= 0.62)
+        TextStats.nbTrainScore(lab, "doc_id", "toks", "y")
+          .select(col("doc_id"), col("y"),
+            round(col("nb_logit"), 6).as("nb_logit"),
+            (col("nb_logit") > 0).as("nb_pred"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+        |        regexp_extract_all(lower(text), '\\b\\w\\w+\\b') AS toks FROM documents),
+        |ld AS (SELECT doc_id, toks, ($SqlQuality) >= 0.62 AS y FROM t),
+        |f AS (SELECT doc_id, y, unnest(list_distinct(toks)) AS w FROM ld),
+        |cnt AS (SELECT w, sum(CASE WHEN y THEN 1 ELSE 0 END) AS c1,
+        |          sum(CASE WHEN y THEN 0 ELSE 1 END) AS c0 FROM f GROUP BY 1),
+        |nn AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS n1,
+        |         sum(CASE WHEN y THEN 0 ELSE 1 END) AS n0 FROM ld),
+        |model AS (SELECT w, CAST(round((ln((c1 + 1.0) / (n1 + 2.0))
+        |            - ln((c0 + 1.0) / (n0 + 2.0))) * 1e9) AS BIGINT) AS lo9
+        |          FROM cnt CROSS JOIN nn),
+        |pr AS (SELECT CAST(round(ln((n1 + 1.0) / (n0 + 1.0)) * 1e9) AS BIGINT)
+        |         AS prior9 FROM nn),
+        |slo AS (SELECT doc_id, sum(lo9) AS slo9
+        |        FROM f JOIN model USING (w) GROUP BY 1)
+        |SELECT ld.doc_id, ld.y,
+        |  round((pr.prior9 + COALESCE(slo.slo9, 0)) / 1e9, 6) AS nb_logit,
+        |  (pr.prior9 + COALESCE(slo.slo9, 0) > 0) AS nb_pred
+        |FROM ld CROSS JOIN pr LEFT JOIN slo ON slo.doc_id = ld.doc_id
+        |ORDER BY ld.doc_id""".stripMargin)),
+
+    Q("q_weighted_sample",  // weighted sampling WITHOUT replacement
+      // (Efraimidis & Spirakis 2006): competition key u^(1/w) with a
+      // keyed-hash uniform u, top-25 by key — inclusion probability
+      // proportional to weight (n_chars), engine-portable because the
+      // "randomness" is md5 of the doc id. Plans as TakeOrdered
+      // (per-partition top-k + k-row merge — the paper's reservoir
+      // form, no global sort at any corpus size).
+      (s, dir) => IdOps.weightedSampleK(
+          Tables.table(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", k = 25, salt = "ws")
+        .select(col("doc_id"), col("n_chars"), round(col("es_key"), 6).as("es_key"))
+        .orderBy("doc_id"),
+      Some("""WITH u AS (SELECT doc_id, n_chars,
+        |        (CAST(('0x' || substr(md5('ws_' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |           AS BIGINT) + 0.5) / 4294967296.0 AS u
+        |      FROM documents),
+        |k AS (SELECT doc_id, n_chars, pow(u, 1.0 / n_chars) AS es_key FROM u
+        |      QUALIFY row_number() OVER (ORDER BY es_key DESC, doc_id) <= 25)
+        |SELECT doc_id, n_chars, round(es_key, 6) AS es_key FROM k
+        |ORDER BY doc_id""".stripMargin)),
+
+    Q("q_pii_cards",  // checksum-validated PII: payment-card detection
+      // = 13–19 digit runs gated by the Luhn checksum (drops the ~90%
+      // of random digit runs that would otherwise be eaten as "cards"),
+      // IPv4 detection = dotted-quad shape gated by the 0–255 octet
+      // range; only VALIDATED matches are redacted. The corpus has no
+      // digit runs, so card/IP/decoy fixtures are synthesized per doc
+      // from doc_id arithmetic (house fixture pattern, q_url_canon);
+      // the operators under test (cardCandidates/luhnOk/ipv4Candidates/
+      // ipv4Valid/redactAll) are the real map-side pass — zero shuffle.
+      // Luhn is implemented as identical digit arithmetic on BOTH
+      // engines; parity with Spark's builtin luhn_check is a spec.
+      (s, dir) => {
+        val card1 = lpad(((col("doc_id") * 7919L + 12345L) * 104729L
+          % 10000000000000000L).cast("string"), 16, "0")
+        val card2 = lpad(((col("doc_id") * 31L + 7L) * 86243L
+          % 10000000000000000L).cast("string"), 16, "0")
+        val ip = concat_ws(".",
+          (col("doc_id") % 300).cast("string"),
+          (col("doc_id") % 256).cast("string"),
+          (col("doc_id") * 3 % 300).cast("string"),
+          (col("doc_id") * 7 % 256).cast("string"))
+        val ctext = concat(
+          lit("order "), card1, lit(" ref 123456789012 from host "), ip,
+          when(col("doc_id") % 5 === 0, concat(lit(" alt "), card2))
+            .otherwise(lit("")),
+          lit(" confirmed"))
+        val cards = TextOps.cardCandidates(col("ctext"))
+        val ips = TextOps.ipv4Candidates(col("ctext"))
+        val vcards = filter(cards, TextOps.luhnOk _)
+        val vips = filter(ips, TextOps.ipv4Valid _)
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), ctext.as("ctext"))
+          .select(col("doc_id"),
+            size(cards).as("n_cards"),
+            size(vcards).as("n_valid_cards"),
+            size(ips).as("n_ips"),
+            size(vips).as("n_valid_ips"),
+            md5(TextOps.redactAll(
+              TextOps.redactAll(col("ctext"), vcards, "<CARD>"),
+              vips, "<IP>")).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT doc_id, 'order '
+        |  || lpad(CAST((doc_id * 7919 + 12345) * 104729
+        |       % 10000000000000000 AS VARCHAR), 16, '0')
+        |  || ' ref 123456789012 from host '
+        |  || CAST(doc_id % 300 AS VARCHAR) || '.'
+        |  || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |  || CAST(doc_id * 3 % 300 AS VARCHAR) || '.'
+        |  || CAST(doc_id * 7 % 256 AS VARCHAR)
+        |  || CASE WHEN doc_id % 5 = 0 THEN ' alt '
+        |       || lpad(CAST((doc_id * 31 + 7) * 86243
+        |            % 10000000000000000 AS VARCHAR), 16, '0') ELSE '' END
+        |  || ' confirmed' AS ctext FROM documents),
+        |e AS (SELECT doc_id, ctext,
+        |  regexp_extract_all(ctext, '\b\d{13,19}\b') AS cards,
+        |  regexp_extract_all(ctext,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b') AS ips FROM c),
+        |v AS (SELECT doc_id, ctext, cards, ips,
+        |  list_filter(cards, s -> length(s) > 0 AND
+        |    list_sum(list_transform(range(1, length(s) + 1), i ->
+        |      CASE WHEN (CASE WHEN (length(s) - i) % 2 = 1
+        |             THEN 2 * CAST(s[i] AS INT) ELSE CAST(s[i] AS INT) END) > 9
+        |        THEN (CASE WHEN (length(s) - i) % 2 = 1
+        |             THEN 2 * CAST(s[i] AS INT) ELSE CAST(s[i] AS INT) END) - 9
+        |        ELSE (CASE WHEN (length(s) - i) % 2 = 1
+        |             THEN 2 * CAST(s[i] AS INT) ELSE CAST(s[i] AS INT) END)
+        |      END)) % 10 = 0) AS vcards,
+        |  list_filter(ips, x -> len(list_filter(string_split(x, '.'),
+        |    o -> CAST(o AS INT) > 255)) = 0) AS vips
+        |  FROM e)
+        |SELECT doc_id, CAST(len(cards) AS INT) AS n_cards,
+        |  CAST(len(vcards) AS INT) AS n_valid_cards,
+        |  CAST(len(ips) AS INT) AS n_ips,
+        |  CAST(len(vips) AS INT) AS n_valid_ips,
+        |  md5(list_reduce(list_prepend(
+        |        list_reduce(list_prepend(ctext, vcards),
+        |          (acc, m) -> replace(acc, m, '<CARD>')),
+        |        vips), (acc, m) -> replace(acc, m, '<IP>'))) AS redacted_md5
+        |FROM v ORDER BY doc_id""".stripMargin)),
+
+    Q("q_triangles",  // per-node triangle counts + local clustering
+      // coefficient (edge-iterator enumeration, Schank & Wagner 2005)
+      // over the SAME memoized cell-routed 5-NN graph as q_pagerank /
+      // q_label_prop — the triangle-closure density signal that
+      // separates template/spam clusters (high LCC) from organic
+      // neighborhoods. a<b<c orientation counts each triangle once;
+      // with degree bounded by k the wedge set is O(n·k²) and both
+      // joins are shuffle hash joins — no cartesian at any corpus size.
+      (s, dir) => {
+        val edges = Similarity.knnSelfJoin(
+            Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
+            fixedCentroidArr(s, dir), k = 5, nprobe = 5)
+          .select(col("qid").as("src"), col("nbr").as("dst"))
+        GraphOps.triangleStats(edges, "src", "dst").orderBy("id")
+      },
+      Some(s"""WITH $SqlCellEdges,
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM g WHERE src <> dst),
+        |deg AS (SELECT id, count(*) AS degree FROM
+        |          (SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+        |        GROUP BY 1),
+        |tr AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1
+        |       JOIN und e2 ON e2.a = e1.b
+        |       JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (SELECT id, count(*) AS tri FROM
+        |         (SELECT x AS id FROM tr UNION ALL SELECT y FROM tr
+        |          UNION ALL SELECT z FROM tr) GROUP BY 1)
+        |SELECT deg.id, CAST(degree AS BIGINT) AS degree,
+        |  CAST(COALESCE(tri, 0) AS BIGINT) AS tri,
+        |  CASE WHEN degree < 2 THEN 0.0
+        |    ELSE round(2.0 * COALESCE(tri, 0) / (degree * (degree - 1)), 6)
+        |  END AS lcc
+        |FROM deg LEFT JOIN pn ON pn.id = deg.id ORDER BY deg.id""".stripMargin)),
+
+    Q("q_dp_budget",  // ε-ACCOUNTED noisy release (the accounting layer
+      // the q_dp_counts caveat lacked): per-source counts released
+      // TWICE, each with Laplace(Δ1/ε) noise at ε=0.25 calibrated by
+      // Privacy.laplaceScale (counting ⇒ Δ1=1), and the ledger's total
+      // spend published under BOTH basic composition (Σε = 0.5) and
+      // advanced composition (Dwork & Roth Cor 3.21 at δ′=1e-6 —
+      // honest output: at k=2 the √k bound is WORSE than basic; the
+      // crossover at large k is the PrivacySpec). Noise is the seeded
+      // md5 inverse-CDF device — the salt is the mechanism's coin
+      // flips — so the whole protocol value-oracles.
+      (s, dir) => {
+        val eps = 0.25
+        val b = Privacy.laplaceScale(eps)
+        val ledger = Seq(Privacy.Release(eps), Privacy.Release(eps))
+        val basic = Privacy.composeBasic(ledger)
+        val adv = Privacy.composeAdvanced(ledger, 1e-6)
+        Tables.table(s, dir, "documents")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .select(col("source"),
+            round(col("n_docs")
+              + Privacy.laplaceNoise(col("source"), b, "dpb1"), 6).as("noisy1"),
+            round(col("n_docs")
+              + Privacy.laplaceNoise(col("source"), b, "dpb2"), 6).as("noisy2"),
+            round(lit(basic.epsilon), 6).as("eps_basic"),
+            round(lit(adv.epsilon), 6).as("eps_advanced"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (SELECT source, count(*) AS n_docs
+        |        FROM documents GROUP BY source),
+        |u AS (SELECT source, n_docs,
+        |  (CAST(('0x' || substr(md5(source || '|dpb1'), 1, 8)) AS BIGINT) + 0.5)
+        |    / 4294967296.0 - 0.5 AS u1,
+        |  (CAST(('0x' || substr(md5(source || '|dpb2'), 1, 8)) AS BIGINT) + 0.5)
+        |    / 4294967296.0 - 0.5 AS u2
+        | FROM c)
+        |SELECT source,
+        |  round(n_docs + (-4.0 * sign(u1) * ln(1.0 - 2.0 * abs(u1))), 6) + 0.0
+        |    AS noisy1,
+        |  round(n_docs + (-4.0 * sign(u2) * ln(1.0 - 2.0 * abs(u2))), 6) + 0.0
+        |    AS noisy2,
+        |  CAST(0.5 AS DOUBLE) AS eps_basic,
+        |  round(0.25 * sqrt(4.0 * ln(1000000.0))
+        |    + 0.5 * (exp(0.25) - 1.0), 6) + 0.0 AS eps_advanced
+        |FROM u ORDER BY source""".stripMargin))
+  )
+}

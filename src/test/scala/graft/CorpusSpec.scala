@@ -1,0 +1,186 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{GraphOps, IdOps, TextOps, TextStats}
+import graft.Dictionaries.{Stopwords => Stop}
+
+/** Specs for the r14 corpus-hygiene surface: C4 line/doc filters,
+  * Luhn/IPv4 PII validation, trained Naive Bayes, Efraimidis–Spirakis
+  * weighted sampling, triangle counting.
+  */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("c4KeptLines/c4KeepDoc: each rule fires on a constructed page") {
+    val page = Seq(
+      "This line has five words here.",   // kept
+      "Too short line.",                  // dropped: < 5 words
+      "No terminal punctuation on this line at all", // dropped: no punct
+      "Please enable javascript to view this content.", // dropped: javascript
+      "Another perfectly fine sentence with enough words!", // kept
+      "A third good sentence keeps the document alive?"     // kept
+    ).mkString("\n")
+    val df = Seq((1L, page)).toDF("id", "text")
+      .select(col("id"), TextStats.c4KeptLines(col("text")).as("kept"),
+        col("text"))
+    val kept = df.select("kept").as[Seq[String]].head()
+    assert(kept.size == 3 && kept.head.startsWith("This line"))
+    // 3 sentences survive -> keep; strip one -> < 3 sentences -> drop
+    val keep = df.select(TextStats.c4KeepDoc(col("text"),
+      array_join(col("kept"), "\n"))).as[Boolean].head()
+    assert(keep)
+    val two = kept.take(2).mkString("\n")
+    val drop = Seq((1L, page)).toDF("id", "text")
+      .select(TextStats.c4KeepDoc(col("text"), lit(two))).as[Boolean].head()
+    assert(!drop)
+    // doc-level hard guards
+    for (bad <- Seq("lorem ipsum dolor sit amet etc.", "function() { return; }")) {
+      val t = page + "\n" + bad
+      val d = Seq((1L, t)).toDF("id", "text")
+        .select(TextStats.c4KeepDoc(col("text"),
+          array_join(TextStats.c4KeptLines(col("text")), "\n")))
+        .as[Boolean].head()
+      assert(!d, s"doc guard must fire on: $bad")
+    }
+  }
+
+  test("luhnOk: parity with Spark's builtin luhn_check over fixtures and fuzz") {
+    // classic vectors: 4532015112830366 valid, flip last digit -> invalid,
+    // 79927398713 the textbook Luhn example
+    val fixed = Seq("4532015112830366", "4532015112830367", "79927398713",
+      "0000000000000000", "1234567812345670")
+    val fuzz = (0 until 500).map(i => ((i.toLong * 7919 + 12345) * 104729)
+      .toString.reverse.padTo(16, '0').reverse.mkString)
+    val df = (fixed ++ fuzz).toDF("s")
+      .select(col("s"), TextOps.luhnOk(col("s")).as("mine"),
+        call_function("luhn_check", col("s")).as("builtin"))
+    assert(df.filter(col("mine") =!= col("builtin")).count() == 0)
+    val m = df.filter(col("s").isin(fixed: _*))
+      .select("s", "mine").as[(String, Boolean)].collect().toMap
+    assert(m("4532015112830366") && !m("4532015112830367") && m("79927398713"))
+  }
+
+  test("ipv4Valid: octet range enforced; candidates keep shape only") {
+    val rows = Seq("10.0.0.1" -> true, "255.255.255.255" -> true,
+      "256.1.1.1" -> false, "1.299.3.4" -> false, "0.0.0.0" -> true)
+    val got = rows.map(_._1).toDF("ip")
+      .select(col("ip"), TextOps.ipv4Valid(col("ip")).as("ok"))
+      .as[(String, Boolean)].collect().toMap
+    rows.foreach { case (ip, exp) => assert(got(ip) == exp, ip) }
+    val cands = Seq("x 1.2.3.4 y 300.300.300.300 z 1.2.3 w").toDF("t")
+      .select(TextOps.ipv4Candidates(col("t"))).as[Seq[String]].head()
+    assert(cands == Seq("1.2.3.4", "300.300.300.300")) // shape only; 1.2.3 not
+  }
+
+  test("redactAll: folds every validated match out of the text") {
+    val t = "pay 4532015112830366 or 4532015112830367 at 10.0.0.1"
+    val out = Seq(t).toDF("t")
+      .select(TextOps.redactAll(col("t"),
+        filter(TextOps.cardCandidates(col("t")), TextOps.luhnOk _),
+        "<CARD>")).as[String].head()
+    assert(out == "pay <CARD> or 4532015112830367 at 10.0.0.1")
+    val none = Seq("no digits here").toDF("t")
+      .select(TextOps.redactAll(col("t"), TextOps.cardCandidates(col("t")),
+        "<CARD>")).as[String].head()
+    assert(none == "no digits here")
+  }
+
+  test("nbTrainScore: hand-computed log-odds on a 4-doc fixture") {
+    // pos docs contain "good", neg docs contain "bad"; "meh" is in one of each
+    val docs = Seq(
+      (1L, Seq("good", "meh"), true), (2L, Seq("good"), true),
+      (3L, Seq("bad", "meh"), false), (4L, Seq("bad"), false)
+    ).toDF("id", "toks", "y")
+    val got = TextStats.nbTrainScore(docs, "id", "toks", "y")
+      .as[(Long, Boolean, Double)].collect().map(t => t._1 -> t._3).toMap
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val loGood = r9(math.log(3.0 / 4.0) - math.log(1.0 / 4.0)) // c1=2,c0=0,n=2,2
+    val loBad = r9(math.log(1.0 / 4.0) - math.log(3.0 / 4.0))
+    val loMeh = r9(math.log(2.0 / 4.0) - math.log(2.0 / 4.0)) // 0
+    val prior = r9(math.log(3.0 / 3.0)) // 0
+    assert(math.abs(got(1L) - (prior + loGood + loMeh)) < 1e-9)
+    assert(math.abs(got(4L) - (prior + loBad)) < 1e-9)
+    assert(got(1L) > 0 && got(3L) < 0)
+    // docs with no features score exactly the prior
+    val empty = Seq((1L, Seq.empty[String], true), (2L, Seq("x"), false))
+      .toDF("id", "toks", "y")
+    val e = TextStats.nbTrainScore(empty, "id", "toks", "y")
+      .as[(Long, Boolean, Double)].collect().map(t => t._1 -> t._3).toMap
+    assert(math.abs(e(1L) - r9(math.log(2.0 / 2.0))) < 1e-9)
+  }
+
+  test("weightedSampleK: k=n returns all; inclusion tracks weight") {
+    val df = (1L to 40L).map(i => (i, if (i == 1L) 1000L else 1L))
+      .toDF("id", "w")
+    assert(IdOps.weightedSampleK(df, "id", "w", k = 40).count() == 40)
+    // row 1 carries ~96% of the total weight: across 50 salts it must
+    // win first place most of the time (binomial p~0.96, 50 trials —
+    // <40 wins has probability ~1e-9), and a uniform-weight control
+    // must not show that dominance.
+    val wins = (0 until 50).count { s =>
+      IdOps.weightedSampleK(df, "id", "w", k = 1, salt = s"t$s")
+        .select("id").as[Long].head() == 1L
+    }
+    assert(wins >= 40, s"heavy row won only $wins/50")
+    val uni = (1L to 40L).map(i => (i, 1L)).toDF("id", "w")
+    val uwins = (0 until 50).count { s =>
+      IdOps.weightedSampleK(uni, "id", "w", k = 1, salt = s"t$s")
+        .select("id").as[Long].head() == 1L
+    }
+    assert(uwins <= 10, s"uniform control won $uwins/50 — not uniform")
+  }
+
+  test("Privacy: calibration formulas, composition, and Laplace moments") {
+    import graft.ops.Privacy
+    assert(Privacy.laplaceScale(0.25) == 4.0)
+    assert(Privacy.laplaceScale(0.5, sensitivity = 3.0) == 6.0)
+    val sig = Privacy.gaussianSigma(0.5, 1e-5, 1.0)
+    assert(math.abs(sig - math.sqrt(2 * math.log(1.25 / 1e-5)) / 0.5) < 1e-12)
+    intercept[IllegalArgumentException](Privacy.gaussianSigma(2.0, 1e-5))
+
+    val many = Seq.fill(100)(Privacy.Release(0.05))
+    val basic = Privacy.composeBasic(many)
+    val adv = Privacy.composeAdvanced(many, 1e-6)
+    assert(math.abs(basic.epsilon - 5.0) < 1e-12)
+    // the whole point of advanced composition: sqrt(k) beats k at scale
+    assert(adv.epsilon < basic.epsilon, s"adv=${adv.epsilon} basic=${basic.epsilon}")
+    assert(math.abs(adv.epsilon - (0.05 * math.sqrt(200 * math.log(1e6))
+      + 5.0 * (math.exp(0.05) - 1))) < 1e-12)
+    assert(adv.delta == 1e-6)
+    // ...and at k=2 it's honestly worse
+    val two = Seq.fill(2)(Privacy.Release(0.25))
+    assert(Privacy.composeAdvanced(two, 1e-6).epsilon >
+      Privacy.composeBasic(two).epsilon)
+
+    // seeded Laplace(b=1): deterministic moment check over 20k keys —
+    // mean ~ 0, variance ~ 2b^2 (exact inverse-CDF sampling)
+    val n = 20000
+    val noise = spark.range(n)
+      .select(Privacy.laplaceNoise(col("id"), b = 1.0, salt = "mspec").as("x"))
+      .agg(avg("x").as("m"), avg(col("x") * col("x")).as("m2"))
+      .as[(Double, Double)].head()
+    assert(math.abs(noise._1) < 0.05, s"mean ${noise._1}")
+    assert(math.abs(noise._2 - 2.0) < 0.2, s"E[x^2] ${noise._2}")
+  }
+
+  test("triangleStats: closed form on K4-minus-an-edge") {
+    // nodes 1-4, edges: full K4 without (3,4). Triangles: (1,2,3), (1,2,4).
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (2L, 1L) /* duplicate reversed edge must dedup */).toDF("s", "d")
+    val m = GraphOps.triangleStats(e, "s", "d")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(m(1L) == ((3L, 2L, BigDecimal(2.0 * 2 / 6).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(m(2L)._1 == 3L && m(2L)._2 == 2L)
+    assert(m(3L) == ((2L, 1L, 1.0)) && m(4L) == ((2L, 1L, 1.0)))
+    // a node with degree 1 has lcc 0, not NaN
+    val line = Seq((1L, 2L)).toDF("s", "d")
+    val l = GraphOps.triangleStats(line, "s", "d")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(l.forall(t => t._3 == 0L && t._4 == 0.0))
+  }
+}
