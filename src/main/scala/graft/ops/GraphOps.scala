@@ -255,6 +255,48 @@ object GraphOps {
     * partial-aggregate map-side. Output: (id, degree, tri, lcc) with
     * lcc = 2·tri/(deg·(deg−1)), 0 when deg < 2.
     */
+  /** Fixed-iteration k-core peel (Seidman 1983; the BZ/peeling family
+    * of Batagelj & Zaveršnik 2003): each round drops every node whose
+    * degree in the SURVIVING subgraph is < k, together with its edges.
+    * `iters` is FIXED so the result is a closed-form function of the
+    * graph (the PageRank unroll device — the oracle replays the same
+    * rounds); production wraps the round in the CC-style
+    * driver-convergence loop and stops when no node drops. Dense
+    * template/spam clusters survive high k, organic tails peel away —
+    * the graph-side counterpart of a quality threshold.
+    *
+    * Scale: per round ONE groupBy(degree) over the surviving edge list
+    * + two semi-joins to induce the subgraph — O(edges) shuffle per
+    * round, no window, no cartesian; localCheckpoint caps plan depth
+    * per round exactly like [[pageRank]]. Output: survivors after
+    * `iters` rounds as (id, degree) with degree measured in the
+    * surviving subgraph.
+    */
+  def kcorePeel(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1)
+    var e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(eager = false)
+    var deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    var it = 0
+    while (it < iters) {
+      val alive = deg.filter(col("degree") >= k).select(col("id"))
+      e = e.join(alive.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(alive.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(eager = false)
+      deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+      it += 1
+    }
+    deg.filter(col("degree") >= k)
+  }
+
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),

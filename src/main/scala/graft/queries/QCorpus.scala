@@ -253,8 +253,8 @@ private[graft] object QCorpus {
         GraphOps.triangleStats(edges, "src", "dst").orderBy("id")
       },
       Some(s"""WITH $SqlCellEdges,
-        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |        FROM g WHERE src <> dst),
+        |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+        |        greatest(src, dst) AS b FROM g WHERE src <> dst),
         |deg AS (SELECT id, count(*) AS degree FROM
         |          (SELECT a AS id FROM und UNION ALL SELECT b FROM und)
         |        GROUP BY 1),
@@ -270,6 +270,40 @@ private[graft] object QCorpus {
         |    ELSE round(2.0 * COALESCE(tri, 0) / (degree * (degree - 1)), 6)
         |  END AS lcc
         |FROM deg LEFT JOIN pn ON pn.id = deg.id ORDER BY deg.id""".stripMargin)),
+
+    Q("q_kcore",  // fixed-iteration k-core peel (Seidman 1983 /
+      // Batagelj & Zaveršnik 2003) at k=3 over the same memoized
+      // cell-routed 5-NN graph: drop nodes with degree < 6, induce the
+      // surviving subgraph, keep survivors whose residual degree still
+      // clears 6 (k=6/one round because the union-direction 5-NN graph
+      // has min degree 5 — lower k peels nothing, and the 6-core
+      // proper is empty here: kd2 sweeps to 0 at every SF). Fixed
+      // rounds = closed-form of the graph (the PageRank unroll device;
+      // DuckDB replays the identical rounds); production wraps the
+      // round in the CC-style driver-convergence loop. O(edges)
+      // shuffle per round — groupBy degree + two semi-joins.
+      (s, dir) => {
+        val edges = Similarity.knnSelfJoin(
+            Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
+            fixedCentroidArr(s, dir), k = 5, nprobe = 5)
+          .select(col("qid").as("src"), col("nbr").as("dst"))
+        GraphOps.kcorePeel(edges, "src", "dst", k = 6, iters = 1)
+          .orderBy("id")
+      },
+      Some(s"""WITH $SqlCellEdges,
+        |ke0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+        |          greatest(src, dst) AS b FROM g WHERE src <> dst),
+        |kd0 AS (SELECT id, count(*) AS degree FROM
+        |          (SELECT a AS id FROM ke0 UNION ALL SELECT b FROM ke0)
+        |        GROUP BY 1),
+        |ka1 AS MATERIALIZED (SELECT id FROM kd0 WHERE degree >= 6),
+        |ke1 AS MATERIALIZED (SELECT ke0.a, ke0.b FROM ke0
+        |        JOIN ka1 x ON x.id = ke0.a JOIN ka1 y ON y.id = ke0.b),
+        |kd1 AS (SELECT id, count(*) AS degree FROM
+        |          (SELECT a AS id FROM ke1 UNION ALL SELECT b FROM ke1)
+        |        GROUP BY 1)
+        |SELECT id, CAST(degree AS BIGINT) AS degree FROM kd1
+        |WHERE degree >= 6 ORDER BY id""".stripMargin)),
 
     Q("q_dp_budget",  // ε-ACCOUNTED noisy release (the accounting layer
       // the q_dp_counts caveat lacked): per-source counts released

@@ -166,6 +166,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(noise._2 - 2.0) < 0.2, s"E[x^2] ${noise._2}")
   }
 
+  test("kcorePeel: clique survives, pendant chain peels, cascade works") {
+    // K4 on 1-4 plus chain 4-5-6: at k=2, nodes 5,6 peel (degree 1
+    // after inducing), K4 survives with internal degree 3.
+    val e = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      ++ Seq((4L, 5L), (5L, 6L))).toDF("s", "d")
+    val core2 = GraphOps.kcorePeel(e, "s", "d", k = 2, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core2.keySet == Set(1L, 2L, 3L, 4L))
+    assert(core2(1L) == 3L && core2(4L) == 3L) // chain edge gone from 4
+    // cascade: a path 1-2-3-4 has an empty 2-core — the endpoints peel
+    // and the re-applied >= k filter then drops the stranded middle
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    assert(GraphOps.kcorePeel(path, "s", "d", k = 2, iters = 1).count() == 0)
+    // k=4 empties K4 (max degree 3)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("s", "d")
+    assert(GraphOps.kcorePeel(k4, "s", "d", k = 4, iters = 1).count() == 0)
+    assert(GraphOps.kcorePeel(k4, "s", "d", k = 3, iters = 3).count() == 4)
+  }
+
   test("triangleStats: closed form on K4-minus-an-edge") {
     // nodes 1-4, edges: full K4 without (3,4). Triangles: (1,2,3), (1,2,4).
     val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
