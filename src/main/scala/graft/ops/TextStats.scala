@@ -580,7 +580,11 @@ object TextStats {
     * landed exactly on a 6-dp rounding half-boundary at sf0.1 and
     * flipped between engines; integer accumulation closes the class.)
     */
-  def nbTrainScore(
+  /** The learned NB model as a (w, lo9) relation — per-token log-odds
+    * in 1e-9 fixed point (see [[nbTrainScore]]). Exported so batch
+    * scoring, the streaming twin and any external consumer all apply
+    * the IDENTICAL integer model. */
+  def nbLogOdds9(
       docs: DataFrame, idCol: String, toksCol: String, labelCol: String): DataFrame = {
     val feats = docs.select(col(idCol), col(labelCol).as("__y"),
       explode(array_distinct(col(toksCol))).as("w"))
@@ -590,13 +594,28 @@ object TextStats {
     val nn = docs.agg(
       sum(when(col(labelCol), 1L).otherwise(0L)).as("n1"),
       sum(when(col(labelCol), 0L).otherwise(1L)).as("n0"))
-    val model = cnt.crossJoin(broadcast(nn)).select(col("w"),
+    cnt.crossJoin(broadcast(nn)).select(col("w"),
       round((log((col("c1") + lit(1.0)) / (col("n1") + lit(2.0)))
         - log((col("c0") + lit(1.0)) / (col("n0") + lit(2.0)))) * lit(1e9), 0)
         .cast("long").as("lo9"))
-    val prior = nn.select(
-      round(log((col("n1") + lit(1.0)) / (col("n0") + lit(1.0))) * lit(1e9), 0)
-        .cast("long").as("prior9"))
+  }
+
+  /** The NB class prior ln((n1+1)/(n0+1)) in 1e-9 fixed point, as a
+    * 1-row frame (broadcast by consumers). */
+  def nbPrior9(docs: DataFrame, labelCol: String): DataFrame =
+    docs.agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("n1"),
+      sum(when(col(labelCol), 0L).otherwise(1L)).as("n0"))
+      .select(
+        round(log((col("n1") + lit(1.0)) / (col("n0") + lit(1.0))) * lit(1e9), 0)
+          .cast("long").as("prior9"))
+
+  def nbTrainScore(
+      docs: DataFrame, idCol: String, toksCol: String, labelCol: String): DataFrame = {
+    val feats = docs.select(col(idCol),
+      explode(array_distinct(col(toksCol))).as("w"))
+    val model = nbLogOdds9(docs, idCol, toksCol, labelCol)
+    val prior = nbPrior9(docs, labelCol)
     val slo = feats.join(model, "w").groupBy(col(idCol)).agg(sum("lo9").as("slo9"))
     docs.select(col(idCol), col(labelCol))
       .join(slo, Seq(idCol), "left").na.fill(0L, Seq("slo9"))

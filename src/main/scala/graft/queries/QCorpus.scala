@@ -305,6 +305,69 @@ private[graft] object QCorpus {
         |SELECT id, CAST(degree AS BIGINT) AS degree FROM kd1
         |WHERE degree >= 6 ORDER BY id""".stripMargin)),
 
+    Q("q_stream_nb",  // streaming twin of q_nb_quality: the TRAINED
+      // Naive-Bayes scorer applied statelessly to arriving documents —
+      // model learned once on the static corpus (bounded-vocab
+      // (w, lo9) map + prior, the k-row-scalar collect family), shipped
+      // to the stream as a map literal, scored with the SAME 1e-9
+      // fixed-point integer accumulation, so stream scores are
+      // bit-identical to batch and the q_nb_quality ORACLE grades the
+      // stream sink directly. FileStreamSource → exactly-once parquet
+      // sink (AvailableNow), read back for the gate.
+      (s, dir) => {
+        val lab = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
+          .withColumn("y", TextStats.qualityScore(col("toks"), Stop) >= 0.62)
+        val model = TextStats.nbLogOdds9(lab, "doc_id", "toks", "y").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val prior9 = TextStats.nbPrior9(lab, "y").collect()(0).getLong(0)
+        val out = Scratch.dir("stream-nb-out")
+        val cp = Scratch.dir("stream-nb-cp")
+        val schema = Tables.table(s, dir, "documents").schema
+        val src = new java.io.File(s"$dir/documents.parquet")
+        val streamDir =
+          if (src.isDirectory) src.toString
+          else {
+            val d = new java.io.File(Scratch.dir("stream-nb-src"))
+            java.nio.file.Files.copy(src.toPath,
+              new java.io.File(d, "documents.parquet").toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            d.toString
+          }
+        val stream = s.readStream.schema(schema).parquet(streamDir)
+        val toks = stream.select(col("doc_id"),
+          TextOps.tokenize(col("text")).as("toks"))
+        graft.streaming.StreamOps
+          .nbScoreStream(toks, "doc_id", "toks", model, prior9)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.parquet(out)
+          .select(col("doc_id"), round(col("nb_logit"), 6).as("nb_logit"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+        |        regexp_extract_all(lower(text), '\\b\\w\\w+\\b') AS toks FROM documents),
+        |ld AS (SELECT doc_id, toks, ($SqlQuality) >= 0.62 AS y FROM t),
+        |f AS (SELECT doc_id, y, unnest(list_distinct(toks)) AS w FROM ld),
+        |cnt AS (SELECT w, sum(CASE WHEN y THEN 1 ELSE 0 END) AS c1,
+        |          sum(CASE WHEN y THEN 0 ELSE 1 END) AS c0 FROM f GROUP BY 1),
+        |nn AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS n1,
+        |         sum(CASE WHEN y THEN 0 ELSE 1 END) AS n0 FROM ld),
+        |model AS (SELECT w, CAST(round((ln((c1 + 1.0) / (n1 + 2.0))
+        |            - ln((c0 + 1.0) / (n0 + 2.0))) * 1e9) AS BIGINT) AS lo9
+        |          FROM cnt CROSS JOIN nn),
+        |pr AS (SELECT CAST(round(ln((n1 + 1.0) / (n0 + 1.0)) * 1e9) AS BIGINT)
+        |         AS prior9 FROM nn),
+        |slo AS (SELECT doc_id, sum(lo9) AS slo9
+        |        FROM f JOIN model USING (w) GROUP BY 1)
+        |SELECT ld.doc_id,
+        |  round((pr.prior9 + COALESCE(slo.slo9, 0)) / 1e9, 6) AS nb_logit
+        |FROM ld CROSS JOIN pr LEFT JOIN slo ON slo.doc_id = ld.doc_id
+        |ORDER BY ld.doc_id""".stripMargin)),
+
     Q("q_dp_budget",  // ε-ACCOUNTED noisy release (the accounting layer
       // the q_dp_counts caveat lacked): per-source counts released
       // TWICE, each with Laplace(Δ1/ε) noise at ε=0.25 calibrated by

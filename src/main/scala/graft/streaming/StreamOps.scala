@@ -248,6 +248,26 @@ object StreamOps {
           / size(col(toksCol)).cast("double")).as("xent"))
   }
 
+  /** Stateless streaming Naive-Bayes scoring against a FIXED trained
+    * model — the trained-classifier rung above [[scoreStream]]'s
+    * unigram LM: per arriving doc, prior9 plus the sum of its DISTINCT
+    * tokens' fixed-point log-odds (the exact integer accumulation of
+    * [[graft.ops.TextStats.nbTrainScore]], so stream and batch scores
+    * are bit-identical). The model rides as a map literal (broadcast
+    * to every task); unseen tokens contribute 0 — the same
+    * contract as the batch scorer's inner join. Stateless ⇒
+    * exactly-once sinks make the output deterministic.
+    */
+  def nbScoreStream(
+      docs: DataFrame, idCol: String, toksCol: String,
+      logOdds9: Map[String, Long], prior9: Long): DataFrame = {
+    val m = typedlit(logOdds9)
+    docs.select(col(idCol),
+      ((lit(prior9) + aggregate(array_distinct(col(toksCol)), lit(0L),
+        (acc, w) => acc + coalesce(element_at(m, w), lit(0L))))
+        / lit(1e9)).as("nb_logit"))
+  }
+
   /** tf·idf term-weight vectors (id, tok, w) for [[weightedVerifyBatch]]:
     * per-doc term counts times the STATIC idf side-input, idf rounded
     * 9 dp first (the chain-rounding device — both engines multiply

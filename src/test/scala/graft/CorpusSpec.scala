@@ -133,6 +133,40 @@ class CorpusSpec extends AnyFunSuite {
     assert(uwins <= 10, s"uniform control won $uwins/50 — not uniform")
   }
 
+  test("nbScoreStream: streamed scores are bit-identical to the batch scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    val rows = Seq(
+      (1L, Seq("good", "meh"), true), (2L, Seq("good"), true),
+      (3L, Seq("bad", "meh"), false), (4L, Seq("bad"), false),
+      (5L, Seq("unseen", "tokens"), true))
+    // train on docs 1-4 only; doc 5 is pure out-of-vocabulary traffic
+    val train = rows.take(4).toDF("id", "toks", "y")
+    val model = TextStats.nbLogOdds9(train, "id", "toks", "y").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prior9 = TextStats.nbPrior9(train, "y").collect()(0).getLong(0)
+    val mem = MemoryStream[(Long, Seq[String])]
+    val q = StreamOps.nbScoreStream(
+        mem.toDF().toDF("id", "toks"), "id", "toks", model, prior9)
+      .writeStream.format("memory").queryName("nbstream")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.map(r => (r._1, r._2)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("nbstream")
+        .as[(Long, Double)].collect().toMap
+      // the batch scorer trained on the same 4 docs must agree EXACTLY
+      // (both are integer-sum/1e9 of the identical fixed-point model)
+      val batch4 = TextStats.nbTrainScore(train, "id", "toks", "y")
+        .as[(Long, Boolean, Double)].collect().map(t => t._1 -> t._3).toMap
+      rows.take(4).foreach(r =>
+        assert(streamed(r._1) == batch4(r._1), s"doc ${r._1}"))
+      // out-of-vocabulary doc scores exactly the prior
+      assert(streamed(5L) == prior9 / 1e9)
+    } finally q.stop()
+  }
+
   test("Privacy: calibration formulas, composition, and Laplace moments") {
     import graft.ops.Privacy
     assert(Privacy.laplaceScale(0.25) == 4.0)
