@@ -43,6 +43,37 @@ object MicroBench {
       .filter(size(col("g5")) > 0)
     def gramsPlain = docsTokens
       .select(col("doc_id"), Dedup.tokenShingles(col("toks"), 5).as("g5"))
+    // loop-invariant Levenshtein fixtures: built ONCE above the round
+    // loop (review r14: per-round rebuild re-paid the fixture 3x and
+    // pinned a fresh checkpoint pair every round, invisible to the
+    // per-block sweep because they sit outside any time() window)
+    // banded vs full Levenshtein verify (VERDICT r12 #3): long
+    // synthetic near-dup texts (~8k chars, small true distance) are
+    // exactly where the k-limited band wins — O(k·L) vs O(L²) per
+    // pair. Same candidate frame, same kept rows; only the DP shape
+    // differs.
+    val editFixture = {
+      val n = 400
+      spark.range(n).select(col("id"),
+        concat_ws(" ", (0 until 64).map(j =>
+          lit(s"w$j-${j * 31 % 97}")): _*).as("seg"))
+        .select(col("id"),
+          concat(lit("prefix "),
+            array_join(array_repeat(col("seg"), 12), " "),
+            when(col("id") % 2 === 0, lit(" edited tail x"))
+              .otherwise(lit(" edited tail y"))).as("text"))
+        .localCheckpoint()
+    }
+    val editCand = editFixture.select(col("id").as("id1"))
+      .join(editFixture.select(col("id").as("id2")),
+        col("id1") + 1 === col("id2"))
+      .localCheckpoint()
+    def editJoin = editCand
+      .join(editFixture.select(col("id").as("id1"), col("text").as("t1"),
+        length(col("text")).as("l1")), Seq("id1"))
+      .join(editFixture.select(col("id").as("id2"), col("text").as("t2"),
+        length(col("text")).as("l2")), Seq("id2"))
+      .withColumn("mx", greatest(col("l1"), col("l2")))
     for (round <- 1 to 3) {
       println(s"-- round $round")
       time("ckpt_repart_hash") { gramsRepart.localCheckpoint().count() }
@@ -103,33 +134,6 @@ object MicroBench {
         Dedup.bloomContaminationHits(
           g.filter(col("doc_id") % 7 =!= 0), "doc_id", "g5", bits).count()
       }
-      // banded vs full Levenshtein verify (VERDICT r12 #3): long
-      // synthetic near-dup texts (~8k chars, small true distance) are
-      // exactly where the k-limited band wins — O(k·L) vs O(L²) per
-      // pair. Same candidate frame, same kept rows; only the DP shape
-      // differs.
-      val editFixture = {
-        val n = 400
-        spark.range(n).select(col("id"),
-          concat_ws(" ", (0 until 64).map(j =>
-            lit(s"w$j-${j * 31 % 97}")): _*).as("seg"))
-          .select(col("id"),
-            concat(lit("prefix "),
-              array_join(array_repeat(col("seg"), 12), " "),
-              when(col("id") % 2 === 0, lit(" edited tail x"))
-                .otherwise(lit(" edited tail y"))).as("text"))
-          .localCheckpoint()
-      }
-      val editCand = editFixture.select(col("id").as("id1"))
-        .join(editFixture.select(col("id").as("id2")),
-          col("id1") + 1 === col("id2"))
-        .localCheckpoint()
-      def editJoin = editCand
-        .join(editFixture.select(col("id").as("id1"), col("text").as("t1"),
-          length(col("text")).as("l1")), Seq("id1"))
-        .join(editFixture.select(col("id").as("id2"), col("text").as("t2"),
-          length(col("text")).as("l2")), Seq("id2"))
-        .withColumn("mx", greatest(col("l1"), col("l2")))
       time("lev_full_dp") {
         editJoin.withColumn("dist", levenshtein(col("t1"), col("t2")))
           .filter(col("dist") >= 0).count()

@@ -382,18 +382,26 @@ object Dedup {
     * Same candidate-scoped union-trick shape as the integer form: one
     * union + one composite-key groupBy, Σmin/Σmax partial-agged —
     * everything after the candidate join is proportional to
-    * candidate-pair vocabulary, never corpus². Output: (id1, id2, jw)
-    * rounded 6 dp, jw ≥ minJw.
+    * candidate-pair vocabulary, never corpus². Weights are fixed-point
+    * quantized to 1e-9 on entry and Σmin/Σmax accumulate as EXACT
+    * longs (weights must be < ~9.2e9): like the integer form, the
+    * ratio is then a pure function of the weight table, independent of
+    * summation order across engines/partitionings — a raw double sum
+    * can land on a 6-dp rounding half-boundary and flip (the
+    * q_nb_quality sf0.1 episode). Output: (id1, id2, jw) rounded 6 dp,
+    * jw ≥ minJw.
     */
   def weightedJaccardVerifyReal(
       cand: DataFrame, weights: DataFrame, minJw: Double = 0.0): DataFrame = {
     val p = cand.select(col("id1"), col("id2"))
-    val a = p.join(weights.select(col("id").as("id1"), col("tok"),
-      col("w").as("wa")), Seq("id1"))
-      .select(col("id1"), col("id2"), col("tok"), col("wa"), lit(0.0).as("wb"))
-    val b = p.join(weights.select(col("id").as("id2"), col("tok"),
-      col("w").as("wb")), Seq("id2"))
-      .select(col("id1"), col("id2"), col("tok"), lit(0.0).as("wa"), col("wb"))
+    val w9 = weights.select(col("id"), col("tok"),
+      round(col("w") * lit(1e9), 0).cast("long").as("w9"))
+    val a = p.join(w9.select(col("id").as("id1"), col("tok"),
+      col("w9").as("wa")), Seq("id1"))
+      .select(col("id1"), col("id2"), col("tok"), col("wa"), lit(0L).as("wb"))
+    val b = p.join(w9.select(col("id").as("id2"), col("tok"),
+      col("w9").as("wb")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("tok"), lit(0L).as("wa"), col("wb"))
     a.unionByName(b)
       .groupBy(col("id1"), col("id2"), col("tok"))
       .agg(sum(col("wa")).as("wa"), sum(col("wb")).as("wb"))

@@ -241,20 +241,6 @@ object GraphOps {
     labels
   }
 
-  /** Per-node triangle counts + local clustering coefficient over a
-    * directed edge list treated as undirected: canonicalize each edge
-    * low→high and dedup, then enumerate every triangle exactly once
-    * via the a<b<c oriented double join — the edge-iterator algorithm
-    * (Schank & Wagner 2005). The density signal LCC adds on top of
-    * degree: spam farms and template clusters close triangles, organic
-    * neighborhoods don't.
-    *
-    * Scale: with bounded out-degree d (a kNN graph), wedge candidates
-    * are O(n·d²) and both joins are plain shuffle hash joins on node
-    * keys — no cartesian, no window over the corpus; per-node counts
-    * partial-aggregate map-side. Output: (id, degree, tri, lcc) with
-    * lcc = 2·tri/(deg·(deg−1)), 0 when deg < 2.
-    */
   /** Fixed-iteration k-core peel (Seidman 1983; the BZ/peeling family
     * of Batagelj & Zaveršnik 2003): each round drops every node whose
     * degree in the SURVIVING subgraph is < k, together with its edges.
@@ -297,6 +283,20 @@ object GraphOps {
     deg.filter(col("degree") >= k)
   }
 
+  /** Per-node triangle counts + local clustering coefficient over a
+    * directed edge list treated as undirected: canonicalize each edge
+    * low→high and dedup, then enumerate every triangle exactly once
+    * via the a<b<c oriented double join — the edge-iterator algorithm
+    * (Schank & Wagner 2005). The density signal LCC adds on top of
+    * degree: spam farms and template clusters close triangles, organic
+    * neighborhoods don't.
+    *
+    * Scale: with bounded out-degree d (a kNN graph), wedge candidates
+    * are O(n·d²) and both joins are plain shuffle hash joins on node
+    * keys — no cartesian, no window over the corpus; per-node counts
+    * partial-aggregate map-side. Output: (id, degree, tri, lcc) with
+    * lcc = 2·tri/(deg·(deg−1)), 0 when deg < 2.
+    */
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),

@@ -101,6 +101,14 @@ object IdOps {
     * draw; the orderBy+limit plans as TakeOrdered (per-partition
     * top-k + k-row merge, no global sort — the reservoir form of the
     * paper, which is what survives at 100 TB).
+    *
+    * Weights must be positive for the key to mean anything (w = 0
+    * gives pow(u, ∞) = 0, negative w gives keys > 1 that outrank
+    * every legitimate row) — non-positive-weight rows are EXCLUDED,
+    * the E–S contract. The key rounds to 9 dp before ranking (the
+    * rounded-before-ordered device): pow is libm-accurate, not
+    * correctly-rounded, so the raw double could order differently
+    * across engines at the top-k boundary.
     */
   def weightedSampleK(
       df: DataFrame, keyCol: String, weightCol: String, k: Int,
@@ -108,7 +116,9 @@ object IdOps {
     val u = (conv(substring(md5(concat_ws("_", lit(salt),
         col(keyCol).cast("string"))), 1, 8), 16, 10).cast("long")
         + lit(0.5)) / lit(4294967296.0)
-    df.withColumn("es_key", pow(u, lit(1.0) / col(weightCol).cast("double")))
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key",
+        round(pow(u, lit(1.0) / col(weightCol).cast("double")), 9))
       .orderBy(col("es_key").desc, col(keyCol)).limit(k)
   }
 

@@ -158,11 +158,18 @@ object TextOps {
 
   /** Replace every string in `matches` with `token` — the fold that
     * turns a validated-candidate list (Luhn-passing cards, in-range
-    * IPs) into a redacted text. Per-row array fold, zero shuffle;
-    * replacement is literal (not regex), all occurrences.
+    * IPs) into a redacted text. Each match is regex-escaped and
+    * anchored with `\b` so a validated match occurring INSIDE a longer
+    * word-character run is left alone — a bare literal replace would
+    * rewrite a Luhn-valid card embedded in an 18-digit order id and
+    * corrupt the id ('845320151128303662' → '8<CARD>2'). Per-row array
+    * fold, zero shuffle; all anchored occurrences replaced.
     */
   def redactAll(text: Column, matches: Column, token: String): Column =
-    aggregate(matches, text, (acc, m) => replace(acc, m, lit(token)))
+    aggregate(matches, text, (acc, m) => {
+      val esc = regexp_replace(m, lit("([^0-9A-Za-z])"), lit("\\\\$1"))
+      regexp_replace(acc, concat(lit("\\b"), esc, lit("\\b")), lit(token))
+    })
 
   /** Canonical text normalization — the pre-dedup cleanup pass
     * (C4/CCNet both normalize before hashing): lowercase, collapse

@@ -629,21 +629,23 @@ object TextStats {
     * a line of a newline-delimited text survives iff it ends in a
     * terminal punctuation mark (`.`/`!`/`?`/`"`), has at least
     * `minWords` space-separated words, and does not mention
-    * "javascript" (boilerplate cookie/JS warnings). Pure map-side
-    * column expression — the zero-shuffle first pass at any scale.
+    * "javascript" in any capitalization (boilerplate cookie/JS
+    * warnings — real pages write "JavaScript"). Pure map-side column
+    * expression — the zero-shuffle first pass at any scale.
     */
   def c4KeptLines(text: Column, minWords: Int = 5): Column =
     filter(split(text, "\n"), l =>
       l.rlike("[.!?\"]$") && size(split(l, " ")) >= minWords &&
-        !l.contains("javascript"))
+        !lower(l).contains("javascript"))
 
   /** C4 document-level guards over the original text and the
     * [[c4KeptLines]]-cleaned text: drop documents containing a curly
-    * brace (code), the "lorem ipsum" placeholder, or fewer than
+    * brace (code), the "lorem ipsum" placeholder in any capitalization
+    * (the standard form is "Lorem Ipsum"), or fewer than
     * `minSentences` sentences (terminal punctuation marks) after line
     * cleaning. Returns the keep/drop boolean.
     */
   def c4KeepDoc(text: Column, keptText: Column, minSentences: Int = 3): Column =
-    !text.contains("{") && !text.contains("lorem ipsum") &&
+    !text.contains("{") && !lower(text).contains("lorem ipsum") &&
       size(regexp_extract_all(keptText, lit("[.!?]"), lit(0))) >= minSentences
 }

@@ -81,7 +81,7 @@ private[graft] object QCorpus {
         |        list_filter(string_split(ctext, chr(10)), x ->
         |          regexp_matches(x, '[.!?"]$')
         |          AND len(string_split(x, ' ')) >= 5
-        |          AND NOT contains(x, 'javascript')) AS kept
+        |          AND NOT contains(lower(x), 'javascript')) AS kept
         |      FROM c),
         |m AS (SELECT doc_id, n_lines, len(kept) AS kept_lines,
         |        COALESCE(array_to_string(kept, chr(10)), '') AS kept_text, ctext
@@ -89,7 +89,8 @@ private[graft] object QCorpus {
         |SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
         |  CAST(kept_lines AS INT) AS kept_lines,
         |  CAST(len(regexp_extract_all(kept_text, '[.!?]')) AS INT) AS n_sentences,
-        |  (NOT contains(ctext, '{') AND NOT contains(ctext, 'lorem ipsum')
+        |  (NOT contains(ctext, '{')
+        |   AND NOT contains(lower(ctext), 'lorem ipsum')
         |   AND len(regexp_extract_all(kept_text, '[.!?]')) >= 3) AS keep_doc,
         |  md5(kept_text) AS kept_md5
         |FROM m ORDER BY doc_id""".stripMargin)),
@@ -141,7 +142,10 @@ private[graft] object QCorpus {
       // proportional to weight (n_chars), engine-portable because the
       // "randomness" is md5 of the doc id. Plans as TakeOrdered
       // (per-partition top-k + k-row merge — the paper's reservoir
-      // form, no global sort at any corpus size).
+      // form, no global sort at any corpus size). The key rounds to
+      // 9 dp before ranking on BOTH engines — pow is libm-accurate,
+      // not correctly rounded, so the raw double could flip the
+      // top-25 boundary between engines.
       (s, dir) => IdOps.weightedSampleK(
           Tables.table(s, dir, "documents").select(col("doc_id"), col("n_chars")),
           "doc_id", "n_chars", k = 25, salt = "ws")
@@ -151,7 +155,9 @@ private[graft] object QCorpus {
         |        (CAST(('0x' || substr(md5('ws_' || CAST(doc_id AS VARCHAR)), 1, 8))
         |           AS BIGINT) + 0.5) / 4294967296.0 AS u
         |      FROM documents),
-        |k AS (SELECT doc_id, n_chars, pow(u, 1.0 / n_chars) AS es_key FROM u
+        |k AS (SELECT doc_id, n_chars,
+        |        round(pow(u, 1.0 / n_chars), 9) AS es_key FROM u
+        |      WHERE n_chars > 0
         |      QUALIFY row_number() OVER (ORDER BY es_key DESC, doc_id) <= 25)
         |SELECT doc_id, n_chars, round(es_key, 6) AS es_key FROM k
         |ORDER BY doc_id""".stripMargin)),
@@ -233,8 +239,12 @@ private[graft] object QCorpus {
         |  CAST(len(vips) AS INT) AS n_valid_ips,
         |  md5(list_reduce(list_prepend(
         |        list_reduce(list_prepend(ctext, vcards),
-        |          (acc, m) -> replace(acc, m, '<CARD>')),
-        |        vips), (acc, m) -> replace(acc, m, '<IP>'))) AS redacted_md5
+        |          (acc, m) -> regexp_replace(acc, '\b' ||
+        |            regexp_replace(m, '([^0-9A-Za-z])', '\\\1', 'g')
+        |            || '\b', '<CARD>', 'g')),
+        |        vips), (acc, m) -> regexp_replace(acc, '\b' ||
+        |          regexp_replace(m, '([^0-9A-Za-z])', '\\\1', 'g')
+        |          || '\b', '<IP>', 'g'))) AS redacted_md5
         |FROM v ORDER BY doc_id""".stripMargin)),
 
     Q("q_triangles",  // per-node triangle counts + local clustering
@@ -272,7 +282,7 @@ private[graft] object QCorpus {
         |FROM deg LEFT JOIN pn ON pn.id = deg.id ORDER BY deg.id""".stripMargin)),
 
     Q("q_kcore",  // fixed-iteration k-core peel (Seidman 1983 /
-      // Batagelj & Zaveršnik 2003) at k=3 over the same memoized
+      // Batagelj & Zaveršnik 2003) at k=6 over the same memoized
       // cell-routed 5-NN graph: drop nodes with degree < 6, induce the
       // surviving subgraph, keep survivors whose residual degree still
       // clears 6 (k=6/one round because the union-direction 5-NN graph

@@ -603,10 +603,12 @@ private[graft] object QDedup1 {
         |wt AS MATERIALIZED (SELECT tc.doc_id AS id, tc.tok,
         |        tc.c * round(ln((nn.n + 1.0) / (dfq.df + 1.0)) + 1.0, 9) AS w
         |      FROM tc JOIN dfq ON dfq.tok = tc.tok CROSS JOIN nn),
-        |u AS (SELECT p.id1, p.id2, wt.tok, wt.w AS wa, 0.0 AS wb
+        |u AS (SELECT p.id1, p.id2, wt.tok,
+        |        CAST(round(wt.w * 1e9) AS BIGINT) AS wa, CAST(0 AS BIGINT) AS wb
         |      FROM p JOIN wt ON wt.id = p.id1
         |      UNION ALL
-        |      SELECT p.id1, p.id2, wt.tok, 0.0, wt.w
+        |      SELECT p.id1, p.id2, wt.tok,
+        |        CAST(0 AS BIGINT), CAST(round(wt.w * 1e9) AS BIGINT)
         |      FROM p JOIN wt ON wt.id = p.id2),
         |g AS (SELECT id1, id2, tok, sum(wa) AS wa, sum(wb) AS wb
         |      FROM u GROUP BY 1, 2, 3),
@@ -1527,10 +1529,12 @@ private[graft] object QDedup1 {
         |        (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
         |wt AS MATERIALIZED (SELECT tc.doc_id AS id, tc.tok, tc.c * idf.idf AS w
         |      FROM tc JOIN idf USING (tok)),
-        |u AS (SELECT p.id1, p.id2, wt.tok, wt.w AS wa, 0.0 AS wb
+        |u AS (SELECT p.id1, p.id2, wt.tok,
+        |        CAST(round(wt.w * 1e9) AS BIGINT) AS wa, CAST(0 AS BIGINT) AS wb
         |      FROM p JOIN wt ON wt.id = p.id1
         |      UNION ALL
-        |      SELECT p.id1, p.id2, wt.tok, 0.0, wt.w
+        |      SELECT p.id1, p.id2, wt.tok,
+        |        CAST(0 AS BIGINT), CAST(round(wt.w * 1e9) AS BIGINT)
         |      FROM p JOIN wt ON wt.id = p.id2),
         |g AS (SELECT id1, id2, tok, sum(wa) AS wa, sum(wb) AS wb
         |      FROM u GROUP BY 1, 2, 3),

@@ -19,7 +19,7 @@ class CorpusSpec extends AnyFunSuite {
       "This line has five words here.",   // kept
       "Too short line.",                  // dropped: < 5 words
       "No terminal punctuation on this line at all", // dropped: no punct
-      "Please enable javascript to view this content.", // dropped: javascript
+      "Please enable JavaScript to view this content.", // dropped: case-insensitive
       "Another perfectly fine sentence with enough words!", // kept
       "A third good sentence keeps the document alive?"     // kept
     ).mkString("\n")
@@ -37,7 +37,9 @@ class CorpusSpec extends AnyFunSuite {
       .select(TextStats.c4KeepDoc(col("text"), lit(two))).as[Boolean].head()
     assert(!drop)
     // doc-level hard guards
-    for (bad <- Seq("lorem ipsum dolor sit amet etc.", "function() { return; }")) {
+    for (bad <- Seq("lorem ipsum dolor sit amet etc.",
+        "Lorem Ipsum in its standard capitalization.",
+        "function() { return; }")) {
       val t = page + "\n" + bad
       val d = Seq((1L, t)).toDF("id", "text")
         .select(TextStats.c4KeepDoc(col("text"),
@@ -86,6 +88,21 @@ class CorpusSpec extends AnyFunSuite {
       .select(TextOps.redactAll(col("t"), TextOps.cardCandidates(col("t")),
         "<CARD>")).as[String].head()
     assert(none == "no digits here")
+    // anchoring: the valid card occurs INSIDE a longer (Luhn-invalid)
+    // 18-digit order id — the embedded occurrence must survive
+    val embedded = "pay 4532015112830366 ref 845320151128303662"
+    val out2 = Seq(embedded).toDF("t")
+      .select(TextOps.redactAll(col("t"),
+        filter(TextOps.cardCandidates(col("t")), TextOps.luhnOk _),
+        "<CARD>")).as[String].head()
+    assert(out2 == "pay <CARD> ref 845320151128303662", out2)
+    // same for IPs: redacting 1.2.3.4 must not eat into 11.2.3.45
+    val ips = "x 1.2.3.4 y 11.2.3.45"
+    val out3 = Seq(ips).toDF("t")
+      .select(TextOps.redactAll(col("t"),
+        filter(TextOps.ipv4Candidates(col("t")),
+          ip => ip === "1.2.3.4"), "<IP>")).as[String].head()
+    assert(out3 == "x <IP> y 11.2.3.45", out3)
   }
 
   test("nbTrainScore: hand-computed log-odds on a 4-doc fixture") {
