@@ -304,4 +304,53 @@ class InvariantSweepSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("r14 corpus-hygiene invariants: NB separates, triangles Σ≡0 mod 3, kcore ⊆ deg-filter (3 SFs)") {
+    import graft.ops.{GraphOps, IdOps, Similarity, TextStats}
+    import graft.QShared.fixedCentroidArr
+    for (sf <- Sfs) {
+      // the trained NB classifier must actually SEPARATE its training
+      // labels — threshold-free check via the exact-integer rocAuc
+      val lab = Tables.table(spark, sf, "documents")
+        .select($"doc_id", TextOps.tokenize($"text").as("toks"))
+        .withColumn("y",
+          TextStats.qualityScore($"toks", Dictionaries.Stopwords) >= 0.62)
+      val scored = TextStats.nbTrainScore(lab, "doc_id", "toks", "y")
+      val auc = TextStats.rocAuc(scored, "nb_logit", "y")
+        .select($"auc").as[Double].head()
+      assert(auc > 0.9, s"$sf: training AUC $auc — the model must separate")
+
+      // triangle counts: every triangle increments exactly 3 nodes, so
+      // the per-node total must be divisible by 3; lcc ∈ [0, 1]
+      val edges = Similarity.knnSelfJoin(
+          Tables.table(spark, sf, "embeddings"), "vec_id", "embedding",
+          fixedCentroidArr(spark, sf), k = 5, nprobe = 5)
+        .select($"qid".as("src"), $"nbr".as("dst")).localCheckpoint()
+      val tri = GraphOps.triangleStats(edges, "src", "dst")
+        .as[(Long, Long, Long, Double)].collect()
+      val total = tri.map(_._3).sum
+      assert(total > 0 && total % 3 == 0, s"$sf: Σtri $total not ≡ 0 mod 3")
+      assert(tri.forall(t => t._4 >= 0.0 && t._4 <= 1.0), s"$sf: lcc out of [0,1]")
+
+      // kcore survivors are a SUBSET of the first-round degree filter
+      // and their residual degree can only have dropped
+      val deg0 = GraphOps.triangleStats(edges, "src", "dst")
+        .select($"id", $"degree").as[(Long, Long)].collect().toMap
+      val core = GraphOps.kcorePeel(edges, "src", "dst", k = 6, iters = 1)
+        .as[(Long, Long)].collect()
+      assert(core.nonEmpty, s"$sf: k=6/1-round core should be non-empty")
+      core.foreach { case (id, d) =>
+        assert(deg0(id) >= 6, s"$sf: survivor $id had initial degree ${deg0(id)} < 6")
+        assert(d <= deg0(id) && d >= 6, s"$sf: survivor $id residual $d")
+      }
+
+      // weighted sample: all 25 rows drawn, deterministic across calls
+      val docs = Tables.table(spark, sf, "documents").select($"doc_id", $"n_chars")
+      val s1 = IdOps.weightedSampleK(docs, "doc_id", "n_chars", 25, "ws")
+        .select($"doc_id").as[Long].collect().toSet
+      val s2 = IdOps.weightedSampleK(docs, "doc_id", "n_chars", 25, "ws")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(s1.size == 25 && s1 == s2, s"$sf: sample not deterministic")
+    }
+  }
 }
