@@ -78,4 +78,39 @@ object Privacy {
     val u = saltedUniform(key, salt)
     -lit(b) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u))
   }
+
+  /** Inverse standard-normal CDF Φ⁻¹(u) (Moro 1995: the
+    * Beasley–Springer central rational on |u−½| < 0.42 plus Moro's
+    * ln-ln polynomial tail; |error| < 3e-9 over (0,1), far below the
+    * 6-dp output round). Written in EXPLICIT Horner order so the
+    * DuckDB oracle runs the identical IEEE operation sequence —
+    * that is what lets a Gaussian release value-oracle.
+    */
+  def invNorm(u: Column): Column = {
+    val x = u - lit(0.5)
+    val r = x * x
+    val central = x * (
+      (((lit(-25.44106049637) * r + lit(41.39119773534)) * r
+        + lit(-18.61500062529)) * r + lit(2.50662823884))
+        / ((((lit(3.13082909833) * r + lit(-21.06224101826)) * r
+          + lit(23.08336743743)) * r + lit(-8.47351093090)) * r + lit(1.0)))
+    val rr = when(x > 0, lit(1.0) - u).otherwise(u)
+    val k = log(-log(rr))
+    val tail0 = ((((((((lit(0.0000003960315187) * k
+      + lit(0.0000002888167364)) * k + lit(0.0000321767881768)) * k
+      + lit(0.0003951896511919)) * k + lit(0.0038405729373609)) * k
+      + lit(0.0276438810333863)) * k + lit(0.1607979714918209)) * k
+      + lit(0.9761690190917186)) * k + lit(0.3374754822726147))
+    val tail = when(x > 0, tail0).otherwise(-tail0)
+    when(abs(x) < 0.42, central).otherwise(tail)
+  }
+
+  /** Gaussian N(0, σ²) noise keyed on `key` — the (ε, δ)-DP mechanism
+    * (calibrate σ with [[gaussianSigma]]) via [[invNorm]] of the
+    * salted uniform. Pass σ pre-rounded to 9 dp (the chain-rounding
+    * device) so both engines multiply identical doubles. */
+  def gaussianNoise(key: Column, sigma: Double, salt: String): Column = {
+    require(sigma > 0)
+    lit(sigma) * invNorm(saltedUniform(key, salt) + lit(0.5))
+  }
 }

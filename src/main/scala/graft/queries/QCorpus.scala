@@ -315,6 +315,57 @@ private[graft] object QCorpus {
         |SELECT id, CAST(degree AS BIGINT) AS degree FROM kd1
         |WHERE degree >= 6 ORDER BY id""".stripMargin)),
 
+    Q("q_gauss_release",  // (ε, δ)-DP GAUSSIAN release — the second
+      // mechanism of the Privacy module (q_dp_budget covers Laplace):
+      // per-source counts + N(0, σ²) noise with σ calibrated by
+      // Privacy.gaussianSigma (Dwork & Roth Thm A.1, ε=0.5, δ=1e-5,
+      // counting ⇒ Δ2=1), sampled as Φ⁻¹(u) of the keyed-hash uniform
+      // via the Moro inverse-CDF polynomial — EXPLICIT Horner order on
+      // both engines, so the whole release value-oracles (σ 9-dp
+      // chain-rounded before the multiply; the calibration formula is
+      // replayed in the oracle SQL, not pasted).
+      (s, dir) => {
+        val sigma = BigDecimal(Privacy.gaussianSigma(0.5, 1e-5))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Tables.table(s, dir, "documents")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .select(col("source"),
+            round(col("n_docs")
+              + Privacy.gaussianNoise(col("source"), sigma, "gm1"), 6)
+              .as("noisy"),
+            lit(sigma).as("sigma"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (SELECT source, count(*) AS n_docs
+        |        FROM documents GROUP BY source),
+        |s AS (SELECT round(sqrt(2.0 * ln(1.25 / CAST(0.00001 AS DOUBLE)))
+        |        / 0.5, 9) AS sigma),
+        |u AS (SELECT source, n_docs,
+        |  (CAST(('0x' || substr(md5(source || '|gm1'), 1, 8)) AS BIGINT) + 0.5)
+        |    / 4294967296.0 AS u
+        | FROM c),
+        |z AS (SELECT source, n_docs, u, u - 0.5 AS x,
+        |        (u - 0.5) * (u - 0.5) AS r,
+        |        ln(-ln(CASE WHEN u - 0.5 > 0 THEN 1.0 - u ELSE u END)) AS kk
+        |      FROM u),
+        |iv AS (SELECT source, n_docs,
+        |  CASE WHEN abs(x) < 0.42 THEN
+        |    x * ((((-25.44106049637 * r + 41.39119773534) * r
+        |           + (-18.61500062529)) * r + 2.50662823884)
+        |      / ((((3.13082909833 * r + (-21.06224101826)) * r
+        |           + 23.08336743743) * r + (-8.47351093090)) * r + 1.0))
+        |  ELSE (CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END) *
+        |    ((((((((0.0000003960315187 * kk + 0.0000002888167364) * kk
+        |      + 0.0000321767881768) * kk + 0.0003951896511919) * kk
+        |      + 0.0038405729373609) * kk + 0.0276438810333863) * kk
+        |      + 0.1607979714918209) * kk + 0.9761690190917186) * kk
+        |      + 0.3374754822726147)
+        |  END AS z
+        |  FROM z)
+        |SELECT source, round(n_docs + s.sigma * z, 6) + 0.0 AS noisy,
+        |  s.sigma AS sigma
+        |FROM iv CROSS JOIN s ORDER BY source""".stripMargin)),
+
     Q("q_stream_nb",  // streaming twin of q_nb_quality: the TRAINED
       // Naive-Bayes scorer applied statelessly to arriving documents —
       // model learned once on the static corpus (bounded-vocab

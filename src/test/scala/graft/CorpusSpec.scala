@@ -215,6 +215,23 @@ class CorpusSpec extends AnyFunSuite {
       .as[(Double, Double)].head()
     assert(math.abs(noise._1) < 0.05, s"mean ${noise._1}")
     assert(math.abs(noise._2 - 2.0) < 0.2, s"E[x^2] ${noise._2}")
+
+    // Moro inverse-normal CDF: quantile fixtures to the documented 3e-9
+    // accuracy, odd symmetry, and N(0, sigma^2) moments for the
+    // Gaussian mechanism
+    val fixtures = Seq(0.5 -> 0.0, 0.975 -> 1.9599639845, 0.025 -> -1.9599639845,
+      0.9999 -> 3.7190164855, 0.0001 -> -3.7190164855, 0.84134474 -> 0.99999899)
+    val got = fixtures.map(_._1).toDF("u")
+      .select(col("u"), Privacy.invNorm(col("u")).as("z"))
+      .as[(Double, Double)].collect().toMap
+    fixtures.foreach { case (u, z) =>
+      assert(math.abs(got(u) - z) < 1e-6, s"invNorm($u) = ${got(u)}, want $z") }
+    val gm = spark.range(n)
+      .select(Privacy.gaussianNoise(col("id"), sigma = 3.0, salt = "gspec").as("x"))
+      .agg(avg("x").as("m"), avg(col("x") * col("x")).as("m2"))
+      .as[(Double, Double)].head()
+    assert(math.abs(gm._1) < 0.1, s"gaussian mean ${gm._1}")
+    assert(math.abs(gm._2 - 9.0) < 0.5, s"gaussian E[x^2] ${gm._2}")
   }
 
   test("kcorePeel: clique survives, pendant chain peels, cascade works") {
