@@ -315,6 +315,52 @@ private[graft] object QCorpus {
         |SELECT id, CAST(degree AS BIGINT) AS degree FROM kd1
         |WHERE degree >= 6 ORDER BY id""".stripMargin)),
 
+    Q("q_nb_auc",  // threshold-free grade of the TRAINED NB classifier
+      // (q_nb_quality) against its own training labels: tie-averaged
+      // Mann–Whitney ROC-AUC in exact integer arithmetic (the
+      // q_lang_auc device). The logit is already an exact integer/1e9
+      // on both engines (the fixed-point accumulation), so the
+      // group-by-score boundary is engine-independent with no extra
+      // rounding. The 3-SF sweep asserts AUC > 0.9; this row makes the
+      // number itself oracle-verified.
+      (s, dir) => {
+        val lab = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
+          .withColumn("y", TextStats.qualityScore(col("toks"), Stop) >= 0.62)
+        TextStats.rocAuc(
+          TextStats.nbTrainScore(lab, "doc_id", "toks", "y"), "nb_logit", "y")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+        |        regexp_extract_all(lower(text), '\\b\\w\\w+\\b') AS toks FROM documents),
+        |ld AS (SELECT doc_id, toks, ($SqlQuality) >= 0.62 AS y FROM t),
+        |f AS (SELECT doc_id, y, unnest(list_distinct(toks)) AS w FROM ld),
+        |cnt AS (SELECT w, sum(CASE WHEN y THEN 1 ELSE 0 END) AS c1,
+        |          sum(CASE WHEN y THEN 0 ELSE 1 END) AS c0 FROM f GROUP BY 1),
+        |nn AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS n1,
+        |         sum(CASE WHEN y THEN 0 ELSE 1 END) AS n0 FROM ld),
+        |model AS (SELECT w, CAST(round((ln((c1 + 1.0) / (n1 + 2.0))
+        |            - ln((c0 + 1.0) / (n0 + 2.0))) * 1e9) AS BIGINT) AS lo9
+        |          FROM cnt CROSS JOIN nn),
+        |pr AS (SELECT CAST(round(ln((n1 + 1.0) / (n0 + 1.0)) * 1e9) AS BIGINT)
+        |         AS prior9 FROM nn),
+        |slo AS (SELECT doc_id, sum(lo9) AS slo9
+        |        FROM f JOIN model USING (w) GROUP BY 1),
+        |sc AS (SELECT (pr.prior9 + COALESCE(slo.slo9, 0)) / 1e9 AS s, ld.y
+        |       FROM ld CROSS JOIN pr
+        |       LEFT JOIN slo ON slo.doc_id = ld.doc_id),
+        |g AS (SELECT s, count(*) AS nt,
+        |        sum(CASE WHEN y THEN 1 ELSE 0 END) AS np FROM sc GROUP BY 1),
+        |r AS (SELECT np, nt,
+        |        COALESCE(sum(nt) OVER (ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |      FROM g),
+        |a AS (SELECT sum(np * (2 * cum + nt + 1)) AS s2, sum(np) AS p,
+        |        sum(nt - np) AS n FROM r)
+        |SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+        |  CASE WHEN p > 0 AND n > 0
+        |    THEN round((s2 - p * (p + 1)) / (2.0 * p * n), 6) END AS auc
+        |FROM a""".stripMargin)),
+
     Q("q_gauss_release",  // (ε, δ)-DP GAUSSIAN release — the second
       // mechanism of the Privacy module (q_dp_budget covers Laplace):
       // per-source counts + N(0, σ²) noise with σ calibrated by
