@@ -105,10 +105,20 @@ object IdOps {
     * Weights must be positive for the key to mean anything (w = 0
     * gives pow(u, ∞) = 0, negative w gives keys > 1 that outrank
     * every legitimate row) — non-positive-weight rows are EXCLUDED,
-    * the E–S contract. The key rounds to 9 dp before ranking (the
-    * rounded-before-ordered device): pow is libm-accurate, not
-    * correctly-rounded, so the raw double could order differently
-    * across engines at the top-k boundary.
+    * the E–S contract.
+    *
+    * Ranking happens in the LOG domain: `ln(u)/w` is order-isomorphic
+    * to `u^(1/w)` (exp is monotone) and keeps resolution where the
+    * power form collapses (ADVICE r14: at w ≈ 1e5 the keys `u^(1/w)`
+    * compress toward 1 with spacing ~5e-14, so a 9-dp round made them
+    * collide en masse and the id tie-break deterministically biased
+    * selection toward low ids; `ln(u)/w` spreads the same keys over
+    * ~1e-4 with 1e-9 granularity). The log key rounds to 9 dp before
+    * ranking (the rounded-before-ordered device — ln is libm-accurate,
+    * not correctly-rounded, so the raw double could order differently
+    * across engines at the top-k boundary); the published `es_key`
+    * column stays the paper's `u^(1/w)` form, 9-dp-rounded, for
+    * interpretability.
     */
   def weightedSampleK(
       df: DataFrame, keyCol: String, weightCol: String, k: Int,
@@ -119,7 +129,10 @@ object IdOps {
     df.filter(col(weightCol) > 0)
       .withColumn("es_key",
         round(pow(u, lit(1.0) / col(weightCol).cast("double")), 9))
-      .orderBy(col("es_key").desc, col(keyCol)).limit(k)
+      .withColumn("__es_logkey",
+        round(log(u) / col(weightCol).cast("double"), 9))
+      .orderBy(col("__es_logkey").desc, col(keyCol)).limit(k)
+      .drop("__es_logkey")
   }
 
   /** Deterministic global shuffle — training-order randomization as a

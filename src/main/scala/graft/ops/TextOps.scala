@@ -132,7 +132,15 @@ object TextOps {
     * (mod 10). Implemented manually rather than via the engine's
     * `luhn_check` so the DuckDB oracle runs the IDENTICAL recipe
     * digit-for-digit; parity with Spark's builtin is locked in
-    * TextOpsSpec.
+    * CorpusSpec.
+    *
+    * A non-digit anywhere returns FALSE, never null (ADVICE r14: the
+    * per-character int cast yields null on a letter, which would
+    * propagate through the aggregate into three-valued logic —
+    * latent behind [[cardCandidates]]'s digit-run regex, but any
+    * caller handing in raw strings would hit it). The `^\d+$` guard
+    * short-circuits first, so the arithmetic only ever sees digits;
+    * it also subsumes the old non-empty check.
     */
   def luhnOk(digits: Column): Column = {
     val n = length(digits)
@@ -141,7 +149,7 @@ object TextOps {
       val dd = when((n - i) % 2 === 1, d * 2).otherwise(d)
       when(dd > 9, dd - 9).otherwise(dd).cast("long")
     })
-    (n > 0) && aggregate(vals, lit(0L), _ + _) % 10 === 0
+    digits.rlike("^\\d+$") && aggregate(vals, lit(0L), _ + _) % 10 === 0
   }
 
   /** Candidate IPv4 addresses: four 1–3 digit groups joined by dots.

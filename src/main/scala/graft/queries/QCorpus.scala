@@ -142,10 +142,14 @@ private[graft] object QCorpus {
       // proportional to weight (n_chars), engine-portable because the
       // "randomness" is md5 of the doc id. Plans as TakeOrdered
       // (per-partition top-k + k-row merge — the paper's reservoir
-      // form, no global sort at any corpus size). The key rounds to
-      // 9 dp before ranking on BOTH engines — pow is libm-accurate,
-      // not correctly rounded, so the raw double could flip the
-      // top-25 boundary between engines.
+      // form, no global sort at any corpus size). Ranking is in the
+      // LOG domain ln(u)/w (ADVICE r14: the power form compresses
+      // toward 1 at large weights and a 9-dp round collided keys en
+      // masse, biasing the tie-break toward low ids); the log key
+      // rounds to 9 dp before ranking on BOTH engines — ln is
+      // libm-accurate, not correctly rounded, so the raw double could
+      // flip the top-25 boundary between engines. The published
+      // es_key stays the paper's u^(1/w) form.
       (s, dir) => IdOps.weightedSampleK(
           Tables.table(s, dir, "documents").select(col("doc_id"), col("n_chars")),
           "doc_id", "n_chars", k = 25, salt = "ws")
@@ -156,9 +160,10 @@ private[graft] object QCorpus {
         |           AS BIGINT) + 0.5) / 4294967296.0 AS u
         |      FROM documents),
         |k AS (SELECT doc_id, n_chars,
-        |        round(pow(u, 1.0 / n_chars), 9) AS es_key FROM u
+        |        round(pow(u, 1.0 / n_chars), 9) AS es_key,
+        |        round(ln(u) / n_chars, 9) AS es_logkey FROM u
         |      WHERE n_chars > 0
-        |      QUALIFY row_number() OVER (ORDER BY es_key DESC, doc_id) <= 25)
+        |      QUALIFY row_number() OVER (ORDER BY es_logkey DESC, doc_id) <= 25)
         |SELECT doc_id, n_chars, round(es_key, 6) AS es_key FROM k
         |ORDER BY doc_id""".stripMargin)),
 
@@ -414,20 +419,29 @@ private[graft] object QCorpus {
 
     Q("q_stream_nb",  // streaming twin of q_nb_quality: the TRAINED
       // Naive-Bayes scorer applied statelessly to arriving documents —
-      // model learned once on the static corpus (bounded-vocab
-      // (w, lo9) map + prior, the k-row-scalar collect family), shipped
-      // to the stream as a map literal, scored with the SAME 1e-9
-      // fixed-point integer accumulation, so stream scores are
-      // bit-identical to batch and the q_nb_quality ORACLE grades the
-      // stream sink directly. FileStreamSource → exactly-once parquet
-      // sink (AvailableNow), read back for the gate.
+      // model learned once on the static corpus and MATERIALIZED as a
+      // (w, lo9) parquet relation + 1-row prior (nothing collected to
+      // the driver — ADVICE r14: the map-literal form embedded the
+      // vocabulary in the plan, growing with the corpus under Heaps'
+      // law), then broadcast-joined per micro-batch through the
+      // foreachBatch kernel with the SAME 1e-9 fixed-point integer
+      // accumulation, so stream scores are bit-identical to batch and
+      // the q_nb_quality ORACLE grades the stream sink directly.
+      // FileStreamSource → parquet sink (AvailableNow), read back.
       (s, dir) => {
         val lab = Tables.table(s, dir, "documents")
           .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
           .withColumn("y", TextStats.qualityScore(col("toks"), Stop) >= 0.62)
-        val model = TextStats.nbLogOdds9(lab, "doc_id", "toks", "y").collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val prior9 = TextStats.nbPrior9(lab, "y").collect()(0).getLong(0)
+        // train once, persist the model as data (not plan): each
+        // micro-batch reads the artifact instead of re-deriving the
+        // training sub-plan
+        val modelDir = Scratch.dir("stream-nb-model")
+        val priorDir = Scratch.dir("stream-nb-prior")
+        TextStats.nbLogOdds9(lab, "doc_id", "toks", "y")
+          .write.mode("overwrite").parquet(modelDir)
+        TextStats.nbPrior9(lab, "y").write.mode("overwrite").parquet(priorDir)
+        val model = s.read.parquet(modelDir)
+        val prior = s.read.parquet(priorDir)
         val out = Scratch.dir("stream-nb-out")
         val cp = Scratch.dir("stream-nb-cp")
         val schema = Tables.table(s, dir, "documents").schema
@@ -444,10 +458,13 @@ private[graft] object QCorpus {
         val stream = s.readStream.schema(schema).parquet(streamDir)
         val toks = stream.select(col("doc_id"),
           TextOps.tokenize(col("text")).as("toks"))
-        graft.streaming.StreamOps
-          .nbScoreStream(toks, "doc_id", "toks", model, prior9)
-          .writeStream.format("parquet")
-          .option("path", out).option("checkpointLocation", cp)
+        toks.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            graft.streaming.StreamOps
+              .nbScoreBatch(b, "doc_id", "toks", model, prior)
+              .write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", cp)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
           .awaitTermination()

@@ -248,24 +248,38 @@ object StreamOps {
           / size(col(toksCol)).cast("double")).as("xent"))
   }
 
-  /** Stateless streaming Naive-Bayes scoring against a FIXED trained
-    * model — the trained-classifier rung above [[scoreStream]]'s
-    * unigram LM: per arriving doc, prior9 plus the sum of its DISTINCT
-    * tokens' fixed-point log-odds (the exact integer accumulation of
-    * [[graft.ops.TextStats.nbTrainScore]], so stream and batch scores
-    * are bit-identical). The model rides as a map literal (broadcast
-    * to every task); unseen tokens contribute 0 — the same
-    * contract as the batch scorer's inner join. Stateless ⇒
-    * exactly-once sinks make the output deterministic.
+  /** Streaming Naive-Bayes scoring against a FIXED trained model —
+    * the trained-classifier rung above [[scoreStream]]'s unigram LM,
+    * as a per-micro-batch kernel for `writeStream.foreachBatch` (the
+    * [[weightedVerifyBatch]] wiring): per arriving doc, prior9 plus
+    * the sum of its DISTINCT tokens' fixed-point log-odds — the exact
+    * integer accumulation of [[graft.ops.TextStats.nbTrainScore]], so
+    * stream and batch scores are bit-identical. Scoring is per-doc
+    * independent, so the union of per-batch outputs IS the batch run
+    * over the union of the batches — stream/batch parity is
+    * structural.
+    *
+    * The model arrives as the (w, lo9) RELATION plus the 1-row prior9
+    * frame, both broadcast-joined (ADVICE r14: the earlier map-literal
+    * form collected the vocabulary to the driver and embedded it in
+    * the plan — under Heaps' law that grows with the corpus,
+    * contradicting the batch scorer's nothing-collected contract;
+    * a relation keeps the model bounded by the join, not the driver).
+    * Unseen tokens contribute 0 — the inner join + left backfill, the
+    * same contract as the batch scorer.
     */
-  def nbScoreStream(
+  def nbScoreBatch(
       docs: DataFrame, idCol: String, toksCol: String,
-      logOdds9: Map[String, Long], prior9: Long): DataFrame = {
-    val m = typedlit(logOdds9)
-    docs.select(col(idCol),
-      ((lit(prior9) + aggregate(array_distinct(col(toksCol)), lit(0L),
-        (acc, w) => acc + coalesce(element_at(m, w), lit(0L))))
-        / lit(1e9)).as("nb_logit"))
+      model: DataFrame, prior: DataFrame): DataFrame = {
+    val feats = docs.select(col(idCol),
+      explode(array_distinct(col(toksCol))).as("w"))
+    val slo = feats.join(broadcast(model.select(col("w"), col("lo9"))), Seq("w"))
+      .groupBy(col(idCol)).agg(sum("lo9").as("slo9"))
+    docs.select(col(idCol))
+      .join(slo, Seq(idCol), "left").na.fill(0L, Seq("slo9"))
+      .crossJoin(broadcast(prior.select(col("prior9"))))
+      .select(col(idCol),
+        ((col("prior9") + col("slo9")) / lit(1e9)).as("nb_logit"))
   }
 
   /** tf·idf term-weight vectors (id, tok, w) for [[weightedVerifyBatch]]:

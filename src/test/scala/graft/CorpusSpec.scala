@@ -52,17 +52,25 @@ class CorpusSpec extends AnyFunSuite {
   test("luhnOk: parity with Spark's builtin luhn_check over fixtures and fuzz") {
     // classic vectors: 4532015112830366 valid, flip last digit -> invalid,
     // 79927398713 the textbook Luhn example
+    // non-digit / empty inputs must give FALSE, not null (ADVICE r14:
+    // the per-char int cast nulls on a letter and would otherwise
+    // propagate three-valued logic to raw-string callers)
     val fixed = Seq("4532015112830366", "4532015112830367", "79927398713",
-      "0000000000000000", "1234567812345670")
+      "0000000000000000", "1234567812345670",
+      "4532a15112830366", "4532-0151-1283-0366", "", " 79927398713", "x")
     val fuzz = (0 until 500).map(i => ((i.toLong * 7919 + 12345) * 104729)
       .toString.reverse.padTo(16, '0').reverse.mkString)
     val df = (fixed ++ fuzz).toDF("s")
       .select(col("s"), TextOps.luhnOk(col("s")).as("mine"),
         call_function("luhn_check", col("s")).as("builtin"))
     assert(df.filter(col("mine") =!= col("builtin")).count() == 0)
+    assert(df.filter(col("mine").isNull).count() == 0,
+      "luhnOk must be two-valued on every input")
     val m = df.filter(col("s").isin(fixed: _*))
       .select("s", "mine").as[(String, Boolean)].collect().toMap
     assert(m("4532015112830366") && !m("4532015112830367") && m("79927398713"))
+    assert(!m("4532a15112830366") && !m("4532-0151-1283-0366") &&
+      !m("") && !m(" 79927398713") && !m("x"))
   }
 
   test("ipv4Valid: octet range enforced; candidates keep shape only") {
@@ -150,7 +158,7 @@ class CorpusSpec extends AnyFunSuite {
     assert(uwins <= 10, s"uniform control won $uwins/50 — not uniform")
   }
 
-  test("nbScoreStream: streamed scores are bit-identical to the batch scorer") {
+  test("nbScoreBatch: streamed scores are bit-identical to the batch scorer; model stays a relation") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamOps
@@ -158,20 +166,24 @@ class CorpusSpec extends AnyFunSuite {
       (1L, Seq("good", "meh"), true), (2L, Seq("good"), true),
       (3L, Seq("bad", "meh"), false), (4L, Seq("bad"), false),
       (5L, Seq("unseen", "tokens"), true))
-    // train on docs 1-4 only; doc 5 is pure out-of-vocabulary traffic
+    // train on docs 1-4 only; doc 5 is pure out-of-vocabulary traffic.
+    // The model rides as the (w, lo9) RELATION + 1-row prior frame
+    // (ADVICE r14) — nothing collected, broadcast-joined per batch.
     val train = rows.take(4).toDF("id", "toks", "y")
-    val model = TextStats.nbLogOdds9(train, "id", "toks", "y").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val prior9 = TextStats.nbPrior9(train, "y").collect()(0).getLong(0)
+    val model = TextStats.nbLogOdds9(train, "id", "toks", "y")
+    val prior = TextStats.nbPrior9(train, "y")
     val mem = MemoryStream[(Long, Seq[String])]
-    val q = StreamOps.nbScoreStream(
-        mem.toDF().toDF("id", "toks"), "id", "toks", model, prior9)
-      .writeStream.format("memory").queryName("nbstream")
-      .outputMode("append").start()
+    val sink = new java.io.File(graft.Scratch.dir("nb-corpus-sink"), "out").toString
+    val q = mem.toDF().toDF("id", "toks").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamOps.nbScoreBatch(b, "id", "toks", model, prior)
+          .write.mode("append").parquet(sink)
+      }
+      .start()
     try {
       mem.addData(rows.map(r => (r._1, r._2)): _*)
       q.processAllAvailable()
-      val streamed = spark.table("nbstream")
+      val streamed = spark.read.parquet(sink)
         .as[(Long, Double)].collect().toMap
       // the batch scorer trained on the same 4 docs must agree EXACTLY
       // (both are integer-sum/1e9 of the identical fixed-point model)
@@ -180,6 +192,7 @@ class CorpusSpec extends AnyFunSuite {
       rows.take(4).foreach(r =>
         assert(streamed(r._1) == batch4(r._1), s"doc ${r._1}"))
       // out-of-vocabulary doc scores exactly the prior
+      val prior9 = prior.collect()(0).getLong(0)
       assert(streamed(5L) == prior9 / 1e9)
     } finally q.stop()
   }

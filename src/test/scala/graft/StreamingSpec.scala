@@ -135,6 +135,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nbScoreBatch via foreachBatch: trained-NB stream scores are bit-identical to batch, nothing collected") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{TextOps, TextStats}
+    import graft.Dictionaries.{Stopwords => Stop}
+    val lab = Tables.table(spark, TestSpark.Sf, "documents")
+      .select($"doc_id", TextOps.tokenize($"text").as("toks"))
+      .withColumn("y", TextStats.qualityScore($"toks", Stop) >= 0.62)
+    // the model stays a RELATION end-to-end (ADVICE r14) — the spec
+    // itself never collects it either
+    val model = TextStats.nbLogOdds9(lab, "doc_id", "toks", "y")
+    val prior = TextStats.nbPrior9(lab, "y")
+    val want = TextStats.nbTrainScore(lab, "doc_id", "toks", "y")
+      .select($"doc_id", $"nb_logit").as[(Long, Double)].collect().toMap
+    val rows = lab.select($"doc_id", $"toks").as[(Long, Seq[String])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[String])]
+    val sink = new java.io.File(graft.Scratch.dir("nb-batch-sink"), "out").toString
+    val q = mem.toDF().toDF("doc_id", "toks").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.StreamOps
+          .nbScoreBatch(b, "doc_id", "toks", model, prior)
+          .write.mode("append").parquet(sink)
+      }
+      .start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = spark.read.parquet(sink).as[(Long, Double)].collect().toMap
+      assert(got.keySet == want.keySet && got.nonEmpty)
+      // fixed-point integer accumulation ⇒ EXACT equality, not epsilon
+      assert(got.forall { case (k, v) => v == want(k) },
+        "stream scores must be bit-identical to the batch scorer")
+    } finally q.stop()
+  }
+
   test("contaminatedStream: streamed stream-static join + dedup == batch contaminationHits id set, across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
