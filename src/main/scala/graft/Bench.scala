@@ -302,7 +302,10 @@ object Bench {
     var passesRun = 0
     def errPerPass = if (passesRun < 12) 0.0
       else math.min(0.6, math.max(-0.05, (actSpent - predSpent) / passesRun))
-    val resultsBuf = List.newBuilder[(String, Double, Double)]
+    // insertion-ordered and UPDATABLE: the end-of-run rescue pass below
+    // upgrades single-pass entries in place once leftover budget is known
+    val resultsBuf =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     selected.zipWithIndex.foreach { case ((name, fn), idx) =>
       // The hard wall gates ALL starts, not just 2-passes (r11: a host
       // slowness episode pushed a local run to elapsed 516 s because
@@ -381,8 +384,26 @@ object Bench {
         // extra cost the projection should absorb)
         if (medians.contains(name)) {
           val single = singlePass.headOption.contains(name)
-          predSpent += (if (single) onePassCost(name) else twoPassCost(name))
-          actSpent += (System.nanoTime() - tq0) / 1e9
+          val pred = if (single) onePassCost(name) else twoPassCost(name)
+          val act = (System.nanoTime() - tq0) / 1e9
+          // STALL-AWARE projection (VERDICT r14 #1): a query blowing
+          // through 3× its predicted cost (floor 2 s — the
+          // stall_suspect criterion applied to the prediction) is this
+          // host's episodic-stall signature, not sustained host speed.
+          // Feeding the inflated sample into the adaptive error would
+          // cascade sacrifices across the whole remaining tail
+          // (BENCH_r14: 7 stalls → 26 single-pass entries); charging
+          // the stalled query at its PREDICTED cost keeps the error
+          // model projecting from committed medians — the elapsed
+          // clock still carries the real loss, so the budget math
+          // stays honest, but one slow minute no longer rewrites the
+          // per-pass cost of every query after it.
+          val stalled = act > math.max(2.0, 3 * pred)
+          if (stalled)
+            System.err.println(f"[bench] $name act=$act%.2f vs pred=" +
+              f"$pred%.2f — stall; calibration charged at prediction")
+          predSpent += pred
+          actSpent += (if (stalled) pred else act)
           passesRun += (if (single) 1 else 2)
         }
       }
@@ -397,9 +418,66 @@ object Bench {
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => before(id) || prot(id) }
         .values.foreach(_.unpersist(blocking = false))
-      resultsBuf += ((name, cold, warm))
+      resultsBuf(name) = ((cold, warm))
     }
-    val results = substrateResults.toList ++ resultsBuf.result()
+    // RESCUE pass (VERDICT r14 #1): when the projection over-shed —
+    // a mid-run stall inflated elapsed time and forced sacrifices the
+    // budget would in hindsight have afforded — leftover budget buys
+    // the coverage back instead of expiring unused. Two stages, both
+    // cheapest-first (maximum entries regained per projected second),
+    // both gated on the same budget/hard-wall math as the main loop:
+    //   1. single-pass entries get ONE more pass in the now-warm JVM —
+    //      a genuine warm sample (the recorded one was cold), so the
+    //      entry leaves the degraded set entirely;
+    //   2. stall-suspect warm samples (3× committed median) re-run
+    //      once and keep the min — a clean re-run clears the flag, so
+    //      the artifact stops reporting ghosts the medians disprove.
+    var rescued = List.empty[String]
+    locally {
+      val fnByName = selected.toMap
+      def mayRun(n: String) = {
+        val cost = onePassCost(n) + errPerPass
+        elapsedS + cost < budgetS * 0.95 && elapsedS + cost < hardWallS
+      }
+      def rerun(n: String): Double = {
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        val w = once(n, fnByName(n))
+        val prot = ops.DfMemo.protectedRddIds
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => before(id) || prot(id) }
+          .values.foreach(_.unpersist(blocking = false))
+        w
+      }
+      val upgradable = singlePass
+        .filter(n => resultsBuf.get(n).exists(r => !r._2.isNaN))
+        .sortBy(n => medians.getOrElse(n, 1.0))
+      for (n <- upgradable if mayRun(n)) {
+        val w = rerun(n)
+        if (!w.isNaN) {
+          val (c, old) = resultsBuf(n)
+          resultsBuf(n) = ((c, math.min(w, old)))
+          singlePass = singlePass.filterNot(_ == n)
+          rescued ::= n
+          System.err.println(f"[bench] rescued $n to warm=$w%.2f t=$elapsedS%.0f")
+        }
+      }
+      val suspects = resultsBuf.toList.collect {
+        case (n, (_, w)) if !singlePass.contains(n) &&
+          medians.get(n).exists(m => w > math.max(2.0, 3 * m)) => n
+      }.sortBy(n => medians(n))
+      for (n <- suspects if mayRun(n)) {
+        val w = rerun(n)
+        if (!w.isNaN) {
+          val (c, old) = resultsBuf(n)
+          resultsBuf(n) = ((c, math.min(w, old)))
+          rescued ::= n
+          System.err.println(
+            f"[bench] re-sampled stall suspect $n warm=$w%.2f t=$elapsedS%.0f")
+        }
+      }
+    }
+    val results = substrateResults.toList ++
+      resultsBuf.toList.map { case (n, (c, w)) => (n, c, w) }
     // JSON has no NaN: failed samples serialize as -1 and are excluded
     // from the gated totals.
     def j(v: Double): String = if (v.isNaN) "-1" else v.toString
@@ -456,6 +534,7 @@ object Bench {
       s""""n_failed":${failures.size},"failures":${arr(failures)},""" +
       s""""single_pass":${arr(singlePass)},""" +
       s""""n_skipped_wall":${skippedWall.size},"skipped_wall":${arr(skippedWall)},""" +
+      s""""rescued":${arr(rescued)},""" +
       s""""substrates":${arr(substrateNames.toList)},""" +
       s""""substrate_total":${substrateResults.map(_._3).filterNot(_.isNaN).sum},""" +
       s""""substrate_stall_suspect":${arr(substrateStallSuspect)},""" +
@@ -473,6 +552,7 @@ object Bench {
       s""""n_queries":${results.size + skippedWall.size},"n_warm_measured":$nWarm,""" +
       s""""degraded":$isDegraded,"n_failed":${failures.size},""" +
       s""""n_single_pass":${singlePass.size},"n_stall_suspect":${stallSuspect.size},""" +
+      s""""n_rescued":${rescued.size},""" +
       s""""n_skipped_wall":${skippedWall.size},"elapsed_s":$elapsedS,""" +
       s""""sha":"$sha","summary_of":"preceding full line","sf":"$sfDirOrig"}""")
     System.out.flush()
