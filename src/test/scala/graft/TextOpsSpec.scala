@@ -581,4 +581,43 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.forall { case (_, nc, nb) => nb <= nc },
       "a merge can only shrink the symbol count")
   }
+
+  test("UnicodeNorm: NFC unifies the dedup key where byte-hashing splits; NFKC folds presentation forms; ASCII is a bitwise no-op") {
+    import graft.functions.UnicodeNorm.{nfc, nfkc}
+    // the three classes from VERDICT r14 missing #1, as codepoint
+    // escapes so the source file can never be editor-normalized:
+    // combining-vs-precomposed, full-width ASCII, ligature
+    val combining = "cafe\u0301"       // e + COMBINING ACUTE
+    val precomposed = "caf\u00e9"      // precomposed e-acute
+    val rows = Seq(
+      (1L, combining), (2L, precomposed),
+      (3L, "\uff41\uff42\uff43"),       // full-width abc
+      (4L, "\ufb01le"),                 // fi-ligature + le
+      (5L, "A\u030angstro\u0308m"),     // combining ring + diaeresis
+      (6L, "plain ascii 42")
+    ).toDF("id", "s")
+    val got = rows.select(col("id"), nfc(col("s")).as("c"), nfkc(col("s")).as("k"))
+      .as[(Long, String, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // NFC composes combining sequences onto their precomposed forms
+    assert(got(1L)._1 == precomposed && got(2L)._1 == precomposed)
+    assert(got(5L)._1 == "\u00c5ngstr\u00f6m")
+    // NFC leaves compatibility forms ALONE; NFKC folds them
+    assert(got(3L)._1 == "\uff41\uff42\uff43" && got(3L)._2 == "abc")
+    assert(got(4L)._1 == "\ufb01le" && got(4L)._2 == "file")
+    // ASCII is untouched by every form
+    assert(got(6L) == (("plain ascii 42", "plain ascii 42")))
+    // the md5 dedup key: raw bytes SPLIT the combining/precomposed
+    // pair, the NFC-normalized key UNIFIES it (the reason the r15
+    // normalizeText applies NFC before hashing)
+    val keys = rows
+      .select(col("id"), md5(col("s")).as("raw"),
+        md5(graft.ops.TextOps.normalizeText(col("s"))).as("norm"))
+      .as[(Long, String, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(keys(1L)._1 != keys(2L)._1, "byte hash must split the pair")
+    assert(keys(1L)._2 == keys(2L)._2, "NFC-normalized key must unify the pair")
+    // nulls propagate, not crash
+    val n = Seq((1L, Option.empty[String])).toDF("id", "s")
+      .select(nfc(col("s"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
 }
