@@ -109,7 +109,7 @@ private[graft] object QCorpus {
         val lab = Tables.table(s, dir, "documents")
           .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
           .withColumn("y", TextStats.qualityScore(col("toks"), Stop) >= 0.62)
-        TextStats.nbTrainScore(lab, "doc_id", "toks", "y")
+        TextStats.nbTrainScore(lab, "doc_id", "toks", "y", maxVocab = 20)
           .select(col("doc_id"), col("y"),
             round(col("nb_logit"), 6).as("nb_logit"),
             (col("nb_logit") > 0).as("nb_pred"))
@@ -120,7 +120,8 @@ private[graft] object QCorpus {
         |ld AS (SELECT doc_id, toks, ($SqlQuality) >= 0.62 AS y FROM t),
         |f AS (SELECT doc_id, y, unnest(list_distinct(toks)) AS w FROM ld),
         |cnt AS (SELECT w, sum(CASE WHEN y THEN 1 ELSE 0 END) AS c1,
-        |          sum(CASE WHEN y THEN 0 ELSE 1 END) AS c0 FROM f GROUP BY 1),
+        |          sum(CASE WHEN y THEN 0 ELSE 1 END) AS c0 FROM f GROUP BY 1
+        |        QUALIFY row_number() OVER (ORDER BY (c1 + c0) DESC, w) <= 20),
         |nn AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS n1,
         |         sum(CASE WHEN y THEN 0 ELSE 1 END) AS n0 FROM ld),
         |model AS (SELECT w, CAST(round((ln((c1 + 1.0) / (n1 + 2.0))
@@ -404,14 +405,15 @@ private[graft] object QCorpus {
           .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
           .withColumn("y", TextStats.qualityScore(col("toks"), Stop) >= 0.62)
         TextStats.rocAuc(
-          TextStats.nbTrainScore(lab, "doc_id", "toks", "y"), "nb_logit", "y")
+          TextStats.nbTrainScore(lab, "doc_id", "toks", "y", maxVocab = 20), "nb_logit", "y")
       },
       Some(s"""WITH t AS (SELECT doc_id,
         |        regexp_extract_all(lower(text), '\\b\\w\\w+\\b') AS toks FROM documents),
         |ld AS (SELECT doc_id, toks, ($SqlQuality) >= 0.62 AS y FROM t),
         |f AS (SELECT doc_id, y, unnest(list_distinct(toks)) AS w FROM ld),
         |cnt AS (SELECT w, sum(CASE WHEN y THEN 1 ELSE 0 END) AS c1,
-        |          sum(CASE WHEN y THEN 0 ELSE 1 END) AS c0 FROM f GROUP BY 1),
+        |          sum(CASE WHEN y THEN 0 ELSE 1 END) AS c0 FROM f GROUP BY 1
+        |        QUALIFY row_number() OVER (ORDER BY (c1 + c0) DESC, w) <= 20),
         |nn AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS n1,
         |         sum(CASE WHEN y THEN 0 ELSE 1 END) AS n0 FROM ld),
         |model AS (SELECT w, CAST(round((ln((c1 + 1.0) / (n1 + 2.0))
@@ -508,7 +510,7 @@ private[graft] object QCorpus {
         // training sub-plan
         val modelDir = Scratch.dir("stream-nb-model")
         val priorDir = Scratch.dir("stream-nb-prior")
-        TextStats.nbLogOdds9(lab, "doc_id", "toks", "y")
+        TextStats.nbLogOdds9(lab, "doc_id", "toks", "y", maxVocab = 20)
           .write.mode("overwrite").parquet(modelDir)
         TextStats.nbPrior9(lab, "y").write.mode("overwrite").parquet(priorDir)
         val model = s.read.parquet(modelDir)
@@ -548,7 +550,8 @@ private[graft] object QCorpus {
         |ld AS (SELECT doc_id, toks, ($SqlQuality) >= 0.62 AS y FROM t),
         |f AS (SELECT doc_id, y, unnest(list_distinct(toks)) AS w FROM ld),
         |cnt AS (SELECT w, sum(CASE WHEN y THEN 1 ELSE 0 END) AS c1,
-        |          sum(CASE WHEN y THEN 0 ELSE 1 END) AS c0 FROM f GROUP BY 1),
+        |          sum(CASE WHEN y THEN 0 ELSE 1 END) AS c0 FROM f GROUP BY 1
+        |        QUALIFY row_number() OVER (ORDER BY (c1 + c0) DESC, w) <= 20),
         |nn AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS n1,
         |         sum(CASE WHEN y THEN 0 ELSE 1 END) AS n0 FROM ld),
         |model AS (SELECT w, CAST(round((ln((c1 + 1.0) / (n1 + 2.0))

@@ -158,6 +158,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(uwins <= 10, s"uniform control won $uwins/50 — not uniform")
   }
 
+  test("nbLogOdds9 maxVocab: model bounded, selection by presence count with deterministic ties") {
+    // 5 docs; presence counts: hi=5, mid=3, lo1=lo2=1 (tie on count,
+    // broken by token order), so top-3 = {hi, mid, lo1}
+    val docs = Seq(
+      (1L, Seq("hi", "mid", "lo1"), true), (2L, Seq("hi", "mid"), true),
+      (3L, Seq("hi", "mid"), false), (4L, Seq("hi", "lo2"), false),
+      (5L, Seq("hi"), true)
+    ).toDF("id", "toks", "y")
+    val capped = TextStats.nbLogOdds9(docs, "id", "toks", "y", maxVocab = 3)
+      .select("w").as[String].collect().toSet
+    assert(capped == Set("hi", "mid", "lo1"), capped.toString)
+    // the cap is a hard bound at every setting
+    for (n <- 1 to 4)
+      assert(TextStats.nbLogOdds9(docs, "id", "toks", "y", maxVocab = n)
+        .count() <= n)
+    // capped scoring drops only the excluded tokens' contributions:
+    // doc 4 keeps hi (in-vocab), loses lo2 -> equals the score of a
+    // doc with toks=[hi] under the SAME capped model
+    val scored = TextStats.nbTrainScore(docs, "id", "toks", "y", maxVocab = 3)
+      .as[(Long, Boolean, Double)].collect().map(t => t._1 -> t._3).toMap
+    assert(scored(4L) == scored(5L),
+      "out-of-vocab token must contribute exactly nothing")
+  }
+
   test("nbScoreBatch: streamed scores are bit-identical to the batch scorer; model stays a relation") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
