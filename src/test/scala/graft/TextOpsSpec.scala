@@ -582,6 +582,47 @@ class TextOpsSpec extends AnyFunSuite {
       "a merge can only shrink the symbol count")
   }
 
+  test("CJK segmentation: bigrams make whitespace-free scripts visible to tokenize/lang-ID/dedup") {
+    import graft.ops.{TextOps => T, TextStats => TS}
+    val zh = "\u4f60\u597d\u4e16\u754c"            // han only
+    val jp = "\u65e5\u672c\u8a9e\u306e\u30c6"             // kana present
+    val kr = "\ud55c\uad6d\uc5b4"             // hangul
+    val one = "\u4e2d"        // single-char run
+    val rows = Seq(
+      (1L, "the quick fox " + zh), (2L, jp), (3L, kr),
+      (4L, one + " and " + one), (5L, "plain english the and is")
+    ).toDF("id", "s")
+    val got = rows.select(col("id"),
+        T.tokenize(col("s")).as("w"),
+        T.cjkCharBigrams(col("s")).as("b"),
+        T.tokenizeMixed(col("s")).as("m"),
+        TS.langIdMixed(col("s")).as("lang"))
+      .as[(Long, Seq[String], Seq[String], Seq[String], String)]
+      .collect().map(t => t._1 -> t).toMap
+    // the motivating gap: the ASCII tokenizer sees NOTHING of a CJK run
+    assert(got(2L)._2.isEmpty && got(3L)._2.isEmpty)
+    // overlapping bigrams: a 4-char run yields 3, and mixed = words ++ bigrams
+    assert(got(1L)._3 == Seq(zh.substring(0, 2), zh.substring(1, 3), zh.substring(2, 4)))
+    assert(got(1L)._4 == got(1L)._2 ++ got(1L)._3)
+    // 1-char runs survive as singleton tokens (sequence(1,0) counts
+    // DOWN in Spark — the guard is load-bearing)
+    assert(got(4L)._3 == Seq(one, one))
+    // sub-script presence routing: kana beats han (ja), hangul -> ko,
+    // han-only -> zh; pure ASCII falls through to the marker scan
+    assert(got(2L)._5 == "ja" && got(3L)._5 == "ko" && got(1L)._5 == "zh")
+    assert(got(5L)._5 == "en")
+    // shingle-dedup visibility: two docs differing ONLY inside a CJK
+    // run now produce different mixed-token keys where the ASCII
+    // tokenizer keyed them identically
+    val zh2 = "\u4f60\u597d\u4e16\u6587"
+    val pair = Seq((1L, "same prefix " + zh), (2L, "same prefix " + zh2)).toDF("id", "s")
+      .select(col("id"), md5(array_join(T.tokenize(col("s")), "|")).as("kw"),
+        md5(array_join(T.tokenizeMixed(col("s")), "|")).as("km"))
+      .as[(Long, String, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(pair(1L)._1 == pair(2L)._1, "ASCII tokenizer is blind to the difference")
+    assert(pair(1L)._2 != pair(2L)._2, "mixed tokens must distinguish the docs")
+  }
+
   test("UnicodeNorm: NFC unifies the dedup key where byte-hashing splits; NFKC folds presentation forms; ASCII is a bitwise no-op") {
     import graft.functions.UnicodeNorm.{nfc, nfkc}
     // the three classes from VERDICT r14 missing #1, as codepoint
