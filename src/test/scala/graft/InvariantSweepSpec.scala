@@ -353,4 +353,47 @@ class InvariantSweepSpec extends AnyFunSuite {
       assert(s1.size == 25 && s1 == s2, s"$sf: sample not deterministic")
     }
   }
+
+  test("r15 kcorePeelConverged invariants: fixpoint degrees ≥ k, edge-recount agrees, monotone under the fixed-round peel (3 SFs)") {
+    import graft.ops.{GraphOps, Similarity}
+    import graft.QShared.fixedCentroidArr
+    for (sf <- Sfs) {
+      val edges = Similarity.knnSelfJoin(
+          Tables.table(spark, sf, "embeddings"), "vec_id", "embedding",
+          fixedCentroidArr(spark, sf), k = 5, nprobe = 5)
+        .select($"qid".as("src"), $"nbr".as("dst"))
+      // the 5-NN union graph has min degree 5: at k = 5 the whole graph
+      // IS the core (round 1 drops nobody), at k = 6 the peel does real
+      // work, at k = 7 this graph sweeps to EMPTY — all three fixpoints
+      // must satisfy the same properties.
+      for (k <- Seq(5, 6, 7)) {
+        val core = GraphOps.kcorePeelConverged(edges, "src", "dst", k = k)
+          .as[(Long, Long)].collect().toMap
+        // k-core property: every reported degree clears k
+        assert(core.values.forall(_ >= k), s"$sf k=$k: degree < k in core")
+        // the reported degrees are REAL: recount from the canonical
+        // edge list induced on the surviving ids
+        val und = edges.select(
+            least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+          .filter($"a" =!= $"b").distinct()
+          .as[(Long, Long)].collect()
+        val inCore = und.filter(e => core.contains(e._1) && core.contains(e._2))
+        val recount = inCore.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (id, xs) => id -> xs.length.toLong }
+        assert(recount == core, s"$sf k=$k: reported degrees != edge recount")
+        // fixpoint: one more peel on the induced subgraph drops nothing
+        assert(recount.values.forall(_ >= k), s"$sf k=$k: not a fixpoint")
+        // monotone vs the gated fixed-round form: the true core is a
+        // subset of ANY prefix of the peel (1 round included)
+        if (k == 6) {
+          val oneRound = GraphOps.kcorePeel(edges, "src", "dst", k = 6, iters = 1)
+            .select($"id").as[Long].collect().toSet
+          assert(core.keySet.subsetOf(oneRound),
+            s"$sf: fixpoint core must be ⊆ the 1-round peel")
+        }
+        if (k == 5) assert(core.nonEmpty, s"$sf: k=5 core should be the whole graph")
+        if (k == 7) assert(core.isEmpty, s"$sf: k=7 core should sweep empty")
+      }
+    }
+  }
 }
