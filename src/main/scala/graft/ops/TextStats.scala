@@ -664,6 +664,69 @@ object TextStats {
         ((col("prior9") + col("slo9")) / lit(1e9)).as("nb_logit"))
   }
 
+  /** Platt scaling (Platt 1999, "Probabilistic Outputs for Support
+    * Vector Machines…"): fit the 2-parameter logistic
+    * `P(y=1|s) = 1/(1+exp(−(a·s+b)))` over (score, label) rows by
+    * Newton iterations on the regularized cross-entropy — Platt's
+    * targets `t₊ = (N₊+1)/(N₊+2)`, `t₋ = 1/(N₋+2)` keep the fit away
+    * from 0/1 saturation. This is the calibration layer that turns a
+    * classifier margin (the NB logit) into a PROBABILITY the curation
+    * funnels can threshold meaningfully.
+    *
+    * The fit is a driver-convergence loop of the K-Means family: per
+    * iteration ONE 1-row aggregation computes the five sufficient
+    * statistics (∇ and Hessian entries), the 2×2 Newton solve runs on
+    * the driver, and the iteration count is FIXED so the result is a
+    * closed-form function of the scores that a SQL oracle replays
+    * round-for-round. Cross-engine exactness is the house fixed-point
+    * law: p is 9-dp-rounded the moment produced (exp is libm, not
+    * correctly rounded), every per-row term is quantized to 1e-9 and
+    * summed as exact longs, and (a, b) re-round to 9 dp after each
+    * Newton step — both engines then iterate on bitwise-identical
+    * doubles. Once the step fixes to 9 dp the update is idempotent,
+    * so extra rounds are harmless.
+    *
+    * Scale: the score frame is lazily checkpointed once (the scores
+    * feed `iters`+1 jobs — without the cut the whole upstream
+    * training plan would re-run per iteration); each iteration
+    * shuffles 5 longs. Returns (a, b).
+    */
+  def plattFit(
+      scored: DataFrame, scoreCol: String, labelCol: String,
+      iters: Int = 8): (Double, Double) = {
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sc = scored.select(col(scoreCol).as("s"), col(labelCol).as("y"))
+      .localCheckpoint(eager = false)
+    val nr = sc.agg(
+      sum(when(col("y"), 1L).otherwise(0L)),
+      sum(when(col("y"), 0L).otherwise(1L))).head()
+    val (np, nn) = (nr.getLong(0), nr.getLong(1))
+    val tp = (np + 1.0) / (np + 2.0)
+    val tn = 1.0 / (nn + 2.0)
+    var a = 0.0
+    var b = r9(math.log((np + 1.0) / (nn + 1.0)))
+    var it = 0
+    while (it < iters) {
+      val p = round(lit(1.0) / (lit(1.0)
+        + exp(-(lit(a) * col("s") + lit(b)))), 9)
+      val t = when(col("y"), lit(tp)).otherwise(lit(tn))
+      val w = round(p * (lit(1.0) - p), 9)
+      def q9(c: Column) = sum(round(c * lit(1e9), 0).cast("long"))
+      val g = sc.agg(
+        q9(col("s") * (p - t)), q9(p - t),
+        q9(col("s") * col("s") * w), q9(col("s") * w), q9(w)).head()
+      val (ga, gb) = (g.getLong(0) / 1e9, g.getLong(1) / 1e9)
+      val (haa, hab, hbb) =
+        (g.getLong(2) / 1e9, g.getLong(3) / 1e9, g.getLong(4) / 1e9)
+      val det = haa * hbb - hab * hab
+      a = r9(a - (hbb * ga - hab * gb) / det)
+      b = r9(b - (haa * gb - hab * ga) / det)
+      it += 1
+    }
+    (a, b)
+  }
+
   /** C4 line-level cleaning (Raffel et al. 2020, arXiv:1910.10683
     * §2.2 — the rule set every web-scale corpus pipeline starts from):
     * a line of a newline-delimited text survives iff it ends in a

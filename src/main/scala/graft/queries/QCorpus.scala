@@ -650,6 +650,43 @@ private[graft] object QCorpus {
         |FROM ld CROSS JOIN pr LEFT JOIN slo ON slo.doc_id = ld.doc_id
         |ORDER BY ld.doc_id""".stripMargin)),
 
+    Q("q_nb_platt",  // Platt-scaled NB probabilities + reliability
+      // bins (VERDICT r14 #7): the trained classifier's logit becomes
+      // a PROBABILITY via the 2-parameter logistic fit of Platt 1999
+      // (regularized targets (N+ +1)/(N+ +2), 1/(N- +2)), fitted by 8
+      // fixed Newton rounds — a driver-convergence loop whose five
+      // sufficient statistics per round are 1e-9 fixed-point longs
+      // and whose (a, b) re-round to 9 dp per step, so the DuckDB
+      // oracle replays the identical iteration on bitwise-identical
+      // doubles (generated round-for-round by plattOracleSql). Output
+      // is the reliability table every calibration consumer reads —
+      // decile bins of calibrated p with count, mean p (exact
+      // fixed-point mean) and empirical positive rate — plus the
+      // fitted (a, b).
+      (s, dir) => {
+        val lab = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
+          .withColumn("y", TextStats.qualityScore(col("toks"), Stop) >= 0.62)
+        val scored = TextStats.nbTrainScore(lab, "doc_id", "toks", "y", maxVocab = 20)
+          .select(col("nb_logit").as("s"), col("y"))
+          .localCheckpoint(eager = false)
+        val (a, b) = TextStats.plattFit(scored, "s", "y", iters = 8)
+        val p = round(lit(1.0) / (lit(1.0)
+          + exp(-(lit(a) * col("s") + lit(b)))), 9)
+        scored
+          .select(col("y"), p.as("p"))
+          .groupBy(least(floor(col("p") * 10).cast("int"), lit(9)).as("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("y"), 1L).otherwise(0L)).as("npos"),
+            sum(round(col("p") * lit(1e9), 0).cast("long")).as("sp9"))
+          .select(col("bin"), col("n"),
+            round(col("sp9") / lit(1e9) / col("n"), 6).as("mean_p"),
+            round(col("npos") / col("n").cast("double"), 6).as("frac_pos"),
+            round(lit(a), 6).as("platt_a"), round(lit(b), 6).as("platt_b"))
+          .orderBy("bin")
+      },
+      Some(plattOracleSql(8))),
+
     Q("q_dp_budget",  // ε-ACCOUNTED noisy release (the accounting layer
       // the q_dp_counts caveat lacked): per-source counts released
       // TWICE, each with Laplace(Δ1/ε) noise at ε=0.25 calibrated by
@@ -695,4 +732,73 @@ private[graft] object QCorpus {
         |    + 0.5 * (exp(0.25) - 1.0), 6) + 0.0 AS eps_advanced
         |FROM u ORDER BY source""".stripMargin))
   )
+
+  /** DuckDB oracle for q_nb_platt: the q_nb_quality model CTE chain
+    * (capped vocabulary), then `iters` Newton rounds generated by the
+    * SAME loop count as TextStats.plattFit — each round one 5-sum
+    * aggregate in 1e-9 fixed point and a (a, b) update whose
+    * arithmetic is spelled in the IDENTICAL operation order as the
+    * Scala driver solve, so both engines iterate on bitwise-identical
+    * doubles. sc/tt are MATERIALIZED: DuckDB 1.0 inlines
+    * multiply-referenced CTEs, and 8 rounds referencing an inlined
+    * score derivation would re-run the whole training chain per
+    * round.
+    */
+  private def plattOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""g$i AS (SELECT
+         |    sum(CAST(round(s * (p - t) * 1e9) AS BIGINT)) AS ga9,
+         |    sum(CAST(round((p - t) * 1e9) AS BIGINT)) AS gb9,
+         |    sum(CAST(round(s * s * w * 1e9) AS BIGINT)) AS haa9,
+         |    sum(CAST(round(s * w * 1e9) AS BIGINT)) AS hab9,
+         |    sum(CAST(round(w * 1e9) AS BIGINT)) AS hbb9
+         |  FROM (SELECT s, t, p, round(p * (1.0 - p), 9) AS w FROM (
+         |    SELECT s, CASE WHEN y THEN tp ELSE tn END AS t,
+         |      round(1.0 / (1.0 + exp(-(a * s + b))), 9) AS p
+         |    FROM sc CROSS JOIN ab${i - 1} CROSS JOIN tt))),
+         |ab$i AS (SELECT
+         |    round(a - ((hbb9/1e9) * (ga9/1e9) - (hab9/1e9) * (gb9/1e9))
+         |      / ((haa9/1e9) * (hbb9/1e9) - (hab9/1e9) * (hab9/1e9)), 9) AS a,
+         |    round(b - ((haa9/1e9) * (gb9/1e9) - (hab9/1e9) * (ga9/1e9))
+         |      / ((haa9/1e9) * (hbb9/1e9) - (hab9/1e9) * (hab9/1e9)), 9) AS b
+         |  FROM ab${i - 1} CROSS JOIN g$i),""".stripMargin
+    }.mkString("\n")
+    s"""WITH t AS (SELECT doc_id,
+       |        regexp_extract_all(lower(text), '\\b\\w\\w+\\b') AS toks FROM documents),
+       |ld AS (SELECT doc_id, toks, ($SqlQuality) >= 0.62 AS y FROM t),
+       |f AS (SELECT doc_id, y, unnest(list_distinct(toks)) AS w FROM ld),
+       |cnt AS (SELECT w, sum(CASE WHEN y THEN 1 ELSE 0 END) AS c1,
+       |          sum(CASE WHEN y THEN 0 ELSE 1 END) AS c0 FROM f GROUP BY 1
+       |        QUALIFY row_number() OVER (ORDER BY (c1 + c0) DESC, w) <= 20),
+       |nn AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS n1,
+       |         sum(CASE WHEN y THEN 0 ELSE 1 END) AS n0 FROM ld),
+       |model AS (SELECT w, CAST(round((ln((c1 + 1.0) / (n1 + 2.0))
+       |            - ln((c0 + 1.0) / (n0 + 2.0))) * 1e9) AS BIGINT) AS lo9
+       |          FROM cnt CROSS JOIN nn),
+       |pr AS (SELECT CAST(round(ln((n1 + 1.0) / (n0 + 1.0)) * 1e9) AS BIGINT)
+       |         AS prior9 FROM nn),
+       |slo AS (SELECT doc_id, sum(lo9) AS slo9
+       |        FROM f JOIN model USING (w) GROUP BY 1),
+       |sc AS MATERIALIZED (SELECT (pr.prior9 + COALESCE(slo.slo9, 0)) / 1e9 AS s,
+       |        ld.y FROM ld CROSS JOIN pr LEFT JOIN slo ON slo.doc_id = ld.doc_id),
+       |ns AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+       |         sum(CASE WHEN y THEN 0 ELSE 1 END) AS nneg FROM sc),
+       |tt AS MATERIALIZED (SELECT (np + 1.0) / (np + 2.0) AS tp,
+       |        1.0 / (nneg + 2.0) AS tn, np, nneg FROM ns),
+       |ab0 AS (SELECT CAST(0.0 AS DOUBLE) AS a,
+       |        round(ln((np + 1.0) / (nneg + 1.0)), 9) AS b FROM tt),
+       |$rounds
+       |fin AS (SELECT sc.y,
+       |        round(1.0 / (1.0 + exp(-(a * sc.s + b))), 9) AS p
+       |      FROM sc CROSS JOIN ab$iters),
+       |bins AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+       |        count(*) AS n, sum(CASE WHEN y THEN 1 ELSE 0 END) AS npos,
+       |        sum(CAST(round(p * 1e9) AS BIGINT)) AS sp9
+       |      FROM fin GROUP BY 1)
+       |SELECT CAST(bin AS INT) AS bin, CAST(n AS BIGINT) AS n,
+       |  round(sp9 / 1e9 / n, 6) AS mean_p,
+       |  round(npos / CAST(n AS DOUBLE), 6) AS frac_pos,
+       |  round(a, 6) AS platt_a, round(b, 6) AS platt_b
+       |FROM bins CROSS JOIN ab$iters ORDER BY bin""".stripMargin
+  }
 }

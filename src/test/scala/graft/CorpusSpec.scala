@@ -137,6 +137,59 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(e(1L) - r9(math.log(2.0 / 2.0))) < 1e-9)
   }
 
+  test("plattFit: recovers a known logistic, orientation positive, calibration lowers log-loss; bins are honest") {
+    // 1. ground-truth recovery: y ~ Bernoulli(sigmoid(2s + 1)) on a
+    //    fixed seed — the fitted (a, b) must land near the truth
+    val rnd = new scala.util.Random(42)
+    val synth = (1 to 4000).map { _ =>
+      val s = rnd.nextDouble() * 6 - 3
+      val pTrue = 1.0 / (1.0 + math.exp(-(2.0 * s + 1.0)))
+      (s, rnd.nextDouble() < pTrue)
+    }.toDF("s", "y")
+    val (a, b) = TextStats.plattFit(synth, "s", "y")
+    assert(math.abs(a - 2.0) < 0.3 && math.abs(b - 1.0) < 0.3, s"($a, $b)")
+    // 2. on the real NB logits: a > 0 (orientation preserved) and the
+    //    calibrated probabilities beat the raw sigmoid(logit) on
+    //    log-loss — the whole point of the calibration layer
+    val lab = Tables.table(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
+      .withColumn("y", TextStats.qualityScore(col("toks"), Stop) >= 0.62)
+    val scored = TextStats.nbTrainScore(lab, "doc_id", "toks", "y", maxVocab = 20)
+      .select(col("nb_logit").as("s"), col("y")).localCheckpoint(eager = false)
+    val (ca, cb) = TextStats.plattFit(scored, "s", "y")
+    assert(ca > 0, s"orientation must be preserved, got a=$ca")
+    def logLoss(aa: Double, bb: Double): Double = {
+      val rows = scored.as[(Double, Boolean)].collect()
+      rows.map { case (s, y) =>
+        val p = math.min(1 - 1e-12, math.max(1e-12,
+          1.0 / (1.0 + math.exp(-(aa * s + bb)))))
+        if (y) -math.log(p) else -math.log(1 - p)
+      }.sum / rows.length
+    }
+    assert(logLoss(ca, cb) < logLoss(1.0, 0.0),
+      "calibrated log-loss must beat the raw sigmoid of the logit")
+    // 3. reliability bins from the gated query shape: counts cover the
+    //    corpus, mean_p and frac_pos are probabilities, and the exact
+    //    fixed-point mean is consistent with its bin's bounds
+    val pCol = round(lit(1.0) / (lit(1.0)
+      + exp(-(lit(ca) * col("s") + lit(cb)))), 9)
+    val bins = scored.select(col("y"), pCol.as("p"))
+      .groupBy(least(floor(col("p") * 10).cast("int"), lit(9)).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("npos"),
+        sum(round(col("p") * lit(1e9), 0).cast("long")).as("sp9"))
+      .select(col("bin"), col("n"),
+        (col("sp9") / lit(1e9) / col("n")).as("mean_p"),
+        (col("npos") / col("n").cast("double")).as("frac_pos"))
+      .as[(Int, Long, Double, Double)].collect()
+    assert(bins.map(_._2).sum == scored.count())
+    bins.foreach { case (bin, _, mp, fp) =>
+      assert(mp >= bin / 10.0 - 1e-9 && mp <= math.min(1.0, (bin + 1) / 10.0) + 1e-9,
+        s"bin $bin mean_p $mp outside its bounds")
+      assert(fp >= 0.0 && fp <= 1.0)
+    }
+  }
+
   test("weightedSampleK: k=n returns all; inclusion tracks weight") {
     val df = (1L to 40L).map(i => (i, if (i == 1L) 1000L else 1L))
       .toDF("id", "w")
