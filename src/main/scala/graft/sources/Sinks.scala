@@ -43,6 +43,57 @@ object Sinks {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet").saveAsTable(table)
 
+  /** Morton/Z-order value of `cols` — bit-interleaving of the
+    * low `bits` bits of each column (column j contributes bit i at
+    * output position i·n + j), the multi-dimensional locality key
+    * behind Z-ordered data layouts: rows close in EVERY dimension get
+    * close z-values, so range-sorting by z clusters them into the
+    * same files and per-file min/max column statistics become tight
+    * on ALL z-columns at once. Inputs must already be non-negative
+    * integers below 2^bits (rank/bucket-encode upstream — a
+    * percentile encoding is a one-pass approxQuantile bucketing);
+    * 2 cols × 16 bits fills 32 output bits, well inside the long.
+    * Pure shift/mask column arithmetic — codegen'd, zero shuffle.
+    */
+  def zOrderValue(cols: Seq[org.apache.spark.sql.Column], bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    val n = cols.size
+    require(n >= 1 && n * bits <= 63, s"$n cols x $bits bits overflow a long")
+    cols.zipWithIndex.map { case (c, j) =>
+      (0 until bits).map { i =>
+        shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * n + j)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-ordered layout: range-repartition into `files` partitions on
+    * the [[zOrderValue]] of `zCols` and sort within each — after a
+    * parquet write, every file covers a compact z-range, so its
+    * min/max statistics form a tight box over ALL z-columns and a
+    * reader's multi-column predicate skips most files (the
+    * data-skipping layout tool for 100 TB fact tables that
+    * [[writePartitioned]]'s coarse directories and [[writeBucketed]]'s
+    * single-key hash can't provide; SinksSpec measures the skip rate
+    * against a hash layout). One range exchange (sampled boundaries)
+    * + partition-local sort — exactly a global-sort's cost, amortized
+    * over every selective read thereafter. The z column is internal
+    * and dropped before the write.
+    */
+  def zOrderLayout(
+      df: DataFrame, zCols: Seq[String], files: Int, bits: Int = 16): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__z", zOrderValue(zCols.map(col), bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
+  /** [[zOrderLayout]] + snappy parquet write. */
+  def writeZOrdered(
+      df: DataFrame, path: String, zCols: Seq[String], files: Int,
+      bits: Int = 16): Unit =
+    writeColumnar(zOrderLayout(df, zCols, files, bits), path)
+
   /** Side/branch output (SURVEY §2.1 S5): the reference's
     * AvroMultipleOutputs writes a filtered branch of one reduce pass to
     * a second file set (ReducerExtractFeatureTFIDF.java:85-88). Spark
