@@ -687,6 +687,29 @@ private[graft] object QCorpus {
       },
       Some(plattOracleSql(8))),
 
+    Q("q_zorder_value",  // the Morton key under the r15 Z-ordered
+      // layout write (Sinks.zOrderValue/zOrderLayout), value-oracled:
+      // bit-interleaving is pure integer arithmetic, so DuckDB
+      // replays the identical shift/mask terms (generated from the
+      // same (cols, bits) by zOrderSqlExpr — single-sourced like the
+      // Platt rounds) and the 64-point-square fixture exercises every
+      // bit position. The layout/file-skipping half is measured in
+      // SinksSpec (per-file min/max pruning vs a hash layout) — file
+      // boundaries are not portable to an oracle, the key is.
+      (s, dir) => {
+        val x = (col("doc_id") % 64).cast("long")
+        val y = (col("n_chars") % 64).cast("long")
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), x.as("x"), y.as("y"))
+          .withColumn("z",
+            sources.Sinks.zOrderValue(Seq(col("x"), col("y")), bits = 6))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, x, y, ${zOrderSqlExpr(Seq("x", "y"), 6)} AS z
+        |FROM (SELECT doc_id, CAST(doc_id % 64 AS BIGINT) AS x,
+        |        CAST(n_chars % 64 AS BIGINT) AS y FROM documents)
+        |ORDER BY doc_id""".stripMargin)),
+
     Q("q_dp_budget",  // ε-ACCOUNTED noisy release (the accounting layer
       // the q_dp_counts caveat lacked): per-source counts released
       // TWICE, each with Laplace(Δ1/ε) noise at ε=0.25 calibrated by
@@ -732,6 +755,14 @@ private[graft] object QCorpus {
         |    + 0.5 * (exp(0.25) - 1.0), 6) + 0.0 AS eps_advanced
         |FROM u ORDER BY source""".stripMargin))
   )
+
+  /** DuckDB twin of [[graft.sources.Sinks.zOrderValue]]'s shift/mask
+    * terms, generated from the same (cols, bits) so the interleave is
+    * single-sourced across engines. */
+  private def zOrderSqlExpr(cols: Seq[String], bits: Int): String =
+    cols.zipWithIndex.flatMap { case (c, j) =>
+      (0 until bits).map(i => s"((($c >> $i) & 1) << ${i * cols.size + j})")
+    }.mkString(" | ")
 
   /** DuckDB oracle for q_nb_platt: the q_nb_quality model CTE chain
     * (capped vocabulary), then `iters` Newton rounds generated by the

@@ -94,6 +94,48 @@ object Sinks {
       bits: Int = 16): Unit =
     writeColumnar(zOrderLayout(df, zCols, files, bits), path)
 
+  /** Quantile bucket-encoding of arbitrary numeric columns into the
+    * [0, 2^bits) integer domain [[zOrderValue]] needs — the upstream
+    * encode step for Z-ordering skewed or unbounded columns (raw
+    * values would waste most of the bit budget on empty range).
+    * Boundaries come from ONE driver-side `approxQuantile` pass
+    * (Greenwald–Khanna; 2^bits − 1 cut points per column — a bounded,
+    * k-row driver artifact like the K-Means centroids), compiled into
+    * a map-side sum-of-indicators expression (codegen'd; 2^bits − 1
+    * comparisons per row, fine for the 6–8 bit encodings a z-layout
+    * uses). Equal values share a bucket, so the encoding is
+    * deterministic given the boundaries; the boundaries themselves
+    * are engine-specific (approximate sketch) — layout tooling, not
+    * an oracle surface (spec-verified balance + monotonicity).
+    */
+  def quantileBucket(
+      df: DataFrame, colName: String, bits: Int,
+      relErr: Double = 0.001): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val n = 1 << bits
+    val probes = (1 until n).map(_.toDouble / n).toArray
+    val bounds = df.stat.approxQuantile(colName, probes, relErr).distinct
+    bounds.map(b => when(col(colName) >= b, 1L).otherwise(0L))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+  }
+
+  /** [[zOrderLayout]] over quantile-bucket-encoded columns: encode
+    * each z-column with [[quantileBucket]], range-partition + sort on
+    * the Morton key of the BUCKETS, write the ORIGINAL columns. This
+    * is the general-input form of [[writeZOrdered]] — skew-robust
+    * because every bucket holds ~1/2^bits of the rows regardless of
+    * the value distribution.
+    */
+  def zOrderLayoutQuantile(
+      df: DataFrame, zCols: Seq[String], files: Int, bits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val z = zOrderValue(zCols.map(c => quantileBucket(df, c, bits)), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
   /** Side/branch output (SURVEY §2.1 S5): the reference's
     * AvroMultipleOutputs writes a filtered branch of one reduce pass to
     * a second file set (ReducerExtractFeatureTFIDF.java:85-88). Spark

@@ -80,6 +80,30 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/z").count() == 4096)
   }
 
+  test("quantileBucket: skew-robust encode — balanced buckets, monotone, in-domain; quantile z-layout preserves data") {
+    // heavily skewed column: 7/8 of mass in [0, 100), a long tail to 1e9
+    val skew = spark.range(4096).select($"id",
+      when($"id" % 8 =!= 0, ($"id" % 100).cast("double"))
+        .otherwise(($"id" * $"id" % 1000000000L).cast("double")).as("v"),
+      ($"id" % 64).cast("double").as("u"))
+    val b = Sinks.quantileBucket(skew, "v", bits = 4)
+    val got = skew.select($"v", b.as("bucket")).as[(Double, Long)].collect()
+    // in-domain: every bucket inside [0, 2^4)
+    assert(got.forall(t => t._2 >= 0 && t._2 < 16))
+    // monotone: sort by value -> bucket never decreases
+    val sorted = got.sortBy(_._1)
+    assert(sorted.zip(sorted.tail).forall { case ((_, b1), (_, b2)) => b1 <= b2 })
+    // balance: raw values would cram 7/8 of rows into the first sliver
+    // of the range; quantile buckets keep the LARGEST bucket within a
+    // small multiple of the ideal 1/16 share (ties can merge buckets)
+    val counts = got.groupBy(_._2).map(_._2.length)
+    assert(counts.max <= 4096 / 16 * 3,
+      s"largest bucket ${counts.max} of 4096 — not balanced")
+    // end-to-end: the quantile z-layout is a pure re-layout
+    val laid = Sinks.zOrderLayoutQuantile(skew, Seq("v", "u"), files = 8, bits = 4)
+    assert(laid.count() == 4096 && laid.columns.toSeq == skew.columns.toSeq)
+  }
+
   test("writeBranches: side output splits one pass into n sinks") {
     val dir = java.nio.file.Files.createTempDirectory("branches").toString
     Sinks.writeBranches(region, Seq(
