@@ -68,6 +68,11 @@ object UnicodeNorm {
     * presentation forms so ASCII-regex tokenizers see through them. */
   def nfkc(text: Column): Column = colFor(text, "NFKC")
 
+  /** NFD — canonical decomposition: splits precomposed characters
+    * into base + combining marks, the form diacritic stripping
+    * ([[graft.ops.TextOps.stripDiacritics]]) filters. */
+  def nfd(text: Column): Column = colFor(text, "NFD")
+
   private def colFor(text: Column, form: String): Column =
     org.apache.spark.sql.GraftSqlBridge.toColumn(
       UnicodeNormalize(org.apache.spark.sql.GraftSqlBridge.toExpression(text), form))

@@ -152,6 +152,38 @@ object TextOps {
     digits.rlike("^\\d+$") && aggregate(vals, lit(0L), _ + _) % 10 === 0
   }
 
+  /** Candidate IBANs: 2 uppercase letters (country), 2 check digits,
+    * 11–30 alphanumerics (ISO 13616 length envelope). Shape only —
+    * [[ibanOk]] runs the mod-97 checksum that drops the ~99% of
+    * random shape-matches, the same candidates→checksum split as
+    * [[cardCandidates]]/[[luhnOk]].
+    */
+  def ibanCandidates(text: Column): Column =
+    regexp_extract_all(text,
+      lit("\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b"), lit(0))
+
+  /** IBAN checksum validity (ISO 13616 / ISO 7064 mod-97-10): move
+    * the first four characters to the end, expand letters to two
+    * digits (A=10 … Z=35), and the resulting number must be ≡ 1
+    * (mod 97). The "number" is thousands of digits for a long IBAN,
+    * so it is never materialized — the per-character FOLD carries the
+    * running remainder (acc·10+d or acc·100+v, each mod 97), exact
+    * integer arithmetic both engines replay verbatim. Non-shaped
+    * input returns FALSE, never null (the [[luhnOk]] contract — the
+    * shape guard also keeps the letter arithmetic off lowercase).
+    */
+  def ibanOk(iban: Column): Column = {
+    val r = concat(iban.substr(lit(5), length(iban) - 4),
+      iban.substr(lit(1), lit(4)))
+    val folded = aggregate(
+      transform(sequence(lit(1), length(r)), i => r.substr(i, lit(1))),
+      lit(0L),
+      (acc, ch) =>
+        when(ch.rlike("^[0-9]$"), (acc * 10L + ch.cast("long")) % 97L)
+          .otherwise((acc * 100L + (ascii(ch) - lit(55))) % 97L))
+    iban.rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$") && folded === 1L
+  }
+
   /** Candidate IPv4 addresses: four 1–3 digit groups joined by dots.
     * Shape only — [[ipv4Valid]] enforces the 0–255 octet range.
     */
@@ -178,6 +210,22 @@ object TextOps {
       val esc = regexp_replace(m, lit("([^0-9A-Za-z])"), lit("\\\\$1"))
       regexp_replace(acc, concat(lit("\\b"), esc, lit("\\b")), lit(token))
     })
+
+  /** Diacritic stripping — the match/lang-ID normalization that folds
+    * accented variants onto their base letters ("café" → "cafe",
+    * "Ångström" → "Angstrom"): NFD decomposes every precomposed
+    * character into base + combining marks, then the
+    * nonspacing-mark class (\p{Mn}) is deleted. Already-combining
+    * input needs no decomposition and strips identically, so the
+    * precomposed/combining pair lands on ONE stripped form.
+    * Deliberately NARROW: compatibility forms (ligatures, full-width)
+    * are untouched — that is NFKC's job ([[graft.functions.UnicodeNorm.nfkc]]);
+    * composing the two gives the full match-key ladder. Pure codegen
+    * expression + one regexp_replace — zero shuffle, ASCII rows pass
+    * through the NFD byte-scan fast path unchanged.
+    */
+  def stripDiacritics(text: Column): Column =
+    regexp_replace(graft.functions.UnicodeNorm.nfd(text), "\\p{Mn}+", "")
 
   /** Codepoint class of the whitespace-free CJK scripts this engine
     * segments by character n-grams: Hiragana + Katakana

@@ -710,6 +710,134 @@ private[graft] object QCorpus {
         |        CAST(n_chars % 64 AS BIGINT) AS y FROM documents)
         |ORDER BY doc_id""".stripMargin)),
 
+    Q("q_hilbert_value",  // the Hilbert-curve key next to the Morton
+      // key (the r14 verdict's "Z-order/Hilbert" layout pair):
+      // Sinks.hilbertValue unrolls the classic xy2d recurrence into
+      // pure shift/mask/conditional arithmetic, and the DuckDB twin
+      // is GENERATED level-for-level from the same bit count
+      // (hilbertOracleSql — the plattOracleSql device), so the whole
+      // rotation/reflection recurrence value-oracles. The 64-point
+      // square fixture exercises every level; SinksSpec proves the
+      // curve property itself (consecutive indices are unit Manhattan
+      // steps over the FULL grid — the locality guarantee Morton
+      // lacks at quadrant boundaries).
+      (s, dir) => {
+        val x = (col("doc_id") % 64).cast("long")
+        val y = (col("n_chars") % 64).cast("long")
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), x.as("x"), y.as("y"))
+          .withColumn("h",
+            sources.Sinks.hilbertValue(col("x"), col("y"), bits = 6))
+          .orderBy("doc_id")
+      },
+      Some(hilbertOracleSql(6))),
+
+    Q("q_pii_iban",  // checksum-validated IBAN detection/redaction —
+      // the international sibling of q_pii_cards: candidates are
+      // ISO 13616-shaped runs (2 letters + 2 check digits + 11-30
+      // alphanumerics), validated by the ISO 7064 mod-97-10 fold
+      // (letters expand to two digits; the running remainder carries
+      // the "thousands-digit number" without materializing it) and
+      // only VALIDATED matches are redacted. Fixtures: a synthetic
+      // DE-shaped IBAN per doc (~1/97 pass the checksum), the
+      // textbook-valid GB82WEST... on doc_id%5=0, its last-digit
+      // corruption on doc_id%3=0 (shape-valid, checksum-invalid), and
+      // a lowercase decoy on doc_id%4=0 that the shape regex must NOT
+      // even surface as a candidate. Both engines replay the exact
+      // integer fold; zero shuffle beyond the sort.
+      (s, dir) => {
+        val synth = concat(lit("DE"),
+          lpad(((col("doc_id") % 89) + 10).cast("string"), 2, "0"),
+          lpad((col("doc_id") * 7919L % 10000000000L).cast("string"), 10, "0"),
+          lit("00112233"))
+        val ctext = concat(
+          lit("acct "), synth,
+          when(col("doc_id") % 5 === 0, lit(" pay GB82WEST12345698765432"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit(" bad GB82WEST12345698765433"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit(" deco de89370400440532013000"))
+            .otherwise(lit("")),
+          lit(" end"))
+        val cands = TextOps.ibanCandidates(col("ctext"))
+        val valid = filter(cands, TextOps.ibanOk _)
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), ctext.as("ctext"))
+          .select(col("doc_id"),
+            size(cands).as("n_ibans"),
+            size(valid).as("n_valid"),
+            md5(TextOps.redactAll(col("ctext"), valid, "<IBAN>"))
+              .as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT doc_id, 'acct ' || 'DE'
+        |    || lpad(CAST((doc_id % 89) + 10 AS VARCHAR), 2, '0')
+        |    || lpad(CAST(doc_id * 7919 % 10000000000 AS VARCHAR), 10, '0')
+        |    || '00112233'
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' pay GB82WEST12345698765432' ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' bad GB82WEST12345698765433' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' deco de89370400440532013000' ELSE '' END
+        |    || ' end' AS ctext FROM documents),
+        |e AS (SELECT doc_id, ctext,
+        |    regexp_extract_all(ctext,
+        |      '\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b') AS cands FROM c),
+        |v AS (SELECT doc_id, ctext, cands,
+        |    list_filter(cands, s ->
+        |      list_reduce(list_prepend('0',
+        |        list_transform(range(1, length(s) + 1), i ->
+        |          substr(substr(s, 5) || substr(s, 1, 4), CAST(i AS INT), 1))),
+        |        (acc, ch) -> CASE
+        |          WHEN ch >= '0' AND ch <= '9'
+        |            THEN CAST((CAST(acc AS BIGINT) * 10 + CAST(ch AS BIGINT)) % 97 AS VARCHAR)
+        |          ELSE CAST((CAST(acc AS BIGINT) * 100 + ascii(ch) - 55) % 97 AS VARCHAR)
+        |        END) = '1') AS valid FROM e)
+        |SELECT doc_id, CAST(len(cands) AS INT) AS n_ibans,
+        |  CAST(len(valid) AS INT) AS n_valid,
+        |  md5(list_reduce(list_prepend(ctext, valid),
+        |    (acc, m) -> regexp_replace(acc, '\b' ||
+        |      regexp_replace(m, '([^0-9A-Za-z])', '\\\1', 'g')
+        |      || '\b', '<IBAN>', 'g'))) AS redacted_md5
+        |FROM v ORDER BY doc_id""".stripMargin)),
+
+    Q("q_strip_accents",  // diacritic stripping (NFD + remove
+      // nonspacing marks) — the match-normalization that folds
+      // accented variants onto base letters; deliberately narrow:
+      // compatibility forms (the fi-ligature fixture) are NFKC's job
+      // and must pass through UNCHANGED. DuckDB has no NFD, so the
+      // oracle grades against CLOSED-FORM expected strings per
+      // fixture variant (the q_normalize_unicode NFKC device) —
+      // precomposed and combining inputs must land on the SAME
+      // stripped form. Zero shuffle beyond the sort.
+      (s, dir) => {
+        val m = col("doc_id") % 6
+        val suffix = when(m === 1, lit("caf\u00e9"))
+          .when(m === 2, lit("cafe\u0301"))
+          .when(m === 3, lit("\u00c5ngstr\u00f6m"))
+          .when(m === 4, lit("\ufb01le"))
+          .when(m === 5, lit("ni\u00f1o"))
+          .otherwise(lit("cafe"))
+        val str = concat(substring(col("text"), 1, 12), lit(" "), suffix)
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), str.as("s"))
+          .select(col("doc_id"),
+            TextOps.stripDiacritics(col("s")).as("stripped"),
+            (TextOps.stripDiacritics(col("s")) =!= col("s")).as("changed"),
+            md5(TextOps.stripDiacritics(col("s"))).as("stripped_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (SELECT doc_id, substr(text, 1, 12) || ' ' ||
+        |  CASE doc_id % 6
+        |    WHEN 1 THEN 'cafe'
+        |    WHEN 2 THEN 'cafe'
+        |    WHEN 3 THEN 'Angstrom'
+        |    WHEN 4 THEN chr(64257) || 'le'
+        |    WHEN 5 THEN 'nino'
+        |    ELSE 'cafe' END AS stripped,
+        |  doc_id % 6 IN (1, 2, 3, 5) AS changed
+        |  FROM documents)
+        |SELECT doc_id, stripped, changed, md5(stripped) AS stripped_md5
+        |FROM f ORDER BY doc_id""".stripMargin)),
+
     Q("q_dp_budget",  // ε-ACCOUNTED noisy release (the accounting layer
       // the q_dp_counts caveat lacked): per-source counts released
       // TWICE, each with Laplace(Δ1/ε) noise at ε=0.25 calibrated by
@@ -763,6 +891,34 @@ private[graft] object QCorpus {
     cols.zipWithIndex.flatMap { case (c, j) =>
       (0 until bits).map(i => s"((($c >> $i) & 1) << ${i * cols.size + j})")
     }.mkString(" | ")
+
+  /** DuckDB twin of [[graft.sources.Sinks.hilbertValue]]: one CTE per
+    * bit level generated from the same `bits`, each applying the
+    * identical quadrant/rotation step — integer arithmetic only, so
+    * the recurrence replays exactly. */
+  private def hilbertOracleSql(bits: Int): String = {
+    val levels = (bits - 1) to 0 by -1
+    val rounds = levels.zipWithIndex.map { case (lvl, k) =>
+      val s = 1L << lvl
+      s"""h${k + 1} AS (SELECT doc_id, x, y,
+         |    hd + $s * $s * xor(3 * rx, ry) AS hd,
+         |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END)
+         |         ELSE hx END AS hx,
+         |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END)
+         |         ELSE hy END AS hy
+         |  FROM (SELECT *,
+         |    CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |    CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry FROM h$k)),""".stripMargin
+    }.mkString("\n")
+    s"""WITH h0 AS (SELECT doc_id, CAST(doc_id % 64 AS BIGINT) AS x,
+       |        CAST(n_chars % 64 AS BIGINT) AS y,
+       |        CAST(doc_id % 64 AS BIGINT) AS hx,
+       |        CAST(n_chars % 64 AS BIGINT) AS hy,
+       |        CAST(0 AS BIGINT) AS hd FROM documents),
+       |$rounds
+       |sel AS (SELECT doc_id, x, y, hd FROM h$bits)
+       |SELECT doc_id, x, y, hd AS h FROM sel ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB oracle for q_nb_platt: the q_nb_quality model CTE chain
     * (capped vocabulary), then `iters` Newton rounds generated by the

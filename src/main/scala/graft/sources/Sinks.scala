@@ -94,6 +94,55 @@ object Sinks {
       bits: Int = 16): Unit =
     writeColumnar(zOrderLayout(df, zCols, files, bits), path)
 
+  /** Hilbert-curve index of a 2-D point — the stronger-locality
+    * sibling of [[zOrderValue]] (a Hilbert traversal never makes the
+    * long diagonal jumps Morton makes at quadrant boundaries, so
+    * consecutive indices are ALWAYS unit Manhattan steps and file
+    * boxes come out tighter; SinksSpec proves the adjacency property
+    * over the full grid). Classic xy2d bit-twiddling (Hamilton's
+    * formulation), UNROLLED at plan-build time into pure
+    * shift/mask/conditional column arithmetic — one level per bit,
+    * codegen'd, zero shuffle. The per-level rotation references the
+    * previous level's (x, y) twice, so the expression tree grows
+    * ~3^bits: `bits` is capped at 8 (a 256×256 Hilbert grid — more
+    * than any file-layout key needs; beyond that, bucket coarser
+    * upstream via [[quantileBucket]]).
+    */
+  def hilbertValue(
+      xCol: org.apache.spark.sql.Column, yCol: org.apache.spark.sql.Column,
+      bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    require(bits >= 1 && bits <= 8, s"bits=$bits outside [1, 8]")
+    var x = xCol.cast("long")
+    var y = yCol.cast("long")
+    var d: org.apache.spark.sql.Column = lit(0L)
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = when(x.bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      val ry = when(y.bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      d = d + lit(s) * lit(s) * (lit(3L) * rx).bitwiseXOR(ry)
+      val nx = when(ry === 0,
+        when(rx === 1, lit(s - 1) - y).otherwise(y)).otherwise(x)
+      val ny = when(ry === 0,
+        when(rx === 1, lit(s - 1) - x).otherwise(x)).otherwise(y)
+      x = nx
+      y = ny
+      s >>= 1
+    }
+    d
+  }
+
+  /** [[zOrderLayout]] with the Hilbert key instead of Morton. */
+  def hilbertLayout(
+      df: DataFrame, xCol: String, yCol: String, files: Int,
+      bits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__h", hilbertValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(files, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+  }
+
   /** Quantile bucket-encoding of arbitrary numeric columns into the
     * [0, 2^bits) integer domain [[zOrderValue]] needs — the upstream
     * encode step for Z-ordering skewed or unbounded columns (raw

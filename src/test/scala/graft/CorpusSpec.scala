@@ -73,6 +73,34 @@ class CorpusSpec extends AnyFunSuite {
       !m("") && !m(" 79927398713") && !m("x"))
   }
 
+  test("ibanOk: ISO 7064 mod-97 vectors; two-valued on any input; candidates are shape-gated") {
+    val rows = Seq(
+      "GB82WEST12345698765432" -> true,   // textbook ISO example
+      "DE89370400440532013000" -> true,   // canonical DE example
+      "GB82WEST12345698765433" -> false,  // last digit flipped
+      "GB83WEST12345698765432" -> false,  // check digits corrupted
+      "gb82west12345678987654" -> false,  // lowercase: shape-gated out
+      "GB82WEST1234" -> false,            // too short for the envelope
+      "not an iban at all" -> false,
+      "" -> false)
+    val got = rows.map(_._1).toDF("s")
+      .select(col("s"), TextOps.ibanOk(col("s")).as("ok"))
+      .as[(String, Boolean)].collect().toMap
+    // two-valued on every input: the non-nullable typed collect above
+    // would have thrown on a null
+    rows.foreach { case (s, exp) => assert(got(s) == exp, s) }
+    // candidates: shape only, embedded in text; the checksum filter
+    // then keeps exactly the valid one
+    val t = "pay GB82WEST12345698765432 not GB82WEST12345698765433 nor de89370400440532013000"
+    val cands = Seq(t).toDF("t")
+      .select(TextOps.ibanCandidates(col("t"))).as[Seq[String]].head()
+    assert(cands == Seq("GB82WEST12345698765432", "GB82WEST12345698765433"))
+    val valid = Seq(t).toDF("t")
+      .select(filter(TextOps.ibanCandidates(col("t")), TextOps.ibanOk _))
+      .as[Seq[String]].head()
+    assert(valid == Seq("GB82WEST12345698765432"))
+  }
+
   test("ipv4Valid: octet range enforced; candidates keep shape only") {
     val rows = Seq("10.0.0.1" -> true, "255.255.255.255" -> true,
       "256.1.1.1" -> false, "1.299.3.4" -> false, "0.0.0.0" -> true)

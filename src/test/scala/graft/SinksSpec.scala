@@ -80,6 +80,37 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/z").count() == 4096)
   }
 
+  test("hilbertValue: bijection over the full grid; consecutive indices are unit Manhattan steps (the locality property Morton lacks)") {
+    val bits = 5
+    val n = 1 << bits
+    val grid = spark.range(n.toLong * n)
+      .select(($"id" % n).as("x"), ($"id" / n).cast("long").as("y"))
+    val got = grid
+      .select($"x", $"y", Sinks.hilbertValue($"x", $"y", bits).as("h"))
+      .as[(Long, Long, Long)].collect()
+    // bijection: every index in [0, 4^bits) appears exactly once
+    assert(got.map(_._3).sorted.toSeq == (0L until n.toLong * n))
+    // adjacency: walking the curve in index order moves exactly one
+    // unit step per increment — Morton violates this at every
+    // quadrant boundary, Hilbert never does
+    val walk = got.sortBy(_._3)
+    walk.zip(walk.tail).foreach { case ((x1, y1, h1), (x2, y2, _)) =>
+      val step = math.abs(x2 - x1) + math.abs(y2 - y1)
+      assert(step == 1, s"jump of $step after index $h1 at ($x1,$y1)->($x2,$y2)")
+    }
+    // the Morton CONTROL: same grid, same walk — count the quadrant
+    // jumps to show the property is not vacuous
+    val mWalk = grid
+      .select($"x", $"y", Sinks.zOrderValue(Seq($"x", $"y"), bits).as("z"))
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    val mJumps = mWalk.zip(mWalk.tail)
+      .count { case ((x1, y1, _), (x2, y2, _)) =>
+        math.abs(x2 - x1) + math.abs(y2 - y1) > 1 }
+    assert(mJumps > 0, "Morton should jump at quadrant boundaries")
+    // bits bound is enforced
+    intercept[IllegalArgumentException](Sinks.hilbertValue($"x", $"y", 9))
+  }
+
   test("quantileBucket: skew-robust encode — balanced buckets, monotone, in-domain; quantile z-layout preserves data") {
     // heavily skewed column: 7/8 of mass in [0, 100), a long tail to 1e9
     val skew = spark.range(4096).select($"id",

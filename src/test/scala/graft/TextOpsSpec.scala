@@ -660,5 +660,16 @@ class TextOpsSpec extends AnyFunSuite {
     val n = Seq((1L, Option.empty[String])).toDF("id", "s")
       .select(nfc(col("s"))).collect()(0)
     assert(n.isNullAt(0))
+    // stripDiacritics: precomposed and combining land on ONE base
+    // form; compatibility forms (ligature) pass through; ASCII no-op
+    val sd = Seq("caf\u00e9", "cafe\u0301", "\u00c5ngstr\u00f6m",
+        "\ufb01le", "ni\u00f1o", "plain")
+      .toDF("s")
+      .select(col("s"), graft.ops.TextOps.stripDiacritics(col("s")).as("d"))
+      .as[(String, String)].collect().toMap
+    assert(sd("caf\u00e9") == "cafe" && sd("cafe\u0301") == "cafe")
+    assert(sd("\u00c5ngstr\u00f6m") == "Angstrom")
+    assert(sd("\ufb01le") == "\ufb01le", "ligature is NFKC's job, not Mn-strip's")
+    assert(sd("ni\u00f1o") == "nino" && sd("plain") == "plain")
   }
 }
