@@ -100,36 +100,38 @@ object Sinks {
     * consecutive indices are ALWAYS unit Manhattan steps and file
     * boxes come out tighter; SinksSpec proves the adjacency property
     * over the full grid). Classic xy2d bit-twiddling (Hamilton's
-    * formulation), UNROLLED at plan-build time into pure
-    * shift/mask/conditional column arithmetic — one level per bit,
-    * codegen'd, zero shuffle. The per-level rotation references the
-    * previous level's (x, y) twice, so the expression tree grows
-    * ~3^bits: `bits` is capped at 8 (a 256×256 Hilbert grid — more
-    * than any file-layout key needs; beyond that, bucket coarser
-    * upstream via [[quantileBucket]]).
+    * formulation) as a FOLD over the bit levels with (x, y, d) struct
+    * state. The fold shape matters (measured, r15): a plan-build-time
+    * unroll duplicates the previous level's (x, y) in every rotation
+    * branch, so the expression tree grows ~3^bits, blows the codegen
+    * size limit and INTERPRETS a ~700-node tree per row — 4.1 s at
+    * sf0.1 vs 0.15 s for the Morton key. The fold keeps the
+    * expression LINEAR in `bits` (the per-level constants ride as a
+    * literal array); the lambda itself is interpreted, but it is ~40
+    * arithmetic ops × `bits` per row — measured back at Morton-key
+    * cost. Zero shuffle either way. d spans [0, 4^bits), so
+    * `bits ≤ 30` keeps it in a long.
     */
   def hilbertValue(
       xCol: org.apache.spark.sql.Column, yCol: org.apache.spark.sql.Column,
       bits: Int): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{lit, when}
-    require(bits >= 1 && bits <= 8, s"bits=$bits outside [1, 8]")
-    var x = xCol.cast("long")
-    var y = yCol.cast("long")
-    var d: org.apache.spark.sql.Column = lit(0L)
-    var s = 1L << (bits - 1)
-    while (s > 0) {
-      val rx = when(x.bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
-      val ry = when(y.bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
-      d = d + lit(s) * lit(s) * (lit(3L) * rx).bitwiseXOR(ry)
+    import org.apache.spark.sql.functions.{aggregate, array, lit, struct, when}
+    require(bits >= 1 && bits <= 30, s"bits=$bits outside [1, 30]")
+    val svals = array((0 until bits).reverse.map(i => lit(1L << i)): _*)
+    val init = struct(xCol.cast("long").as("x"), yCol.cast("long").as("y"),
+      lit(0L).as("d"))
+    aggregate(svals, init, (st, s) => {
+      val x = st.getField("x")
+      val y = st.getField("y")
+      val rx = when(x.bitwiseAND(s) > 0, 1L).otherwise(0L)
+      val ry = when(y.bitwiseAND(s) > 0, 1L).otherwise(0L)
+      val nd = st.getField("d") + s * s * (lit(3L) * rx).bitwiseXOR(ry)
       val nx = when(ry === 0,
-        when(rx === 1, lit(s - 1) - y).otherwise(y)).otherwise(x)
+        when(rx === 1, s - lit(1L) - y).otherwise(y)).otherwise(x)
       val ny = when(ry === 0,
-        when(rx === 1, lit(s - 1) - x).otherwise(x)).otherwise(y)
-      x = nx
-      y = ny
-      s >>= 1
-    }
-    d
+        when(rx === 1, s - lit(1L) - x).otherwise(x)).otherwise(y)
+      struct(nx.as("x"), ny.as("y"), nd.as("d"))
+    }).getField("d")
   }
 
   /** [[zOrderLayout]] with the Hilbert key instead of Morton. */

@@ -108,7 +108,7 @@ class SinksSpec extends AnyFunSuite {
         math.abs(x2 - x1) + math.abs(y2 - y1) > 1 }
     assert(mJumps > 0, "Morton should jump at quadrant boundaries")
     // bits bound is enforced
-    intercept[IllegalArgumentException](Sinks.hilbertValue($"x", $"y", 9))
+    intercept[IllegalArgumentException](Sinks.hilbertValue($"x", $"y", 33))
   }
 
   test("quantileBucket: skew-robust encode — balanced buckets, monotone, in-domain; quantile z-layout preserves data") {
