@@ -36,7 +36,7 @@ object TextStats {
   }
 
   /** CJK-aware language ID — the whitespace-free-script fallback in
-    * front of [[langId]] (VERDICT r14 missing #4): the marker-word
+    * front of [[langId]] (VERDICT r14 missing #2): the marker-word
     * heuristic consumes ASCII tokens, so a CJK document scored "und"
     * no matter how unambiguous its script. Sub-script PRESENCE is the
     * decisive signal at this tier — kana appears only in Japanese,
