@@ -111,6 +111,28 @@ class SinksSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sinks.hilbertValue($"x", $"y", 33))
   }
 
+  test("hilbertLayout: file skipping on the same box query, at least as strong as the Morton layout") {
+    val dir = java.nio.file.Files.createTempDirectory("hilbert").toString
+    val grid = spark.range(4096)
+      .select(($"id" % 64).as("x"), ($"id" / 64).cast("long").as("y"))
+    Sinks.writeColumnar(
+      Sinks.hilbertLayout(grid, "x", "y", files = 16, bits = 6), s"$dir/h")
+    def filesTouched(path: String): (Long, Long) = {
+      val boxes = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min($"x").as("x0"), max($"x").as("x1"),
+          min($"y").as("y0"), max($"y").as("y1"))
+      (boxes.filter(!($"x1" < 8 || $"x0" > 23 || $"y1" < 8 || $"y0" > 23)).count(),
+        boxes.count())
+    }
+    val (ht, htot) = filesTouched(s"$dir/h")
+    assert(htot == 16, s"expected 16 files, got $htot")
+    // the same 16x16 box query the zOrder spec uses: Hilbert's tighter
+    // locality must skip at least half the files too
+    assert(ht <= 8, s"hilbert layout touched $ht of $htot files")
+    assert(spark.read.parquet(s"$dir/h").count() == 4096)
+  }
+
   test("quantileBucket: skew-robust encode — balanced buckets, monotone, in-domain; quantile z-layout preserves data") {
     // heavily skewed column: 7/8 of mass in [0, 100), a long tail to 1e9
     val skew = spark.range(4096).select($"id",

@@ -582,6 +582,56 @@ class TextOpsSpec extends AnyFunSuite {
       "a merge can only shrink the symbol count")
   }
 
+  test("UnicodeNorm properties: idempotence and NFKC absorption over random BMP strings; IBAN fold vs reference reimplementation") {
+    import graft.functions.UnicodeNorm.{nfc, nfkc}
+    import graft.ops.TextOps
+    val rnd = new scala.util.Random(7)
+    // random strings mixing ASCII, combining marks, precomposed
+    // letters, full-width forms and ligatures — the normalization
+    // classes under test
+    val pool = "abcXYZ 09" + "\u0301\u0308\u030A" + "\u00e9\u00c5\u00f6" +
+      "\uff41\uff22" + "\ufb01" + "\u4e2d\u3042\ud55c"
+    def rs() = (0 until (3 + rnd.nextInt(12)))
+      .map(_ => pool(rnd.nextInt(pool.length))).mkString
+    val rows = (1 to 300).map(_ => rs()).toDF("s")
+    val got = rows.select(col("s"),
+        nfc(col("s")).as("c"), nfkc(col("s")).as("k"),
+        nfc(nfc(col("s"))).as("cc"), nfkc(nfkc(col("s"))).as("kk"),
+        nfkc(nfc(col("s"))).as("kc"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(1) == r.getString(3), "NFC must be idempotent")
+      assert(r.getString(2) == r.getString(4), "NFKC must be idempotent")
+      assert(r.getString(2) == r.getString(5), "NFKC absorbs a prior NFC")
+    }
+    // the engine path agrees with java.text.Normalizer directly
+    got.foreach { r =>
+      assert(r.getString(1) ==
+        java.text.Normalizer.normalize(r.getString(0),
+          java.text.Normalizer.Form.NFC))
+    }
+    // IBAN: the column fold agrees with a driver-side reference
+    // reimplementation over shaped fuzz (valid ~1/97 of the time)
+    def ref(s: String): Boolean = {
+      if (!s.matches("^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$")) false
+      else {
+        val r = s.substring(4) + s.substring(0, 4)
+        r.foldLeft(0L) { (acc, ch) =>
+          if (ch.isDigit) (acc * 10 + (ch - '0')) % 97
+          else (acc * 100 + (ch - 'A' + 10)) % 97
+        } == 1L
+      }
+    }
+    val fuzz = (0 until 400).map { i =>
+      "DE" + f"${i % 97}%02d" + f"${(i.toLong * 7919) % 10000000000L}%010d" + "00112233"
+    }
+    val mine = fuzz.toDF("s")
+      .select(col("s"), TextOps.ibanOk(col("s")).as("ok"))
+      .as[(String, Boolean)].collect().toMap
+    fuzz.foreach(s => assert(mine(s) == ref(s), s))
+    assert(fuzz.count(ref) > 0, "fuzz should contain some valid IBANs")
+  }
+
   test("CJK segmentation: bigrams make whitespace-free scripts visible to tokenize/lang-ID/dedup") {
     import graft.ops.{TextOps => T, TextStats => TS}
     val zh = "\u4f60\u597d\u4e16\u754c"            // han only
