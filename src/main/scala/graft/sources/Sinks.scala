@@ -157,7 +157,10 @@ object Sinks {
     * uses). Equal values share a bucket, so the encoding is
     * deterministic given the boundaries; the boundaries themselves
     * are engine-specific (approximate sketch) — layout tooling, not
-    * an oracle surface (spec-verified balance + monotonicity).
+    * an oracle surface (spec-verified balance + monotonicity). NULL
+    * values satisfy no indicator and land in bucket 0 — acceptable
+    * for a layout key (nulls cluster together); filter first if they
+    * should not.
     */
   def quantileBucket(
       df: DataFrame, colName: String, bits: Int,
