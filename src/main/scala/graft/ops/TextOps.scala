@@ -168,9 +168,11 @@ object TextOps {
     * (mod 97). The "number" is thousands of digits for a long IBAN,
     * so it is never materialized — the per-character FOLD carries the
     * running remainder (acc·10+d or acc·100+v, each mod 97), exact
-    * integer arithmetic both engines replay verbatim. Non-shaped
-    * input returns FALSE, never null (the [[luhnOk]] contract — the
-    * shape guard also keeps the letter arithmetic off lowercase).
+    * integer arithmetic both engines replay verbatim. Any non-shaped
+    * STRING returns FALSE, never a three-valued unknown (the
+    * [[luhnOk]] contract — the shape guard also keeps the letter
+    * arithmetic off lowercase); a NULL input stays NULL, standard SQL
+    * null propagation.
     */
   def ibanOk(iban: Column): Column = {
     val r = concat(iban.substr(lit(5), length(iban) - 4),
