@@ -462,7 +462,10 @@ object Bench {
         }
       }
       val suspects = resultsBuf.toList.collect {
-        case (n, (_, w)) if !singlePass.contains(n) &&
+        // stage-1 rescues are excluded: a just-rescued entry can still
+        // read 3× its median when the host is still slow, and re-adding
+        // it here would push its name onto `rescued` twice (review r15)
+        case (n, (_, w)) if !singlePass.contains(n) && !rescued.contains(n) &&
           medians.get(n).exists(m => w > math.max(2.0, 3 * m)) => n
       }.sortBy(n => medians(n))
       for (n <- suspects if mayRun(n)) {

@@ -322,8 +322,8 @@ object GraphOps {
     var prev: Option[DataFrame] = None
     var it = 0
     var converged = false
+    var deg = degrees(e)
     while (it < maxIter && !converged) {
-      val deg = degrees(e)
       // one job: total nodes + nodes clearing k. It also materializes
       // e's lazy checkpoint, which is what makes the PREVIOUS round's
       // blocks dead — e was built from them, and nothing else
@@ -343,6 +343,7 @@ object GraphOps {
           .localCheckpoint(eager = false)
         prev = Some(e)
         e = next
+        deg = degrees(e)
         it += 1
       }
     }
@@ -350,7 +351,10 @@ object GraphOps {
       throw new IllegalStateException(
         s"kcorePeelConverged did not reach the $k-core fixpoint in " +
           s"$maxIter rounds — raise maxIter")
-    degrees(e)
+    // the converged round's degree frame IS the answer (its count job
+    // proved every degree ≥ k) — returning it saves the extra
+    // O(edges) union+groupBy shuffle a recompute would pay (review r15)
+    deg
   }
 
   /** Per-node triangle counts + local clustering coefficient over a

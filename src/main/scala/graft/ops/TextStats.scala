@@ -43,18 +43,16 @@ object TextStats {
     * hangul only in Korean, so any occurrence dominates (the rule
     * every script-based router uses before an n-gram model): kana →
     * ja, else hangul → ko, else han → zh, else the ASCII marker scan.
-    * Pure regexp-count column expressions — zero shuffle; real
-    * pipelines threshold on the [[graft.ops.TextOps.cjkRuns]]
-    * fraction before trusting the tail.
+    * Presence is tested with `rlike` — an early-exit scan with zero
+    * allocation, not a full stripped-copy rewrite (review r15) —
+    * zero shuffle; real pipelines threshold on the
+    * [[graft.ops.TextOps.cjkRuns]] fraction before trusting the tail.
     */
-  def langIdMixed(text: Column): Column = {
-    def nOf(cls: String) =
-      length(regexp_replace(text, "[^" + cls + "]+", ""))
-    when(nOf("\u3040-\u30ff") > 0, lit("ja"))
-      .when(nOf("\uac00-\ud7af") > 0, lit("ko"))
-      .when(nOf("\u4e00-\u9fff") > 0, lit("zh"))
+  def langIdMixed(text: Column): Column =
+    when(text.rlike("[\u3040-\u30ff]"), lit("ja"))
+      .when(text.rlike("[\uac00-\ud7af]"), lit("ko"))
+      .when(text.rlike("[\u4e00-\u9fff]"), lit("zh"))
       .otherwise(langId(TextOps.tokenize(text)))
-  }
 
   /** Type-token ratio: distinct / total tokens (0 for empty docs). */
   def distinctRatio(tokens: Column): Column =
@@ -720,10 +718,24 @@ object TextStats {
       val (haa, hab, hbb) =
         (g.getLong(2) / 1e9, g.getLong(3) / 1e9, g.getLong(4) / 1e9)
       val det = haa * hbb - hab * hab
+      // singular Hessian = every 9-dp-rounded p saturated to 0/1
+      // (perfectly-separated scores drive |a·s+b| past the sigmoid's
+      // double range) — fail fast instead of silently returning
+      // (NaN, NaN) and poisoning every downstream probability
+      require(det != 0.0,
+        s"plattFit: singular Hessian at iteration $it — scores are " +
+          "perfectly separated at 9-dp precision; calibrate on a " +
+          "softer score or fewer iterations")
       a = r9(a - (hbb * ga - hab * gb) / det)
       b = r9(b - (haa * gb - hab * ga) / det)
       it += 1
     }
+    // the score frame fed its last job — release the checkpoint at the
+    // source (the CC-loop device): (a, b) are plain doubles, nothing
+    // downstream references sc, and without this the pinned copy lives
+    // for the session in library/spec callers
+    org.apache.spark.sql.GraftSqlBridge.checkpointRdd(sc)
+      .foreach(_.unpersist(blocking = false))
     (a, b)
   }
 

@@ -266,7 +266,10 @@ private[graft] object QCorpus {
         val nCjk = length(regexp_replace(col("s"),
           "[^" + TextOps.CjkClass + "]+", ""))
         val nNs = length(regexp_replace(col("s"), "\\s+", ""))
-        val frac = nCjk / nNs.cast("double")
+        // floor-1 denominator: an all-whitespace fixture would divide
+        // by zero, where Spark yields NULL but DuckDB yields NaN --
+        // unreachable on this corpus, guarded anyway (review r15)
+        val frac = nCjk / greatest(nNs, lit(1)).cast("double")
         Tables.table(s, dir, "documents")
           .select(col("doc_id"), str.as("s"))
           .select(col("doc_id"),
@@ -307,8 +310,8 @@ private[graft] object QCorpus {
         |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) AS s_de
         |  FROM c)
         |SELECT doc_id, CAST(n_cjk AS INT) AS n_cjk,
-        |  round(n_cjk / CAST(n_ns AS DOUBLE), 6) AS cjk_frac,
-        |  CASE WHEN n_cjk / CAST(n_ns AS DOUBLE) > 0.5 THEN 'cjk'
+        |  round(n_cjk / CAST(greatest(n_ns, 1) AS DOUBLE), 6) AS cjk_frac,
+        |  CASE WHEN n_cjk / CAST(greatest(n_ns, 1) AS DOUBLE) > 0.5 THEN 'cjk'
         |       WHEN n_cjk > 0 THEN 'mixed' ELSE 'latin' END AS script,
         |  CASE WHEN n_kana > 0 THEN 'ja' WHEN n_hang > 0 THEN 'ko'
         |       WHEN n_han > 0 THEN 'zh'
@@ -616,16 +619,21 @@ private[graft] object QCorpus {
         val toks = stream.select(col("doc_id"),
           TextOps.tokenize(col("text")).as("toks"))
         toks.writeStream
-          .foreachBatch { (b: DataFrame, _: Long) =>
+          .foreachBatch { (b: DataFrame, bid: Long) =>
+            // idempotent per-batch sink: foreachBatch is at-least-once,
+            // so a retried/restarted batch must not append a second
+            // copy — OVERWRITING the batch's own directory (the
+            // standard overwrite-by-batchId recipe) restores effective
+            // exactly-once for the read-back gate
             graft.streaming.StreamOps
               .nbScoreBatch(b, "doc_id", "toks", model, prior)
-              .write.mode("append").parquet(out)
+              .write.mode("overwrite").parquet(s"$out/batch_$bid")
           }
           .option("checkpointLocation", cp)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
           .awaitTermination()
-        s.read.parquet(out)
+        s.read.parquet(s"$out/batch_*")
           .select(col("doc_id"), round(col("nb_logit"), 6).as("nb_logit"))
           .orderBy("doc_id")
       },

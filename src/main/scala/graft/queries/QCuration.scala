@@ -77,7 +77,7 @@ private[graft] object QCuration {
           .orderBy("doc_id")
       },
       Some("""WITH nz AS (SELECT doc_id, source, n_chars,
-        |        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+        |        trim(regexp_replace(lower(nfc_normalize(text)), '[^a-z0-9]+', ' ', 'g')) AS norm
         |      FROM documents),
         |nf AS (SELECT *, md5(norm) AS h FROM nz WHERE norm <> ''),
         |canon AS (SELECT h, min(doc_id) AS doc_id FROM nf GROUP BY h),

@@ -164,13 +164,27 @@ object Sinks {
     */
   def quantileBucket(
       df: DataFrame, colName: String, bits: Int,
-      relErr: Double = 0.001): org.apache.spark.sql.Column = {
+      relErr: Double = 0.001): org.apache.spark.sql.Column =
+    quantileBuckets(df, Seq(colName), bits, relErr).head
+
+  /** Multi-column form of [[quantileBucket]]: ALL boundary sets come
+    * from ONE `approxQuantile` pass over the dataset (the API takes
+    * multiple columns natively), not one full scan per column — on
+    * the 100 TB tables this layout tooling targets, k z-columns would
+    * otherwise pay k−1 redundant full-table reads (review r15).
+    * Returns one bucket expression per input column, in order.
+    */
+  def quantileBuckets(
+      df: DataFrame, colNames: Seq[String], bits: Int,
+      relErr: Double = 0.001): Seq[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions.{col, lit, when}
     val n = 1 << bits
     val probes = (1 until n).map(_.toDouble / n).toArray
-    val bounds = df.stat.approxQuantile(colName, probes, relErr).distinct
-    bounds.map(b => when(col(colName) >= b, 1L).otherwise(0L))
-      .reduceOption(_ + _).getOrElse(lit(0L))
+    val allBounds = df.stat.approxQuantile(colNames.toArray, probes, relErr)
+    colNames.zip(allBounds).map { case (c, bs) =>
+      bs.distinct.map(b => when(col(c) >= b, 1L).otherwise(0L))
+        .reduceOption(_ + _).getOrElse(lit(0L))
+    }
   }
 
   /** [[zOrderLayout]] over quantile-bucket-encoded columns: encode
@@ -183,7 +197,7 @@ object Sinks {
   def zOrderLayoutQuantile(
       df: DataFrame, zCols: Seq[String], files: Int, bits: Int = 8): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val z = zOrderValue(zCols.map(c => quantileBucket(df, c, bits)), bits)
+    val z = zOrderValue(quantileBuckets(df, zCols, bits), bits)
     df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
