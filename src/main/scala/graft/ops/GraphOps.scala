@@ -347,10 +347,18 @@ object GraphOps {
         it += 1
       }
     }
-    if (!converged)
+    if (!converged) {
+      // failure path: release the live checkpoint blocks before
+      // throwing — the loop's at-the-source unpersist only runs on
+      // the next round's count job, so without this the current (and
+      // possibly previous) rounds' blocks stay pinned for the session
+      // in callers that catch the exception (ADVICE r15)
+      (prev.toSeq :+ e).foreach(f => org.apache.spark.sql.GraftSqlBridge
+        .checkpointRdd(f).foreach(_.unpersist(blocking = false)))
       throw new IllegalStateException(
         s"kcorePeelConverged did not reach the $k-core fixpoint in " +
           s"$maxIter rounds — raise maxIter")
+    }
     // the converged round's degree frame IS the answer (its count job
     // proved every degree ≥ k) — returning it saves the extra
     // O(edges) union+groupBy shuffle a recompute would pay (review r15)

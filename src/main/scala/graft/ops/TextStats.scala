@@ -45,14 +45,33 @@ object TextStats {
     * ja, else hangul → ko, else han → zh, else the ASCII marker scan.
     * Presence is tested with `rlike` — an early-exit scan with zero
     * allocation, not a full stripped-copy rewrite (review r15) —
-    * zero shuffle; real pipelines threshold on the
-    * [[graft.ops.TextOps.cjkRuns]] fraction before trusting the tail.
+    * zero shuffle.
+    *
+    * `minCjkFraction` (ADVICE r15): presence-only routing flips an
+    * otherwise-English document to ja/ko/zh on ONE stray kana/han
+    * glyph (a quoted name, a pasted hashtag). When > 0, the CJK
+    * branch fires only if at least that fraction of the document's
+    * non-space characters is CJK — the [[graft.ops.TextOps.cjkRuns]]
+    * fraction threshold real pipelines apply before trusting the
+    * tail. The fraction costs one extra regexp strip per row (still
+    * map-side, zero shuffle). Default 0.0 keeps presence-only
+    * routing (existing callers and oracles unchanged).
     */
-  def langIdMixed(text: Column): Column =
-    when(text.rlike("[\u3040-\u30ff]"), lit("ja"))
-      .when(text.rlike("[\uac00-\ud7af]"), lit("ko"))
-      .when(text.rlike("[\u4e00-\u9fff]"), lit("zh"))
+  def langIdMixed(text: Column, minCjkFraction: Double = 0.0): Column = {
+    val gate =
+      if (minCjkFraction <= 0.0) lit(true)
+      else {
+        val nonSpace = length(regexp_replace(text, "\\s+", ""))
+        val cjk = length(regexp_replace(
+          text, "[^" + TextOps.CjkClass + "]+", ""))
+        nonSpace > 0 && cjk.cast("double") / nonSpace.cast("double") >=
+          lit(minCjkFraction)
+      }
+    when(gate && text.rlike("[\u3040-\u30ff]"), lit("ja"))
+      .when(gate && text.rlike("[\uac00-\ud7af]"), lit("ko"))
+      .when(gate && text.rlike("[\u4e00-\u9fff]"), lit("zh"))
       .otherwise(langId(TextOps.tokenize(text)))
+  }
 
   /** Type-token ratio: distinct / total tokens (0 for empty docs). */
   def distinctRatio(tokens: Column): Column =
@@ -364,8 +383,9 @@ object TextStats {
     * the corpus never leaves its input partitions. This is the serving
     * shape at 100 TB whenever the model is bounded (vocab ≪ corpus),
     * and because the scorer is a pure stateless column expression it
-    * runs unchanged on a stream
-    * ([[graft.streaming.StreamOps.scoreStream]]).
+    * runs unchanged on a stream (the streaming scorer
+    * [[graft.streaming.StreamOps.lmScoreBatch]] uses the relation
+    * form of the same model — [[unigramLogProbs9]]).
     *
     * `model` rows are (token, ln p); it must cover every scoreable
     * token (e.g. built from the same corpus) — [[lmScore]] likewise has
@@ -433,6 +453,21 @@ object TextStats {
     freq.crossJoin(broadcast(freq.agg(sum("cnt").as("total"))))
       .select(col("w"), log(col("cnt").cast("double") / col("total")).as("logp"))
   }
+
+  /** [[unigramLogProbs]] in the engine's 1e-9 fixed-point convention:
+    * (w, logp9 = round(ln p · 1e9) as long). This is the RELATION form
+    * of the model — the shape [[graft.streaming.StreamOps.lmScoreBatch]]
+    * broadcast-joins per micro-batch (VERDICT r15 #1: a model relation
+    * keeps plan size and driver memory independent of vocabulary,
+    * where a collected map literal grows with the corpus under Heaps'
+    * law). Fixed-point longs make downstream per-doc sums exact and
+    * order-independent, so stream and batch scores are bit-identical
+    * and the DuckDB oracle can replay them integer-for-integer.
+    */
+  def unigramLogProbs9(docs: DataFrame, toksCol: String): DataFrame =
+    unigramLogProbs(docs, toksCol)
+      .select(col("w"),
+        round(col("logp") * lit(1e9), 0).cast("long").as("logp9"))
 
   /** Per-group length winsorization screen — flag documents outside
     * the [pLo, pHi] EXACT interpolated percentile band of `valCol`
@@ -721,11 +756,14 @@ object TextStats {
       // singular Hessian = every 9-dp-rounded p saturated to 0/1
       // (perfectly-separated scores drive |a·s+b| past the sigmoid's
       // double range) — fail fast instead of silently returning
-      // (NaN, NaN) and poisoning every downstream probability
-      require(det != 0.0,
-        s"plattFit: singular Hessian at iteration $it — scores are " +
-          "perfectly separated at 9-dp precision; calibrate on a " +
-          "softer score or fewer iterations")
+      // (NaN, NaN) and poisoning every downstream probability.
+      // NaN != 0.0 is TRUE in IEEE, so a NaN det (non-finite scores)
+      // would sail through an equality-only guard — test finiteness
+      // of det and both gradients explicitly (ADVICE r15).
+      require(det != 0.0 && !det.isNaN && !ga.isNaN && !gb.isNaN,
+        s"plattFit: singular or non-finite Hessian at iteration $it " +
+          "— scores are perfectly separated at 9-dp precision or " +
+          "contain NaN/Inf; calibrate on a softer, finite score")
       a = r9(a - (hbb * ga - hab * gb) / det)
       b = r9(b - (haa * gb - hab * ga) / det)
       it += 1

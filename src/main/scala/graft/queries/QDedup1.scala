@@ -1082,16 +1082,25 @@ private[graft] object QDedup1 {
 
     Q("q_stream_score",  // the first ORACLED streaming row: the CCNet
       // scorer as a Structured Streaming query — parquet file source →
-      // stateless score (the broadcast-LM shape of q_lm_score_map, model
-      // inlined as one map literal) → exactly-once parquet SINK, then the
-      // sink is read back and checked against the same DuckDB oracle as
-      // q_lm_score. Exactly-once + stateless ⇒ the sink is deterministic,
-      // which is precisely what the hash compare asserts. Model = corpus
-      // unigram LM collected once (bounded vocab — k-row scalar family).
+      // foreachBatch LM scoring with the model as a MATERIALIZED
+      // (w, logp9) parquet RELATION broadcast-joined per micro-batch
+      // (VERDICT r15 #1: the earlier form collected the vocabulary to
+      // the driver and inlined it as one map literal — plan size and
+      // driver memory grew with the corpus under Heaps' law; nothing
+      // is collected now) → idempotent overwrite-by-batchId parquet
+      // SINK, read back and checked against a fixed-point DuckDB
+      // oracle. Per-doc scores are exact 1e-9 fixed-point sums, so
+      // stream results are bit-identical to the batch kernel and
+      // deterministic under replay — exactly what the hash asserts.
       (s, dir) => {
         val docs = docsTokens(s, dir)
-        val model = TextStats.unigramLogProbs(docs, "toks").collect()
-          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        // train once, persist the model as DATA (not plan): each
+        // micro-batch reads the artifact instead of re-deriving the
+        // vocabulary-count sub-plan (the q_stream_nb device)
+        val modelDir = Scratch.dir("stream-score-model")
+        TextStats.unigramLogProbs9(docs, "toks")
+          .write.mode("overwrite").parquet(modelDir)
+        val model = s.read.parquet(modelDir)
         val out = Scratch.dir("stream-score-out")
         val cp = Scratch.dir("stream-score-cp")
         val schema = Tables.table(s, dir, "documents").schema
@@ -1110,22 +1119,33 @@ private[graft] object QDedup1 {
         val stream = s.readStream.schema(schema).parquet(streamDir)
         val toks = stream.select(col("doc_id"),
           TextOps.tokenizeFiltered(col("text"), Stop, Nil).as("toks"))
-        graft.streaming.StreamOps.scoreStream(toks, "doc_id", "toks", model)
-          .writeStream.format("parquet")
-          .option("path", out).option("checkpointLocation", cp)
+        toks.writeStream
+          .foreachBatch { (b: DataFrame, bid: Long) =>
+            // idempotent per-batch sink: foreachBatch is at-least-once,
+            // so a retried batch overwrites its own directory instead
+            // of appending a second copy (the q_stream_nb recipe)
+            graft.streaming.StreamOps
+              .lmScoreBatch(b, "doc_id", "toks", model)
+              .write.mode("overwrite").parquet(s"$out/batch_$bid")
+          }
+          .option("checkpointLocation", cp)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
           .awaitTermination()
-        s.read.parquet(out)
+        s.read.parquet(s"$out/batch_*")
           .select(col("doc_id"), round(col("xent"), 6).as("xent"))
           .orderBy("doc_id")
       },
       Some(s"""WITH t AS ($SqlToks),
         |e AS (SELECT doc_id, unnest(toks) AS w FROM t),
         |f AS (SELECT w, count(*) AS cnt FROM e GROUP BY w),
-        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM f)
-        |SELECT doc_id, round(-avg(ln(CAST(cnt AS DOUBLE) / total)), 6) AS xent
-        |FROM e JOIN f USING (w) CROSS JOIN tot
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM f),
+        |m AS (SELECT w, CAST(round(ln(CAST(cnt AS DOUBLE) / total) * 1e9)
+        |        AS BIGINT) AS logp9 FROM f CROSS JOIN tot)
+        |SELECT doc_id,
+        |  round(-(CAST(sum(logp9) AS DOUBLE) / 1e9)
+        |    / CAST(count(*) AS DOUBLE), 6) AS xent
+        |FROM e JOIN m USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     Q("q_allpairs_tfidf",  // exact tf-idf weighted-cosine ALL-PAIRS over

@@ -229,23 +229,42 @@ object StreamOps {
   }
 
   /** Streaming LM/perplexity scoring — the stream twin of
-    * TextStats.lmScoreBroadcast: the unigram LM is a FIXED artifact at
-    * query start (scoring streams against a moving self-distribution is
-    * ill-defined), inlined as one map literal, so each micro-batch row
-    * scores itself statelessly — no stream-stream join, no state store,
-    * works in append mode with no watermark. The model map is a bounded
-    * vocabulary (same boundedness argument as broadcast); build it with
-    * TextStats.unigramLogProbs on the reference corpus and collect.
+    * TextStats.lmScore as a per-micro-batch kernel for
+    * `writeStream.foreachBatch` (the [[nbScoreBatch]] wiring): the
+    * unigram LM is a FIXED artifact at query start (scoring streams
+    * against a moving self-distribution is ill-defined) and arrives as
+    * the (w, logp9) RELATION of
+    * [[graft.ops.TextStats.unigramLogProbs9]], broadcast-joined per
+    * batch (VERDICT r15 #1: the earlier `typedlit` map-literal form
+    * collected the vocabulary to the driver and embedded it in the
+    * plan — under Heaps' law that grows with the corpus; a relation
+    * keeps the model bounded by the broadcast join, not the driver).
+    *
+    * Per doc: xent = −(Σ occurrences' logp9)/1e9/ntoks. The sums are
+    * exact fixed-point longs, so per-batch scores are bit-identical
+    * to the same kernel over the batched union — stream/batch parity
+    * is structural. Contract parity with the old scorer: docs with
+    * zero tokens emit no row; a doc carrying any token ABSENT from
+    * the model scores null rather than silently skewing (the matched
+    * count is compared to the token count — the left-join backfill
+    * alone would mis-score partial coverage as certainty).
     */
-  def scoreStream(
+  def lmScoreBatch(
       docs: DataFrame, idCol: String, toksCol: String,
-      model: Map[String, Double]): DataFrame = {
-    val m = typedlit(model)
-    docs.filter(size(col(toksCol)) > 0)
+      model: DataFrame): DataFrame = {
+    val base = docs.filter(size(col(toksCol)) > 0)
+      .select(col(idCol), col(toksCol))
+    val matched = base
+      .select(col(idCol), explode(col(toksCol)).as("w"))
+      .join(broadcast(model.select(col("w"), col("logp9"))), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum("logp9").as("slp9"), count(lit(1)).as("nm"))
+    base.select(col(idCol), size(col(toksCol)).cast("long").as("n"))
+      .join(matched, Seq(idCol), "left")
       .select(col(idCol),
-        (-aggregate(col(toksCol), lit(0.0d),
-          (acc, w) => acc + element_at(m, w))
-          / size(col(toksCol)).cast("double")).as("xent"))
+        when(col("nm") === col("n"),
+          -(col("slp9").cast("double") / lit(1e9))
+            / col("n").cast("double")).as("xent"))
   }
 
   /** Streaming Naive-Bayes scoring against a FIXED trained model —
