@@ -143,6 +143,74 @@ private[graft] object QRelEvents {
         .orderBy("l_returnflag"),
       None),
 
+    Q("q_approx_distinct_err",  // error-bound GATE for the HLL++ sketch
+      // (VERDICT r15 #2: q_approx_distinct was one of two rows-only
+      // entries with no value-oracled twin — the q_cws_err calibration
+      // device closes it): both engines compute the EXACT per-group
+      // distinct count identically, and the sketch's relative error
+      // rides along as a bounded boolean — Spark evaluates
+      // |hll − exact|/exact ≤ 5% (2.5σ at rsd 0.02; HLL++ switches to
+      // exact sparse mode below ~1.5k so small SFs are exact), DuckDB
+      // asserts the literal bound. A sketch regression past the band
+      // flips the boolean and fails the hash compare — the sketch is
+      // now CORRECTNESS-gated without pretending its value is
+      // engine-portable. Scale: one pass, partial aggs both columns;
+      // the HLL buffer is fixed-size per group.
+      (s, dir) => Tables.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("a"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("a") - col("exact_parts"))
+            .cast("double") / col("exact_parts") <= 0.05).as("err_le_5pct"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS err_le_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q_approx_percentiles_err",  // error-bound GATE for the quantile
+      // sketch (VERDICT r15 #2, the second rows-only closure): exact
+      // p50/p95 computed identically in both engines (percentile ↔
+      // quantile_cont — the q_price_quartiles parity), plus the
+      // sketch's RANK error as bounded booleans. approx_percentile
+      // guarantees the returned value's rank within ±1/accuracy of the
+      // target; with accuracy 1000 we gate at ±1% — Spark counts the
+      // sketch value's true rank fraction via a 3-row broadcast join
+      // back against the data (frac(< v) ≤ q+ε and frac(≤ v) ≥ q−ε),
+      // DuckDB asserts the bounds. Scale: two passes over the group —
+      // one agg for sketch+exact, one re-scan for the rank counts —
+      // both partial-agged, the sketch frame broadcast.
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+        val agg = li.groupBy(col("l_returnflag")).agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50a"),
+          expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("p95a"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"),
+          count(lit(1)).cast("double").as("n"))
+        val ranks = li
+          .join(broadcast(agg.select(col("l_returnflag"), col("p50a"), col("p95a"))),
+            Seq("l_returnflag"))
+          .groupBy(col("l_returnflag")).agg(
+            sum(when(col("l_extendedprice") < col("p50a"), 1L).otherwise(0L)).as("lt50"),
+            sum(when(col("l_extendedprice") <= col("p50a"), 1L).otherwise(0L)).as("le50"),
+            sum(when(col("l_extendedprice") < col("p95a"), 1L).otherwise(0L)).as("lt95"),
+            sum(when(col("l_extendedprice") <= col("p95a"), 1L).otherwise(0L)).as("le95"))
+        agg.join(ranks, Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            round(col("p50"), 4).as("p50"), round(col("p95"), 4).as("p95"),
+            (col("lt50") / col("n") <= 0.51 && col("le50") / col("n") >= 0.49)
+              .as("rank_ok_p50"),
+            (col("lt95") / col("n") <= 0.96 && col("le95") / col("n") >= 0.94)
+              .as("rank_ok_p95"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        |  TRUE AS rank_ok_p50, TRUE AS rank_ok_p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ---- event-sequence operators: sessionize, as-of join, range join, pivot
     Q("q_sessionize",  // 30-min-gap sessions per user
       (s, dir) => EventOps.sessionize(

@@ -260,6 +260,9 @@ class InvariantSweepSpec extends AnyFunSuite {
       assert(both.nonEmpty)
       both.foreach { case (flag, approx, exact) =>
         val rel = math.abs(approx - exact).toDouble / exact
+        // record the observed error per SF (VERDICT r15 #2) — the
+        // gated q_approx_distinct_err only exposes the ≤5% boolean
+        info(f"$sf/$flag: exact=$exact approx=$approx rel_err=$rel%.5f")
         assert(rel <= 0.05, s"$sf/$flag: approx=$approx exact=$exact rel=$rel")
       }
     }
@@ -280,6 +283,10 @@ class InvariantSweepSpec extends AnyFunSuite {
         .as[(String, Double, Double, Double, Double, Double, Double)].collect()
       assert(rows.nonEmpty)
       rows.foreach { case (flag, p50a, p95a, p45, p55, p93, p97) =>
+        // record where in the band the sketch landed per SF (VERDICT
+        // r15 #2) — q_approx_percentiles_err gates the ±1% rank bound
+        info(f"$sf/$flag: p50a=$p50a%.2f in [$p45%.2f,$p55%.2f], " +
+          f"p95a=$p95a%.2f in [$p93%.2f,$p97%.2f]")
         assert(p50a >= p45 && p50a <= p55, s"$sf/$flag p50 sketch out of band: $p50a !in [$p45,$p55]")
         assert(p95a >= p93 && p95a <= p97, s"$sf/$flag p95 sketch out of band: $p95a !in [$p93,$p97]")
       }
