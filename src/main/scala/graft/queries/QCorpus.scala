@@ -239,6 +239,54 @@ private[graft] object QCorpus {
         |    AS norm_key
         |FROM n ORDER BY doc_id""".stripMargin)),
 
+    Q("q_fix_encoding",  // mojibake (cp1252-in-UTF-8 double encoding)
+      // detection + repair (VERDICT r15 #4), the codegen expression
+      // functions.Mojibake now wired ahead of NFC in normalizeText's
+      // pipeline position. The ASCII corpus can't carry mojibake, so
+      // (house fixture pattern, q_url_canon / q_normalize_unicode)
+      // clean accented/CJK phrases and their double-encoded forms are
+      // literal arrays indexed by doc_id arithmetic — the corrupt
+      // side only exists in the Spark plan; DuckDB asserts the
+      // repaired VALUE equals the clean literal it rebuilds from the
+      // same codepoints. detected gates isMojibake (true iff repair
+      // changes the text — false on the pure-ASCII variant), noop_clean
+      // proves already-clean text (accents, CJK — the strict-decode
+      // rejection paths) is untouched, keys_unify proves the dedup
+      // match-key ladder (repair -> stripDiacritics -> normalizeText
+      // -> md5) now unifies the corrupt copy with its clean original.
+      // Pure map-side projection — zero shuffle.
+      (s, dir) => {
+        val cleanArr = array(Seq("plain ascii row", "caf\u00e9 au lait", "na\u00efve d\u00e9j\u00e0 vu", "\u00fcber stra\u00dfe", "\u20ac100 \u2022 z\u00fcrich \u2013 hei\u00df", "\u65e5\u672c\u8a9e \u30c6\u30ad\u30b9\u30c8").map(lit): _*)
+        val corruptArr = array(Seq("plain ascii row", "caf\u00c3\u00a9 au lait", "na\u00c3\u00afve d\u00c3\u00a9j\u00c3\u00a0 vu", "\u00c3\u00bcber stra\u00c3\u0178e", "\u00e2\u201a\u00ac100 \u00e2\u20ac\u00a2 z\u00c3\u00bcrich \u00e2\u20ac\u201c hei\u00c3\u0178", "\u00e6\u2014\u00a5\u00e6\u0153\u00ac\u00e8\u00aa\u017e \u00e3\u0192\u2020\u00e3\u201a\u00ad\u00e3\u201a\u00b9\u00e3\u0192\u02c6").map(lit): _*)
+        val m = (col("doc_id") % 6).cast("int")
+        def key(c: org.apache.spark.sql.Column) =
+          md5(TextOps.normalizeText(TextOps.stripDiacritics(c)))
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            element_at(cleanArr, m + 1).as("clean"),
+            element_at(corruptArr, m + 1).as("corrupt"))
+          .select(col("doc_id"),
+            graft.functions.Mojibake.fixEncoding(col("corrupt")).as("fixed"),
+            graft.functions.Mojibake.isMojibake(col("corrupt")).as("detected"),
+            (graft.functions.Mojibake.fixEncoding(col("clean"))
+              <=> col("clean")).as("noop_clean"),
+            (key(graft.functions.Mojibake.fixEncoding(col("corrupt")))
+              === key(col("clean"))).as("keys_unify"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'plain ascii row'
+        |    WHEN 1 THEN 'caf' || chr(233) || ' au lait'
+        |    WHEN 2 THEN 'na' || chr(239) || 've d' || chr(233) || 'j' || chr(224) || ' vu'
+        |    WHEN 3 THEN chr(252) || 'ber stra' || chr(223) || 'e'
+        |    WHEN 4 THEN chr(8364) || '100 ' || chr(8226) || ' z' || chr(252) || 'rich ' || chr(8211) || ' hei' || chr(223)
+        |    WHEN 5 THEN chr(26085) || chr(26412) || chr(35486) || ' ' || chr(12486) || chr(12461) || chr(12473) || chr(12488)
+        |    END AS fixed,
+        |  doc_id % 6 <> 0 AS detected,
+        |  TRUE AS noop_clean, TRUE AS keys_unify
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("q_cjk_segment",  // whitespace-free-script segmentation
       // fallback (VERDICT r14 missing #2): the sklearn \\w\\w+ pattern
       // is ASCII, so CJK runs are INVISIBLE to tokenize() and
@@ -478,6 +526,36 @@ private[graft] object QCorpus {
         |        GROUP BY 1)
         |SELECT id, CAST(degree AS BIGINT) AS degree FROM kd1
         |WHERE degree >= 6 ORDER BY id""".stripMargin)),
+
+    Q("q_kcore_converged",  // the PRODUCTION fixpoint k-core, gated
+      // (VERDICT r15 #6: kcorePeelConverged was spec-swept but the
+      // gated q_kcore ran the fixed-round peel): a co-purchase graph —
+      // parts sharing an order, the projection every market-basket
+      // pipeline builds — has the heavy-tailed degrees a non-trivial
+      // core needs (the 5-NN embedding graph collapses to empty above
+      // its min degree at every SF; measured r16). k = 68 was chosen
+      // by measuring convergence on the gated graphs: cores of
+      // 176/1980/19750 nodes after 5/1/2 peel rounds at
+      // sf0.001/0.01/0.1. The oracle is GENERATED at 7 unrolled
+      // rounds (measured max + 2; the PageRank/Platt unroll device) —
+      // peeling a converged core is idempotent, so the margin rounds
+      // are no-ops in SQL while the Spark side runs the real
+      // driver-convergence loop; an undershooting loop or a wrong
+      // fixpoint hash-mismatches. Scale: the projection shuffles on
+      // the order key and emits C(items,2) per order (bounded by
+      // order size); each peel round is O(edges) — degree groupBy +
+      // two semi-joins — and the convergence check is a 1-row agg.
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+        GraphOps.kcorePeelConverged(edges, "src", "dst", k = 68)
+          .select(col("id"), col("degree").cast("long").as("degree"))
+          .orderBy("id")
+      },
+      Some(kcoreConvergedOracleSql(k = 68, rounds = 7))),
 
     Q("q_nb_auc",  // threshold-free grade of the TRAINED NB classifier
       // (q_nb_quality) against its own training labels: tie-averaged
@@ -996,4 +1074,37 @@ private[graft] object QCorpus {
        |  round(a, 6) AS platt_a, round(b, 6) AS platt_b
        |FROM bins CROSS JOIN ab$iters ORDER BY bin""".stripMargin
   }
+
+  /** Generated SQL twin of the k-core FIXPOINT over the lineitem
+    * co-purchase graph (q_kcore_converged): `rounds` unrolled
+    * peel rounds — degree count, >= k filter, induced subgraph — each
+    * MATERIALIZED (DuckDB inlines multiply-referenced CTEs; a chained
+    * induction would otherwise re-evaluate the whole upstream
+    * combinatorially). `rounds` must be >= the measured convergence
+    * round count at every SF; extra rounds are idempotent on a
+    * converged core. Generated round-for-round like the Platt/PageRank
+    * oracles so the loop count is data, not hand-copied SQL.
+    */
+  private def kcoreConvergedOracleSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH ke0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a,
+      |    y.l_partkey AS b FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |kd0 AS MATERIALIZED (SELECT id, count(*) AS degree FROM
+      |    (SELECT a AS id FROM ke0 UNION ALL SELECT b FROM ke0) GROUP BY 1)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+      |ka$r AS MATERIALIZED (SELECT id FROM kd${r - 1} WHERE degree >= $k),
+      |ke$r AS MATERIALIZED (SELECT ke${r - 1}.a, ke${r - 1}.b FROM ke${r - 1}
+      |    JOIN ka$r x ON x.id = ke${r - 1}.a
+      |    JOIN ka$r y ON y.id = ke${r - 1}.b),
+      |kd$r AS MATERIALIZED (SELECT id, count(*) AS degree FROM
+      |    (SELECT a AS id FROM ke$r UNION ALL SELECT b FROM ke$r) GROUP BY 1)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT id, CAST(degree AS BIGINT) AS degree FROM kd$rounds
+      |WHERE degree >= $k ORDER BY id""".stripMargin
+    sb.toString
+  }
+
 }
