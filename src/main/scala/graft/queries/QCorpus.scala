@@ -818,6 +818,29 @@ private[graft] object QCorpus {
       },
       Some(hilbertOracleSql(6))),
 
+    Q("q_hilbert3_value",  // the N-D (Skilling) Hilbert key, 3 columns
+      // at 5 bits (VERDICT r15 #5: zOrderValue is N-D but Hilbert
+      // locality stopped at 2-D): Sinks.hilbertValueN runs Skilling's
+      // transform — inverse-undo sweep, Gray decode, parity fix,
+      // MSB-first interleave — as a linear fold, and the DuckDB twin
+      // is GENERATED level-for-level from the same (n, bits)
+      // (hilbert3OracleSql; the hilbertOracleSql device), pure integer
+      // shift/mask/xor in both engines. The 32k-point fixture drives
+      // every level; SinksSpec proves bijection + unit-step adjacency
+      // over the full 3-D grid and box-query file skipping >= the 3-D
+      // Morton layout's.
+      (s, dir) => {
+        val x = (col("doc_id") % 32).cast("long")
+        val y = (col("n_chars") % 32).cast("long")
+        val z = (expr("doc_id div 7") % 32).cast("long")
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), x.as("x"), y.as("y"), z.as("z"))
+          .withColumn("h",
+            sources.Sinks.hilbertValueN(Seq(col("x"), col("y"), col("z")), bits = 5))
+          .orderBy("doc_id")
+      },
+      Some(hilbert3OracleSql(3, 5))),
+
     Q("q_pii_iban",  // checksum-validated IBAN detection/redaction —
       // the international sibling of q_pii_cards: candidates are
       // ISO 13616-shaped runs (2 letters + 2 check digits + 11-30
@@ -1004,6 +1027,58 @@ private[graft] object QCorpus {
        |$rounds
        |sel AS (SELECT doc_id, x, y, hd FROM h$bits)
        |SELECT doc_id, x, y, hd AS h FROM sel ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.sources.Sinks.hilbertValueN]] (Skilling's
+    * transform): one CTE per bit level generated from the same
+    * (n, bits), each replaying the inverse-undo sweep's sequential
+    * per-coordinate updates via lateral column aliases, then the Gray
+    * decode + parity + MSB-first interleave in a final projection —
+    * integer shift/mask/xor only, so the index replays exactly.
+    */
+  private def hilbert3OracleSql(n: Int, bits: Int): String = {
+    val coords = Seq("doc_id % 32", "n_chars % 32", "(doc_id // 7) % 32")
+    require(n == coords.size)
+    val levels = ((bits - 1) to 1 by -1).map(1L << _)
+    val rounds = levels.zipWithIndex.map { case (qv, k) =>
+      val p = qv - 1
+      val steps = new scala.collection.mutable.ListBuffer[String]
+      var cur0 = "c0"
+      for (i <- 0 until n) {
+        if (i == 0) {
+          steps += s"CASE WHEN (c0 & $qv) <> 0 THEN xor(c0, $p) ELSE c0 END AS a0"
+          cur0 = "a0"
+        } else {
+          steps += s"xor($cur0, c$i) & $p AS e$i"
+          steps += s"CASE WHEN (c$i & $qv) <> 0 THEN xor($cur0, $p) " +
+            s"ELSE xor($cur0, e$i) END AS a$i"
+          steps += s"CASE WHEN (c$i & $qv) <> 0 THEN c$i " +
+            s"ELSE xor(c$i, e$i) END AS n$i"
+          cur0 = s"a$i"
+        }
+      }
+      val outs = (s"$cur0 AS c0" +: (1 until n).map(i => s"n$i AS c$i")).mkString(", ")
+      s"""h${k + 1} AS (SELECT doc_id, x, y, z, $outs FROM (
+         |  SELECT *, ${steps.mkString(",\n    ")} FROM h$k)),""".stripMargin
+    }.mkString("\n")
+    val gray = (s"c0 AS g0" +: (1 until n).map(i => s"xor(g${i - 1}, c$i) AS g$i"))
+      .mkString(",\n    ")
+    val tExpr = levels.map(qv =>
+      s"(CASE WHEN (g${n - 1} & $qv) <> 0 THEN ${qv - 1} ELSE 0 END)")
+      .reduce((a, b) => s"xor($a, $b)")
+    val inter = (for (i <- 0 until n; k <- 0 until bits) yield
+      s"(((xor(g$i, tp) >> $k) & 1) << ${k * n + (n - 1 - i)})").mkString(" | ")
+    val srcCols = coords.zip(Seq("x", "y", "z")).map {
+      case (c, nm) => s"CAST($c AS BIGINT) AS $nm" }.mkString(", ")
+    s"""WITH h0 AS (SELECT doc_id, $srcCols,
+       |    CAST(${coords(0)} AS BIGINT) AS c0,
+       |    CAST(${coords(1)} AS BIGINT) AS c1,
+       |    CAST(${coords(2)} AS BIGINT) AS c2 FROM documents),
+       |$rounds
+       |fin AS (SELECT doc_id, x, y, z,
+       |    $gray,
+       |    $tExpr AS tp FROM h${levels.size})
+       |SELECT doc_id, x, y, z, $inter AS h FROM fin ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB oracle for q_nb_platt: the q_nb_quality model CTE chain

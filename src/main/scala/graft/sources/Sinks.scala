@@ -145,6 +145,90 @@ object Sinks {
       .drop("__h")
   }
 
+  /** N-dimensional Hilbert index via Skilling's transform ("Programming
+    * the Hilbert curve", AIP Conf. Proc. 707, 2004) — the 3-plus-column
+    * generalization of [[hilbertValue]] (VERDICT r15 #5: zOrderValue is
+    * N-D but the stronger-locality Hilbert key was 2-D only). Skilling's
+    * formulation is two bit-level sweeps over the coordinate vector —
+    * an "inverse undo" of the per-quadrant rotations, then a Gray
+    * decode with a parity correction — followed by MSB-first bit
+    * interleave; every step is shift/mask/xor integer arithmetic, so
+    * the DuckDB twin replays it level-for-level (generated SQL, the
+    * hilbertOracleSql device) and SinksSpec proves the same adjacency
+    * property as 2-D: consecutive indices are unit Manhattan steps
+    * over the full N-D grid.
+    *
+    * Expression shape (the r15 codegen-size lesson): the level loop is
+    * a runtime `aggregate` FOLD over a literal level array with the
+    * coordinate vector as struct state — LINEAR in `bits`, not the
+    * 3^bits plan-time unroll that blew the 2-D key's first cut. All
+    * post-loop steps run inside the fold's `finish` lambda, where the
+    * final struct and the parity term bind ONCE as lambda variables
+    * instead of re-evaluating per reference. Inputs must be
+    * non-negative integers below 2^bits ([[quantileBuckets]]-encode
+    * upstream); the index spans [0, 2^(n*bits)), so n*bits <= 63.
+    */
+  def hilbertValueN(
+      cols: Seq[org.apache.spark.sql.Column],
+      bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{aggregate, array, lit, shiftleft, shiftright, struct, when}
+    val n = cols.size
+    require(n >= 2, s"hilbertValueN needs >= 2 columns, got $n")
+    require(bits >= 2 && n * bits <= 63,
+      s"$n cols x $bits bits outside [2, 63] total index bits")
+    val names = (0 until n).map(i => s"x$i")
+    // M = 2^(bits-1) down to 2 — Skilling's Q loop
+    val qvals = array(((bits - 1) to 1 by -1).map(k => lit(1L << k)): _*)
+    val init = struct(cols.zip(names).map {
+      case (c, nm) => c.cast("long").as(nm) }: _*)
+    aggregate(qvals, init,
+      (st, q) => {
+        val p = q - lit(1L)
+        var xs: Seq[org.apache.spark.sql.Column] = names.map(st.getField)
+        for (i <- 0 until n) {
+          val hi = xs(i).bitwiseAND(q) =!= 0
+          if (i == 0)
+            // exchange with itself is the identity — only the invert arm acts
+            xs = xs.updated(0, when(hi, xs(0).bitwiseXOR(p)).otherwise(xs(0)))
+          else {
+            val t = xs(0).bitwiseXOR(xs(i)).bitwiseAND(p)
+            val nx0 = when(hi, xs(0).bitwiseXOR(p)).otherwise(xs(0).bitwiseXOR(t))
+            val nxi = when(hi, xs(i)).otherwise(xs(i).bitwiseXOR(t))
+            xs = xs.updated(0, nx0).updated(i, nxi)
+          }
+        }
+        struct(xs.zip(names).map { case (c, nm) => c.as(nm) }: _*)
+      },
+      st => {
+        // Gray decode: g_i = x_0 ^ ... ^ x_i (st fields are bound refs)
+        val g = names.map(st.getField)
+          .scanLeft(lit(0L))((acc, x) => acc.bitwiseXOR(x)).drop(1)
+        // parity correction from the top coordinate's bits
+        val tAgg = aggregate(qvals, lit(0L), (acc, q) =>
+          when(g.last.bitwiseAND(q) =!= 0, acc.bitwiseXOR(q - lit(1L)))
+            .otherwise(acc))
+        // bind t once, then MSB-first interleave: bit k of coord i
+        // lands at position k*n + (n-1-i)
+        aggregate(array(tAgg), lit(0L), (acc, t) =>
+          (for (i <- 0 until n; k <- 0 until bits) yield
+            shiftleft(shiftright(g(i).bitwiseXOR(t), k).bitwiseAND(lit(1L)),
+              k * n + (n - 1 - i))).foldLeft(acc)(_ bitwiseOR _))
+      })
+  }
+
+  /** [[zOrderLayoutQuantile]] with the N-D Hilbert key: quantile
+    * bucket-encode each layout column, range-partition + sort on the
+    * Skilling index of the buckets, write the original columns. */
+  def hilbertLayoutQuantile(
+      df: DataFrame, hCols: Seq[String], files: Int, bits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val h = hilbertValueN(quantileBuckets(df, hCols, bits), bits)
+    df.withColumn("__h", h)
+      .repartitionByRange(files, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+  }
+
   /** Quantile bucket-encoding of arbitrary numeric columns into the
     * [0, 2^bits) integer domain [[zOrderValue]] needs — the upstream
     * encode step for Z-ordering skewed or unbounded columns (raw
@@ -202,6 +286,101 @@ object Sinks {
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+  }
+
+  /** Result of a [[compact]] pass. */
+  final case class CompactStats(
+      filesBefore: Int, filesAfter: Int,
+      bytesBefore: Long, bytesAfter: Long,
+      binsRewritten: Int)
+
+  /** Small-file compaction that PRESERVES a z/Hilbert layout's order
+    * (VERDICT r15 #7 — the day-2 operation every 100 TB table needs:
+    * streaming appends and over-parallel writes leave directories of
+    * kilobyte files whose per-file overhead dominates scans, but a
+    * naive `repartition + rewrite` destroys the range layout the
+    * table was built for). Contract: the directory was written by
+    * this module's layout writers — range-partitioned part files
+    * whose NAME order is key order and whose rows are sorted within
+    * each file. Compaction then never needs to recompute the layout
+    * key: it greedily packs CONSECUTIVE files into bins of up to
+    * `targetBytes` and concatenates each bin in name order (per-file
+    * row order preserved by the single-partition coalesce), so the
+    * output is the same global key order in fewer files, and each
+    * merged file's min/max stats stay tight — consecutive ranges
+    * union to one range, no overlap is introduced (SinksSpec measures
+    * both). Single-file bins are left byte-identical in place; each
+    * merged bin takes its FIRST member's file name, keeping the
+    * name-order contract for the next compaction pass.
+    *
+    * Scale: the driver work is one file listing (already
+    * driver-sized on any FS) and the greedy scan; each bin rewrite is
+    * an independent small job — submitted concurrently (`parallelism`
+    * in-flight) so a wide cluster fills, and each job reads only its
+    * own bin's bytes. The swap-in is rename-based and NOT
+    * transactional — a crash mid-swap can leave a bin present in both
+    * forms; pair with a table format's commit protocol when atomicity
+    * matters.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long, parallelism: Int = 4): CompactStats = {
+    require(targetBytes > 0 && parallelism >= 1)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(hconf)
+    val files = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .sortBy(_.getPath.getName)
+    val bytesBefore = files.map(_.getLen).sum
+    // greedy consecutive packing: a bin closes when adding the next
+    // file would cross targetBytes (oversized singletons pass through)
+    val bins = scala.collection.mutable.ListBuffer.empty[Vector[org.apache.hadoop.fs.FileStatus]]
+    files.foreach { f =>
+      if (bins.nonEmpty && bins.last.map(_.getLen).sum + f.getLen <= targetBytes)
+        bins(bins.size - 1) = bins.last :+ f
+      else bins += Vector(f)
+    }
+    val toMerge = bins.toList.filter(_.size >= 2)
+    if (toMerge.nonEmpty) {
+      val tmp = new org.apache.hadoop.fs.Path(dir, ".compact-tmp")
+      fs.mkdirs(tmp)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, toMerge.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        import scala.concurrent.{Await, Future}
+        val jobs = toMerge.zipWithIndex.map { case (bin, i) => Future {
+          // unionAll keeps parent-partition order and coalesce(1)
+          // concatenates parents in order: rows land first-file-first,
+          // original order inside each file
+          bin.map(f => spark.read.parquet(f.getPath.toString))
+            .reduce(_ unionAll _).coalesce(1)
+            .write.mode("overwrite").parquet(s"$tmp/bin$i")
+        }}
+        Await.result(Future.sequence(jobs), scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+      // swap in: drop the bin's sources, move the merged file onto the
+      // first member's name (name order — and thus key order — survives)
+      toMerge.zipWithIndex.foreach { case (bin, i) =>
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/bin$i"))
+          .map(_.getPath).find(p => p.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(s"no part file for bin $i"))
+        bin.foreach(f => fs.delete(f.getPath, false))
+        fs.rename(part, new org.apache.hadoop.fs.Path(dir, bin.head.getPath.getName))
+      }
+      fs.delete(tmp, true)
+    }
+    val after = fs.listStatus(dir).toSeq.filter(st => st.isFile && {
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    })
+    CompactStats(files.size, after.size, bytesBefore,
+      after.map(_.getLen).sum, toMerge.size)
   }
 
   /** Side/branch output (SURVEY §2.1 S5): the reference's

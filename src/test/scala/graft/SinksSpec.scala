@@ -133,6 +133,71 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/h").count() == 4096)
   }
 
+  test("hilbertValueN: Skilling 3-D index — bijection, unit-step adjacency, reference vectors; 63-bit bound enforced") {
+    val bits = 3
+    val n = 1 << bits
+    val grid = spark.range(n.toLong * n * n)
+      .select(($"id" % n).as("x"), (($"id" / n) % n).cast("long").as("y"),
+        ($"id" / (n * n)).cast("long").as("z"))
+    val got = grid
+      .select($"x", $"y", $"z",
+        Sinks.hilbertValueN(Seq($"x", $"y", $"z"), bits).as("h"))
+      .as[(Long, Long, Long, Long)].collect()
+    // bijection over [0, 8^bits)
+    assert(got.map(_._4).sorted.toSeq == (0L until n.toLong * n * n))
+    // adjacency: every index increment is one unit Manhattan step in 3-D
+    val walk = got.sortBy(_._4)
+    walk.zip(walk.tail).foreach { case ((x1, y1, z1, h1), (x2, y2, z2, _)) =>
+      val step = math.abs(x2 - x1) + math.abs(y2 - y1) + math.abs(z2 - z1)
+      assert(step == 1, s"jump of $step after index $h1")
+    }
+    // Morton control on the same 3-D grid: quadrant jumps exist
+    val mWalk = grid
+      .select($"x", $"y", $"z",
+        Sinks.zOrderValue(Seq($"x", $"y", $"z"), bits).as("m"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4)
+    val mJumps = mWalk.zip(mWalk.tail).count { case ((x1, y1, z1, _), (x2, y2, z2, _)) =>
+      math.abs(x2 - x1) + math.abs(y2 - y1) + math.abs(z2 - z1) > 1 }
+    assert(mJumps > 0, "Morton should jump at octant boundaries")
+    // closed-form reference vectors (hand-checked Skilling walk, b=3 n=3)
+    val byPoint = got.map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(byPoint((0L, 0L, 0L)) == 0L)
+    assert(byPoint((1L, 2L, 3L)) == 48L)
+    assert(byPoint((7L, 7L, 7L)) == 365L)
+    assert(byPoint((5L, 0L, 6L)) == 431L)
+    intercept[IllegalArgumentException](
+      Sinks.hilbertValueN(Seq($"x", $"y", $"z"), 22))
+    intercept[IllegalArgumentException](Sinks.hilbertValueN(Seq($"x"), 8))
+  }
+
+  test("hilbertValueN layout: 3-D box-query file skipping at least as strong as 3-D Morton") {
+    val dir = java.nio.file.Files.createTempDirectory("hilbert3").toString
+    val grid = spark.range(16 * 16 * 16)
+      .select(($"id" % 16).as("x"), (($"id" / 16) % 16).cast("long").as("y"),
+        ($"id" / 256).cast("long").as("z"))
+    def layoutOn(key: org.apache.spark.sql.Column, path: String): Unit =
+      Sinks.writeColumnar(
+        grid.withColumn("__k", key).repartitionByRange(16, $"__k")
+          .sortWithinPartitions("__k").drop("__k"), path)
+    layoutOn(Sinks.hilbertValueN(Seq($"x", $"y", $"z"), 4), s"$dir/h")
+    layoutOn(Sinks.zOrderValue(Seq($"x", $"y", $"z"), 4), s"$dir/m")
+    def filesTouched(path: String): (Long, Long) = {
+      val boxes = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min($"x").as("x0"), max($"x").as("x1"),
+          min($"y").as("y0"), max($"y").as("y1"),
+          min($"z").as("z0"), max($"z").as("z1"))
+      (boxes.filter(!($"x1" < 2 || $"x0" > 5 || $"y1" < 2 || $"y0" > 5 ||
+        $"z1" < 2 || $"z0" > 5)).count(), boxes.count())
+    }
+    val (ht, htot) = filesTouched(s"$dir/h")
+    val (mt, mtot) = filesTouched(s"$dir/m")
+    assert(htot == 16 && mtot == 16)
+    assert(ht <= mt, s"hilbert touched $ht files, morton $mt — locality regressed")
+    assert(ht <= 8, s"hilbert layout touched $ht of $htot files")
+    assert(spark.read.parquet(s"$dir/h").count() == 4096)
+  }
+
   test("quantileBucket: skew-robust encode — balanced buckets, monotone, in-domain; quantile z-layout preserves data") {
     // heavily skewed column: 7/8 of mass in [0, 100), a long tail to 1e9
     val skew = spark.range(4096).select($"id",
@@ -155,6 +220,65 @@ class SinksSpec extends AnyFunSuite {
     // end-to-end: the quantile z-layout is a pure re-layout
     val laid = Sinks.zOrderLayoutQuantile(skew, Seq("v", "u"), files = 8, bits = 4)
     assert(laid.count() == 4096 && laid.columns.toSeq == skew.columns.toSeq)
+  }
+
+  test("compact: consecutive-bin small-file merge preserves hilbert order, min/max tightness, and the data") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val grid = spark.range(4096)
+      .select(($"id" % 64).as("x"), ($"id" / 64).cast("long").as("y"))
+    Sinks.writeColumnar(
+      Sinks.hilbertLayout(grid, "x", "y", files = 16, bits = 6), dir)
+    val before = spark.read.parquet(dir)
+      .select($"x", $"y").as[(Long, Long)].collect().sorted.toSeq
+    val sizes = new java.io.File(dir).listFiles
+      .filter(f => f.getName.startsWith("part-")).map(_.length)
+    // target ~4 source files per bin
+    val stats = Sinks.compact(spark, dir, targetBytes = sizes.max * 4)
+    assert(stats.filesBefore == 16)
+    assert(stats.filesAfter < stats.filesBefore,
+      s"expected fewer files, got $stats")
+    assert(stats.binsRewritten >= 1)
+    // data survives exactly
+    val after = spark.read.parquet(dir)
+      .select($"x", $"y").as[(Long, Long)].collect().sorted.toSeq
+    assert(after == before)
+    // order: per-file hilbert ranges are DISJOINT and follow name
+    // order (consecutive-range unions — min/max stays tight), and
+    // rows inside each file are still h-sorted
+    val partFiles = new java.io.File(dir).listFiles
+      .filter(f => f.getName.startsWith("part-")).map(_.toString).sorted
+    val ranges = partFiles.map { f =>
+      val hs = spark.read.parquet(f).coalesce(1)
+        .select(Sinks.hilbertValue($"x", $"y", 6)).as[Long].collect()
+      assert(hs.zip(hs.tail).forall { case (a, b) => a <= b },
+        s"rows inside $f lost their hilbert sort")
+      (hs.min, hs.max)
+    }
+    ranges.zip(ranges.tail).foreach { case ((_, hi), (lo2, _)) =>
+      assert(hi < lo2, "file ranges overlap after compaction")
+    }
+    // tightness in practice: the 16x16 box query still skips most files
+    val boxes = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"x").as("x0"), max($"x").as("x1"),
+        min($"y").as("y0"), max($"y").as("y1"))
+    val touched = boxes
+      .filter(!($"x1" < 8 || $"x0" > 23 || $"y1" < 8 || $"y0" > 23)).count()
+    assert(touched <= (stats.filesAfter + 1) / 2,
+      s"box query touched $touched of ${stats.filesAfter} compacted files")
+    // repeated passes converge: recompression can shrink merged files
+    // enough that another consecutive pair fits the target, so run to
+    // the fixpoint and assert it arrives (and the data still survives)
+    var last = stats
+    var passes = 0
+    while (last.binsRewritten > 0 && passes < 5) {
+      last = Sinks.compact(spark, dir, targetBytes = sizes.max * 4)
+      passes += 1
+    }
+    assert(last.binsRewritten == 0, s"compaction did not converge: $last")
+    val converged = spark.read.parquet(dir)
+      .select($"x", $"y").as[(Long, Long)].collect().sorted.toSeq
+    assert(converged == before)
   }
 
   test("writeBranches: side output splits one pass into n sinks") {
