@@ -527,6 +527,49 @@ private[graft] object QCorpus {
         |SELECT id, CAST(degree AS BIGINT) AS degree FROM kd1
         |WHERE degree >= 6 ORDER BY id""".stripMargin)),
 
+    Q("q_countmin_topk",  // count-min sketch heavy hitters (Cormode &
+      // Muthukrishnan 2005): the bounded-state frequency summary —
+      // d=3 rows x m=1024 cells of counts regardless of vocabulary,
+      // cell-wise-additive (partial aggs), estimate = min over a
+      // token's 3 cells, overestimate-only. Unlike HLL/t-digest the
+      // hash family is the engine's md5-u32 portable device, so the
+      // ENTIRE sketch value-oracles: DuckDB rebuilds the same cells
+      // and the same minima integer-for-integer. The query grades the
+      // top-20 exact heavy hitters' estimates next to their exact
+      // counts (est_cnt >= exact_cnt by construction; err is the
+      // collision overhang the m=1024 table absorbs). Scale: the
+      // exact side shuffles the vocabulary; the sketch shuffles
+      // m*d = 3072 cells and is broadcast for probing.
+      (s, dir) => {
+        val toks = docsTokens(s, dir).select(explode(col("toks")).as("w"))
+        val exact = toks.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+        val top = exact.orderBy(col("exact_cnt").desc, col("w")).limit(20)
+        val sk = CountMin.sketch(toks, "w")
+        CountMin.estimate(top, "w", sk)
+          .join(top, Seq("w"))
+          .select(col("w"), col("exact_cnt"), col("est").as("est_cnt"),
+            (col("est") - col("exact_cnt")).as("err"))
+          .orderBy(col("exact_cnt").desc, col("w"))
+      },
+      Some(s"""WITH t AS ($SqlToks),
+        |e AS MATERIALIZED (SELECT unnest(toks) AS w FROM t),
+        |x AS (SELECT w, count(*) AS exact_cnt FROM e GROUP BY w),
+        |top AS MATERIALIZED (SELECT w, exact_cnt FROM x
+        |      ORDER BY exact_cnt DESC, w LIMIT 20),
+        |cells AS MATERIALIZED (SELECT j,
+        |      CAST(('0x' || substr(md5(w || '|' || CAST(j AS VARCHAR)
+        |        || '|cm16'), 1, 8)) AS BIGINT) % 1024 AS i, count(*) AS cnt
+        |    FROM e CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) GROUP BY 1, 2),
+        |pr AS (SELECT top.w, top.exact_cnt, j,
+        |      CAST(('0x' || substr(md5(top.w || '|' || CAST(j AS VARCHAR)
+        |        || '|cm16'), 1, 8)) AS BIGINT) % 1024 AS i
+        |    FROM top CROSS JOIN (SELECT unnest([0, 1, 2]) AS j))
+        |SELECT pr.w, CAST(max(pr.exact_cnt) AS BIGINT) AS exact_cnt,
+        |  CAST(min(COALESCE(cells.cnt, 0)) AS BIGINT) AS est_cnt,
+        |  CAST(min(COALESCE(cells.cnt, 0)) - max(pr.exact_cnt) AS BIGINT) AS err
+        |FROM pr LEFT JOIN cells USING (j, i)
+        |GROUP BY pr.w ORDER BY exact_cnt DESC, pr.w""".stripMargin)),
+
     Q("q_kcore_converged",  // the PRODUCTION fixpoint k-core, gated
       // (VERDICT r15 #6: kcorePeelConverged was spec-swept but the
       // gated q_kcore ran the fixed-round peel): a co-purchase graph —

@@ -211,6 +211,75 @@ private[graft] object QRelEvents {
         |  TRUE AS rank_ok_p50, TRUE AS rank_ok_p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    Q("q_profile",  // one-scan column profiler (ops/Profile.scala) —
+      // the ingest-time data-quality summary: row count, per-column
+      // nulls, EXACT distinct count, numeric min/max and a 1e-6
+      // fixed-point mean, string min/max, one output row per column.
+      // Every statistic comes from ONE aggregate over the table
+      // (partial aggs; the 1-row result is checkpointed and unpivoted
+      // from there, so the per-column projections never re-scan);
+      // exactNdv=false swaps in HLL++ at 100 TB. The oracle replays
+      // each column as a scalar-aggregate UNION ALL branch.
+      (s, dir) => Profile.profile(Tables.table(s, dir, "lineitem"),
+        numCols = Seq("l_extendedprice", "l_orderkey", "l_partkey", "l_quantity"),
+        strCols = Seq("l_linestatus", "l_returnflag")),
+      Some("""SELECT 'l_extendedprice' AS col_name, count(*) AS n,
+        |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+        |  CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS ndv,
+        |  round(CAST(min(l_extendedprice) AS DOUBLE), 6) AS min_num,
+        |  round(CAST(max(l_extendedprice) AS DOUBLE), 6) AS max_num,
+        |  round(CAST(sum(CAST(round(CAST(l_extendedprice AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT)
+        |    / 1e6 / count(l_extendedprice), 6) AS mean_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_orderkey' AS col_name, count(*) AS n,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv,
+        |  round(CAST(min(l_orderkey) AS DOUBLE), 6) AS min_num,
+        |  round(CAST(max(l_orderkey) AS DOUBLE), 6) AS max_num,
+        |  round(CAST(sum(CAST(round(CAST(l_orderkey AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT)
+        |    / 1e6 / count(l_orderkey), 6) AS mean_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_partkey' AS col_name, count(*) AS n,
+        |  CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv,
+        |  round(CAST(min(l_partkey) AS DOUBLE), 6) AS min_num,
+        |  round(CAST(max(l_partkey) AS DOUBLE), 6) AS max_num,
+        |  round(CAST(sum(CAST(round(CAST(l_partkey AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT)
+        |    / 1e6 / count(l_partkey), 6) AS mean_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity' AS col_name, count(*) AS n,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+        |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv,
+        |  round(CAST(min(l_quantity) AS DOUBLE), 6) AS min_num,
+        |  round(CAST(max(l_quantity) AS DOUBLE), 6) AS max_num,
+        |  round(CAST(sum(CAST(round(CAST(l_quantity AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT)
+        |    / 1e6 / count(l_quantity), 6) AS mean_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linestatus' AS col_name, count(*) AS n,
+        |  CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+        |  CAST(count(DISTINCT l_linestatus) AS BIGINT) AS ndv,
+        |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+        |  CAST(NULL AS DOUBLE) AS mean_num,
+        |  min(l_linestatus) AS min_str, max(l_linestatus) AS max_str
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag' AS col_name, count(*) AS n,
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+        |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS ndv,
+        |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+        |  CAST(NULL AS DOUBLE) AS mean_num,
+        |  min(l_returnflag) AS min_str, max(l_returnflag) AS max_str
+        |FROM lineitem
+        |ORDER BY col_name""".stripMargin)),
+
     // ---- event-sequence operators: sessionize, as-of join, range join, pivot
     Q("q_sessionize",  // 30-min-gap sessions per user
       (s, dir) => EventOps.sessionize(
