@@ -319,20 +319,25 @@ object GraphOps {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(eager = false)
-    var prev: Option[DataFrame] = None
+    var prev: List[DataFrame] = Nil
     var it = 0
     var converged = false
-    var deg = degrees(e)
+    // deg is consumed THREE times per round (the convergence count and
+    // both semi-join branches of the induced subgraph) — checkpoint it
+    // so the O(edges) union+groupBy runs once per round, not three
+    // times (r16; measured 4.3 s -> ~3 s on the gated co-purchase
+    // graph). Lazy: the count job below materializes it.
+    var deg = degrees(e).localCheckpoint(eager = false)
     while (it < maxIter && !converged) {
       // one job: total nodes + nodes clearing k. It also materializes
-      // e's lazy checkpoint, which is what makes the PREVIOUS round's
-      // blocks dead — e was built from them, and nothing else
-      // references that round once this job has run.
+      // this round's deg and e checkpoints, which is what makes the
+      // PREVIOUS round's blocks dead — deg/e were built from them, and
+      // nothing else references that round once this job has run.
       val c = deg.agg(count(lit(1)),
         count(when(col("degree") >= k, lit(1)))).head()
       prev.foreach(p => org.apache.spark.sql.GraftSqlBridge
         .checkpointRdd(p).foreach(_.unpersist(blocking = false)))
-      prev = None
+      prev = Nil
       if (c.getLong(0) == c.getLong(1)) converged = true
       else {
         val alive = deg.filter(col("degree") >= k).select(col("id"))
@@ -341,9 +346,9 @@ object GraphOps {
           .join(alive.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
           .select(col("a"), col("b"))
           .localCheckpoint(eager = false)
-        prev = Some(e)
+        prev = List(e, deg)
         e = next
-        deg = degrees(e)
+        deg = degrees(e).localCheckpoint(eager = false)
         it += 1
       }
     }
@@ -353,7 +358,7 @@ object GraphOps {
       // the next round's count job, so without this the current (and
       // possibly previous) rounds' blocks stay pinned for the session
       // in callers that catch the exception (ADVICE r15)
-      (prev.toSeq :+ e).foreach(f => org.apache.spark.sql.GraftSqlBridge
+      (prev :+ e :+ deg).foreach(f => org.apache.spark.sql.GraftSqlBridge
         .checkpointRdd(f).foreach(_.unpersist(blocking = false)))
       throw new IllegalStateException(
         s"kcorePeelConverged did not reach the $k-core fixpoint in " +
@@ -361,7 +366,9 @@ object GraphOps {
     }
     // the converged round's degree frame IS the answer (its count job
     // proved every degree ≥ k) — returning it saves the extra
-    // O(edges) union+groupBy shuffle a recompute would pay (review r15)
+    // O(edges) union+groupBy shuffle a recompute would pay (review
+    // r15). The final round's deg/e checkpoints stay pinned by
+    // necessity: the returned frame reads them.
     deg
   }
 

@@ -551,24 +551,52 @@ private[graft] object QCorpus {
             (col("est") - col("exact_cnt")).as("err"))
           .orderBy(col("exact_cnt").desc, col("w"))
       },
-      Some(s"""WITH t AS ($SqlToks),
-        |e AS MATERIALIZED (SELECT unnest(toks) AS w FROM t),
-        |x AS (SELECT w, count(*) AS exact_cnt FROM e GROUP BY w),
-        |top AS MATERIALIZED (SELECT w, exact_cnt FROM x
-        |      ORDER BY exact_cnt DESC, w LIMIT 20),
-        |cells AS MATERIALIZED (SELECT j,
-        |      CAST(('0x' || substr(md5(w || '|' || CAST(j AS VARCHAR)
-        |        || '|cm16'), 1, 8)) AS BIGINT) % 1024 AS i, count(*) AS cnt
-        |    FROM e CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) GROUP BY 1, 2),
-        |pr AS (SELECT top.w, top.exact_cnt, j,
-        |      CAST(('0x' || substr(md5(top.w || '|' || CAST(j AS VARCHAR)
-        |        || '|cm16'), 1, 8)) AS BIGINT) % 1024 AS i
-        |    FROM top CROSS JOIN (SELECT unnest([0, 1, 2]) AS j))
-        |SELECT pr.w, CAST(max(pr.exact_cnt) AS BIGINT) AS exact_cnt,
-        |  CAST(min(COALESCE(cells.cnt, 0)) AS BIGINT) AS est_cnt,
-        |  CAST(min(COALESCE(cells.cnt, 0)) - max(pr.exact_cnt) AS BIGINT) AS err
-        |FROM pr LEFT JOIN cells USING (j, i)
-        |GROUP BY pr.w ORDER BY exact_cnt DESC, pr.w""".stripMargin)),
+      Some(CmTopkOracleSql)),
+
+    Q("q_stream_countmin",  // streaming twin of q_countmin_topk: the
+      // sketch is cell-wise additive, so the stream maintains it as
+      // VERSIONED running state in foreachBatch — v_bid = v_{bid-1} +
+      // this batch's cells, overwrite-by-version making the
+      // at-least-once retry exactly-once effective
+      // (StreamOps.countMinBatch). The corpus is staged as 4 files
+      // with maxFilesPerTrigger=1, so the state genuinely accumulates
+      // across 4 micro-batches; additivity makes the final version's
+      // cells the EXACT longs the batch sketch computes over the
+      // union, so the same DuckDB oracle grades the stream state
+      // directly — estimates probed from streamed state, top-20 from
+      // the static corpus.
+      (s, dir) => {
+        val state = Scratch.dir("stream-cm-state")
+        val cp = Scratch.dir("stream-cm-cp")
+        val srcDir = Scratch.dir("stream-cm-src")
+        Tables.table(s, dir, "documents").repartition(4)
+          .write.mode("overwrite").parquet(srcDir)
+        val schema = Tables.table(s, dir, "documents").schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val toks = stream.select(
+          TextOps.tokenizeFiltered(col("text"), Stop, Nil).as("toks"))
+        toks.writeStream
+          .foreachBatch { (b: DataFrame, bid: Long) =>
+            graft.streaming.StreamOps.countMinBatch(b, "toks", state, bid)
+          }
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        val lastBid = new java.io.File(state).listFiles
+          .filter(_.getName.startsWith("v_")).map(_.getName.drop(2).toLong).max
+        val sk = s.read.parquet(s"$state/v_$lastBid")
+        val toksB = docsTokens(s, dir).select(explode(col("toks")).as("w"))
+        val exact = toksB.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+        val top = exact.orderBy(col("exact_cnt").desc, col("w")).limit(20)
+        CountMin.estimate(top, "w", sk)
+          .join(top, Seq("w"))
+          .select(col("w"), col("exact_cnt"), col("est").as("est_cnt"),
+            (col("est") - col("exact_cnt")).as("err"))
+          .orderBy(col("exact_cnt").desc, col("w"))
+      },
+      Some(CmTopkOracleSql)),
 
     Q("q_kcore_converged",  // the PRODUCTION fixpoint k-core, gated
       // (VERDICT r15 #6: kcorePeelConverged was spec-swept but the
@@ -1071,6 +1099,32 @@ private[graft] object QCorpus {
        |sel AS (SELECT doc_id, x, y, hd FROM h$bits)
        |SELECT doc_id, x, y, hd AS h FROM sel ORDER BY doc_id""".stripMargin
   }
+
+  /** Shared oracle for q_countmin_topk and its streaming twin
+    * q_stream_countmin: both produce the top-20 heavy hitters' exact
+    * counts and md5-u32 count-min estimates over the same corpus —
+    * additivity makes the streamed sketch bit-equal to the batch one,
+    * so one SQL grades both.
+    */
+  private lazy val CmTopkOracleSql: String =
+    s"""WITH t AS ($SqlToks),
+       |e AS MATERIALIZED (SELECT unnest(toks) AS w FROM t),
+       |x AS (SELECT w, count(*) AS exact_cnt FROM e GROUP BY w),
+       |top AS MATERIALIZED (SELECT w, exact_cnt FROM x
+       |      ORDER BY exact_cnt DESC, w LIMIT 20),
+       |cells AS MATERIALIZED (SELECT j,
+       |      CAST(('0x' || substr(md5(w || '|' || CAST(j AS VARCHAR)
+       |        || '|cm16'), 1, 8)) AS BIGINT) % 1024 AS i, count(*) AS cnt
+       |    FROM e CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) GROUP BY 1, 2),
+       |pr AS (SELECT top.w, top.exact_cnt, j,
+       |      CAST(('0x' || substr(md5(top.w || '|' || CAST(j AS VARCHAR)
+       |        || '|cm16'), 1, 8)) AS BIGINT) % 1024 AS i
+       |    FROM top CROSS JOIN (SELECT unnest([0, 1, 2]) AS j))
+       |SELECT pr.w, CAST(max(pr.exact_cnt) AS BIGINT) AS exact_cnt,
+       |  CAST(min(COALESCE(cells.cnt, 0)) AS BIGINT) AS est_cnt,
+       |  CAST(min(COALESCE(cells.cnt, 0)) - max(pr.exact_cnt) AS BIGINT) AS err
+       |FROM pr LEFT JOIN cells USING (j, i)
+       |GROUP BY pr.w ORDER BY exact_cnt DESC, pr.w""".stripMargin
 
   /** DuckDB twin of [[graft.sources.Sinks.hilbertValueN]] (Skilling's
     * transform): one CTE per bit level generated from the same

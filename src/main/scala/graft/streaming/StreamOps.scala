@@ -301,6 +301,36 @@ object StreamOps {
         ((col("prior9") + col("slo9")) / lit(1e9)).as("nb_logit"))
   }
 
+  /** Streaming count-min accumulation — the incremental twin of
+    * [[graft.ops.CountMin.sketch]] as a `foreachBatch` kernel (r16):
+    * the sketch is CELL-WISE ADDITIVE, so streaming maintenance is a
+    * merge of the batch's cells into a VERSIONED state directory —
+    * read state v_{bid−1}, add this batch's cells, overwrite v_bid.
+    * Versioning is what makes the at-least-once contract exactly-once
+    * effective: a retried batch re-reads its predecessor and
+    * overwrites its own version, never double-counting (the
+    * overwrite-by-batchId recipe lifted to running state). Additivity
+    * also gives structural batch parity: the final version's cells
+    * are the exact longs [[graft.ops.CountMin.sketch]] computes over
+    * the batched union, so the batch oracle grades the stream state
+    * directly (`q_stream_countmin`). State size is m·d cells —
+    * constant per version; retain only the trailing versions the
+    * restart window needs.
+    */
+  def countMinBatch(
+      b: DataFrame, toksCol: String, stateDir: String, bid: Long,
+      m: Int = 1024, d: Int = 3, salt: String = "cm16"): Unit = {
+    val spark = b.sparkSession
+    val batchSk = graft.ops.CountMin.sketch(
+      b.select(explode(col(toksCol)).as("w")), "w", m, d, salt)
+    val prev = new java.io.File(s"$stateDir/v_${bid - 1}")
+    val merged =
+      if (bid == 0 || !prev.exists) batchSk
+      else spark.read.parquet(prev.toString).unionByName(batchSk)
+        .groupBy(col("j"), col("i")).agg(sum("cnt").as("cnt"))
+    merged.write.mode("overwrite").parquet(s"$stateDir/v_$bid")
+  }
+
   /** tf·idf term-weight vectors (id, tok, w) for [[weightedVerifyBatch]]:
     * per-doc term counts times the STATIC idf side-input, idf rounded
     * 9 dp first (the chain-rounding device — both engines multiply

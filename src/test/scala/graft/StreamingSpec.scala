@@ -154,6 +154,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("countMinBatch: versioned state accumulates to the exact batch sketch; a retried batch is idempotent") {
+    import spark.implicits._
+    import graft.ops.{CountMin, TextOps}
+    val docs = Tables.table(spark, TestSpark.Sf, "documents")
+      .select($"doc_id", TextOps.tokenize($"text").as("toks"))
+    val state = graft.Scratch.dir("spec-cm-state")
+    // feed three disjoint slices as batches 0..2
+    val slices = Seq(docs.filter($"doc_id" % 3 === 0),
+      docs.filter($"doc_id" % 3 === 1), docs.filter($"doc_id" % 3 === 2))
+    slices.zipWithIndex.foreach { case (b, bid) =>
+      graft.streaming.StreamOps.countMinBatch(b, "toks", state, bid.toLong)
+    }
+    val want = CountMin.sketch(
+        docs.select(explode($"toks").as("w")), "w")
+      .as[(Int, Long, Long)].collect().toSet
+    val got = spark.read.parquet(s"$state/v_2")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got == want, "streamed state != batch sketch")
+    // at-least-once retry: re-running batch 1 against v_0 must leave
+    // v_1 (and the final chain) unchanged
+    graft.streaming.StreamOps.countMinBatch(slices(1), "toks", state, 1L)
+    val v1 = spark.read.parquet(s"$state/v_1").as[(Int, Long, Long)].collect().toSet
+    graft.streaming.StreamOps.countMinBatch(slices(2), "toks", state, 2L)
+    val got2 = spark.read.parquet(s"$state/v_2").as[(Int, Long, Long)].collect().toSet
+    assert(got2 == want, "retry broke exactly-once accumulation")
+    assert(v1.nonEmpty)
+  }
+
   test("nbScoreBatch via foreachBatch: trained-NB stream scores are bit-identical to batch, nothing collected") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
