@@ -438,7 +438,9 @@ object Bench {
     // a mid-run stall inflated elapsed time and forced sacrifices the
     // budget would in hindsight have afforded — leftover budget buys
     // the coverage back instead of expiring unused. Two stages, both
-    // cheapest-first (maximum entries regained per projected second),
+    // LARGEST-MEDIAN-MULTIPLE-first (VERDICT r15 #3: the most-inflated
+    // recordings are the most damaged measurements, so they get the
+    // leftover budget first; no-median entries queue last),
     // both gated on the same budget/hard-wall math as the main loop:
     //   1. single-pass entries get ONE more pass in the now-warm JVM —
     //      a genuine warm sample (the recorded one was cold), so the

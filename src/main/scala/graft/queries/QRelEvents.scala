@@ -182,12 +182,16 @@ private[graft] object QRelEvents {
       // both partial-agged, the sketch frame broadcast.
       (s, dir) => {
         val li = Tables.table(s, dir, "lineitem")
+        // checkpointed: the 3-row frame feeds both the broadcast probe
+        // and the final join — without the cut the sketch pass would
+        // run twice (and approx_percentile's merge order is
+        // run-dependent, so the copies could even differ; review r16)
         val agg = li.groupBy(col("l_returnflag")).agg(
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50a"),
           expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("p95a"),
           expr("percentile(l_extendedprice, 0.5)").as("p50"),
           expr("percentile(l_extendedprice, 0.95)").as("p95"),
-          count(lit(1)).cast("double").as("n"))
+          count(lit(1)).cast("double").as("n")).localCheckpoint()
         val ranks = li
           .join(broadcast(agg.select(col("l_returnflag"), col("p50a"), col("p95a"))),
             Seq("l_returnflag"))

@@ -318,9 +318,15 @@ object Sinks {
     * an independent small job — submitted concurrently (`parallelism`
     * in-flight) so a wide cluster fills, and each job reads only its
     * own bin's bytes. The swap-in is rename-based and NOT
-    * transactional — a crash mid-swap can leave a bin present in both
-    * forms; pair with a table format's commit protocol when atomicity
-    * matters.
+    * transactional: the merged file is first staged INTO the table
+    * directory under a dot-name (invisible to parquet readers), the
+    * sources are deleted, then the staged file takes the final name —
+    * every FileSystem rename/delete return code is CHECKED, so a
+    * failure aborts loudly instead of silently dropping a bin. A
+    * crash between the source deletes and the final rename leaves the
+    * bin's data hidden in its `.compacting-*` file (recover by
+    * renaming); pair with a table format's commit protocol when
+    * atomicity matters.
     */
   def compact(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -364,14 +370,27 @@ object Sinks {
         }}
         Await.result(Future.sequence(jobs), scala.concurrent.duration.Duration.Inf)
       } finally pool.shutdown()
-      // swap in: drop the bin's sources, move the merged file onto the
-      // first member's name (name order — and thus key order — survives)
+      // swap in: stage the merged file into the table dir under a
+      // dot-name (parquet readers skip dot-files, so the live view
+      // still serves the sources), drop the bin's sources, then take
+      // the first member's name (name order — and thus key order —
+      // survives). Every rename/delete result is checked: Hadoop
+      // FileSystems signal failure by RETURNING FALSE, not throwing,
+      // and an unchecked false here would silently destroy the only
+      // copy of a bin (review r16).
+      def mustRename(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+        require(fs.rename(from, to), s"compact: rename $from -> $to failed")
+      def mustDelete(pth: org.apache.hadoop.fs.Path): Unit =
+        require(fs.delete(pth, false), s"compact: delete $pth failed")
       toMerge.zipWithIndex.foreach { case (bin, i) =>
         val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/bin$i"))
           .map(_.getPath).find(p => p.getName.startsWith("part-"))
           .getOrElse(throw new IllegalStateException(s"no part file for bin $i"))
-        bin.foreach(f => fs.delete(f.getPath, false))
-        fs.rename(part, new org.apache.hadoop.fs.Path(dir, bin.head.getPath.getName))
+        val finalName = bin.head.getPath.getName
+        val staged = new org.apache.hadoop.fs.Path(dir, s".compacting-$finalName")
+        mustRename(part, staged)
+        bin.foreach(f => mustDelete(f.getPath))
+        mustRename(staged, new org.apache.hadoop.fs.Path(dir, finalName))
       }
       fs.delete(tmp, true)
     }

@@ -268,7 +268,7 @@ object StreamOps {
   }
 
   /** Streaming Naive-Bayes scoring against a FIXED trained model —
-    * the trained-classifier rung above [[scoreStream]]'s unigram LM,
+    * the trained-classifier rung above [[lmScoreBatch]]'s unigram LM,
     * as a per-micro-batch kernel for `writeStream.foreachBatch` (the
     * [[weightedVerifyBatch]] wiring): per arriving doc, prior9 plus
     * the sum of its DISTINCT tokens' fixed-point log-odds — the exact
@@ -323,9 +323,14 @@ object StreamOps {
     val spark = b.sparkSession
     val batchSk = graft.ops.CountMin.sketch(
       b.select(explode(col(toksCol)).as("w")), "w", m, d, salt)
-    val prev = new java.io.File(s"$stateDir/v_${bid - 1}")
+    // probe the previous version through the path's own FileSystem —
+    // a java.io.File check is driver-local-only and would silently
+    // reset the sketch to the last batch's cells on HDFS/S3 state
+    // dirs (review r16)
+    val prev = new org.apache.hadoop.fs.Path(s"$stateDir/v_${bid - 1}")
+    val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (bid == 0 || !prev.exists) batchSk
+      if (bid == 0 || !fs.exists(prev)) batchSk
       else spark.read.parquet(prev.toString).unionByName(batchSk)
         .groupBy(col("j"), col("i")).agg(sum("cnt").as("cnt"))
     merged.write.mode("overwrite").parquet(s"$stateDir/v_$bid")
