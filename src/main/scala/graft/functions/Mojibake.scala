@@ -65,6 +65,36 @@ object Mojibake {
 
   private val Cp1252 = Charset.forName("windows-1252")
 
+  /** cp1252's image is a CLOSED set of ≤256 codepoints with maximum
+    * U+2122 (the trademark sign, byte 0x99) — so membership is a
+    * bounds check plus one table lookup. The table is probed once
+    * from the JDK's own charset at class init (the same authority
+    * [[repairOnce]]'s encoder uses, so the pre-scan can never
+    * disagree with the encoder it guards). The pre-scan matters on
+    * non-Latin corpora: a CJK or Cyrillic row can NEVER be a cp1252
+    * double encoding, and without it every such row paid two codec
+    * allocations and a thrown CharacterCodingException per repair
+    * attempt (review r16) — now it pays one short char scan.
+    */
+  private val MaxImageChar = 0x2122
+  private val InImage: Array[Boolean] = {
+    val enc = Cp1252.newEncoder()
+    Array.tabulate(MaxImageChar + 1)(c => enc.canEncode(c.toChar))
+  }
+
+  /** True iff every char of `s` is in cp1252's image — the necessary
+    * condition for [[repairOnce]]'s encode step to succeed. */
+  private def allInCp1252Image(s: String): Boolean = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c > MaxImageChar || !InImage(c)) return false
+      i += 1
+    }
+    true
+  }
+
   /** Column form: repaired text, or the input untouched when it is not
     * a whole-string cp1252-in-UTF-8 double encoding. */
   def fixEncoding(text: Column): Column =
@@ -104,12 +134,16 @@ object Mojibake {
   }
 
   /** One strict inverse round: Some(repaired) iff every char maps to a
-    * cp1252 byte AND the byte string is valid UTF-8. Encoder/decoder
-    * are per-call — they are stateful and not thread-safe, and only
-    * non-ASCII rows (rare in web corpora) reach this path.
+    * cp1252 byte AND the byte string is valid UTF-8. The cp1252-image
+    * pre-scan rejects rows with any char outside the closed image
+    * (CJK, Cyrillic, combining marks) BEFORE any codec allocates —
+    * the common non-Latin case costs a scan, not an exception.
+    * Encoder/decoder are per-call — they are stateful and not
+    * thread-safe, and only plausibly-double-encoded rows reach them.
     */
   private def repairOnce(s: String): Option[String] =
-    try {
+    if (!allInCp1252Image(s)) None
+    else try {
       val enc: CharsetEncoder = Cp1252.newEncoder()
         .onMalformedInput(CodingErrorAction.REPORT)
         .onUnmappableCharacter(CodingErrorAction.REPORT)

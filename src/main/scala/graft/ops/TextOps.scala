@@ -290,10 +290,30 @@ object TextOps {
     * path and strict-decode rejection keep every clean row — ASCII
     * or genuine UTF-8 — bitwise unchanged, so existing oracles are
     * unaffected.
+    *
+    * ORACLE CONSTRAINT (review r17): the DuckDB oracles of queries
+    * fed by this function do NOT model the mojibake repair. That is
+    * sound for ASCII fixtures (fast-path no-op) and for non-ASCII
+    * text whose cp1252 encoding is NOT valid UTF-8 (strict-decode
+    * rejection — covers real words like "café"); but a
+    * non-ASCII fixture that happens to BE a valid double-encoding
+    * (an intentional "Ã©" mention, digraph soup) would be
+    * rewritten here and not in DuckDB. Any future non-ASCII fixture
+    * routed through normalizeText must be mojibake-STABLE in both
+    * engines — or use [[normalizeTextNoRepair]], the identical chain
+    * without the repair, and hash the raw form.
     */
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(graft.functions.UnicodeNorm.nfc(
       graft.functions.Mojibake.fixEncoding(text))),
+      "[^a-z0-9]+", " "))
+
+  /** [[normalizeText]] WITHOUT the mojibake repair — for
+    * oracle-sensitive paths whose fixtures must survive byte-for-byte
+    * even when they look like a cp1252 double-encoding (see the
+    * oracle constraint on [[normalizeText]]). */
+  def normalizeTextNoRepair(text: Column): Column =
+    trim(regexp_replace(lower(graft.functions.UnicodeNorm.nfc(text)),
       "[^a-z0-9]+", " "))
 
   /** Deterministic T5-style span corruption (Raffel et al., JMLR 2020

@@ -584,8 +584,13 @@ private[graft] object QCorpus {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
           .awaitTermination()
-        val lastBid = new java.io.File(state).listFiles
-          .filter(_.getName.startsWith("v_")).map(_.getName.drop(2).toLong).max
+        // list versions through the path's own FileSystem — the same
+        // contract countMinBatch holds for writing them (a
+        // java.io.File listing is driver-local-only; review r17)
+        val statePath = new org.apache.hadoop.fs.Path(state)
+        val stateFs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val lastBid =
+          graft.streaming.StreamOps.listVersions(stateFs, statePath).max
         val sk = s.read.parquet(s"$state/v_$lastBid")
         val toksB = docsTokens(s, dir).select(explode(col("toks")).as("w"))
         val exact = toksB.groupBy("w").agg(count(lit(1)).as("exact_cnt"))

@@ -317,16 +317,18 @@ object Sinks {
     * driver-sized on any FS) and the greedy scan; each bin rewrite is
     * an independent small job — submitted concurrently (`parallelism`
     * in-flight) so a wide cluster fills, and each job reads only its
-    * own bin's bytes. The swap-in is rename-based and NOT
-    * transactional: the merged file is first staged INTO the table
-    * directory under a dot-name (invisible to parquet readers), the
-    * sources are deleted, then the staged file takes the final name —
-    * every FileSystem rename/delete return code is CHECKED, so a
-    * failure aborts loudly instead of silently dropping a bin. A
-    * crash between the source deletes and the final rename leaves the
-    * bin's data hidden in its `.compacting-*` file (recover by
-    * renaming); pair with a table format's commit protocol when
-    * atomicity matters.
+    * own bin's bytes. Atomicity (r17): on a snapshot-managed table
+    * (see [[initSnapshot]]) this method dispatches to
+    * [[compactSnapshot]] — staged files + ONE manifest rename, so a
+    * [[readTable]] reader sees exactly the old or the new snapshot at
+    * every crash point (SinksSpec injects a crash between every pair
+    * of FS ops to prove it). On a plain directory the swap-in is
+    * rename-only until every copy is safe — stage, hide sources,
+    * commit, delete — with every FileSystem rename/delete return code
+    * CHECKED, so a failure aborts loudly and both crash directions
+    * recover by rename; but plain-directory readers can still observe
+    * the brief hide→commit gap, which is why 100 TB tables should be
+    * snapshot-managed.
     */
   def compact(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -335,6 +337,11 @@ object Sinks {
     val hconf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(hconf)
+    // a snapshot-managed table compacts through the atomic manifest
+    // swap (r17) — readers via readTable never see a half-swapped
+    // state; the in-place path below remains for plain directories
+    if (latestManifest(fs, dir).isDefined)
+      return compactSnapshot(spark, path, targetBytes, parallelism)
     val files = fs.listStatus(dir).toSeq
       .filter(st => st.isFile && {
         val n = st.getPath.getName
@@ -370,14 +377,28 @@ object Sinks {
         }}
         Await.result(Future.sequence(jobs), scala.concurrent.duration.Duration.Inf)
       } finally pool.shutdown()
-      // swap in: stage the merged file into the table dir under a
-      // dot-name (parquet readers skip dot-files, so the live view
-      // still serves the sources), drop the bin's sources, then take
-      // the first member's name (name order — and thus key order —
-      // survives). Every rename/delete result is checked: Hadoop
-      // FileSystems signal failure by RETURNING FALSE, not throwing,
-      // and an unchecked false here would silently destroy the only
-      // copy of a bin (review r16).
+      // swap in — rename-only until every copy is safe (review r17;
+      // the r16 order deleted sources BEFORE the staged file took the
+      // final name, so a crash there left the only copy hidden):
+      //   1. stage the merged file into the table dir under a
+      //      dot-name (parquet readers skip dot-files — live view
+      //      still serves the sources);
+      //   2. HIDE each source by renaming it to `.retired-<name>`
+      //      (reversible — nothing is destroyed yet);
+      //   3. COMMIT: rename staged -> the first member's name (name
+      //      order — and thus key order — survives);
+      //   4. only then DELETE the hidden sources.
+      // Both crash directions now recover by rename alone: before
+      // step 3 the sources exist intact under `.retired-*` (rename
+      // back); after step 3 the merged file is live and the hidden
+      // sources are redundant copies. Every rename/delete result is
+      // CHECKED: Hadoop FileSystems signal failure by RETURNING
+      // FALSE, not throwing, and an unchecked false would silently
+      // destroy the only copy of a bin (review r16). For readers
+      // that must never see even the brief hide->commit gap, use the
+      // manifest snapshot protocol ([[initSnapshot]]/[[readTable]]) —
+      // [[compact]] detects a manifest and switches to one atomic
+      // manifest swap instead.
       def mustRename(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
         require(fs.rename(from, to), s"compact: rename $from -> $to failed")
       def mustDelete(pth: org.apache.hadoop.fs.Path): Unit =
@@ -389,8 +410,13 @@ object Sinks {
         val finalName = bin.head.getPath.getName
         val staged = new org.apache.hadoop.fs.Path(dir, s".compacting-$finalName")
         mustRename(part, staged)
-        bin.foreach(f => mustDelete(f.getPath))
+        val hidden = bin.map { f =>
+          val h = new org.apache.hadoop.fs.Path(dir, s".retired-${f.getPath.getName}")
+          mustRename(f.getPath, h)
+          h
+        }
         mustRename(staged, new org.apache.hadoop.fs.Path(dir, finalName))
+        hidden.foreach(mustDelete)
       }
       fs.delete(tmp, true)
     }
@@ -400,6 +426,250 @@ object Sinks {
     })
     CompactStats(files.size, after.size, bytesBefore,
       after.map(_.getLen).sum, toMerge.size)
+  }
+
+  // --------------------------------------------------------------
+  // Manifest snapshot protocol (VERDICT r16 next #1): atomic
+  // visibility for layout tables
+  // --------------------------------------------------------------
+
+  /** Test seam: invoked with a short tag before every mutating
+    * FileSystem operation of the snapshot protocol. SinksSpec's
+    * crash-injection test throws at each successive op index and
+    * asserts a reader always sees exactly the old or the new
+    * snapshot — never a mix, never missing rows. Production cost:
+    * one no-op lambda call per (rare, driver-side) FS mutation.
+    */
+  private[graft] var fsOpHook: String => Unit = _ => ()
+
+  private val ManifestName = "manifest-v([0-9]+)".r
+
+  private def fsFor(
+      spark: org.apache.spark.sql.SparkSession, path: String) = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    (dir.getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
+  }
+
+  /** Newest committed manifest version under `dir`, if the table is
+    * snapshot-managed. Readers resolve THIS, then read exactly the
+    * files it lists — a half-finished maintenance pass (staged files,
+    * hidden files, unpublished manifests) is invisible by
+    * construction.
+    */
+  def latestManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case ManifestName(v) => v.toLong }
+      .sorted.lastOption
+
+  /** The file names (relative to `dir`, one per line, KEY ORDER — the
+    * manifest carries the layout's name-order contract once
+    * compaction renames files) listed by manifest `version`. */
+  def manifestFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, version: Long): Seq[String] = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"manifest-v$version"))
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Atomically publish manifest `expectedVersion + 1` listing
+    * `files` (names relative to `dir`, in key order). The commit
+    * point is ONE same-directory rename of a fully-written dot-file —
+    * atomic on HDFS and POSIX local FS — so a crash at any earlier
+    * step leaves the previous manifest authoritative and a crash
+    * after it leaves the new one fully published; there is no state
+    * in between. Optimistic concurrency: if `expectedVersion + 1`
+    * already exists (a racing committer won), the commit FAILS
+    * loudly — retry against the new snapshot.
+    */
+  def commit(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      expectedVersion: Long, files: Seq[String]): Long = {
+    val next = expectedVersion + 1
+    val target = new org.apache.hadoop.fs.Path(dir, s"manifest-v$next")
+    require(!fs.exists(target),
+      s"commit: manifest-v$next already exists under $dir — a " +
+        "concurrent committer won; re-resolve the latest snapshot and retry")
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".manifest-tmp-${java.util.UUID.randomUUID}")
+    fsOpHook(s"manifest-write:$next")
+    val out = fs.create(tmp, false)
+    try out.write((files.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fsOpHook(s"manifest-commit:$next")
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"commit: publishing manifest-v$next under $dir failed " +
+          "(concurrent committer or FS error); snapshot unchanged")
+    }
+    next
+  }
+
+  /** Bring an existing layout directory (written by this module's
+    * layout writers — name order = key order) under snapshot
+    * management: publish manifest-v1 listing the current visible part
+    * files in name order. From then on, maintenance passes
+    * ([[compact]]) become staged-files + one manifest swap, and
+    * [[readTable]] readers never observe a half-swapped directory.
+    */
+  def initSnapshot(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val (fs, dir) = fsFor(spark, path)
+    require(latestManifest(fs, dir).isEmpty,
+      s"initSnapshot: $path is already snapshot-managed")
+    val names = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(_.getPath.getName).sorted
+    require(names.nonEmpty, s"initSnapshot: no data files under $path")
+    commit(fs, dir, 0L, names)
+  }
+
+  /** Snapshot-aware table read: resolve the newest manifest and read
+    * exactly the files it lists (in manifest = key order); a
+    * directory without a manifest falls back to the plain parquet
+    * read. This is the ONLY read path that is immune to concurrent
+    * compaction — a plain directory listing can catch the staged
+    * files of an in-flight pass.
+    */
+  def readTable(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val (fs, dir) = fsFor(spark, path)
+    latestManifest(fs, dir) match {
+      case Some(v) =>
+        val files = manifestFiles(fs, dir, v).map(n => s"$path/$n")
+        spark.read.parquet(files: _*)
+      case None => spark.read.parquet(path)
+    }
+  }
+
+  /** Snapshot compaction — the crash-safe form of [[compact]] for
+    * manifest-managed tables. Greedy consecutive bins are computed
+    * over the MANIFEST's file order (the key order), merged bins are
+    * staged into the directory under fresh `compact-v{N+1}-*` names
+    * (not listed by manifest N, so live readers are untouched), and
+    * the whole pass becomes visible through ONE manifest rename.
+    * Dead sources are deleted only AFTER the commit — a crash at any
+    * step leaves readers on exactly manifest N (all old files still
+    * present) or exactly manifest N+1 (all new files staged before
+    * the commit); the only crash residue is unreferenced files, never
+    * a missing or doubled row. Returns the same [[CompactStats]] as
+    * the in-place form.
+    */
+  def compactSnapshot(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long, parallelism: Int = 4): CompactStats = {
+    require(targetBytes > 0 && parallelism >= 1)
+    val (fs, dir) = fsFor(spark, path)
+    val v = latestManifest(fs, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"compactSnapshot: $path has no manifest — run initSnapshot first"))
+    val names = manifestFiles(fs, dir, v)
+    val sized = names.map { n =>
+      n -> fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, n)).getLen
+    }
+    val bytesBefore = sized.map(_._2).sum
+    // greedy consecutive packing in manifest (= key) order
+    val bins = scala.collection.mutable.ListBuffer.empty[Vector[(String, Long)]]
+    sized.foreach { f =>
+      if (bins.nonEmpty && bins.last.map(_._2).sum + f._2 <= targetBytes)
+        bins(bins.size - 1) = bins.last :+ f
+      else bins += Vector(f)
+    }
+    val mergeIdx = bins.zipWithIndex.filter(_._1.size >= 2).toList
+    if (mergeIdx.isEmpty)
+      return CompactStats(names.size, names.size, bytesBefore, bytesBefore, 0)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".compact-tmp-v${v + 1}")
+    fs.mkdirs(tmp)
+    val mergedName = scala.collection.mutable.Map.empty[Int, String]
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, mergeIdx.size))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      import scala.concurrent.{Await, Future}
+      val jobs = mergeIdx.map { case (bin, i) => Future {
+        bin.map(f => spark.read.parquet(s"$path/${f._1}"))
+          .reduce(_ unionAll _).coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/bin$i")
+      }}
+      Await.result(Future.sequence(jobs), scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+    // stage each merged file into the table dir under a fresh
+    // versioned name — VISIBLE on disk but unreferenced by manifest v,
+    // so live readers (via readTable) never see it early
+    mergeIdx.foreach { case (_, i) =>
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/bin$i"))
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"no part file for bin $i"))
+      val name = f"compact-v${v + 1}-b$i%05d.parquet"
+      fsOpHook(s"stage:$name")
+      require(fs.rename(part, new org.apache.hadoop.fs.Path(dir, name)),
+        s"compactSnapshot: staging $name failed")
+      mergedName(i) = name
+    }
+    val newFiles = bins.toList.zipWithIndex.map { case (bin, i) =>
+      mergedName.getOrElse(i, bin.head._1)
+    }
+    commit(fs, dir, v, newFiles) // THE atomic visibility flip
+    // post-commit GC: drop the merged bins' sources (unreferenced by
+    // the new manifest). A crash mid-GC leaves orphans, not
+    // corruption — the next pass may re-delete; return codes checked.
+    mergeIdx.foreach { case (bin, _) =>
+      bin.foreach { case (n, _) =>
+        fsOpHook(s"gc:$n")
+        require(fs.delete(new org.apache.hadoop.fs.Path(dir, n), false),
+          s"compactSnapshot: GC delete of $n failed")
+      }
+    }
+    fs.delete(tmp, true)
+    val bytesAfter = newFiles.map { n =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, n)).getLen
+    }.sum
+    CompactStats(names.size, newFiles.size, bytesBefore, bytesAfter, mergeIdx.size)
+  }
+
+  /** Partition-aware compaction (VERDICT r16 next #7):
+    * [[writePartitioned]] tables hold their part files under
+    * Hive-style `col=value` leaf directories, one layout per leaf.
+    * Recurse to each leaf that holds data files and compact it
+    * independently (manifest-aware per leaf via [[compact]]'s
+    * dispatch), preserving each partition's own name-order contract;
+    * stats are aggregated across leaves.
+    */
+  def compactPartitioned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long, parallelism: Int = 4): CompactStats = {
+    val (fs, root) = fsFor(spark, path)
+    def leaves(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val entries = fs.listStatus(d).toSeq
+        .filter { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+      val subdirs = entries.filter(_.isDirectory)
+      if (subdirs.isEmpty) Seq(d)
+      else subdirs.flatMap(s => leaves(s.getPath))
+    }
+    leaves(root)
+      .filter(d => fs.listStatus(d).exists(_.isFile))
+      .map(d => compact(spark, d.toString, targetBytes, parallelism))
+      .foldLeft(CompactStats(0, 0, 0L, 0L, 0)) { (a, b) =>
+        CompactStats(a.filesBefore + b.filesBefore,
+          a.filesAfter + b.filesAfter,
+          a.bytesBefore + b.bytesBefore,
+          a.bytesAfter + b.bytesAfter,
+          a.binsRewritten + b.binsRewritten)
+      }
   }
 
   /** Side/branch output (SURVEY §2.1 S5): the reference's

@@ -326,15 +326,48 @@ object StreamOps {
     // probe the previous version through the path's own FileSystem —
     // a java.io.File check is driver-local-only and would silently
     // reset the sketch to the last batch's cells on HDFS/S3 state
-    // dirs (review r16)
-    val prev = new org.apache.hadoop.fs.Path(s"$stateDir/v_${bid - 1}")
-    val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // dirs (review r16). For bid>0 a MISSING v_{bid-1} must never be
+    // treated like batch 0 (review r17): that arm silently dropped
+    // every prior count — pruned retention, a wrong stateDir, a
+    // restart past the retained window all became permanent
+    // undercounts with no error. And falling back to an OLDER v_j
+    // would be just as lossy: versions are cumulative snapshots, so
+    // v_j is missing batches j+1..bid−1. Under the foreachBatch
+    // contract batch `bid` only runs once batches 0..bid−1 committed,
+    // so v_{bid−1} is the newest version and any retention window
+    // that keeps the trailing versions keeps it — a missing
+    // predecessor is always operator error, never normal progress.
+    // FAIL LOUDLY; the empty starting state is batch 0's alone.
+    val base = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (bid == 0 || !fs.exists(prev)) batchSk
-      else spark.read.parquet(prev.toString).unionByName(batchSk)
-        .groupBy(col("j"), col("i")).agg(sum("cnt").as("cnt"))
+      if (bid == 0) batchSk
+      else {
+        val prev = new org.apache.hadoop.fs.Path(base, s"v_${bid - 1}")
+        require(fs.exists(prev),
+          s"countMinBatch: predecessor state v_${bid - 1} is missing " +
+            s"under $stateDir (retained: " +
+            s"${listVersions(fs, base).sorted.mkString(",")}) — " +
+            "accumulating from empty or from an older version would " +
+            "silently undercount forever; check stateDir and state " +
+            "retention vs the restart window")
+        spark.read.parquet(prev.toString).unionByName(batchSk)
+          .groupBy(col("j"), col("i")).agg(sum("cnt").as("cnt"))
+      }
     merged.write.mode("overwrite").parquet(s"$stateDir/v_$bid")
   }
+
+  /** List the batch ids of retained `v_*` state versions under `dir`
+    * through the path's own FileSystem (never java.io.File — state
+    * dirs live on HDFS/S3 in production). Shared by [[countMinBatch]]
+    * and its readers so "what versions exist" is answered one way.
+    */
+  def listVersions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v_")).map(_.drop(2).toLong)
 
   /** tf·idf term-weight vectors (id, tok, w) for [[weightedVerifyBatch]]:
     * per-doc term counts times the STATIC idf side-input, idf rounded

@@ -28,6 +28,44 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("doubled GK-sketch subplan: both approx_percentile instances agree, AQE on and off") {
+    // q_approx_percentiles_err deliberately lets its 3-row sketch agg
+    // appear TWICE in one plan (the localCheckpoint cut measured 6x
+    // the doubled subplan, r16) and relies on the two instances
+    // returning IDENTICAL values — same partition layout, same
+    // deterministic GK build/merge. That invariant is load-bearing
+    // for the gate's rank booleans, so pin it on its own against
+    // future Spark upgrades (VERDICT r16 #6): compare the sketch
+    // value carried through the broadcast-probe path against the
+    // value from the final-join path, per group, under both AQE
+    // settings. If this ever fails, fall back to the measured
+    // checkpoint form in QRelEvents.
+    import org.apache.spark.sql.functions._
+    val wasAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      Seq("true", "false").foreach { aqe =>
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        val li = Tables.table(spark, TestSpark.Sf, "lineitem")
+        val agg = li.groupBy(col("l_returnflag")).agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50a"))
+        val probe = li
+          .join(broadcast(agg.select(col("l_returnflag"),
+            col("p50a").as("p50probe"))), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("p50probe")).as("pmin"), max(col("p50probe")).as("pmax"))
+        val rows = agg.join(probe, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("p50a"), col("pmin"), col("pmax"))
+          .collect()
+        assert(rows.nonEmpty)
+        rows.foreach { r =>
+          assert(r.getDouble(1) == r.getDouble(2) && r.getDouble(1) == r.getDouble(3),
+            s"AQE=$aqe: the two GK subplan instances diverged on " +
+              s"${r.getString(0)}: agg=${r.getDouble(1)} probe=[${r.getDouble(2)}, ${r.getDouble(3)}]")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
+  }
+
   test("q_partitioned_scan: the source predicate is a partition filter (directory pruning), not a data filter") {
     val p = plan("q_partitioned_scan")
     assert(p.contains("PartitionFilters: [isnotnull(source"),

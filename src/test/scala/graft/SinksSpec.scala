@@ -281,6 +281,99 @@ class SinksSpec extends AnyFunSuite {
     assert(converged == before)
   }
 
+  test("snapshot protocol: crash injected between every pair of FS ops — reader sees exactly old or new") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val base = java.nio.file.Files.createTempDirectory("snapcrash").toString
+    val golden = s"$base/golden"
+    val grid = spark.range(1024)
+      .select(($"id" % 32).as("x"), ($"id" / 32).cast("long").as("y"))
+    Sinks.writeColumnar(
+      Sinks.hilbertLayout(grid, "x", "y", files = 8, bits = 5), golden)
+    assert(Sinks.initSnapshot(spark, golden) == 1L)
+    val fs = new Path(golden)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = Sinks.readTable(spark, golden)
+      .select($"x", $"y").as[(Long, Long)].collect().sorted.toSeq
+    val nBefore = Sinks.manifestFiles(fs, new Path(golden), 1L).size
+    val targetBytes = new java.io.File(golden).listFiles
+      .filter(_.getName.startsWith("part-")).map(_.length).max * 4
+    // inject a crash before FS op k, for every k, until a pass runs
+    // through uninjected; after EVERY outcome the reader must see
+    // exactly the old or the new snapshot — same rows, a committed
+    // manifest, every listed file present
+    var k = 0
+    var sawSuccess = false
+    var sawCrash = false
+    while (!sawSuccess && k < 100) {
+      val dir = s"$base/run$k"
+      FileUtil.copy(fs, new Path(golden), fs, new Path(dir), false,
+        spark.sparkContext.hadoopConfiguration)
+      var count = 0
+      Sinks.fsOpHook = _ => {
+        count += 1
+        if (count > k) throw new RuntimeException("injected crash")
+      }
+      val crashed =
+        try { Sinks.compact(spark, dir, targetBytes); false }
+        catch {
+          case e: RuntimeException if e.getMessage == "injected crash" => true
+        }
+      Sinks.fsOpHook = _ => ()
+      sawCrash ||= crashed
+      val got = Sinks.readTable(spark, dir)
+        .select($"x", $"y").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == before, s"crash point $k: reader saw wrong rows")
+      val v = Sinks.latestManifest(fs, new Path(dir)).get
+      assert(v == 1L || v == 2L, s"crash point $k: manifest version $v")
+      val listed = Sinks.manifestFiles(fs, new Path(dir), v)
+      listed.foreach(n => assert(fs.exists(new Path(s"$dir/$n")),
+        s"crash point $k: manifest-v$v lists missing file $n"))
+      if (v == 2L)
+        assert(listed.size < nBefore,
+          s"crash point $k: committed snapshot did not shrink")
+      if (!crashed) {
+        // the uninjected pass must have actually compacted, committed
+        // v2, and GC'd the dead sources
+        assert(Sinks.latestManifest(fs, new Path(dir)).get == 2L)
+        assert(listed.size < nBefore)
+        sawSuccess = true
+      }
+      k += 1
+    }
+    assert(sawSuccess, "never reached an uninjected full pass")
+    assert(sawCrash, "injection never fired — hook not wired")
+    assert(k > 3, s"too few FS ops hooked ($k) for a meaningful sweep")
+    // repeated passes on the committed table converge (no new bins ->
+    // no new manifest version)
+    val dirLast = s"$base/run${k - 1}"
+    val again = Sinks.compact(spark, dirLast, targetBytes)
+    assert(again.binsRewritten == 0 || Sinks.compact(
+      spark, dirLast, targetBytes).binsRewritten == 0)
+    val gotLast = Sinks.readTable(spark, dirLast)
+      .select($"x", $"y").as[(Long, Long)].collect().sorted.toSeq
+    assert(gotLast == before)
+  }
+
+  test("compactPartitioned: per-leaf compaction of a hive-partitioned table") {
+    val dir = java.nio.file.Files.createTempDirectory("compactpart").toString + "/t"
+    val df = spark.range(4096)
+      .select(($"id" % 4).as("p"), $"id".as("v"))
+      .repartition(8)
+    Sinks.writePartitioned(df, dir, Seq("p"))
+    val before = spark.read.parquet(dir)
+      .select($"p", $"v").as[(Long, Long)].collect().sorted.toSeq
+    val leafFiles = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .map(d => d.listFiles.count(_.getName.startsWith("part-")))
+    assert(leafFiles.forall(_ > 1), "fixture should have small files per leaf")
+    val stats = Sinks.compactPartitioned(spark, dir, targetBytes = 512L * 1024)
+    assert(stats.filesBefore == leafFiles.sum)
+    assert(stats.filesAfter < stats.filesBefore, s"no compaction: $stats")
+    assert(stats.binsRewritten >= 4, "every leaf should have merged")
+    val after = spark.read.parquet(dir)
+      .select($"p", $"v").as[(Long, Long)].collect().sorted.toSeq
+    assert(after == before)
+  }
+
   test("writeBranches: side output splits one pass into n sinks") {
     val dir = java.nio.file.Files.createTempDirectory("branches").toString
     Sinks.writeBranches(region, Seq(

@@ -182,6 +182,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(v1.nonEmpty)
   }
 
+  test("countMinBatch: a missing predecessor version fails loudly instead of silently resetting (r17)") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val docs = Tables.table(spark, TestSpark.Sf, "documents")
+      .select($"doc_id", TextOps.tokenize($"text").as("toks"))
+    // bid>0 against an EMPTY state dir: the r16 arm treated this like
+    // batch 0 and dropped all prior counts forever (wrong stateDir, a
+    // restart past pruned retention). Must throw, not reset.
+    val empty = graft.Scratch.dir("spec-cm-empty")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.countMinBatch(docs, "toks", empty, 5L)
+    }
+    assert(e1.getMessage.contains("v_4"), e1.getMessage)
+    // and against a state dir whose newest version was pruned too far:
+    // an OLDER v_0 must not be silently accepted for batch 3 —
+    // versions are cumulative snapshots, so v_0 is missing batches
+    // 1..2 and merging onto it undercounts
+    val pruned = graft.Scratch.dir("spec-cm-pruned")
+    graft.streaming.StreamOps.countMinBatch(
+      docs.filter($"doc_id" % 3 === 0), "toks", pruned, 0L)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.countMinBatch(docs, "toks", pruned, 3L)
+    }
+    assert(e2.getMessage.contains("v_2") && e2.getMessage.contains("retained: 0"),
+      e2.getMessage)
+  }
+
   test("nbScoreBatch via foreachBatch: trained-NB stream scores are bit-identical to batch, nothing collected") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
