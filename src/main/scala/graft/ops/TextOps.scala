@@ -47,6 +47,22 @@ object TextOps {
   def keepDictionary(tokens: Column, dict: Seq[String]): Column =
     filter(tokens, t => t.isin(dict: _*))
 
+  /** Overlapping character n-grams of `text` — the feature unit of
+    * trained language-ID (fastText/CCNet both consume char 2–4-grams:
+    * sub-word units carry the orthographic signal — "nh"/"lh" for pt,
+    * "ll"/"rr" for es — that whole-word features miss). Spaces are
+    * KEPT: the boundary grams ("o ", " a") encode suffix/article
+    * patterns, the strongest per-language cues. Pure map-side
+    * transform over a sequence — zero shuffle, linear expression
+    * size; empty/short strings yield an empty array.
+    */
+  def charNgrams(text: Column, n: Int): Column = {
+    require(n >= 1)
+    val m = length(text) - lit(n - 1)
+    when(m < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), m), i => text.substr(i, lit(n))))
+  }
+
   /** Full stage-1 token pipeline: tokenize → stopword-filter → dictionary-filter
     * (reference: MapperExtractTransform.java:74-84). Pass `dict = Nil` to skip
     * the dictionary restriction.

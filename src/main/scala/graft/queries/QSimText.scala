@@ -830,6 +830,201 @@ private[graft] object QSimText {
         |n AS (SELECT count(*) AS n FROM t),
         |kept AS (SELECT word, df, cnt FROM f, n WHERE df >= 2 AND df <= 0.8 * n
         |         QUALIFY row_number() OVER (ORDER BY cnt DESC, word) <= 20)
-        |SELECT word, df, cnt FROM kept ORDER BY word""".stripMargin))
+        |SELECT word, df, cnt FROM kept ORDER BY word""".stripMargin)),
+
+    Q("q_lang_clf",  // TRAINED multiclass language-ID (VERDICT r16
+      // next #2): a char 2–3-gram multinomial NB in the house 1e-9
+      // fixed point, labels BOOTSTRAPPED from the marker heuristic —
+      // the CCNet recipe: markers label the 1/3 of docs that carry
+      // them (high precision, low recall), the trained model covers
+      // the marker-free majority AND the language pair markers cannot
+      // separate (es vs pt here — word-level near-identical pools,
+      // separable only by sub-word orthography: nh/lh, -ção vs -ción
+      // analogs). Fixture: 4 latin-script languages synthesized from
+      // per-language word pools by doc_id arithmetic in BOTH engines
+      // (the q_url_canon device); 1/3 of docs carry marker words, the
+      // rest score "und" under the heuristic and are HELD OUT of
+      // training. Model = bounded (cls, w, lp9) relation (top-300
+      // grams × 4 classes), priors = (cls, prior9); scores accumulate
+      // as exact integers so argmax and logit value-oracle at every
+      // SF. InvariantSweepSpec asserts held-out accuracy at 3 SFs.
+      // Scale: model K·V rows broadcast; one (id, cls) shuffle + the
+      // single-agg argmax min(struct(−t9, cls)); nothing collected.
+      (s, dir) => {
+        val fx = langClfFixture(s, dir)
+        val lab = fx.filter(col("boot") =!= "und")
+          .select(col("doc_id"), col("boot"), col("grams"))
+        val (model, priors) =
+          TextStats.nbMulticlassModel9(lab, "grams", "boot", maxVocab = 300)
+        TextStats.nbClassifyMulticlass(fx, "doc_id", "grams", model, priors)
+          .join(fx.select(col("doc_id"), col("boot")), Seq("doc_id"))
+          .select(col("doc_id"), col("boot"), col("lang_pred"), col("logit"))
+          .orderBy("doc_id")
+      },
+      Some(LangClfOracleSql)),
+
+    Q("q_stream_lang_clf",  // streaming twin of q_lang_clf: the
+      // trained multiclass model MATERIALIZED as (cls, w, lp9) +
+      // (cls, prior9) parquet relations (nothing collected — the
+      // q_stream_nb contract), then broadcast-joined per micro-batch
+      // through the foreachBatch kernel. Classification is per-doc
+      // independent given the fixed model, so the union of per-batch
+      // outputs IS the batch run — the q_lang_clf ORACLE grades the
+      // stream sink directly. Overwrite-by-batchId keeps the
+      // at-least-once sink exactly-once effective.
+      (s, dir) => {
+        val fxStatic = langClfFixture(s, dir)
+        val lab = fxStatic.filter(col("boot") =!= "und")
+          .select(col("doc_id"), col("boot"), col("grams"))
+        val (model, priors) =
+          TextStats.nbMulticlassModel9(lab, "grams", "boot", maxVocab = 300)
+        val modelDir = Scratch.dir("stream-lang-model")
+        val priorDir = Scratch.dir("stream-lang-prior")
+        model.write.mode("overwrite").parquet(modelDir)
+        priors.write.mode("overwrite").parquet(priorDir)
+        val modelR = s.read.parquet(modelDir)
+        val priorR = s.read.parquet(priorDir)
+        val out = Scratch.dir("stream-lang-out")
+        val cp = Scratch.dir("stream-lang-cp")
+        val srcDir = Scratch.dir("stream-lang-src")
+        Tables.table(s, dir, "documents").repartition(4)
+          .write.mode("overwrite").parquet(srcDir)
+        val schema = Tables.table(s, dir, "documents").schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        langClfProject(stream)
+          .writeStream
+          .foreachBatch { (b: DataFrame, bid: Long) =>
+            graft.streaming.StreamOps
+              .langClassifyBatch(b, "doc_id", "grams", modelR, priorR)
+              .join(b.select(col("doc_id"), col("boot")), Seq("doc_id"))
+              .write.mode("overwrite").parquet(s"$out/batch_$bid")
+          }
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.parquet(s"$out/batch_*")
+          .select(col("doc_id"), col("boot"), col("lang_pred"), col("logit"))
+          .orderBy("doc_id")
+      },
+      Some(LangClfOracleSql))
   )
+
+  /** Per-language word pools + the marker suffix of the trained
+    * language-ID fixture. es/pt deliberately share words ("casa",
+    * "agua") and near-forms ("camino"/"caminho", "trabajo"/
+    * "trabalho") — the word-level ambiguity that makes the pair the
+    * canonical trained-classifier test; de/en are the easy controls.
+    * ASCII-only so the fixture is byte-stable through every
+    * normalization layer and the DuckDB oracle.
+    */
+  private[graft] val LangPools: Seq[(String, Seq[String], String)] = Seq(
+    ("en", Seq("house", "water", "light", "morning",
+      "stone", "river", "cloud", "window"), " the and"),
+    ("es", Seq("casa", "agua", "ciudad", "tiempo",
+      "camino", "trabajo", "piedra", "ventana"), " el un"),
+    ("pt", Seq("casa", "agua", "cidade", "tempo",
+      "caminho", "trabalho", "pedra", "janela"), " os uma"),
+    ("de", Seq("haus", "wasser", "stadt", "morgen",
+      "stein", "fluss", "wolke", "fenster"), " der und"))
+
+  /** The deterministic multilingual fixture projection — shared by
+    * the batch query, the streaming twin, and the 3-SF sweep spec.
+    * Per doc: language = doc_id % 4, body = 12 pool words selected by
+    * (doc_id·(j+3) + j²) % 8, marker suffix appended iff doc_id % 3
+    * == 0. `boot` runs the REAL marker scan
+    * ([[TextStats.langIdMarkers]]); the oracle replays its closed
+    * form (markers appear iff doc_id % 3 == 0 and uniquely identify
+    * the class by construction). Pure map-side projection.
+    */
+  private[graft] def langClfProject(docs: DataFrame): DataFrame = {
+    val cls = col("doc_id") % 4
+    def pick(f: ((String, Seq[String], String)) => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(cls === 0, f(LangPools(0))).when(cls === 1, f(LangPools(1)))
+        .when(cls === 2, f(LangPools(2))).otherwise(f(LangPools(3)))
+    val pool = pick(p => array(p._2.map(lit): _*))
+    val body = concat_ws(" ", (0 until 12).map { j =>
+      element_at(pool,
+        (pmod(col("doc_id") * (j + 3) + lit(j.toLong * j), lit(8L)) + 1).cast("int"))
+    }: _*)
+    val suffix = when(col("doc_id") % 3 === 0, pick(p => lit(p._3)))
+      .otherwise(lit(""))
+    docs.select(col("doc_id"),
+      pick(p => lit(p._1)).as("lang_true"),
+      concat(body, suffix).as("s"))
+      .withColumn("boot", TextStats.langIdMarkers(TextOps.tokenize(col("s")),
+        LangPools.map(p => (p._1, p._3.trim.split(" ").toSeq))))
+      .withColumn("grams", concat(
+        TextOps.charNgrams(col("s"), 2), TextOps.charNgrams(col("s"), 3)))
+  }
+
+  private[graft] def langClfFixture(s: SparkSession, dir: String): DataFrame =
+    langClfProject(Tables.table(s, dir, "documents"))
+
+  /** DuckDB oracle for q_lang_clf / q_stream_lang_clf: rebuild the
+    * fixture, the char 2–3-gram features, the bootstrap labels, the
+    * full multinomial NB training (top-300 vocab, dense cls×vocab
+    * model, 1e-9 fixed-point log-likelihoods and priors) and the
+    * integer-exact argmax. Multiply-referenced CTEs MATERIALIZED
+    * (DuckDB 1.0 inlines them combinatorially otherwise).
+    */
+  private[graft] lazy val LangClfOracleSql: String =
+    """WITH fx AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    array_to_string(list_transform(range(0, 12), j ->
+      |      (CASE doc_id % 4
+      |        WHEN 0 THEN ['house','water','light','morning','stone','river','cloud','window']
+      |        WHEN 1 THEN ['casa','agua','ciudad','tiempo','camino','trabajo','piedra','ventana']
+      |        WHEN 2 THEN ['casa','agua','cidade','tempo','caminho','trabalho','pedra','janela']
+      |        ELSE ['haus','wasser','stadt','morgen','stein','fluss','wolke','fenster']
+      |      END)[CAST((doc_id * (j + 3) + j * j) % 8 AS INT) + 1]), ' ')
+      |    || CASE WHEN doc_id % 3 = 0 THEN
+      |         (CASE doc_id % 4 WHEN 0 THEN ' the and' WHEN 1 THEN ' el un'
+      |          WHEN 2 THEN ' os uma' ELSE ' der und' END) ELSE '' END AS s
+      |  FROM documents),
+      |tx AS MATERIALIZED (
+      |  SELECT doc_id, s,
+      |    CASE WHEN doc_id % 3 = 0 THEN
+      |      (CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'es'
+      |       WHEN 2 THEN 'pt' ELSE 'de' END) ELSE 'und' END AS boot
+      |  FROM fx),
+      |g AS MATERIALIZED (
+      |  SELECT doc_id, unnest(list_concat(
+      |    list_transform(generate_series(1, greatest(len(s) - 1, 0)),
+      |      i -> substr(s, CAST(i AS INT), 2)),
+      |    list_transform(generate_series(1, greatest(len(s) - 2, 0)),
+      |      i -> substr(s, CAST(i AS INT), 3)))) AS w
+      |  FROM tx),
+      |lab AS MATERIALIZED (SELECT doc_id, boot AS cls FROM tx WHERE boot <> 'und'),
+      |occ AS MATERIALIZED (SELECT lab.cls, g.w FROM g JOIN lab USING (doc_id)),
+      |voc AS MATERIALIZED (SELECT w FROM (
+      |  SELECT w, count(*) AS cw FROM occ GROUP BY 1
+      |  QUALIFY row_number() OVER (ORDER BY cw DESC, w) <= 300)),
+      |occv AS MATERIALIZED (SELECT occ.cls, occ.w FROM occ JOIN voc USING (w)),
+      |cnt AS MATERIALIZED (SELECT cls, w, count(*) AS c FROM occv GROUP BY 1, 2),
+      |nc AS MATERIALIZED (SELECT cls, count(*) AS n_c FROM occv GROUP BY 1),
+      |vv AS (SELECT count(*) AS v FROM voc),
+      |model AS MATERIALIZED (
+      |  SELECT nc.cls, voc.w,
+      |    CAST(round(ln((COALESCE(cnt.c, 0) + 1.0) / (nc.n_c + vv.v)) * 1e9) AS BIGINT) AS lp9
+      |  FROM nc CROSS JOIN voc CROSS JOIN vv
+      |  LEFT JOIN cnt ON cnt.cls = nc.cls AND cnt.w = voc.w),
+      |dcls AS (SELECT cls, count(*) AS d_c FROM lab GROUP BY 1),
+      |kk AS (SELECT count(*) AS k, sum(d_c) AS n FROM dcls),
+      |pri AS MATERIALIZED (SELECT cls,
+      |  CAST(round(ln((d_c + 1.0) / (n + k)) * 1e9) AS BIGINT) AS prior9
+      |  FROM dcls CROSS JOIN kk),
+      |sc AS MATERIALIZED (SELECT g.doc_id, m.cls, CAST(sum(m.lp9) AS BIGINT) AS s9
+      |  FROM g JOIN model m USING (w) GROUP BY 1, 2),
+      |tot AS MATERIALIZED (SELECT tx.doc_id, pri.cls,
+      |    pri.prior9 + COALESCE(sc.s9, 0) AS t9
+      |  FROM tx CROSS JOIN pri
+      |  LEFT JOIN sc ON sc.doc_id = tx.doc_id AND sc.cls = pri.cls)
+      |SELECT tx.doc_id, tx.boot, b.lang_pred, b.logit
+      |FROM tx JOIN (
+      |  SELECT doc_id, cls AS lang_pred, round(t9 / 1e9, 6) AS logit FROM tot
+      |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY t9 DESC, cls) = 1) b
+      |USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 }

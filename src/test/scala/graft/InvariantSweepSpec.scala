@@ -403,4 +403,39 @@ class InvariantSweepSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_lang_clf generalization gate: held-out accuracy ≥ 0.98 incl. the es/pt pair the markers never labeled (3 SFs)") {
+    import graft.ops.TextStats
+    for (sf <- Sfs) {
+      // the value-oracle proves argmax/logit parity; THIS proves the
+      // trained model actually classifies — on the 2/3 of docs the
+      // marker bootstrap scored "und" (held out of training), and
+      // specifically on es vs pt, the word-level-ambiguous pair only
+      // char-gram orthography separates (VERDICT r16 next #2)
+      val fx = QSimText.langClfFixture(spark, sf)
+      val lab = fx.filter($"boot" =!= "und")
+        .select($"doc_id", $"boot", $"grams")
+      val (model, priors) =
+        TextStats.nbMulticlassModel9(lab, "grams", "boot", maxVocab = 300)
+      val pred = TextStats.nbClassifyMulticlass(fx, "doc_id", "grams", model, priors)
+        .join(fx.select($"doc_id", $"lang_true", $"boot"), Seq("doc_id"))
+      val held = pred.filter($"boot" === "und")
+        .select($"lang_true", ($"lang_pred" === $"lang_true").as("ok"))
+        .as[(String, Boolean)].collect()
+      assert(held.nonEmpty)
+      val acc = held.count(_._2).toDouble / held.length
+      assert(acc >= 0.98, s"$sf: held-out accuracy $acc")
+      Seq("es", "pt").foreach { l =>
+        val cls = held.filter(_._1 == l)
+        val accL = cls.count(_._2).toDouble / cls.length
+        assert(accL >= 0.98, s"$sf: held-out $l accuracy $accL — " +
+          "the trained model must separate the pair markers cannot")
+      }
+      // and the bootstrap itself never reaches the held-out docs: the
+      // marker labels that DO exist are all correct (high precision)
+      val bootRows = pred.filter($"boot" =!= "und")
+        .select(($"boot" === $"lang_true").as("ok")).as[Boolean].collect()
+      assert(bootRows.forall(identity), s"$sf: marker bootstrap mislabeled")
+    }
+  }
 }
