@@ -908,8 +908,162 @@ private[graft] object QSimText {
           .select(col("doc_id"), col("boot"), col("lang_pred"), col("logit"))
           .orderBy("doc_id")
       },
-      Some(LangClfOracleSql))
+      Some(LangClfOracleSql)),
+
+    Q("q_unigram_learn",  // unigram-LM (SentencePiece) tokenizer
+      // TRAINING (Kudo 2018; VERDICT r16 next #3): seed vocabulary
+      // from substring counts (all single chars + top-90 multi-char
+      // pieces), then 2 fixed Viterbi-EM rounds — hard-E-step
+      // segmentation under the current 1e-9 fixed-point
+      // log-probabilities, M-step Laplace re-estimate over the FIXED
+      // vocabulary. Everything runs at DISTINCT-WORD granularity
+      // (vocabulary-sized under Heaps' law — corpus touched once for
+      // word counts); scores are exact integers, ties break to the
+      // shortest piece, so the oracle (GENERATED round-for-round:
+      // per-position lateral-alias DP + backtrack, the plattFit/
+      // Skilling device) grades counts AND log-probs bit-for-bit.
+      (s, dir) => Unigram.train(
+        Unigram.wordFreqs(Tables.table(s, dir, "documents"), "text"),
+        rounds = 2, maxMulti = 90)
+        .orderBy("piece"),
+      Some(unigramOracleSql(rounds = 2, finalEncode = false))),
+
+    Q("q_unigram_encode",  // the SERVING path: Viterbi encode of every
+      // distinct word under the trained unigram LM — piece sequence,
+      // piece count and the exact fixed-point segmentation score. The
+      // segmentation string itself is value-oracled (the generated
+      // backtrack SQL), so a DP or tie-break regression mismatches
+      // the hash, not just a score. Per-distinct-word work; a corpus
+      // encode is this frame broadcast-joined back to the tokens.
+      (s, dir) => {
+        val words = Unigram.wordFreqs(Tables.table(s, dir, "documents"), "text")
+        val model = Unigram.train(words, rounds = 2, maxMulti = 90)
+        Unigram.viterbiSegment(words, model.select(col("piece"), col("lp9")))
+          .select(col("word"), col("freq"),
+            size(col("pieces")).cast("int").as("n_pieces"),
+            array_join(col("pieces"), " ").as("encoded"),
+            col("score9"))
+          .orderBy("word")
+      },
+      Some(unigramOracleSql(rounds = 2, finalEncode = true)))
   )
+
+  /** GENERATED DuckDB oracle for the unigram-LM family: rebuilds the
+    * word frame, the substring seeding, the fixed vocabulary, and
+    * `rounds` Viterbi-EM rounds — each round a per-position DP over
+    * lateral column aliases (d0..dW with first-arm-wins tie-break
+    * b1..bW, exactly the Spark fold's max(struct(s, −j))) plus a
+    * W-step backtrack, all GENERATED from the same loop bounds the
+    * Spark side runs (the plattFit round-for-round device; never
+    * hand-copied). `finalEncode` appends one more segmentation pass
+    * under the final model and returns per-word encodings; otherwise
+    * returns the final model. maxW = 9 covers the corpus ('_' marker
+    * + max 8-char tokens, asserted by the sweep at 3 SFs).
+    */
+  private[graft] def unigramOracleSql(
+      rounds: Int, finalEncode: Boolean,
+      maxW: Int = 9, maxMulti: Int = 90): String = {
+    val L = Unigram.MaxPieceLen
+    val sent = "-4611686018427387904"
+    val pivCols = (for {
+      i <- 1 to maxW; j <- 1 to math.min(L, i)
+    } yield s"  max(CASE WHEN i = $i AND j = $j THEN lp9 END) AS l_${i}_$j")
+      .mkString(",\n")
+    // the DP and the backtrack are STAGED one MATERIALIZED CTE per
+    // position/step: a single-SELECT lateral-alias chain inlines each
+    // alias textually, so d9 referencing d8..d5 (4 arms) expands to
+    // ~4^9 terms and the plan never finishes building — the r15
+    // unrolled-hilbert lesson, DuckDB side (measured r17: the
+    // lateral form hung > 4 min; the staged form runs in
+    // milliseconds). One level of laterality per CTE (bI referencing
+    // dI) keeps every expression constant-sized.
+    def segRound(r: Int, prevModel: String): String = {
+      val dpStages = (1 to maxW).map { i =>
+        val arms = (1 to math.min(L, i)).map(j =>
+          s"coalesce(d${i - j} + l_${i}_$j, $sent)")
+        val cases = (1 to math.min(L, i)).map(j =>
+          s"WHEN coalesce(d${i - j} + l_${i}_$j, $sent) = d$i THEN $j")
+        s"""dp${r}_$i AS MATERIALIZED (SELECT *,
+           |  greatest(${arms.mkString(", ")}) AS d$i,
+           |  CASE ${cases.mkString(" ")} END AS b$i
+           |  FROM dp${r}_${i - 1})""".stripMargin
+      }.mkString(",\n")
+      def caseJ(p: String) =
+        s"CASE $p ${(1 to maxW).map(i => s"WHEN $i THEN b$i").mkString(" ")} END"
+      val btStages = (0 until maxW).map { k =>
+        val src = if (k == 0)
+          s"(SELECT *, CAST(wl AS INT) AS p0, " +
+            s"CASE wl ${(1 to maxW).map(i => s"WHEN $i THEN d$i").mkString(" ")} END AS score9 " +
+            s"FROM dp${r}_$maxW)"
+        else s"bt${r}_${k - 1}"
+        s"""bt${r}_$k AS MATERIALIZED (SELECT *,
+           |  CASE WHEN p$k > 0 THEN substr(word, CAST(p$k - ${caseJ(s"p$k")} + 1 AS INT),
+           |    CAST(${caseJ(s"p$k")} AS INT)) END AS s$k,
+           |  CASE WHEN p$k > 0 THEN p$k - ${caseJ(s"p$k")} ELSE 0 END AS p${k + 1}
+           |  FROM $src)""".stripMargin
+      }.mkString(",\n")
+      s"""cand$r AS MATERIALIZED (SELECT p.word, p.freq, p.i, p.j, m.lp9
+         |  FROM pos p JOIN $prevModel m USING (piece)),
+         |piv$r AS MATERIALIZED (SELECT word, any_value(freq) AS freq,
+         |  CAST(len(word) AS INT) AS wl,
+         |$pivCols
+         |  FROM cand$r GROUP BY word),
+         |dp${r}_0 AS MATERIALIZED (SELECT *, CAST(0 AS BIGINT) AS d0 FROM piv$r),
+         |$dpStages,
+         |$btStages,
+         |seg$r AS MATERIALIZED (SELECT word, freq, CAST(score9 AS BIGINT) AS score9,
+         |  list_filter([${(maxW - 1 to 0 by -1).map(k => s"s$k").mkString(", ")}],
+         |    x -> x IS NOT NULL) AS ps
+         |  FROM bt${r}_${maxW - 1})""".stripMargin
+    }
+    def mRound(r: Int): String =
+      s"""cnt$r AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS c
+         |  FROM (SELECT freq, unnest(ps) AS piece FROM seg$r) GROUP BY 1),
+         |m$r AS MATERIALIZED (SELECT v.piece, COALESCE(c.c, 0) AS cnt,
+         |  CAST(round(ln((COALESCE(c.c, 0) + 1.0) / (t.tot + vv.v)) * 1e9) AS BIGINT) AS lp9
+         |  FROM voc v LEFT JOIN cnt$r c USING (piece)
+         |  CROSS JOIN (SELECT sum(c) AS tot FROM cnt$r) t CROSS JOIN vv)""".stripMargin
+    val roundChain = (1 to rounds)
+      .map(r => segRound(r, s"m${r - 1}") + ",\n" + mRound(r))
+      .mkString(",\n")
+    val encodeChain =
+      if (finalEncode) ",\n" + segRound(rounds + 1, s"m$rounds") else ""
+    val finalSelect =
+      if (finalEncode)
+        s"""SELECT word, freq, CAST(len(ps) AS INT) AS n_pieces,
+           |  array_to_string(ps, ' ') AS encoded, score9
+           |FROM seg${rounds + 1} ORDER BY word""".stripMargin
+      else
+        s"SELECT piece, cnt, lp9 FROM m$rounds ORDER BY piece"
+    s"""WITH toks AS (SELECT unnest(regexp_extract_all(lower(text),
+       |    '\\b\\w\\w+\\b')) AS t FROM documents),
+       |words AS MATERIALIZED (SELECT '_' || t AS word,
+       |  CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY 1),
+       |seed AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |  SELECT freq, unnest(flatten(list_transform(generate_series(1, len(word)), i ->
+       |    list_transform(generate_series(1, least($L, len(word) - i + 1)), j ->
+       |      substr(word, CAST(i AS INT), CAST(j AS INT)))))) AS piece
+       |  FROM words) GROUP BY 1),
+       |voc AS MATERIALIZED (
+       |  SELECT piece, cnt FROM seed WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (SELECT piece, cnt FROM seed WHERE len(piece) > 1
+       |    QUALIFY row_number() OVER (ORDER BY cnt DESC, piece) <= $maxMulti)),
+       |vv AS (SELECT count(*) AS v FROM voc),
+       |m0 AS MATERIALIZED (SELECT piece,
+       |  CAST(round(ln(CAST(cnt AS DOUBLE) / t.tot) * 1e9) AS BIGINT) AS lp9
+       |  FROM voc CROSS JOIN (SELECT sum(cnt) AS tot FROM voc) t),
+       |pos AS MATERIALIZED (SELECT word, freq,
+       |    CAST(c.i AS INT) AS i, CAST(c.j AS INT) AS j,
+       |    substr(word, CAST(c.i - c.j + 1 AS INT), CAST(c.j AS INT)) AS piece
+       |  FROM (SELECT word, freq,
+       |      unnest(flatten(list_transform(generate_series(1, len(word)), i ->
+       |        list_transform(generate_series(1, least($L, i)), j ->
+       |          {'i': i, 'j': j})))) AS c
+       |    FROM words)),
+       |$roundChain$encodeChain
+       |$finalSelect""".stripMargin
+  }
 
   /** Per-language word pools + the marker suffix of the trained
     * language-ID fixture. es/pt deliberately share words ("casa",
