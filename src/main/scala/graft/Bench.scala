@@ -26,6 +26,21 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private[graft] def scratchDir(): String = Scratch.dir("graft-local")
 
+  /** Declared-iterative entries (VERDICT r16 wrong #1): queries whose
+    * cost IS a genuine multi-round loop — driver-convergence graph
+    * peels, fixed-round EM/Newton solves, multi-micro-batch streaming
+    * state. Their seconds are the product under test, not noise to
+    * shed, and a single-pass sample misgrades exactly the entries
+    * where warm/cold separation matters most — so the budget
+    * projection never sacrifices them to single-pass mode (the hard
+    * wall still gates them like everything else; honesty about
+    * overruns beats coverage).
+    */
+  private[graft] val DeclaredIterative: Set[String] = Set(
+    "q_kcore_converged", "q_kmeans_iter2", "q_nb_platt",
+    "q_stream_countmin", "q_stream_lang_clf",
+    "q_unigram_learn", "q_unigram_encode")
+
   /** Git SHA of the tree this run measures (+ "-dirty" when the work
     * tree has uncommitted tracked changes), or "unknown". Stamped into
     * the bench JSON so the medians merge can REJECT cross-SHA sample
@@ -330,8 +345,17 @@ object Bench {
     // slowdown feeds the error model while one extreme sample still
     // cannot triple the projection. Any clean sample resets the run.
     var stallStreak = 0
+    // negative clamp widened -0.05 → -0.12 (r17, VERDICT r16 wrong
+    // #1): the r16 DRIVER run finished 31 s under its projection with
+    // the clamp pinned at -0.05 — the measured mean error was
+    // ≈ -0.07 s/pass, so the old floor withheld real host-speed
+    // signal and the projection kept shedding entries the budget
+    // afforded (q_kcore_converged went single-pass). The positive
+    // clamp is the stall guard and stays at 0.6; the downside risk of
+    // a too-negative floor is bounded by the wallTripped gate on
+    // every 2-pass start.
     def errPerPass = if (passesRun < 12) 0.0
-      else math.min(0.6, math.max(-0.05, (actSpent - predSpent) / passesRun))
+      else math.min(0.6, math.max(-0.12, (actSpent - predSpent) / passesRun))
     // insertion-ordered and UPDATABLE: the end-of-run rescue pass below
     // upgrades single-pass entries in place once leftover budget is known
     val resultsBuf =
@@ -359,7 +383,8 @@ object Bench {
       def projected = elapsedS + remaining.map(n =>
         if (sacrificed(n)) onePassCost(n) + errPerPass
         else twoPassCost(n) + 2 * errPerPass).sum
-      var candidates = remaining.filter(n => !sacrificed(n) && medians.contains(n))
+      var candidates = remaining.filter(n => !sacrificed(n) &&
+          medians.contains(n) && !DeclaredIterative(n))
         .sortBy(n => -medians(n))
       while (projected > budgetS * 0.92 && candidates.nonEmpty) {
         sacrificed += candidates.head

@@ -36,6 +36,11 @@ object Substrates {
     *   - bpe_merges: q_bpe_learn + q_bpe_encode (which re-learns
     *     internally) — the 3-round merge-learning loop, shared since
     *     r14
+    *   - eigenbasis: q_pca_top2, q_mahalanobis, q_whiten,
+    *     q_curation_emb — the driver-side topPBasis memo at the gated
+    *     (p=2, iters=3) key (r17; previously first-consumer-pays, so
+    *     whichever consumer ran first in budget order carried a
+    *     ~2.5–3.5 s cold and ghost-tripped the cold-stall flag)
     */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "substrate:bpe_merges" ->
@@ -55,5 +60,13 @@ object Substrates {
     "substrate:cell_kernel_labeled" ->
       ((s: SparkSession, d: String) => Similarity.cellMatches(
         Tables.table(s, d, "embeddings"), "vec_id", "embedding", Some("label"),
-        QShared.fixedCentroidArr(s, d), nprobe = 5, scale = 4)))
+        QShared.fixedCentroidArr(s, d), nprobe = 5, scale = 4)),
+    "substrate:eigenbasis" ->
+      ((s: SparkSession, d: String) => {
+        val (dim, _, basis) = Similarity.topPBasis(
+          Tables.table(s, d, "embeddings"), "embedding", p = 2, iters = 3)
+        import s.implicits._
+        basis.zipWithIndex.map { case ((lam, _), i) => (i + 1, dim, lam) }
+          .toDF("component", "dim", "lambda")
+      }))
 }
