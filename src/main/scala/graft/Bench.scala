@@ -38,7 +38,7 @@ object Bench {
     */
   private[graft] val DeclaredIterative: Set[String] = Set(
     "q_kcore_converged", "q_kmeans_iter2", "q_nb_platt",
-    "q_stream_countmin", "q_stream_lang_clf",
+    "q_stream_countmin", "q_stream_lang_clf", "q_stream_wsample",
     "q_unigram_learn", "q_unigram_encode")
 
   /** Git SHA of the tree this run measures (+ "-dirty" when the work

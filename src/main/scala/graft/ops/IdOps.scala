@@ -122,6 +122,23 @@ object IdOps {
     */
   def weightedSampleK(
       df: DataFrame, keyCol: String, weightCol: String, k: Int,
+      salt: String = ""): DataFrame =
+    esKeyed(df, keyCol, weightCol, salt)
+      .orderBy(col("__es_logkey").desc, col(keyCol)).limit(k)
+      .drop("__es_logkey")
+
+  /** The E–S competition keys WITHOUT the top-k cut — the shared
+    * kernel of [[weightedSampleK]] and its streaming twin
+    * ([[graft.streaming.StreamOps.weightedSampleBatch]], r17): both
+    * es_key (the paper's u^(1/w), published) and __es_logkey (the
+    * 9-dp log-domain ranking key, retained so running state can keep
+    * merging by the exact same ordering). Pure map-side projection;
+    * the keys are a pure function of (salt, key, weight), which is
+    * what makes the stream's running top-k merge EXACTLY the batch
+    * top-k over the union.
+    */
+  def esKeyed(
+      df: DataFrame, keyCol: String, weightCol: String,
       salt: String = ""): DataFrame = {
     val u = (conv(substring(md5(concat_ws("_", lit(salt),
         col(keyCol).cast("string"))), 1, 8), 16, 10).cast("long")
@@ -131,8 +148,6 @@ object IdOps {
         round(pow(u, lit(1.0) / col(weightCol).cast("double")), 9))
       .withColumn("__es_logkey",
         round(log(u) / col(weightCol).cast("double"), 9))
-      .orderBy(col("__es_logkey").desc, col(keyCol)).limit(k)
-      .drop("__es_logkey")
   }
 
   /** Deterministic global shuffle — training-order randomization as a

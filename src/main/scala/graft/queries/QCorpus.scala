@@ -156,17 +156,48 @@ private[graft] object QCorpus {
           "doc_id", "n_chars", k = 25, salt = "ws")
         .select(col("doc_id"), col("n_chars"), round(col("es_key"), 6).as("es_key"))
         .orderBy("doc_id"),
-      Some("""WITH u AS (SELECT doc_id, n_chars,
-        |        (CAST(('0x' || substr(md5('ws_' || CAST(doc_id AS VARCHAR)), 1, 8))
-        |           AS BIGINT) + 0.5) / 4294967296.0 AS u
-        |      FROM documents),
-        |k AS (SELECT doc_id, n_chars,
-        |        round(pow(u, 1.0 / n_chars), 9) AS es_key,
-        |        round(ln(u) / n_chars, 9) AS es_logkey FROM u
-        |      WHERE n_chars > 0
-        |      QUALIFY row_number() OVER (ORDER BY es_logkey DESC, doc_id) <= 25)
-        |SELECT doc_id, n_chars, round(es_key, 6) AS es_key FROM k
-        |ORDER BY doc_id""".stripMargin)),
+      Some(WeightedSampleOracleSql)),
+
+    Q("q_stream_wsample",  // streaming twin of q_weighted_sample
+      // (VERDICT r16 next #8): the E–S competition key is a pure
+      // function of (salt, doc_id, weight) and top-k is an
+      // associative merge, so the stream keeps a RUNNING top-25 in
+      // versioned state (the countMinBatch device — read v_{bid−1},
+      // merge this batch's own top-25, overwrite v_bid; retries
+      // exactly-once effective, missing predecessor fails loudly).
+      // The final version is EXACTLY the batch kernel's top-25 over
+      // the union of the 4 real micro-batches, so the
+      // q_weighted_sample ORACLE grades the stream state directly.
+      // State: 25 rows per version, constant in stream length.
+      (s, dir) => {
+        val state = Scratch.dir("stream-ws-state")
+        val cp = Scratch.dir("stream-ws-cp")
+        val srcDir = Scratch.dir("stream-ws-src")
+        Tables.table(s, dir, "documents").repartition(4)
+          .write.mode("overwrite").parquet(srcDir)
+        val schema = Tables.table(s, dir, "documents").schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        stream.select(col("doc_id"), col("n_chars"))
+          .writeStream
+          .foreachBatch { (b: DataFrame, bid: Long) =>
+            graft.streaming.StreamOps.weightedSampleBatch(
+              b, "doc_id", "n_chars", k = 25, state, bid, salt = "ws")
+          }
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        val statePath = new org.apache.hadoop.fs.Path(state)
+        val stateFs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val lastBid =
+          graft.streaming.StreamOps.listVersions(stateFs, statePath).max
+        s.read.parquet(s"$state/v_$lastBid")
+          .select(col("doc_id"), col("n_chars"),
+            round(col("es_key"), 6).as("es_key"))
+          .orderBy("doc_id")
+      },
+      Some(WeightedSampleOracleSql)),
 
     Q("q_normalize_unicode",  // Unicode normalization (UAX #15) ahead
       // of the dedup keys (VERDICT r14 missing #1): combining-vs-
@@ -1111,6 +1142,22 @@ private[graft] object QCorpus {
     * additivity makes the streamed sketch bit-equal to the batch one,
     * so one SQL grades both.
     */
+  /** Shared DuckDB oracle for q_weighted_sample AND its streaming
+    * twin q_stream_wsample — the stream's final state is structurally
+    * the batch top-25, so one oracle grades both. */
+  private lazy val WeightedSampleOracleSql: String =
+    """WITH u AS (SELECT doc_id, n_chars,
+      |        (CAST(('0x' || substr(md5('ws_' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |           AS BIGINT) + 0.5) / 4294967296.0 AS u
+      |      FROM documents),
+      |k AS (SELECT doc_id, n_chars,
+      |        round(pow(u, 1.0 / n_chars), 9) AS es_key,
+      |        round(ln(u) / n_chars, 9) AS es_logkey FROM u
+      |      WHERE n_chars > 0
+      |      QUALIFY row_number() OVER (ORDER BY es_logkey DESC, doc_id) <= 25)
+      |SELECT doc_id, n_chars, round(es_key, 6) AS es_key FROM k
+      |ORDER BY doc_id""".stripMargin
+
   private lazy val CmTopkOracleSql: String =
     s"""WITH t AS ($SqlToks),
        |e AS MATERIALIZED (SELECT unnest(toks) AS w FROM t),

@@ -534,6 +534,19 @@ object Sinks {
     commit(fs, dir, 0L, names)
   }
 
+  /** Write a (layout) frame and bring it under snapshot management in
+    * one step — the composition every z/Hilbert-ordered 100 TB table
+    * should ship with: `writeLayoutSnapshot(hilbertLayout(df, …), p)`
+    * publishes manifest-v1 over the freshly-written part files (name
+    * order = key order), after which [[compact]] maintains the table
+    * through atomic manifest swaps and [[readTable]] readers never
+    * observe maintenance in progress. Returns the committed version.
+    */
+  def writeLayoutSnapshot(df: DataFrame, path: String): Long = {
+    writeColumnar(df, path)
+    initSnapshot(df.sparkSession, path)
+  }
+
   /** Snapshot-aware table read: resolve the newest manifest and read
     * exactly the files it lists (in manifest = key order); a
     * directory without a manifest falls back to the plain parquet

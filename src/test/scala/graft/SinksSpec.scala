@@ -287,9 +287,8 @@ class SinksSpec extends AnyFunSuite {
     val golden = s"$base/golden"
     val grid = spark.range(1024)
       .select(($"id" % 32).as("x"), ($"id" / 32).cast("long").as("y"))
-    Sinks.writeColumnar(
-      Sinks.hilbertLayout(grid, "x", "y", files = 8, bits = 5), golden)
-    assert(Sinks.initSnapshot(spark, golden) == 1L)
+    assert(Sinks.writeLayoutSnapshot(
+      Sinks.hilbertLayout(grid, "x", "y", files = 8, bits = 5), golden) == 1L)
     val fs = new Path(golden)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val before = Sinks.readTable(spark, golden)

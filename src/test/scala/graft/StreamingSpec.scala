@@ -182,6 +182,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(v1.nonEmpty)
   }
 
+  test("weightedSampleBatch: running top-k state == batch weightedSampleK; retry idempotent; missing predecessor fails (r17)") {
+    import spark.implicits._
+    import graft.ops.IdOps
+    val docs = Tables.table(spark, TestSpark.Sf, "documents")
+      .select($"doc_id", $"n_chars")
+    val state = graft.Scratch.dir("spec-ws-state")
+    val slices = Seq(docs.filter($"doc_id" % 3 === 0),
+      docs.filter($"doc_id" % 3 === 1), docs.filter($"doc_id" % 3 === 2))
+    slices.zipWithIndex.foreach { case (b, bid) =>
+      graft.streaming.StreamOps.weightedSampleBatch(
+        b, "doc_id", "n_chars", k = 25, state, bid.toLong, salt = "ws")
+    }
+    val want = IdOps.weightedSampleK(docs, "doc_id", "n_chars", 25, "ws")
+      .select($"doc_id", $"es_key").as[(Long, Double)].collect().toSet
+    val got = spark.read.parquet(s"$state/v_2")
+      .select($"doc_id", $"es_key").as[(Long, Double)].collect().toSet
+    assert(got == want, "streamed running top-k != batch E-S sample")
+    // retried batch 1 overwrites its own version from v_0 — chain
+    // unchanged (exactly-once effective)
+    graft.streaming.StreamOps.weightedSampleBatch(
+      slices(1), "doc_id", "n_chars", k = 25, state, 1L, salt = "ws")
+    graft.streaming.StreamOps.weightedSampleBatch(
+      slices(2), "doc_id", "n_chars", k = 25, state, 2L, salt = "ws")
+    val got2 = spark.read.parquet(s"$state/v_2")
+      .select($"doc_id", $"es_key").as[(Long, Double)].collect().toSet
+    assert(got2 == want, "retry broke the running top-k")
+    // missing predecessor: merging from empty silently under-samples,
+    // so it must throw (the countMinBatch r17 contract)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.weightedSampleBatch(
+        docs, "doc_id", "n_chars", k = 25, state, 9L, salt = "ws")
+    }
+    assert(e.getMessage.contains("v_8"), e.getMessage)
+  }
+
   test("countMinBatch: a missing predecessor version fails loudly instead of silently resetting (r17)") {
     import spark.implicits._
     import graft.ops.TextOps
