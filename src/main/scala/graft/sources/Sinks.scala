@@ -565,18 +565,80 @@ object Sinks {
     }
   }
 
+  /** All committed snapshot versions under `dir`, ascending. */
+  def snapshotVersions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case ManifestName(v) => v.toLong }.sorted
+
+  /** Time-travel read: the table exactly as manifest `version`
+    * committed it. Works as long as the version has not been expired
+    * by [[expireSnapshots]] — compaction never deletes a file a
+    * SURVIVING manifest references, so every retained snapshot stays
+    * readable forever (the audit/reproducibility property a training
+    * pipeline needs: re-read the exact table a run trained on).
+    */
+  def readTableAsOf(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      version: Long): DataFrame = {
+    val (fs, dir) = fsFor(spark, path)
+    require(snapshotVersions(fs, dir).contains(version),
+      s"readTableAsOf: snapshot v$version is not retained under $path " +
+        s"(retained: ${snapshotVersions(fs, dir).mkString(",")})")
+    val files = manifestFiles(fs, dir, version).map(n => s"$path/$n")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Retention GC: keep the newest `keep` manifests, delete the rest
+    * and every data file that is PROVABLY dead — referenced by an
+    * expired manifest and by no surviving one. Files referenced by
+    * nothing at all (crash residue of an in-flight pass) are left
+    * alone: an active committer may be about to publish them, and
+    * they cost space, not correctness. Deletion order is
+    * manifests-first — a crash mid-GC then leaves unreferenced files
+    * (harmless orphans for the next GC), never a manifest pointing at
+    * deleted data. Returns (manifestsDeleted, filesDeleted).
+    */
+  def expireSnapshots(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      keep: Int): (Int, Int) = {
+    require(keep >= 1, "must keep at least the latest snapshot")
+    val (fs, dir) = fsFor(spark, path)
+    val versions = snapshotVersions(fs, dir)
+    val expired = versions.dropRight(keep)
+    if (expired.isEmpty) return (0, 0)
+    val survivors = versions.takeRight(keep)
+    val live = survivors.flatMap(v => manifestFiles(fs, dir, v)).toSet
+    val dead = expired.flatMap(v => manifestFiles(fs, dir, v)).toSet -- live
+    expired.foreach { v =>
+      fsOpHook(s"expire-manifest:$v")
+      require(fs.delete(new org.apache.hadoop.fs.Path(dir, s"manifest-v$v"), false),
+        s"expireSnapshots: deleting manifest-v$v failed")
+    }
+    dead.toSeq.sorted.foreach { n =>
+      fsOpHook(s"expire-file:$n")
+      require(fs.delete(new org.apache.hadoop.fs.Path(dir, n), false),
+        s"expireSnapshots: deleting $n failed")
+    }
+    (expired.size, dead.size)
+  }
+
   /** Snapshot compaction — the crash-safe form of [[compact]] for
     * manifest-managed tables. Greedy consecutive bins are computed
     * over the MANIFEST's file order (the key order), merged bins are
     * staged into the directory under fresh `compact-v{N+1}-*` names
     * (not listed by manifest N, so live readers are untouched), and
     * the whole pass becomes visible through ONE manifest rename.
-    * Dead sources are deleted only AFTER the commit — a crash at any
-    * step leaves readers on exactly manifest N (all old files still
-    * present) or exactly manifest N+1 (all new files staged before
-    * the commit); the only crash residue is unreferenced files, never
-    * a missing or doubled row. Returns the same [[CompactStats]] as
-    * the in-place form.
+    * Sources stay on disk, still referenced by manifest N — physical
+    * reclamation is [[expireSnapshots]]' job, so every retained
+    * snapshot remains time-travel readable ([[readTableAsOf]]). A
+    * crash at any step leaves readers on exactly manifest N or
+    * exactly manifest N+1 (all new files staged before the commit);
+    * the only crash residue is unreferenced files, never a missing or
+    * doubled row. Returns the same [[CompactStats]] as the in-place
+    * form (file/byte counts over the LIVE snapshot's files).
     */
   def compactSnapshot(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -634,16 +696,12 @@ object Sinks {
       mergedName.getOrElse(i, bin.head._1)
     }
     commit(fs, dir, v, newFiles) // THE atomic visibility flip
-    // post-commit GC: drop the merged bins' sources (unreferenced by
-    // the new manifest). A crash mid-GC leaves orphans, not
-    // corruption — the next pass may re-delete; return codes checked.
-    mergeIdx.foreach { case (bin, _) =>
-      bin.foreach { case (n, _) =>
-        fsOpHook(s"gc:$n")
-        require(fs.delete(new org.apache.hadoop.fs.Path(dir, n), false),
-          s"compactSnapshot: GC delete of $n failed")
-      }
-    }
+    // NO physical deletes here (r17): the merged bins' sources are
+    // still referenced by manifest v — deleting them would break
+    // [[readTableAsOf]](v) for every retained snapshot. Space is
+    // reclaimed by [[expireSnapshots]], which deletes a file only
+    // once NO surviving manifest references it — the Iceberg split
+    // between logical commit and physical GC.
     fs.delete(tmp, true)
     val bytesAfter = newFiles.map { n =>
       fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, n)).getLen

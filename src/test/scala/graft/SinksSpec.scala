@@ -351,6 +351,36 @@ class SinksSpec extends AnyFunSuite {
     val gotLast = Sinks.readTable(spark, dirLast)
       .select($"x", $"y").as[(Long, Long)].collect().sorted.toSeq
     assert(gotLast == before)
+    // time travel: v1 (pre-compaction) stays readable — compaction
+    // committed v2 without deleting v1's files
+    val lastPath = new Path(dirLast)
+    val v1rows = Sinks.readTableAsOf(spark, dirLast, 1L)
+      .select($"x", $"y").as[(Long, Long)].collect().sorted.toSeq
+    assert(v1rows == before, "snapshot v1 no longer readable")
+    val v1files = Sinks.manifestFiles(fs, lastPath, 1L)
+    // retention GC: expire everything but the latest (the convergence
+    // re-compact above may have committed a v3) — the old manifests
+    // and their now-dead merged sources go, the live snapshot survives
+    val vsBefore = Sinks.snapshotVersions(fs, lastPath)
+    assert(vsBefore.size >= 2)
+    val (mDel, fDel) = Sinks.expireSnapshots(spark, dirLast, keep = 1)
+    assert(mDel == vsBefore.size - 1 && fDel > 0,
+      s"expire deleted ($mDel, $fDel) of $vsBefore")
+    assert(Sinks.snapshotVersions(fs, lastPath) == Seq(vsBefore.last))
+    val liveFiles = Sinks.manifestFiles(fs, lastPath, vsBefore.last)
+    v1files.filterNot(liveFiles.contains)
+      .foreach(n => assert(!fs.exists(new Path(s"$dirLast/$n")),
+        s"dead file $n survived expiry"))
+    assert(Sinks.readTable(spark, dirLast)
+      .select($"x", $"y").as[(Long, Long)].collect().sorted.toSeq == before)
+    intercept[IllegalArgumentException] {
+      Sinks.readTableAsOf(spark, dirLast, 1L)
+    }
+    // optimistic concurrency: a committer holding a stale expected
+    // version loses loudly instead of clobbering the newer snapshot
+    intercept[IllegalArgumentException] {
+      Sinks.commit(fs, lastPath, vsBefore.last - 1, liveFiles)
+    }
   }
 
   test("compactPartitioned: per-leaf compaction of a hive-partitioned table") {
