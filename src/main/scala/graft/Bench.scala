@@ -34,12 +34,13 @@ object Bench {
     * where warm/cold separation matters most — so the budget
     * projection never sacrifices them to single-pass mode (the hard
     * wall still gates them like everything else; honesty about
-    * overruns beats coverage).
+    * overruns beats coverage). DERIVED from the registry's
+    * `Q.iterative` flag — declared next to each query, so a rename or
+    * a new iterative entry can never silently desynchronize from this
+    * exemption (review r17).
     */
-  private[graft] val DeclaredIterative: Set[String] = Set(
-    "q_kcore_converged", "q_kmeans_iter2", "q_nb_platt",
-    "q_stream_countmin", "q_stream_lang_clf", "q_stream_wsample",
-    "q_unigram_learn", "q_unigram_encode")
+  private[graft] lazy val DeclaredIterative: Set[String] =
+    SparkEntry.registry.filter(_.iterative).map(_.name).toSet
 
   /** Git SHA of the tree this run measures (+ "-dirty" when the work
     * tree has uncommitted tracked changes), or "unknown". Stamped into

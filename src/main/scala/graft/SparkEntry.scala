@@ -19,11 +19,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** One named query: Spark plan + optional DuckDB-dialect oracle SQL. */
+  /** One named query: Spark plan + optional DuckDB-dialect oracle SQL.
+    * `iterative` marks entries whose cost IS a genuine multi-round
+    * loop (driver-convergence peels, fixed-round EM/Newton solves,
+    * multi-micro-batch streaming state) — declared HERE, next to the
+    * query, so a rename or a new iterative entry cannot silently
+    * desynchronize from the bench's sacrifice exemption (review r17);
+    * Bench derives its DeclaredIterative set from this flag.
+    */
   final case class Q(
       name: String,
       fn: (SparkSession, String) => DataFrame,
-      oracle: Option[String])
+      oracle: Option[String],
+      iterative: Boolean = false)
+
+  /** The full registry, flags included — Bench reads `iterative`. */
+  lazy val registry: Seq[Q] = all
 
   private lazy val all: Seq[Q] =
     QCore.qs ++ QDedup1.qs ++ QDedup2.qs ++ QSimText.qs ++

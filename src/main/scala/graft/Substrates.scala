@@ -37,7 +37,9 @@ object Substrates {
     *     internally) — the 3-round merge-learning loop, shared since
     *     r14
     *   - eigenbasis: q_pca_top2, q_mahalanobis, q_whiten,
-    *     q_curation_emb — the driver-side topPBasis memo at the gated
+    *     q_curation_v4 (its mahalanobis screen; q_curation_emb is
+    *     cosine-only and never hits the memo) — the driver-side
+    *     topPBasis memo at the gated
     *     (p=2, iters=3) key (r17; previously first-consumer-pays, so
     *     whichever consumer ran first in budget order carried a
     *     ~2.5–3.5 s cold and ghost-tripped the cold-stall flag)

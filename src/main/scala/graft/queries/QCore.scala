@@ -211,7 +211,7 @@ private[graft] object QCore {
         |c2 AS (SELECT g.cluster, CAST(p.i AS INT) AS dim,
         |        round(avg(p.x), 6) + 0.0 AS c
         |       FROM asg2 g JOIN pts p ON p.vec_id = g.vec_id GROUP BY g.cluster, p.i)
-        |SELECT cluster, dim, c FROM c2 ORDER BY cluster, dim""".stripMargin)),
+        |SELECT cluster, dim, c FROM c2 ORDER BY cluster, dim""".stripMargin), iterative = true),
 
     // ---- M5: relational surface — hash agg, broadcast/semi/anti/multi joins,
     //      top-k, union, rollup, event-time windows (SURVEY §2.3, §2.4, §2.6, §2.7, §2.8)

@@ -197,7 +197,7 @@ private[graft] object QCorpus {
             round(col("es_key"), 6).as("es_key"))
           .orderBy("doc_id")
       },
-      Some(WeightedSampleOracleSql)),
+      Some(WeightedSampleOracleSql), iterative = true),
 
     Q("q_normalize_unicode",  // Unicode normalization (UAX #15) ahead
       // of the dedup keys (VERDICT r14 missing #1): combining-vs-
@@ -632,7 +632,7 @@ private[graft] object QCorpus {
             (col("est") - col("exact_cnt")).as("err"))
           .orderBy(col("exact_cnt").desc, col("w"))
       },
-      Some(CmTopkOracleSql)),
+      Some(CmTopkOracleSql), iterative = true),
 
     Q("q_kcore_converged",  // the PRODUCTION fixpoint k-core, gated
       // (VERDICT r15 #6: kcorePeelConverged was spec-swept but the
@@ -662,7 +662,7 @@ private[graft] object QCorpus {
           .select(col("id"), col("degree").cast("long").as("degree"))
           .orderBy("id")
       },
-      Some(kcoreConvergedOracleSql(k = 68, rounds = 7))),
+      Some(kcoreConvergedOracleSql(k = 68, rounds = 7)), iterative = true),
 
     Q("q_nb_auc",  // threshold-free grade of the TRAINED NB classifier
       // (q_nb_quality) against its own training labels: tie-averaged
@@ -878,7 +878,7 @@ private[graft] object QCorpus {
             round(lit(a), 6).as("platt_a"), round(lit(b), 6).as("platt_b"))
           .orderBy("bin")
       },
-      Some(plattOracleSql(8))),
+      Some(plattOracleSql(8)), iterative = true),
 
     Q("q_zorder_value",  // the Morton key under the r15 Z-ordered
       // layout write (Sinks.zOrderValue/zOrderLayout), value-oracled:

@@ -908,7 +908,7 @@ private[graft] object QSimText {
           .select(col("doc_id"), col("boot"), col("lang_pred"), col("logit"))
           .orderBy("doc_id")
       },
-      Some(LangClfOracleSql)),
+      Some(LangClfOracleSql), iterative = true),
 
     Q("q_unigram_learn",  // unigram-LM (SentencePiece) tokenizer
       // TRAINING (Kudo 2018; VERDICT r16 next #3): seed vocabulary
@@ -926,7 +926,7 @@ private[graft] object QSimText {
         Unigram.wordFreqs(Tables.table(s, dir, "documents"), "text"),
         rounds = 2, maxMulti = 90)
         .orderBy("piece"),
-      Some(unigramOracleSql(rounds = 2, finalEncode = false))),
+      Some(unigramOracleSql(rounds = 2, finalEncode = false)), iterative = true),
 
     Q("q_unigram_encode",  // the SERVING path: Viterbi encode of every
       // distinct word under the trained unigram LM — piece sequence,
@@ -945,7 +945,7 @@ private[graft] object QSimText {
             col("score9"))
           .orderBy("word")
       },
-      Some(unigramOracleSql(rounds = 2, finalEncode = true)))
+      Some(unigramOracleSql(rounds = 2, finalEncode = true)), iterative = true)
   )
 
   /** GENERATED DuckDB oracle for the unigram-LM family: rebuilds the

@@ -294,6 +294,55 @@ object Sinks {
       bytesBefore: Long, bytesAfter: Long,
       binsRewritten: Int)
 
+  /** Greedy consecutive bin-packing shared by [[compact]] and
+    * [[compactSnapshot]]: a bin closes when adding the next file
+    * would cross `targetBytes`; oversized singletons pass through.
+    * Input order (name order / manifest order = key order) is
+    * preserved inside and across bins.
+    */
+  private def packBins[T](
+      files: Seq[T], len: T => Long, targetBytes: Long): List[Vector[T]] = {
+    val bins = scala.collection.mutable.ListBuffer.empty[Vector[T]]
+    files.foreach { f =>
+      if (bins.nonEmpty && bins.last.map(len).sum + len(f) <= targetBytes)
+        bins(bins.size - 1) = bins.last :+ f
+      else bins += Vector(f)
+    }
+    bins.toList
+  }
+
+  /** Merge each bin's source files (in order) into `tmp/bin<idx>` as
+    * one parquet file — the concurrent rewrite stage shared by both
+    * compaction paths. unionAll keeps parent-partition order and
+    * coalesce(1) concatenates parents in order: rows land
+    * first-file-first, original order inside each file.
+    */
+  private def mergeBins(
+      spark: org.apache.spark.sql.SparkSession,
+      bins: Seq[(Int, Seq[String])], tmp: String, parallelism: Int): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, bins.size))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      import scala.concurrent.{Await, Future}
+      val jobs = bins.map { case (i, srcs) => Future {
+        srcs.map(spark.read.parquet(_)).reduce(_ unionAll _).coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/bin$i")
+      }}
+      Await.result(Future.sequence(jobs.toList),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+  }
+
+  /** The staged single parquet part file of `tmp/bin<idx>`. */
+  private def stagedPart(
+      fs: org.apache.hadoop.fs.FileSystem, tmp: String,
+      idx: Int): org.apache.hadoop.fs.Path =
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/bin$idx"))
+      .map(_.getPath).find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file for bin $idx"))
+
   /** Small-file compaction that PRESERVES a z/Hilbert layout's order
     * (VERDICT r15 #7 — the day-2 operation every 100 TB table needs:
     * streaming appends and over-parallel writes leave directories of
@@ -349,34 +398,14 @@ object Sinks {
       })
       .sortBy(_.getPath.getName)
     val bytesBefore = files.map(_.getLen).sum
-    // greedy consecutive packing: a bin closes when adding the next
-    // file would cross targetBytes (oversized singletons pass through)
-    val bins = scala.collection.mutable.ListBuffer.empty[Vector[org.apache.hadoop.fs.FileStatus]]
-    files.foreach { f =>
-      if (bins.nonEmpty && bins.last.map(_.getLen).sum + f.getLen <= targetBytes)
-        bins(bins.size - 1) = bins.last :+ f
-      else bins += Vector(f)
-    }
-    val toMerge = bins.toList.filter(_.size >= 2)
+    val toMerge = packBins[org.apache.hadoop.fs.FileStatus](
+      files, _.getLen, targetBytes).filter(_.size >= 2)
     if (toMerge.nonEmpty) {
       val tmp = new org.apache.hadoop.fs.Path(dir, ".compact-tmp")
       fs.mkdirs(tmp)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(parallelism, toMerge.size))
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutor(pool)
-      try {
-        import scala.concurrent.{Await, Future}
-        val jobs = toMerge.zipWithIndex.map { case (bin, i) => Future {
-          // unionAll keeps parent-partition order and coalesce(1)
-          // concatenates parents in order: rows land first-file-first,
-          // original order inside each file
-          bin.map(f => spark.read.parquet(f.getPath.toString))
-            .reduce(_ unionAll _).coalesce(1)
-            .write.mode("overwrite").parquet(s"$tmp/bin$i")
-        }}
-        Await.result(Future.sequence(jobs), scala.concurrent.duration.Duration.Inf)
-      } finally pool.shutdown()
+      mergeBins(spark, toMerge.zipWithIndex.map { case (bin, i) =>
+        (i, bin.map(_.getPath.toString))
+      }, tmp.toString, parallelism)
       // swap in — rename-only until every copy is safe (review r17;
       // the r16 order deleted sources BEFORE the staged file took the
       // final name, so a crash there left the only copy hidden):
@@ -404,9 +433,7 @@ object Sinks {
       def mustDelete(pth: org.apache.hadoop.fs.Path): Unit =
         require(fs.delete(pth, false), s"compact: delete $pth failed")
       toMerge.zipWithIndex.foreach { case (bin, i) =>
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/bin$i"))
-          .map(_.getPath).find(p => p.getName.startsWith("part-"))
-          .getOrElse(throw new IllegalStateException(s"no part file for bin $i"))
+        val part = stagedPart(fs, tmp.toString, i)
         val finalName = bin.head.getPath.getName
         val staged = new org.apache.hadoop.fs.Path(dir, s".compacting-$finalName")
         mustRename(part, staged)
@@ -503,11 +530,27 @@ object Sinks {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     fsOpHook(s"manifest-commit:$next")
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"commit: publishing manifest-v$next under $dir failed " +
-          "(concurrent committer or FS error); snapshot unchanged")
+    // publish through FileContext with the no-overwrite flag: on HDFS
+    // this rename atomically FAILS if the target exists, closing the
+    // check-then-rename race two committers could otherwise win
+    // simultaneously (FileSystem.rename on a POSIX local FS maps to
+    // rename(2), which silently REPLACES an existing target — review
+    // r17). On the local FS the no-overwrite check is re-done inside
+    // FileContext just before the rename — not truly atomic, but
+    // local mode means a single driver; the multi-writer 100 TB story
+    // runs on HDFS/object-store semantics where this IS atomic.
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.makeQualified(dir).toUri, fs.getConf)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(target),
+        org.apache.hadoop.fs.Options.Rename.NONE)
+    } catch {
+      case e: java.io.IOException =>
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"commit: publishing manifest-v$next under $dir failed " +
+            s"(concurrent committer or FS error: ${e.getMessage}); " +
+            "snapshot unchanged", e)
     }
     next
   }
@@ -591,15 +634,21 @@ object Sinks {
     spark.read.parquet(files: _*)
   }
 
-  /** Retention GC: keep the newest `keep` manifests, delete the rest
-    * and every data file that is PROVABLY dead — referenced by an
-    * expired manifest and by no surviving one. Files referenced by
-    * nothing at all (crash residue of an in-flight pass) are left
-    * alone: an active committer may be about to publish them, and
-    * they cost space, not correctness. Deletion order is
-    * manifests-first — a crash mid-GC then leaves unreferenced files
-    * (harmless orphans for the next GC), never a manifest pointing at
-    * deleted data. Returns (manifestsDeleted, filesDeleted).
+  /** Retention GC: keep the newest `keep` manifests; delete the rest,
+    * every data file that is PROVABLY dead (referenced by an expired
+    * manifest and by no surviving one), AND — the vacuum sweep —
+    * every unreferenced visible data file STRICTLY OLDER than the
+    * newest surviving manifest. The age gate is what makes the sweep
+    * safe against an in-flight committer: its staged files are
+    * necessarily newer than the latest manifest it read (ties spared
+    * — `<`, not `≤`), while crash residue (a pass that staged but
+    * never committed, or a previous GC that deleted manifests and
+    * then died before its file loop — both leave files referenced by
+    * NOTHING, which the expired-referenced rule alone would leak
+    * forever; review r17) is necessarily older. Deletion order is
+    * manifests-first — a crash mid-GC leaves unreferenced files the
+    * NEXT vacuum sweep reclaims, never a manifest pointing at deleted
+    * data. Returns (manifestsDeleted, filesDeleted incl. vacuumed).
     */
   def expireSnapshots(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -607,9 +656,8 @@ object Sinks {
     require(keep >= 1, "must keep at least the latest snapshot")
     val (fs, dir) = fsFor(spark, path)
     val versions = snapshotVersions(fs, dir)
-    val expired = versions.dropRight(keep)
-    if (expired.isEmpty) return (0, 0)
     val survivors = versions.takeRight(keep)
+    val expired = versions.dropRight(keep)
     val live = survivors.flatMap(v => manifestFiles(fs, dir, v)).toSet
     val dead = expired.flatMap(v => manifestFiles(fs, dir, v)).toSet -- live
     expired.foreach { v =>
@@ -622,7 +670,23 @@ object Sinks {
       require(fs.delete(new org.apache.hadoop.fs.Path(dir, n), false),
         s"expireSnapshots: deleting $n failed")
     }
-    (expired.size, dead.size)
+    // vacuum: unreferenced visible data files strictly older than the
+    // newest surviving manifest are provably dead crash residue
+    val latestMtime = survivors.lastOption.map(v =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, s"manifest-v$v"))
+        .getModificationTime).getOrElse(Long.MinValue)
+    val orphans = fs.listStatus(dir).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+        ManifestName.findFirstIn(n).isEmpty && !live(n) && !dead(n) &&
+        st.getModificationTime < latestMtime
+    }.map(_.getPath.getName).sorted
+    orphans.foreach { n =>
+      fsOpHook(s"vacuum:$n")
+      require(fs.delete(new org.apache.hadoop.fs.Path(dir, n), false),
+        s"expireSnapshots: vacuuming $n failed")
+    }
+    (expired.size, dead.size + orphans.size)
   }
 
   /** Snapshot compaction — the crash-safe form of [[compact]] for
@@ -654,45 +718,40 @@ object Sinks {
     }
     val bytesBefore = sized.map(_._2).sum
     // greedy consecutive packing in manifest (= key) order
-    val bins = scala.collection.mutable.ListBuffer.empty[Vector[(String, Long)]]
-    sized.foreach { f =>
-      if (bins.nonEmpty && bins.last.map(_._2).sum + f._2 <= targetBytes)
-        bins(bins.size - 1) = bins.last :+ f
-      else bins += Vector(f)
-    }
-    val mergeIdx = bins.zipWithIndex.filter(_._1.size >= 2).toList
+    val bins = packBins[(String, Long)](sized, _._2, targetBytes)
+    val mergeIdx = bins.zipWithIndex.filter(_._1.size >= 2)
     if (mergeIdx.isEmpty)
       return CompactStats(names.size, names.size, bytesBefore, bytesBefore, 0)
     val tmp = new org.apache.hadoop.fs.Path(dir, s".compact-tmp-v${v + 1}")
     fs.mkdirs(tmp)
-    val mergedName = scala.collection.mutable.Map.empty[Int, String]
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(parallelism, mergeIdx.size))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    try {
-      import scala.concurrent.{Await, Future}
-      val jobs = mergeIdx.map { case (bin, i) => Future {
-        bin.map(f => spark.read.parquet(s"$path/${f._1}"))
-          .reduce(_ unionAll _).coalesce(1)
-          .write.mode("overwrite").parquet(s"$tmp/bin$i")
-      }}
-      Await.result(Future.sequence(jobs), scala.concurrent.duration.Duration.Inf)
-    } finally pool.shutdown()
+    mergeBins(spark, mergeIdx.map { case (bin, i) =>
+      (i, bin.map(f => s"$path/${f._1}"))
+    }, tmp.toString, parallelism)
     // stage each merged file into the table dir under a fresh
     // versioned name — VISIBLE on disk but unreferenced by manifest v,
     // so live readers (via readTable) never see it early
+    val mergedName = scala.collection.mutable.Map.empty[Int, String]
     mergeIdx.foreach { case (_, i) =>
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/bin$i"))
-        .map(_.getPath).find(_.getName.startsWith("part-"))
-        .getOrElse(throw new IllegalStateException(s"no part file for bin $i"))
+      val part = stagedPart(fs, tmp.toString, i)
       val name = f"compact-v${v + 1}-b$i%05d.parquet"
+      val dest = new org.apache.hadoop.fs.Path(dir, name)
+      // a file already at this deterministic name is residue of a
+      // CRASHED pass at the same target version (had that pass
+      // committed, latestManifest would have moved past v and the
+      // name would carry a higher version) — replace it, or retries
+      // wedge forever on HDFS's rename-fails-on-existing semantics
+      // (review r17)
+      if (fs.exists(dest)) {
+        fsOpHook(s"unstage:$name")
+        require(fs.delete(dest, false),
+          s"compactSnapshot: clearing stale staged $name failed")
+      }
       fsOpHook(s"stage:$name")
-      require(fs.rename(part, new org.apache.hadoop.fs.Path(dir, name)),
+      require(fs.rename(part, dest),
         s"compactSnapshot: staging $name failed")
       mergedName(i) = name
     }
-    val newFiles = bins.toList.zipWithIndex.map { case (bin, i) =>
+    val newFiles = bins.zipWithIndex.map { case (bin, i) =>
       mergedName.getOrElse(i, bin.head._1)
     }
     commit(fs, dir, v, newFiles) // THE atomic visibility flip
