@@ -385,6 +385,67 @@ private[graft] object QCuration {
         |FROM documents WHERE source = 'src0'
         |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    Q("q_snapshot_prune",  // manifest-stats data skipping end-to-end:
+      // range-lay lineitem by l_orderkey into a snapshot table whose
+      // manifest carries per-file [min,max] (Sinks.writeLayoutSnapshot
+      // statsCols), then serve a selective range query through
+      // readTableWhere — the prune happens on the DRIVER against the
+      // manifest alone (no listing, no parquet footers), the 100 TB
+      // difference between planning in milliseconds over the 1% of
+      // files that can match and opening 100k footers. The aggregate
+      // values gate prune CORRECTNESS (a wrongly-dropped file
+      // undercounts); the `pruned` flag gates prune EFFECTIVENESS (if
+      // skipping silently degrades to read-everything, the flag flips
+      // and the hash compare fails). l_quantity is integral-valued, so
+      // its double sum is order-independent and exact.
+      (s, dir) => {
+        val out = Scratch.dir("snapprune")
+        val tab = s"$out/li"
+        val laid = Tables.table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+          .repartitionByRange(16, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey")
+        Sinks.writeLayoutSnapshot(laid, tab, statsCols = Seq("l_orderkey"))
+        val pr = Sinks.readTableWhere(s, tab, Map("l_orderkey" -> (1L, 300L)))
+        pr.df.filter(col("l_orderkey").between(1L, 300L))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+          .withColumn("pruned", lit(pr.filesRead < pr.filesTotal))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
+        |true AS pruned
+        |FROM lineitem WHERE l_orderkey BETWEEN 1 AND 300
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q_snapshot_changes",  // incremental change capture on a snapshot
+      // table: seed with the even-length documents, appendSnapshot the
+      // odd-length ones (staged files + ONE atomic manifest rename),
+      // then readTableChanges(v1, v2) must return EXACTLY the appended
+      // batch — the consume-each-ingest-once primitive incremental
+      // dedup and downstream refresh build on. Value-oracled against
+      // the odd-batch predicate on the source table: replayed old rows
+      // overcount n, missed appended files undercount it, so the hash
+      // compare gates row-exactness of the manifest diff.
+      (s, dir) => {
+        val out = Scratch.dir("snapchanges")
+        val tab = s"$out/docs"
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val v1 = Sinks.writeLayoutSnapshot(
+          docs.filter(col("n_chars") % 2 === 0).repartition(4), tab)
+        val v2 = Sinks.appendSnapshot(
+          docs.filter(col("n_chars") % 2 === 1), tab,
+          statsCols = Seq("doc_id"))
+        Sinks.readTableChanges(s, tab, v1, v2)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE n_chars % 2 = 1
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     Q("q_corpus_stats",  // dataset-card profile per source shard
       (s, dir) => {
         val toks = TextOps.tokenize(col("text"))

@@ -403,6 +403,128 @@ class SinksSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("manifest stats pruning: readTableWhere equals full-read+filter, skips files, survives compaction, stays conservative") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("snapstats").toString + "/t"
+    val df = spark.range(4096)
+      .select($"id".as("k"), ($"id" % 7).cast("double").as("w"),
+        concat(lit("s"), format_string("%05d", $"id")).as("tag"))
+      .repartitionByRange(16, $"k").sortWithinPartitions("k")
+    assert(Sinks.writeLayoutSnapshot(df, dir,
+      statsCols = Seq("k", "w", "tag")) == 1L)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // every file carries ranges for all three kinds (L, D, S)
+    val entries = Sinks.manifestEntries(fs, new Path(dir), 1L)
+    assert(entries.forall(e => e.stats.keySet == Set("k", "w", "tag")))
+    assert(entries.head.stats("k").kind == 'L')
+    assert(entries.head.stats("w").kind == 'D')
+    assert(entries.head.stats("tag").kind == 'S')
+    def checkPrune(preds: Map[String, (Any, Any)],
+        filter: org.apache.spark.sql.Column, expectSkip: Boolean): Unit = {
+      val pr = Sinks.readTableWhere(spark, dir, preds)
+      val got = pr.df.filter(filter).select($"k").as[Long].collect().sorted.toSeq
+      val want = Sinks.readTable(spark, dir).filter(filter)
+        .select($"k").as[Long].collect().sorted.toSeq
+      assert(got == want, s"pruned read diverged for $preds")
+      if (expectSkip) assert(pr.filesRead < pr.filesTotal,
+        s"no files skipped for $preds (${pr.filesRead}/${pr.filesTotal})")
+    }
+    // long-range prune: a 10% key slice must not read all 16 files
+    checkPrune(Map("k" -> (0L, 400L)), $"k".between(0L, 400L), expectSkip = true)
+    // string prune (utf8 order): a tag prefix window
+    checkPrune(Map("tag" -> ("s00000", "s00400")),
+      $"tag".between("s00000", "s00400"), expectSkip = true)
+    // double predicate on a column whose range spans every file: all
+    // kept, result still exact (pruning may not help, must not hurt)
+    checkPrune(Map("w" -> (2.0, 3.0)), $"w".between(2.0, 3.0), expectSkip = false)
+    // un-stats'd column in preds → conservative keep-everything
+    val prAll = Sinks.readTableWhere(spark, dir, Map("nosuch" -> ((0L, 1L))))
+    assert(prAll.filesRead == prAll.filesTotal)
+    // zero survivors: empty frame, schema intact
+    val prNone = Sinks.readTableWhere(spark, dir, Map("k" -> (100000L, 200000L)))
+    assert(prNone.filesRead == 0 && prNone.df.count() == 0)
+    assert(prNone.df.columns.toSeq == Seq("k", "w", "tag"))
+    // compaction carries stats through merges WITHOUT rescanning:
+    // ranges stay exact, pruning still works, results still equal
+    val sizes = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("part-")).map(_.length)
+    val cs = Sinks.compactSnapshot(spark, dir, targetBytes = sizes.max * 4)
+    assert(cs.filesAfter < cs.filesBefore)
+    val v2 = Sinks.latestManifest(fs, new Path(dir)).get
+    val merged = Sinks.manifestEntries(fs, new Path(dir), v2)
+    assert(merged.forall(e => e.stats.keySet == Set("k", "w", "tag")),
+      "compaction dropped stats from a merged file")
+    // recompute ground truth per merged file and compare to carried stats
+    merged.foreach { e =>
+      val truth = Sinks.collectFileStats(spark, dir, Seq(e.name),
+        Seq("k", "w", "tag"))(e.name)
+      assert(truth == e.stats, s"carried stats for ${e.name} are not exact")
+    }
+    checkPrune(Map("k" -> (0L, 400L)), $"k".between(0L, 400L), expectSkip = true)
+  }
+
+  test("appendSnapshot + readTableChanges: exact ingest batches, atomic flip, rewrite commits refuse change capture") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("snapappend").toString + "/t"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi).select($"id".as("k"), ($"id" * 2).as("v"))
+    val v1 = Sinks.writeLayoutSnapshot(
+      batch(0, 1000).repartitionByRange(4, $"k").sortWithinPartitions("k"),
+      dir, statsCols = Seq("k"))
+    val v2 = Sinks.appendSnapshot(batch(1000, 1500), dir, statsCols = Seq("k"))
+    val v3 = Sinks.appendSnapshot(batch(1500, 1800), dir, statsCols = Seq("k"))
+    assert((v1, v2, v3) == (1L, 2L, 3L))
+    assert(Sinks.manifestKind(fs, new Path(dir), 2L).contains("append"))
+    // live read = union of all batches; time travel = each prefix
+    assert(Sinks.readTable(spark, dir).count() == 1800)
+    assert(Sinks.readTableAsOf(spark, dir, 1L).count() == 1000)
+    assert(Sinks.readTableAsOf(spark, dir, 2L).count() == 1500)
+    // change capture is row-exact per interval
+    def ks(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k").as[Long].collect().sorted.toSeq
+    assert(ks(Sinks.readTableChanges(spark, dir, 1L, 2L)) == (1000L until 1500L))
+    assert(ks(Sinks.readTableChanges(spark, dir, 2L, 3L)) == (1500L until 1800L))
+    assert(ks(Sinks.readTableChanges(spark, dir, 1L, 3L)) == (1000L until 1800L))
+    // appended files carry stats → pruning reaches them
+    val pr = Sinks.readTableWhere(spark, dir, Map("k" -> (1600L, 1700L)))
+    assert(pr.filesRead < pr.filesTotal)
+    assert(ks(pr.df.filter($"k".between(1600L, 1700L))) == (1600L to 1700L))
+    // a crash injected before the manifest flip leaves readers on the
+    // old snapshot with no phantom rows (staged files are unreferenced)
+    var fired = false
+    Sinks.fsOpHook = tag =>
+      if (tag.startsWith("manifest-commit")) { fired = true; throw new RuntimeException("injected crash") }
+    intercept[RuntimeException] { Sinks.appendSnapshot(batch(1800, 2000), dir) }
+    Sinks.fsOpHook = _ => ()
+    assert(fired, "append crash hook never fired")
+    assert(Sinks.latestManifest(fs, new Path(dir)).get == 3L)
+    assert(Sinks.readTable(spark, dir).count() == 1800)
+    // a compaction (rewrite) commit in the interval refuses change
+    // capture loudly instead of replaying rewritten rows as inserts
+    val sizes = new java.io.File(dir).listFiles
+      .filter(f => f.getName.startsWith("part-") || f.getName.startsWith("append-"))
+      .map(_.length)
+    val cs = Sinks.compactSnapshot(spark, dir, targetBytes = sizes.max * 8)
+    assert(cs.binsRewritten >= 1, "fixture should compact something")
+    val v4 = Sinks.latestManifest(fs, new Path(dir)).get
+    assert(Sinks.manifestKind(fs, new Path(dir), v4).contains("compact"))
+    intercept[IllegalArgumentException] {
+      Sinks.readTableChanges(spark, dir, 3L, v4)
+    }
+    // but intervals of pure appends before the rewrite still serve
+    assert(ks(Sinks.readTableChanges(spark, dir, 1L, 3L)) == (1000L until 1800L))
+    // and the crash residue (staged-but-uncommitted append files) is
+    // reclaimed by the vacuum sweep once it predates the live manifest
+    val residue = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("append-v4-")).map(_.getName).toSeq
+    assert(residue.nonEmpty, "expected staged residue from the injected crash")
+    Sinks.expireSnapshots(spark, dir, keep = 1)
+    residue.foreach(n => assert(!fs.exists(new Path(s"$dir/$n")),
+      s"vacuum left crash residue $n"))
+    assert(Sinks.readTable(spark, dir).count() == 1800)
+  }
+
   test("writeBranches: side output splits one pass into n sinks") {
     val dir = java.nio.file.Files.createTempDirectory("branches").toString
     Sinks.writeBranches(region, Seq(
