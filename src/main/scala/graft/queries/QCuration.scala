@@ -446,6 +446,56 @@ private[graft] object QCuration {
         |FROM documents WHERE n_chars % 2 = 1
         |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    Q("q_stream_snapshot",  // exactly-once streaming ingest into the
+      // snapshot table format: the corpus staged as 4 files consumed
+      // with maxFilesPerTrigger=1, each micro-batch committed by
+      // foreachBatch -> Sinks.appendSnapshotBatch (staged files + one
+      // atomic manifest rename carrying a #txn=appId:batchId header).
+      // Structured Streaming's foreachBatch is at-least-once — a crash
+      // between the data commit and the offset commit REPLAYS the
+      // batch — so after the stream drains, the replay is simulated
+      // outright: re-submitting the last batch id (with the full
+      // corpus as its payload, the worst case) must be a no-op. The
+      // oracle aggregates the whole source table, so a duplicated or
+      // dropped batch hash-mismatches; the final table also proves the
+      // bootstrap path (batch 0 creates manifest-v1 on an empty dir).
+      (s, dir) => {
+        val srcDir = Scratch.dir("stream-snap-src")
+        val cp = Scratch.dir("stream-snap-cp")
+        val tab = Scratch.dir("stream-snap-tab") + "/docs"
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        docs.repartition(4).write.mode("overwrite").parquet(srcDir)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        stream.writeStream
+          .foreachBatch { (b: DataFrame, bid: Long) =>
+            Sinks.appendSnapshotBatch(b, tab, "q_stream_snapshot", bid,
+              statsCols = Seq("doc_id")): Unit
+          }
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        // simulated offset-commit crash: replay the newest batch id
+        val (fs, tp) = (new org.apache.hadoop.fs.Path(tab)
+          .getFileSystem(s.sparkContext.hadoopConfiguration),
+          new org.apache.hadoop.fs.Path(tab))
+        val lastBid = Sinks.lastCommittedBatch(fs, tp, "q_stream_snapshot").get
+        val vBefore = Sinks.latestManifest(fs, tp).get
+        val vReplay = Sinks.appendSnapshotBatch(
+          docs, tab, "q_stream_snapshot", lastBid, statsCols = Seq("doc_id"))
+        require(vReplay == vBefore,
+          s"replayed batch $lastBid committed a new snapshot ($vBefore -> $vReplay)")
+        Sinks.readTable(s, tab)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      iterative = true),
+
     Q("q_corpus_stats",  // dataset-card profile per source shard
       (s, dir) => {
         val toks = TextOps.tokenize(col("text"))

@@ -663,7 +663,7 @@ object Sinks {
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path,
       expectedVersion: Long, entries: Seq[ManifestEntry],
-      kind: String): Long = {
+      kind: String, txn: Option[(String, Long)] = None): Long = {
     val next = expectedVersion + 1
     val target = new org.apache.hadoop.fs.Path(dir, s"manifest-v$next")
     require(!fs.exists(target),
@@ -672,9 +672,11 @@ object Sinks {
     val tmp = new org.apache.hadoop.fs.Path(dir,
       s".manifest-tmp-${java.util.UUID.randomUUID}")
     fsOpHook(s"manifest-write:$next")
+    val headers = s"#kind=$kind" +:
+      txn.toSeq.map { case (app, bid) => s"#txn=${enc(app)}:$bid" }
     val out = fs.create(tmp, false)
     try out.write(
-      (s"#kind=$kind" +: entries.map(serializeEntry)).mkString("", "\n", "\n")
+      (headers ++ entries.map(serializeEntry)).mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     fsOpHook(s"manifest-commit:$next")
@@ -900,12 +902,21 @@ object Sinks {
   def appendSnapshot(
       df: DataFrame, path: String,
       statsCols: Seq[String] = Seq.empty): Long = {
-    val spark = df.sparkSession
-    val (fs, dir) = fsFor(spark, path)
-    val v = latestManifest(fs, dir).getOrElse(
-      throw new IllegalArgumentException(
-        s"appendSnapshot: $path is not snapshot-managed — run initSnapshot first"))
-    val prior = manifestEntries(fs, dir, v)
+    val v = {
+      val (fs, dir) = fsFor(df.sparkSession, path)
+      latestManifest(fs, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"appendSnapshot: $path is not snapshot-managed — run initSnapshot first"))
+    }
+    appendCommit(df, path, v, statsCols, txn = None)
+  }
+
+  /** Stage `df`'s part files into the table dir under fresh
+    * collision-free `append-v{next}-{uuid}-p*` names — visible on disk
+    * but unreferenced by any manifest until a commit lists them. */
+  private def stageAppend(
+      df: DataFrame, fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, nextVersion: Long): Seq[String] = {
     val token = java.util.UUID.randomUUID.toString.take(8)
     val tmp = new org.apache.hadoop.fs.Path(dir, s".append-tmp-$token")
     writeColumnar(df, tmp.toString)
@@ -916,18 +927,69 @@ object Sinks {
       })
       .sortBy(_.getPath.getName)
     val named = parts.zipWithIndex.map { case (p, i) =>
-      val name = f"append-v${v + 1}-$token-p$i%05d.parquet"
+      val name = f"append-v$nextVersion-$token-p$i%05d.parquet"
       fsOpHook(s"append-stage:$name")
       require(fs.rename(p.getPath, new org.apache.hadoop.fs.Path(dir, name)),
         s"appendSnapshot: staging $name failed")
       name
     }
-    val stats = collectFileStats(spark, path, named, statsCols)
-    val committed = commitEntries(fs, dir, v,
-      prior ++ named.map(n => ManifestEntry(n, stats.getOrElse(n, Map.empty))),
-      kind = "append")
     fs.delete(tmp, true)
-    committed
+    named
+  }
+
+  private def appendCommit(
+      df: DataFrame, path: String, expectedVersion: Long,
+      statsCols: Seq[String], txn: Option[(String, Long)]): Long = {
+    val spark = df.sparkSession
+    val (fs, dir) = fsFor(spark, path)
+    val prior =
+      if (expectedVersion == 0L) Seq.empty
+      else manifestEntries(fs, dir, expectedVersion)
+    val named = stageAppend(df, fs, dir, expectedVersion + 1)
+    val stats = collectFileStats(spark, path, named, statsCols)
+    commitEntries(fs, dir, expectedVersion,
+      prior ++ named.map(n => ManifestEntry(n, stats.getOrElse(n, Map.empty))),
+      kind = "append", txn = txn)
+  }
+
+  /** The newest batch id a `#txn=appId:batchId` header records for
+    * `appId` across the RETAINED manifests — how
+    * [[appendSnapshotBatch]] recognizes a replayed micro-batch.
+    * Retention caveat (same as Delta's txn table): [[expireSnapshots]]
+    * discards expired manifests' headers, so keep retention longer
+    * than the longest possible stream-restart window. */
+  def lastCommittedBatch(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, appId: String): Option[Long] = {
+    val tag = s"#txn=${enc(appId)}:"
+    val bids = snapshotVersions(fs, dir).flatMap { v =>
+      manifestLines(fs, dir, v).find(_.startsWith(tag))
+        .map(_.stripPrefix(tag).toLong)
+    }
+    if (bids.isEmpty) None else Some(bids.max)
+  }
+
+  /** Exactly-once-effective streaming append — the `foreachBatch` sink
+    * for snapshot tables. Structured Streaming replays a micro-batch
+    * whose offsets did not commit (at-least-once), so the sink must
+    * deduplicate by (query, batchId): each commit records its
+    * `#txn=appId:batchId` header, and a call whose batchId is ≤ the
+    * newest recorded for this appId is a REPLAY — skipped entirely,
+    * returning the already-committed version. First call on an empty
+    * directory bootstraps the table (manifest-v1). Everything else is
+    * [[appendSnapshot]]: staged collision-free files + one atomic
+    * manifest rename, min/max ranges on `statsCols`, so the ingested
+    * table serves [[readTableWhere]] pruning and [[readTableChanges]]
+    * capture from the first batch on.
+    */
+  def appendSnapshotBatch(
+      df: DataFrame, path: String, appId: String, batchId: Long,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    val (fs, dir) = fsFor(df.sparkSession, path)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val v = latestManifest(fs, dir).getOrElse(0L)
+    if (lastCommittedBatch(fs, dir, appId).exists(_ >= batchId)) v
+    else appendCommit(df, path, v, statsCols, txn = Some((appId, batchId)))
   }
 
   /** Incremental (change-capture) read: exactly the rows committed

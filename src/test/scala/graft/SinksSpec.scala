@@ -525,6 +525,34 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.readTable(spark, dir).count() == 1800)
   }
 
+  test("appendSnapshotBatch: bootstraps on batch 0, replays are no-ops, interleaved appends don't confuse the txn ledger") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("snapbatch").toString + "/t"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi).select($"id".as("k"))
+    // batch 0 bootstraps an empty directory to manifest-v1
+    assert(Sinks.appendSnapshotBatch(batch(0, 100), dir, "appA", 0L) == 1L)
+    assert(Sinks.manifestKind(fs, new Path(dir), 1L).contains("append"))
+    assert(Sinks.lastCommittedBatch(fs, new Path(dir), "appA").contains(0L))
+    // batch 1 appends; a REPLAY of batch 1 (worst case: different,
+    // bigger payload — the rewritten attempt) is a no-op
+    assert(Sinks.appendSnapshotBatch(batch(100, 200), dir, "appA", 1L) == 2L)
+    assert(Sinks.appendSnapshotBatch(batch(0, 10000), dir, "appA", 1L) == 2L)
+    assert(Sinks.readTable(spark, dir).count() == 200)
+    // an out-of-band manual append (no txn) doesn't advance appA's
+    // ledger; appA's next batch still commits once
+    Sinks.appendSnapshot(batch(200, 250), dir)
+    assert(Sinks.lastCommittedBatch(fs, new Path(dir), "appA").contains(1L))
+    assert(Sinks.appendSnapshotBatch(batch(250, 300), dir, "appA", 2L) == 4L)
+    assert(Sinks.readTable(spark, dir).count() == 300)
+    // a second app keeps its own ledger
+    assert(Sinks.lastCommittedBatch(fs, new Path(dir), "appB").isEmpty)
+    assert(Sinks.appendSnapshotBatch(batch(300, 310), dir, "appB", 0L) == 5L)
+    assert(Sinks.lastCommittedBatch(fs, new Path(dir), "appA").contains(2L))
+    assert(Sinks.readTable(spark, dir).count() == 310)
+  }
+
   test("writeBranches: side output splits one pass into n sinks") {
     val dir = java.nio.file.Files.createTempDirectory("branches").toString
     Sinks.writeBranches(region, Seq(
