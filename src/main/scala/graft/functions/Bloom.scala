@@ -127,4 +127,21 @@ object Bloom {
         org.apache.spark.sql.GraftSqlBridge.toExpression(h1),
         org.apache.spark.sql.GraftSqlBridge.toExpression(h2),
         bits, k, mBits))
+
+  /** Driver-side probe over a collected bitset — the same
+    * Kirsch–Mitzenmacher loop as [[BloomMightContain]], for callers
+    * (manifest file pruning) that hold the bits locally and test ONE
+    * value, where planning a 1-row Spark job per probe would cost more
+    * than the answer. */
+  def mightContain(
+      bits: Array[Long], k: Int, mBits: Int, h1: Long, h2: Long): Boolean = {
+    val m = 1L << mBits
+    var i = 0
+    while (i < k) {
+      val pos = java.lang.Math.floorMod(h1 + i * h2, m)
+      if ((bits((pos >> 6).toInt) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
 }

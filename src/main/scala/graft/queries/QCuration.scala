@@ -446,6 +446,35 @@ private[graft] object QCuration {
         |FROM documents WHERE n_chars % 2 = 1
         |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    Q("q_snapshot_lookup",  // Bloom-sidecar point-lookup pruning: the
+      // documents snapshot is written HASH-partitioned (every file's
+      // doc_id range spans ~the whole domain, so min/max stats prune
+      // nothing for doc_id = v — the honest hard case), with a per-file
+      // Bloom sidecar on doc_id (xxhash64 Kirsch–Mitzenmacher, 2^20
+      // bits / k=5 → fpp < 1e-6 at these file cardinalities). The
+      // lookup prunes on the DRIVER from manifest + sidecars (m/8
+      // bytes each, no parquet footers); at 100 TB this is the
+      // needle-in-haystack path — open 1-2 files of 100k instead of
+      // all of them. The row values gate lookup correctness (a wrongly
+      // pruned file loses the row); the `pruned` flag gates that
+      // skipping actually happened.
+      (s, dir) => {
+        val out = Scratch.dir("snaplookup")
+        val tab = s"$out/docs"
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        Sinks.writeLayoutSnapshot(docs.repartition(8), tab,
+          bloom = Some(Sinks.BloomSpec(Seq("doc_id"))))
+        val pr = Sinks.readTableWhere(s, tab, Map.empty,
+          eq = Map("doc_id" -> 137L))
+        pr.df.filter(col("doc_id") === 137L)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("pruned", lit(pr.filesRead < pr.filesTotal))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars, true AS pruned
+        |FROM documents WHERE doc_id = 137 ORDER BY doc_id""".stripMargin)),
+
     Q("q_stream_snapshot",  // exactly-once streaming ingest into the
       // snapshot table format: the corpus staged as 4 files consumed
       // with maxFilesPerTrigger=1, each micro-batch committed by

@@ -563,9 +563,28 @@ object Sinks {
     }
   }
 
+  /** Pointer to a per-file Bloom sidecar: `file` (relative to the
+    * table dir) holds the m-bit Kirsch–Mitzenmacher bitset over one
+    * column's values of ONE data file — the point-lookup complement
+    * of [[ColRange]] stats (a range prunes nothing for `key = v` on a
+    * column the layout isn't sorted by; the bloom answers "provably
+    * absent from this file" in m/8 bytes read driver-side). Sidecars
+    * are referenced BY the manifest like data files — retention GC
+    * keeps them alive exactly as long as some manifest lists them. */
+  final case class BloomRef(file: String, mBits: Int, k: Int)
+
+  /** Bloom-sidecar build request for the snapshot writers: one filter
+    * per column in `cols` (integral or string), 2^mBits bits, k
+    * probes. fpp ≈ (1 − e^(−k·n/m))^k for n distinct values per data
+    * file — the default 2^20 bits / k=5 holds fpp < 1e-6 up to ~10k
+    * values per file and < 1% up to ~100k, at 128 KiB per sidecar. */
+  final case class BloomSpec(cols: Seq[String], mBits: Int = 20, k: Int = 5)
+
   /** One manifest line: a data file (name relative to the table dir)
-    * plus its optional per-column ranges. */
-  final case class ManifestEntry(name: String, stats: Map[String, ColRange])
+    * plus its optional per-column ranges and Bloom sidecar refs. */
+  final case class ManifestEntry(
+      name: String, stats: Map[String, ColRange],
+      blooms: Map[String, BloomRef] = Map.empty)
 
   private def enc(v: String): String =
     java.net.URLEncoder.encode(v, "UTF-8")
@@ -573,35 +592,51 @@ object Sinks {
     java.net.URLDecoder.decode(v, "UTF-8")
 
   /** Manifest line format (versioned by shape, backward compatible):
-    * `name` alone, or `name<TAB>col=K:encMin:encMax<TAB>…` where K is
-    * the [[ColRange]] kind and enc is URL-encoding (so values carry
-    * no tab/newline/colon). Lines starting with `#` are headers
-    * (`#kind=append|init|compact|replace`), skipped by the entry
-    * parser and read by [[manifestKind]].
+    * `name` alone, or `name<TAB>tok<TAB>…` where each tok is either a
+    * range stat `col=K:encMin:encMax` (K the [[ColRange]] kind) or a
+    * Bloom sidecar ref `col=B:mBits:k:encFile`; enc is URL-encoding
+    * (so values carry no tab/newline/colon). Lines starting with `#`
+    * are headers (`#kind=append|init|compact|replace`,
+    * `#txn=app:batch`), skipped by the entry parser and read by
+    * [[manifestKind]]/[[lastCommittedBatch]].
     */
   private def serializeEntry(e: ManifestEntry): String = {
     require(!e.name.contains('\t') && !e.name.contains('\n'),
       s"file name ${e.name} cannot be carried in a manifest line")
-    if (e.stats.isEmpty) e.name
-    else e.name + "\t" + e.stats.toSeq.sortBy(_._1).map { case (c, r) =>
+    def ckCol(c: String): String = {
       require(!c.contains('=') && !c.contains('\t'),
         s"column name $c cannot be carried in a manifest stat")
-      s"$c=${r.kind}:${enc(r.min)}:${enc(r.max)}"
-    }.mkString("\t")
+      c
+    }
+    val toks =
+      e.stats.toSeq.sortBy(_._1).map { case (c, r) =>
+        s"${ckCol(c)}=${r.kind}:${enc(r.min)}:${enc(r.max)}"
+      } ++ e.blooms.toSeq.sortBy(_._1).map { case (c, b) =>
+        s"${ckCol(c)}=B:${b.mBits}:${b.k}:${enc(b.file)}"
+      }
+    (e.name +: toks).mkString("\t")
   }
 
   private def parseEntry(line: String): ManifestEntry = {
     val toks = line.split('\t')
-    val stats = toks.tail.iterator.map { t =>
+    var stats = Map.empty[String, ColRange]
+    var blooms = Map.empty[String, BloomRef]
+    toks.tail.foreach { t =>
       val eq = t.indexOf('=')
       require(eq > 0, s"malformed manifest stat token '$t'")
       val col = t.substring(0, eq)
       val parts = t.substring(eq + 1).split(':')
-      require(parts.length == 3 && parts(0).length == 1,
-        s"malformed manifest stat token '$t'")
-      col -> ColRange(parts(0).charAt(0), dec(parts(1)), dec(parts(2)))
-    }.toMap
-    ManifestEntry(toks.head, stats)
+      parts(0) match {
+        case "B" =>
+          require(parts.length == 4, s"malformed manifest bloom token '$t'")
+          blooms += col -> BloomRef(dec(parts(3)), parts(1).toInt, parts(2).toInt)
+        case k if k.length == 1 && parts.length == 3 =>
+          stats += col -> ColRange(k.charAt(0), dec(parts(1)), dec(parts(2)))
+        case _ => throw new IllegalArgumentException(
+          s"malformed manifest stat token '$t'")
+      }
+    }
+    ManifestEntry(toks.head, stats, blooms)
   }
 
   private def manifestLines(
@@ -714,7 +749,8 @@ object Sinks {
     */
   def initSnapshot(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      bloom: Option[BloomSpec] = None): Long = {
     val (fs, dir) = fsFor(spark, path)
     require(latestManifest(fs, dir).isEmpty,
       s"initSnapshot: $path is already snapshot-managed")
@@ -726,8 +762,10 @@ object Sinks {
       .map(_.getPath.getName).sorted
     require(names.nonEmpty, s"initSnapshot: no data files under $path")
     val stats = collectFileStats(spark, path, names, statsCols)
+    val blooms = stageBlooms(spark, fs, dir, path, names, bloom)
     commitEntries(fs, dir, 0L,
-      names.map(n => ManifestEntry(n, stats.getOrElse(n, Map.empty))),
+      names.map(n => ManifestEntry(n, stats.getOrElse(n, Map.empty),
+        blooms.getOrElse(n, Map.empty))),
       kind = "init")
   }
 
@@ -777,6 +815,124 @@ object Sinks {
     }.toMap
   }
 
+  // ---- Bloom sidecars: point-lookup pruning ----------------------
+
+  /** The bloom hash family, shared between the build column and the
+    * driver-side probe: both Kirsch–Mitzenmacher base hashes are
+    * xxhash64 (seed 42, the `functions.xxhash64` default) of a
+    * distinguishing int tag and the value's STRING form — casting to
+    * string on the build side and `toString` on the probe side agree
+    * for the supported integral/string columns, which is what pins the
+    * two sides to identical bits. */
+  private def bloomHashExprs(c: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions.{lit, xxhash64}
+    (xxhash64(lit(1), c.cast("string")), xxhash64(lit(2), c.cast("string")))
+  }
+
+  private def bloomHashValue(tag: Int, v: Any): Long = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    XxHash64(Seq(Literal(tag), Literal(v.toString)), 42L)
+      .eval(InternalRow.empty).asInstanceOf[Long]
+  }
+
+  /** Sidecar naming: a DISTINCT `bloom-` prefix, never a suffix on the
+    * data file's name — a `part-*`-globbing reader or size scan must
+    * not mistake a 128 KiB bitset for a parquet file. */
+  private def bloomSidecarName(dataFile: String, col: String): String =
+    s"bloom-$col-$dataFile"
+
+  private val BloomMagic = 0x47424c31 // "GBL1"
+
+  private def writeBloomSidecar(
+      fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path,
+      name: String, mBits: Int, k: Int, bits: Array[Long]): Unit = {
+    fsOpHook(s"bloom-write:$name")
+    // overwrite = true: a sidecar at this name is residue of a crashed
+    // attempt at the same commit, same as compactSnapshot's staged files
+    val out = new java.io.DataOutputStream(
+      fs.create(new org.apache.hadoop.fs.Path(dir, name), true))
+    try {
+      out.writeInt(BloomMagic); out.writeInt(mBits); out.writeInt(k)
+      bits.foreach(out.writeLong)
+    } finally out.close()
+  }
+
+  private def readBloomSidecar(
+      fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path,
+      name: String): (Int, Int, Array[Long]) = {
+    val in = new java.io.DataInputStream(
+      fs.open(new org.apache.hadoop.fs.Path(dir, name)))
+    try {
+      require(in.readInt() == BloomMagic, s"$name is not a bloom sidecar")
+      val mBits = in.readInt(); val k = in.readInt()
+      val bits = Array.fill(1 << (mBits - 6))(in.readLong())
+      (mBits, k, bits)
+    } finally in.close()
+  }
+
+  /** Per-file Bloom bitsets over `spec.cols` for the given data files —
+    * ONE scan column-pruned to the bloom columns, each file's hashes
+    * OR-aggregated map-side into its m/64-long buffer
+    * ([[graft.functions.BloomBitsAgg]] under `functions.udaf`), so only
+    * files × m/8 bytes reach the driver. Files are processed in bounded
+    * groups to cap driver memory; at append scale (a micro-batch's few
+    * files) this is one small job. Supported column types: integral and
+    * string (the realistic point-lookup keys; the hash family needs a
+    * canonical string form both sides agree on).
+    */
+  def collectFileBlooms(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      names: Seq[String], spec: BloomSpec): Map[String, Map[String, Array[Long]]] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, udaf}
+    import org.apache.spark.sql.types._
+    if (spec.cols.isEmpty || names.isEmpty) return Map.empty
+    val probe = spark.read.parquet(names.map(n => s"$path/$n"): _*)
+    spec.cols.foreach { c =>
+      probe.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType => ()
+        case other => throw new IllegalArgumentException(
+          s"collectFileBlooms: unsupported bloom column type $other for $c " +
+            "(supported: integral, string)")
+      }
+    }
+    names.grouped(64).flatMap { group =>
+      val df = spark.read.parquet(group.map(n => s"$path/$n"): _*)
+      val aggs = spec.cols.map { c =>
+        val (h1, h2) = bloomHashExprs(col(c))
+        val u = udaf(new graft.functions.BloomBitsAgg(spec.k, spec.mBits))
+        u(h1, h2).as(s"__bloom_$c")
+      }
+      val rows = df.groupBy(input_file_name().as("__file"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      rows.map { r =>
+        val fname = r.getString(0).split('/').last
+        fname -> spec.cols.zipWithIndex.map { case (c, i) =>
+          c -> r.getSeq[Long](1 + i).toArray
+        }.toMap
+      }
+    }.toMap
+  }
+
+  /** Build + stage the sidecars for `names` and return the manifest
+    * refs to attach — shared by the snapshot writers. */
+  private def stageBlooms(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path,
+      path: String, names: Seq[String],
+      bloom: Option[BloomSpec]): Map[String, Map[String, BloomRef]] =
+    bloom match {
+      case None => Map.empty
+      case Some(spec) =>
+        collectFileBlooms(spark, path, names, spec).map { case (f, byCol) =>
+          f -> byCol.map { case (c, bits) =>
+            val sc = bloomSidecarName(f, c)
+            writeBloomSidecar(fs, dir, sc, spec.mBits, spec.k, bits)
+            c -> BloomRef(sc, spec.mBits, spec.k)
+          }
+        }
+    }
+
   /** Write a (layout) frame and bring it under snapshot management in
     * one step — the composition every z/Hilbert-ordered 100 TB table
     * should ship with: `writeLayoutSnapshot(hilbertLayout(df, …), p)`
@@ -786,9 +942,10 @@ object Sinks {
     * observe maintenance in progress. Returns the committed version.
     */
   def writeLayoutSnapshot(
-      df: DataFrame, path: String, statsCols: Seq[String] = Seq.empty): Long = {
+      df: DataFrame, path: String, statsCols: Seq[String] = Seq.empty,
+      bloom: Option[BloomSpec] = None): Long = {
     writeColumnar(df, path)
-    initSnapshot(df.sparkSession, path, statsCols)
+    initSnapshot(df.sparkSession, path, statsCols, bloom)
   }
 
   /** Snapshot-aware table read: resolve the newest manifest and read
@@ -857,16 +1014,32 @@ object Sinks {
     */
   def readTableWhere(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      preds: Map[String, (Any, Any)]): PruneResult = {
+      preds: Map[String, (Any, Any)],
+      eq: Map[String, Any] = Map.empty): PruneResult = {
     val (fs, dir) = fsFor(spark, path)
     val v = latestManifest(fs, dir).getOrElse(
       throw new IllegalArgumentException(
         s"readTableWhere: $path is not snapshot-managed — run initSnapshot " +
           "with statsCols first"))
     val entries = manifestEntries(fs, dir, v)
+    // point predicates pre-hash once; sidecars read at most once each
+    val eqHashes = eq.map { case (c, x) =>
+      c -> (x, bloomHashValue(1, x), bloomHashValue(2, x))
+    }
+    val sidecars =
+      scala.collection.mutable.Map.empty[String, (Int, Int, Array[Long])]
     val kept = entries.filter { e =>
       preds.forall { case (c, (lo, hi)) =>
         e.stats.get(c).forall(_.overlaps(lo, hi))
+      } && eqHashes.forall { case (c, (x, h1, h2)) =>
+        // a point lookup prunes through the range stat when present
+        // AND the Bloom sidecar when present — both conservative
+        e.stats.get(c).forall(_.overlaps(x, x)) &&
+          e.blooms.get(c).forall { ref =>
+            val (mBits, k, bits) =
+              sidecars.getOrElseUpdate(ref.file, readBloomSidecar(fs, dir, ref.file))
+            graft.functions.Bloom.mightContain(bits, k, mBits, h1, h2)
+          }
       }
     }
     val df =
@@ -901,14 +1074,15 @@ object Sinks {
     */
   def appendSnapshot(
       df: DataFrame, path: String,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      bloom: Option[BloomSpec] = None): Long = {
     val v = {
       val (fs, dir) = fsFor(df.sparkSession, path)
       latestManifest(fs, dir).getOrElse(
         throw new IllegalArgumentException(
           s"appendSnapshot: $path is not snapshot-managed — run initSnapshot first"))
     }
-    appendCommit(df, path, v, statsCols, txn = None)
+    appendCommit(df, path, v, statsCols, bloom, txn = None)
   }
 
   /** Stage `df`'s part files into the table dir under fresh
@@ -939,7 +1113,8 @@ object Sinks {
 
   private def appendCommit(
       df: DataFrame, path: String, expectedVersion: Long,
-      statsCols: Seq[String], txn: Option[(String, Long)]): Long = {
+      statsCols: Seq[String], bloom: Option[BloomSpec],
+      txn: Option[(String, Long)]): Long = {
     val spark = df.sparkSession
     val (fs, dir) = fsFor(spark, path)
     val prior =
@@ -947,8 +1122,10 @@ object Sinks {
       else manifestEntries(fs, dir, expectedVersion)
     val named = stageAppend(df, fs, dir, expectedVersion + 1)
     val stats = collectFileStats(spark, path, named, statsCols)
+    val blooms = stageBlooms(spark, fs, dir, path, named, bloom)
     commitEntries(fs, dir, expectedVersion,
-      prior ++ named.map(n => ManifestEntry(n, stats.getOrElse(n, Map.empty))),
+      prior ++ named.map(n => ManifestEntry(n, stats.getOrElse(n, Map.empty),
+        blooms.getOrElse(n, Map.empty))),
       kind = "append", txn = txn)
   }
 
@@ -984,12 +1161,13 @@ object Sinks {
     */
   def appendSnapshotBatch(
       df: DataFrame, path: String, appId: String, batchId: Long,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      bloom: Option[BloomSpec] = None): Long = {
     val (fs, dir) = fsFor(df.sparkSession, path)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val v = latestManifest(fs, dir).getOrElse(0L)
     if (lastCommittedBatch(fs, dir, appId).exists(_ >= batchId)) v
-    else appendCommit(df, path, v, statsCols, txn = Some((appId, batchId)))
+    else appendCommit(df, path, v, statsCols, bloom, txn = Some((appId, batchId)))
   }
 
   /** Incremental (change-capture) read: exactly the rows committed
@@ -1055,8 +1233,13 @@ object Sinks {
     val versions = snapshotVersions(fs, dir)
     val survivors = versions.takeRight(keep)
     val expired = versions.dropRight(keep)
-    val live = survivors.flatMap(v => manifestFiles(fs, dir, v)).toSet
-    val dead = expired.flatMap(v => manifestFiles(fs, dir, v)).toSet -- live
+    // a manifest references its data files AND their bloom sidecars —
+    // both live and die with the manifests that list them
+    def referenced(v: Long): Seq[String] =
+      manifestEntries(fs, dir, v).flatMap(e =>
+        e.name +: e.blooms.values.map(_.file).toSeq)
+    val live = survivors.flatMap(referenced).toSet
+    val dead = expired.flatMap(referenced).toSet -- live
     expired.foreach { v =>
       fsOpHook(s"expire-manifest:$v")
       require(fs.delete(new org.apache.hadoop.fs.Path(dir, s"manifest-v$v"), false),
@@ -1161,7 +1344,28 @@ object Sinks {
               acc.flatMap(_.union(e._1.stats(c)))
             }.map(c -> _)
           }.toMap
-          ManifestEntry(name, stats)
+          // bloom sidecars merge the same way: OR of the sources' bit
+          // arrays IS the filter over the union (the aggregator's own
+          // merge op) — provided every source filtered this column
+          // with identical (mBits, k); otherwise drop, conservative
+          val bloomShared = bin.map(_._1.blooms.keySet).reduce(_ intersect _)
+          val blooms = bloomShared.toSeq.flatMap { c =>
+            val refs = bin.map(_._1.blooms(c))
+            val (m0, k0) = (refs.head.mBits, refs.head.k)
+            if (!refs.forall(r => r.mBits == m0 && r.k == k0)) None
+            else {
+              val acc = new Array[Long](1 << (m0 - 6))
+              refs.foreach { r =>
+                val (_, _, bits) = readBloomSidecar(fs, dir, r.file)
+                var i = 0
+                while (i < acc.length) { acc(i) |= bits(i); i += 1 }
+              }
+              val sc = bloomSidecarName(name, c)
+              writeBloomSidecar(fs, dir, sc, m0, k0, acc)
+              Some(c -> BloomRef(sc, m0, k0))
+            }
+          }.toMap
+          ManifestEntry(name, stats, blooms)
       }
     }
     val newFiles = newEntries.map(_.name)

@@ -553,6 +553,72 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.readTable(spark, dir).count() == 310)
   }
 
+  test("bloom sidecars: point lookups prune hash-laid files range stats cannot, merge exactly through compaction, die with their manifests") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("snapbloom").toString + "/t"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // HASH layout: every file's k-range spans ~the whole domain, so
+    // range stats are useless for `k = v` — exactly the bloom's case
+    val df = spark.range(4096)
+      .select($"id".as("k"), concat(lit("s"), format_string("%05d", $"id")).as("tag"))
+      .repartition(16)
+    assert(Sinks.writeLayoutSnapshot(df, dir, statsCols = Seq("k"),
+      bloom = Some(Sinks.BloomSpec(Seq("k", "tag")))) == 1L)
+    val entries = Sinks.manifestEntries(fs, new Path(dir), 1L)
+    assert(entries.forall(e => e.blooms.keySet == Set("k", "tag")))
+    entries.flatMap(_.blooms.values).foreach(r =>
+      assert(fs.exists(new Path(s"$dir/${r.file}")), s"missing sidecar ${r.file}"))
+    // control: on the hash layout most files' ranges straddle any
+    // point, so the range stat alone keeps most of them
+    val prRange = Sinks.readTableWhere(spark, dir, Map("k" -> ((17L, 17L))))
+    assert(prRange.filesRead > prRange.filesTotal / 2,
+      "hash layout should mostly defeat range pruning (fixture assumption)")
+    // the bloom prunes to (almost) only the holding file
+    def lookup(eq: Map[String, Any]) = Sinks.readTableWhere(spark, dir, Map.empty, eq)
+    val hit = lookup(Map("k" -> 17L))
+    assert(hit.filesRead < hit.filesTotal / 2,
+      s"bloom pruned nothing: ${hit.filesRead}/${hit.filesTotal}")
+    assert(hit.df.filter($"k" === 17L).count() == 1)
+    val hitS = lookup(Map("tag" -> "s00042"))
+    assert(hitS.filesRead < hitS.filesTotal / 2)
+    assert(hitS.df.filter($"tag" === "s00042").select($"k").as[Long].head() == 42L)
+    // a key absent from the table: every file provably excluded
+    assert(lookup(Map("k" -> 999999L)).filesRead == 0)
+    // appended files carry their own sidecars
+    val v2 = Sinks.appendSnapshotBatch(
+      spark.range(10000, 10500).select($"id".as("k"),
+        concat(lit("s"), format_string("%05d", $"id")).as("tag")),
+      dir, "bloomApp", 0L, bloom = Some(Sinks.BloomSpec(Seq("k", "tag"))))
+    assert(v2 == 2L)
+    val hitNew = lookup(Map("k" -> 10250L))
+    assert(hitNew.filesRead < hitNew.filesTotal)
+    assert(hitNew.df.filter($"k" === 10250L).count() == 1)
+    // compaction ORs the sources' bitsets — lookups stay exact and
+    // still prune afterwards
+    val sizes = new java.io.File(dir).listFiles
+      .filter(f => f.getName.startsWith("part-")).map(_.length)
+    val cs = Sinks.compactSnapshot(spark, dir, targetBytes = sizes.max * 4)
+    assert(cs.binsRewritten >= 1)
+    val v3 = Sinks.latestManifest(fs, new Path(dir)).get
+    val merged = Sinks.manifestEntries(fs, new Path(dir), v3)
+    assert(merged.forall(_.blooms.keySet == Set("k", "tag")),
+      "compaction dropped a bloom")
+    val hit2 = lookup(Map("k" -> 17L))
+    assert(hit2.df.filter($"k" === 17L).count() == 1)
+    assert(hit2.filesRead < hit2.filesTotal)
+    assert(lookup(Map("k" -> 999999L)).filesRead == 0)
+    // retention GC deletes expired manifests' sidecars, keeps live ones
+    val deadSidecars = entries.flatMap(_.blooms.values.map(_.file))
+      .filterNot(merged.flatMap(_.blooms.values.map(_.file)).toSet)
+    assert(deadSidecars.nonEmpty)
+    Sinks.expireSnapshots(spark, dir, keep = 1)
+    deadSidecars.foreach(n => assert(!fs.exists(new Path(s"$dir/$n")),
+      s"expired sidecar $n survived GC"))
+    merged.flatMap(_.blooms.values.map(_.file)).foreach(n =>
+      assert(fs.exists(new Path(s"$dir/$n")), s"live sidecar $n was GC'd"))
+    assert(lookup(Map("k" -> 17L)).df.filter($"k" === 17L).count() == 1)
+  }
+
   test("writeBranches: side output splits one pass into n sinks") {
     val dir = java.nio.file.Files.createTempDirectory("branches").toString
     Sinks.writeBranches(region, Seq(
