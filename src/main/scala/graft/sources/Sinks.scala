@@ -392,10 +392,7 @@ object Sinks {
     if (latestManifest(fs, dir).isDefined)
       return compactSnapshot(spark, path, targetBytes, parallelism)
     val files = fs.listStatus(dir).toSeq
-      .filter(st => st.isFile && {
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      })
+      .filter(st => st.isFile && isDataFile(st.getPath.getName))
       .sortBy(_.getPath.getName)
     val bytesBefore = files.map(_.getLen).sum
     val toMerge = packBins[org.apache.hadoop.fs.FileStatus](
@@ -447,10 +444,8 @@ object Sinks {
       }
       fs.delete(tmp, true)
     }
-    val after = fs.listStatus(dir).toSeq.filter(st => st.isFile && {
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    })
+    val after = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && isDataFile(st.getPath.getName))
     CompactStats(files.size, after.size, bytesBefore,
       after.map(_.getLen).sum, toMerge.size)
   }
@@ -470,6 +465,15 @@ object Sinks {
   private[graft] var fsOpHook: String => Unit = _ => ()
 
   private val ManifestName = "manifest-v([0-9]+)".r
+
+  /** Visible DATA files only: dot/underscore temporaries, manifests,
+    * and bloom sidecars are table metadata — a listing that feeds a
+    * parquet reader or a manifest's file list must never pick them up
+    * (a crashed init retry once listed a staged `bloom-*` sidecar as
+    * data; review r17). */
+  private def isDataFile(n: String): Boolean =
+    !n.startsWith("_") && !n.startsWith(".") && !n.startsWith("bloom-") &&
+      !ManifestName.pattern.matcher(n).matches()
 
   private def fsFor(
       spark: org.apache.spark.sql.SparkSession, path: String) = {
@@ -504,17 +508,9 @@ object Sinks {
     * values in canonical string form.
     */
   final case class ColRange(kind: Char, min: String, max: String) {
-    private def utf8Cmp(a: String, b: String): Int = {
-      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var i = 0
-      while (i < x.length && i < y.length) {
-        val c = (x(i) & 0xff) - (y(i) & 0xff)
-        if (c != 0) return c
-        i += 1
-      }
-      x.length - y.length
-    }
+    private def utf8Cmp(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
     private def asL(v: Any): Long = v match {
       case n: Long => n
       case n: Int => n.toLong
@@ -625,7 +621,10 @@ object Sinks {
       val eq = t.indexOf('=')
       require(eq > 0, s"malformed manifest stat token '$t'")
       val col = t.substring(0, eq)
-      val parts = t.substring(eq + 1).split(':')
+      // limit -1: split must KEEP trailing empty fields — enc("") is
+      // empty, so a string stat over empty values serializes as
+      // 'col=S::' and the default split would drop both bounds
+      val parts = t.substring(eq + 1).split(":", -1)
       parts(0) match {
         case "B" =>
           require(parts.length == 4, s"malformed manifest bloom token '$t'")
@@ -755,14 +754,11 @@ object Sinks {
     require(latestManifest(fs, dir).isEmpty,
       s"initSnapshot: $path is already snapshot-managed")
     val names = fs.listStatus(dir).toSeq
-      .filter(st => st.isFile && {
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      })
+      .filter(st => st.isFile && isDataFile(st.getPath.getName))
       .map(_.getPath.getName).sorted
     require(names.nonEmpty, s"initSnapshot: no data files under $path")
-    val stats = collectFileStats(spark, path, names, statsCols)
-    val blooms = stageBlooms(spark, fs, dir, path, names, bloom)
+    val (stats, bloomBits) = collectFileMeta(spark, path, names, statsCols, bloom)
+    val blooms = stageBlooms(fs, dir, bloomBits, bloom)
     commitEntries(fs, dir, 0L,
       names.map(n => ManifestEntry(n, stats.getOrElse(n, Map.empty),
         blooms.getOrElse(n, Map.empty))),
@@ -781,13 +777,28 @@ object Sinks {
     */
   def collectFileStats(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      names: Seq[String], cols: Seq[String]): Map[String, Map[String, ColRange]] = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+      names: Seq[String], cols: Seq[String]): Map[String, Map[String, ColRange]] =
+    collectFileMeta(spark, path, names, cols, None)._1
+
+  /** One pass for everything a manifest entry records about a file:
+    * min/max ranges on `statsCols` AND bloom bitsets on `bloom.cols`,
+    * from a SINGLE job grouped by `input_file_name` (a separate scan
+    * per family would read the freshly staged data twice per append;
+    * review r17). Files are processed in bounded groups to cap driver
+    * memory (each file's bloom is m/8 bytes on the wire).
+    */
+  private def collectFileMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      names: Seq[String], statsCols: Seq[String], bloom: Option[BloomSpec]):
+      (Map[String, Map[String, ColRange]], Map[String, Map[String, Array[Long]]]) = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min, udaf}
     import org.apache.spark.sql.types._
-    if (cols.isEmpty || names.isEmpty) return Map.empty
-    val df = spark.read.parquet(names.map(n => s"$path/$n"): _*)
-    val kinds: Seq[(String, Char)] = cols.map { c =>
-      val k = df.schema(c).dataType match {
+    val bloomCols = bloom.map(_.cols).getOrElse(Seq.empty)
+    if ((statsCols.isEmpty && bloomCols.isEmpty) || names.isEmpty)
+      return (Map.empty, Map.empty)
+    val probe = spark.read.parquet(names.map(n => s"$path/$n"): _*)
+    val kinds: Seq[(String, Char)] = statsCols.map { c =>
+      val k = probe.schema(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType => 'L'
         case FloatType | DoubleType => 'D'
         case StringType => 'S'
@@ -797,22 +808,44 @@ object Sinks {
       }
       c -> k
     }
-    val aggs = kinds.flatMap { case (c, k) =>
+    bloomCols.foreach { c =>
+      probe.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType => ()
+        case other => throw new IllegalArgumentException(
+          s"collectFileBlooms: unsupported bloom column type $other for $c " +
+            "(supported: integral, string)")
+      }
+    }
+    val statAggs = kinds.flatMap { case (c, k) =>
       val base = if (k == 'D') col(c).cast("double") else col(c)
       Seq(min(base).as(s"__min_$c"), max(base).as(s"__max_$c"))
     }
-    val rows = df.groupBy(input_file_name().as("__file"))
-      .agg(aggs.head, aggs.tail: _*).collect()
-    rows.map { r =>
-      val fname = r.getString(0).split('/').last
-      val ranges = kinds.zipWithIndex.flatMap { case ((c, k), i) =>
-        val mn = r.get(1 + 2 * i)
-        val mx = r.get(2 + 2 * i)
-        if (mn == null || mx == null) None
-        else Some(c -> ColRange(k, mn.toString, mx.toString))
-      }.toMap
-      fname -> ranges
-    }.toMap
+    val bloomAggs = bloomCols.map { c =>
+      val (h1, h2) = bloomHashExprs(col(c))
+      val u = udaf(new graft.functions.BloomBitsAgg(bloom.get.k, bloom.get.mBits))
+      u(h1, h2).as(s"__bloom_$c")
+    }
+    val aggs = statAggs ++ bloomAggs
+    val stats = scala.collection.mutable.Map.empty[String, Map[String, ColRange]]
+    val blooms = scala.collection.mutable.Map.empty[String, Map[String, Array[Long]]]
+    names.grouped(64).foreach { group =>
+      val df = spark.read.parquet(group.map(n => s"$path/$n"): _*)
+      val rows = df.groupBy(input_file_name().as("__file"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      rows.foreach { r =>
+        val fname = r.getString(0).split('/').last
+        stats += fname -> kinds.zipWithIndex.flatMap { case ((c, k), i) =>
+          val mn = r.get(1 + 2 * i)
+          val mx = r.get(2 + 2 * i)
+          if (mn == null || mx == null) None
+          else Some(c -> ColRange(k, mn.toString, mx.toString))
+        }.toMap
+        blooms += fname -> bloomCols.zipWithIndex.map { case (c, i) =>
+          c -> r.getSeq[Long](1 + 2 * kinds.size + i).toArray
+        }.toMap
+      }
+    }
+    (stats.toMap, blooms.toMap)
   }
 
   // ---- Bloom sidecars: point-lookup pruning ----------------------
@@ -871,6 +904,32 @@ object Sinks {
     } finally in.close()
   }
 
+  /** Process-wide decoded-sidecar LRU so repeated point lookups pay the
+    * FS read once per sidecar, not once per call (review r17). Safe to
+    * cache by name: append sidecars embed a UUID (never reused) and a
+    * compaction crash-retry rewrites the same name with byte-identical
+    * contents (deterministic OR of the same sources). 256 entries
+    * ≈ 32 MiB at the default 2^20 bits. */
+  private val sidecarCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (Int, Int, Array[Long])](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Int, Int, Array[Long])]): Boolean =
+        size() > 256
+    })
+
+  private def readBloomSidecarCached(
+      fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path,
+      name: String): (Int, Int, Array[Long]) = {
+    val key = s"${fs.makeQualified(dir)}/$name"
+    val hit = sidecarCache.get(key)
+    if (hit != null) hit
+    else {
+      val v = readBloomSidecar(fs, dir, name)
+      sidecarCache.put(key, v)
+      v
+    }
+  }
+
   /** Per-file Bloom bitsets over `spec.cols` for the given data files —
     * ONE scan column-pruned to the bloom columns, each file's hashes
     * OR-aggregated map-side into its m/64-long buffer
@@ -883,48 +942,19 @@ object Sinks {
     */
   def collectFileBlooms(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      names: Seq[String], spec: BloomSpec): Map[String, Map[String, Array[Long]]] = {
-    import org.apache.spark.sql.functions.{col, input_file_name, udaf}
-    import org.apache.spark.sql.types._
-    if (spec.cols.isEmpty || names.isEmpty) return Map.empty
-    val probe = spark.read.parquet(names.map(n => s"$path/$n"): _*)
-    spec.cols.foreach { c =>
-      probe.schema(c).dataType match {
-        case ByteType | ShortType | IntegerType | LongType | StringType => ()
-        case other => throw new IllegalArgumentException(
-          s"collectFileBlooms: unsupported bloom column type $other for $c " +
-            "(supported: integral, string)")
-      }
-    }
-    names.grouped(64).flatMap { group =>
-      val df = spark.read.parquet(group.map(n => s"$path/$n"): _*)
-      val aggs = spec.cols.map { c =>
-        val (h1, h2) = bloomHashExprs(col(c))
-        val u = udaf(new graft.functions.BloomBitsAgg(spec.k, spec.mBits))
-        u(h1, h2).as(s"__bloom_$c")
-      }
-      val rows = df.groupBy(input_file_name().as("__file"))
-        .agg(aggs.head, aggs.tail: _*).collect()
-      rows.map { r =>
-        val fname = r.getString(0).split('/').last
-        fname -> spec.cols.zipWithIndex.map { case (c, i) =>
-          c -> r.getSeq[Long](1 + i).toArray
-        }.toMap
-      }
-    }.toMap
-  }
+      names: Seq[String], spec: BloomSpec): Map[String, Map[String, Array[Long]]] =
+    collectFileMeta(spark, path, names, Seq.empty, Some(spec))._2
 
-  /** Build + stage the sidecars for `names` and return the manifest
-    * refs to attach — shared by the snapshot writers. */
+  /** Stage the sidecars for pre-collected per-file bitsets and return
+    * the manifest refs to attach — shared by the snapshot writers. */
   private def stageBlooms(
-      spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path,
-      path: String, names: Seq[String],
+      byFile: Map[String, Map[String, Array[Long]]],
       bloom: Option[BloomSpec]): Map[String, Map[String, BloomRef]] =
     bloom match {
       case None => Map.empty
       case Some(spec) =>
-        collectFileBlooms(spark, path, names, spec).map { case (f, byCol) =>
+        byFile.map { case (f, byCol) =>
           f -> byCol.map { case (c, bits) =>
             val sc = bloomSidecarName(f, c)
             writeBloomSidecar(fs, dir, sc, spec.mBits, spec.k, bits)
@@ -1022,12 +1052,20 @@ object Sinks {
         s"readTableWhere: $path is not snapshot-managed — run initSnapshot " +
           "with statsCols first"))
     val entries = manifestEntries(fs, dir, v)
-    // point predicates pre-hash once; sidecars read at most once each
+    // point predicates pre-hash once; sidecars read at most once each.
+    // Only integral/string probe values are accepted — the hash family
+    // is defined over the value's canonical string form, and e.g. a
+    // Double probe of a bigint column ("137.0" vs "137") would silently
+    // exclude every file instead of failing (review r17)
     val eqHashes = eq.map { case (c, x) =>
+      x match {
+        case _: Long | _: Int | _: Short | _: Byte | _: String => ()
+        case other => throw new IllegalArgumentException(
+          s"readTableWhere: eq probe for $c must be integral or string " +
+            s"(the bloom hash domain), got $other (${other.getClass.getName})")
+      }
       c -> (x, bloomHashValue(1, x), bloomHashValue(2, x))
     }
-    val sidecars =
-      scala.collection.mutable.Map.empty[String, (Int, Int, Array[Long])]
     val kept = entries.filter { e =>
       preds.forall { case (c, (lo, hi)) =>
         e.stats.get(c).forall(_.overlaps(lo, hi))
@@ -1036,8 +1074,7 @@ object Sinks {
         // AND the Bloom sidecar when present — both conservative
         e.stats.get(c).forall(_.overlaps(x, x)) &&
           e.blooms.get(c).forall { ref =>
-            val (mBits, k, bits) =
-              sidecars.getOrElseUpdate(ref.file, readBloomSidecar(fs, dir, ref.file))
+            val (mBits, k, bits) = readBloomSidecarCached(fs, dir, ref.file)
             graft.functions.Bloom.mightContain(bits, k, mBits, h1, h2)
           }
       }
@@ -1095,10 +1132,7 @@ object Sinks {
     val tmp = new org.apache.hadoop.fs.Path(dir, s".append-tmp-$token")
     writeColumnar(df, tmp.toString)
     val parts = fs.listStatus(tmp).toSeq
-      .filter(st => st.isFile && {
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      })
+      .filter(st => st.isFile && isDataFile(st.getPath.getName))
       .sortBy(_.getPath.getName)
     val named = parts.zipWithIndex.map { case (p, i) =>
       val name = f"append-v$nextVersion-$token-p$i%05d.parquet"
@@ -1121,8 +1155,8 @@ object Sinks {
       if (expectedVersion == 0L) Seq.empty
       else manifestEntries(fs, dir, expectedVersion)
     val named = stageAppend(df, fs, dir, expectedVersion + 1)
-    val stats = collectFileStats(spark, path, named, statsCols)
-    val blooms = stageBlooms(spark, fs, dir, path, named, bloom)
+    val (stats, bloomBits) = collectFileMeta(spark, path, named, statsCols, bloom)
+    val blooms = stageBlooms(fs, dir, bloomBits, bloom)
     commitEntries(fs, dir, expectedVersion,
       prior ++ named.map(n => ManifestEntry(n, stats.getOrElse(n, Map.empty),
         blooms.getOrElse(n, Map.empty))),
@@ -1139,11 +1173,14 @@ object Sinks {
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, appId: String): Option[Long] = {
     val tag = s"#txn=${enc(appId)}:"
-    val bids = snapshotVersions(fs, dir).flatMap { v =>
-      manifestLines(fs, dir, v).find(_.startsWith(tag))
-        .map(_.stripPrefix(tag).toLong)
-    }
-    if (bids.isEmpty) None else Some(bids.max)
+    // bids are monotone per app in version order (a replayed bid never
+    // commits), so the newest manifest carrying this app's tag holds
+    // the max — scan newest-first and STOP there, instead of paying
+    // O(retained versions × manifest size) driver I/O on every
+    // micro-batch of a long-retention stream (review r17)
+    snapshotVersions(fs, dir).reverseIterator
+      .map(v => manifestLines(fs, dir, v).find(_.startsWith(tag)))
+      .collectFirst { case Some(l) => l.stripPrefix(tag).toLong }
   }
 
   /** Exactly-once-effective streaming append — the `foreachBatch` sink
@@ -1165,7 +1202,24 @@ object Sinks {
       bloom: Option[BloomSpec] = None): Long = {
     val (fs, dir) = fsFor(df.sparkSession, path)
     if (!fs.exists(dir)) fs.mkdirs(dir)
-    val v = latestManifest(fs, dir).getOrElse(0L)
+    val v = latestManifest(fs, dir) match {
+      case Some(ver) => ver
+      case None =>
+        // bootstrap is for an EMPTY directory only: committing
+        // manifest-v1 over pre-existing plain parquet files would
+        // orphan them out of every snapshot read and a later vacuum
+        // would delete them for good (review r17) — an existing table
+        // must opt in through initSnapshot. The protocol's own staged
+        // residue (`append-v*` files a crashed first batch left
+        // uncommitted) is exempt: it was never visible to any reader.
+        require(!fs.listStatus(dir).exists(st =>
+          st.isFile && isDataFile(st.getPath.getName) &&
+            !st.getPath.getName.startsWith("append-v")),
+          s"appendSnapshotBatch: $path holds data but no manifest — run " +
+            "initSnapshot first (bootstrapping over it would orphan the " +
+            "existing files)")
+        0L
+    }
     if (lastCommittedBatch(fs, dir, appId).exists(_ >= batchId)) v
     else appendCommit(df, path, v, statsCols, bloom, txn = Some((appId, batchId)))
   }

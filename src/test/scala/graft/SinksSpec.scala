@@ -461,6 +461,15 @@ class SinksSpec extends AnyFunSuite {
       assert(truth == e.stats, s"carried stats for ${e.name} are not exact")
     }
     checkPrune(Map("k" -> (0L, 400L)), $"k".between(0L, 400L), expectSkip = true)
+    // manifest round-trip of the degenerate string stat: empty-string
+    // bounds serialize as 'col=S::' whose trailing empty fields a
+    // default split would drop (review r17)
+    val degenerate = Seq(Sinks.ManifestEntry("f0.parquet",
+      Map("tag" -> Sinks.ColRange('S', "", ""))))
+    val scratch = new Path(
+      java.nio.file.Files.createTempDirectory("manifestrt").toString)
+    Sinks.commitEntries(fs, scratch, 0L, degenerate, kind = "init")
+    assert(Sinks.manifestEntries(fs, scratch, 1L) == degenerate)
   }
 
   test("appendSnapshot + readTableChanges: exact ingest batches, atomic flip, rewrite commits refuse change capture") {
@@ -551,6 +560,15 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.appendSnapshotBatch(batch(300, 310), dir, "appB", 0L) == 5L)
     assert(Sinks.lastCommittedBatch(fs, new Path(dir), "appA").contains(2L))
     assert(Sinks.readTable(spark, dir).count() == 310)
+    // bootstrap refuses a directory that holds UN-snapshotted data —
+    // committing manifest-v1 over it would orphan those files into
+    // vacuum-bait (review r17)
+    val plain = java.nio.file.Files.createTempDirectory("snapplain").toString + "/t"
+    Sinks.writeColumnar(batch(0, 50), plain)
+    intercept[IllegalArgumentException] {
+      Sinks.appendSnapshotBatch(batch(50, 60), plain, "appC", 0L)
+    }
+    assert(spark.read.parquet(plain).count() == 50, "guard must not mutate")
   }
 
   test("bloom sidecars: point lookups prune hash-laid files range stats cannot, merge exactly through compaction, die with their manifests") {
@@ -584,6 +602,10 @@ class SinksSpec extends AnyFunSuite {
     assert(hitS.df.filter($"tag" === "s00042").select($"k").as[Long].head() == 42L)
     // a key absent from the table: every file provably excluded
     assert(lookup(Map("k" -> 999999L)).filesRead == 0)
+    // a probe value outside the hash domain fails LOUDLY — a Double's
+    // "17.0" vs the build side's "17" would otherwise silently prune
+    // every file (review r17)
+    intercept[IllegalArgumentException] { lookup(Map("k" -> 17.0)) }
     // appended files carry their own sidecars
     val v2 = Sinks.appendSnapshotBatch(
       spark.range(10000, 10500).select($"id".as("k"),
