@@ -63,6 +63,12 @@ object Substrates {
       ((s: SparkSession, d: String) => Similarity.cellMatches(
         Tables.table(s, d, "embeddings"), "vec_id", "embedding", Some("label"),
         QShared.fixedCentroidArr(s, d), nprobe = 5, scale = 4)),
+    "substrate:lang_model" ->
+      // the trained multiclass NB language model (fixture → bootstrap
+      // labels → train): q_lang_clf + q_stream_lang_clf (r17; the
+      // stream twin previously re-ran the whole training and measured
+      // 14.8 s — the eigenbasis first-consumer-pays pattern again)
+      ((s: SparkSession, d: String) => QSimText.langModelCombined(s, d)),
     "substrate:eigenbasis" ->
       ((s: SparkSession, d: String) => {
         val (dim, _, basis) = Similarity.topPBasis(

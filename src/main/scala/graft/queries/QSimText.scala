@@ -852,10 +852,7 @@ private[graft] object QSimText {
       // single-agg argmax min(struct(−t9, cls)); nothing collected.
       (s, dir) => {
         val fx = langClfFixture(s, dir)
-        val lab = fx.filter(col("boot") =!= "und")
-          .select(col("doc_id"), col("boot"), col("grams"))
-        val (model, priors) =
-          TextStats.nbMulticlassModel9(lab, "grams", "boot", maxVocab = 300)
+        val (model, priors) = langModel9(s, dir)
         TextStats.nbClassifyMulticlass(fx, "doc_id", "grams", model, priors)
           .join(fx.select(col("doc_id"), col("boot")), Seq("doc_id"))
           .select(col("doc_id"), col("boot"), col("lang_pred"), col("logit"))
@@ -873,11 +870,7 @@ private[graft] object QSimText {
       // stream sink directly. Overwrite-by-batchId keeps the
       // at-least-once sink exactly-once effective.
       (s, dir) => {
-        val fxStatic = langClfFixture(s, dir)
-        val lab = fxStatic.filter(col("boot") =!= "und")
-          .select(col("doc_id"), col("boot"), col("grams"))
-        val (model, priors) =
-          TextStats.nbMulticlassModel9(lab, "grams", "boot", maxVocab = 300)
+        val (model, priors) = langModel9(s, dir)
         val modelDir = Scratch.dir("stream-lang-model")
         val priorDir = Scratch.dir("stream-lang-prior")
         model.write.mode("overwrite").parquet(modelDir)
@@ -895,10 +888,15 @@ private[graft] object QSimText {
         langClfProject(stream)
           .writeStream
           .foreachBatch { (b: DataFrame, bid: Long) =>
-            graft.streaming.StreamOps
-              .langClassifyBatch(b, "doc_id", "grams", modelR, priorR)
-              .join(b.select(col("doc_id"), col("boot")), Seq("doc_id"))
+            // persist: the classify kernel and the boot-label join both
+            // consume b, and unpersisted each action re-derives the
+            // fixture projection from the batch file (review r17)
+            val bb = b.persist()
+            try graft.streaming.StreamOps
+              .langClassifyBatch(bb, "doc_id", "grams", modelR, priorR)
+              .join(bb.select(col("doc_id"), col("boot")), Seq("doc_id"))
               .write.mode("overwrite").parquet(s"$out/batch_$bid")
+            finally { bb.unpersist(): Unit }
           }
           .option("checkpointLocation", cp)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1115,6 +1113,37 @@ private[graft] object QSimText {
 
   private[graft] def langClfFixture(s: SparkSession, dir: String): DataFrame =
     langClfProject(Tables.table(s, dir, "documents"))
+
+  /** Run-scoped memo of the TRAINED multiclass NB language model —
+    * q_lang_clf and q_stream_lang_clf both consume the identical
+    * (fixture → bootstrap-label → train) chain, and without the memo
+    * each re-ran the full training (the bench measured the stream twin
+    * at 14.8 s, 9× its q_stream_nb shape-sibling; review r17 — the
+    * same first-consumer-pays pattern the eigenbasis memo closed this
+    * round). Model and priors ride in ONE frame (kind 'm'/'p') so the
+    * build is a single memoized materialization, registered as
+    * `substrate:lang_model` and billed outside any query's window. */
+  private[graft] def langModelCombined(s: SparkSession, dir: String): DataFrame =
+    graft.ops.DfMemo.cached(Tables.table(s, dir, "documents"), "langclf-model9") {
+      val fx = langClfFixture(s, dir)
+      val lab = fx.filter(col("boot") =!= "und")
+        .select(col("doc_id"), col("boot"), col("grams"))
+      val (model, priors) =
+        TextStats.nbMulticlassModel9(lab, "grams", "boot", maxVocab = 300)
+      model.select(lit("m").as("kind"), col("cls"), col("w"), col("lp9").as("v9"))
+        .unionByName(priors.select(lit("p").as("kind"), col("cls"),
+          lit(null).cast("string").as("w"), col("prior9").as("v9")))
+    }
+
+  /** The memoized model split back into the (model, priors) pair
+    * [[TextStats.nbClassifyMulticlass]] consumes. */
+  private[graft] def langModel9(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val c = langModelCombined(s, dir)
+    (c.filter(col("kind") === "m")
+       .select(col("cls"), col("w"), col("v9").as("lp9")),
+     c.filter(col("kind") === "p")
+       .select(col("cls"), col("v9").as("prior9")))
+  }
 
   /** DuckDB oracle for q_lang_clf / q_stream_lang_clf: rebuild the
     * fixture, the char 2–3-gram features, the bootstrap labels, the
