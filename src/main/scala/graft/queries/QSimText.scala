@@ -1126,8 +1126,14 @@ private[graft] object QSimText {
   private[graft] def langModelCombined(s: SparkSession, dir: String): DataFrame =
     graft.ops.DfMemo.cached(Tables.table(s, dir, "documents"), "langclf-model9") {
       val fx = langClfFixture(s, dir)
+      // localCheckpoint: the training plan references the labeled frame
+      // from its vocab, count and class-size branches, and each branch
+      // would otherwise re-run the fixture synthesis + 2-3-gram explode
+      // (the posexplode-lineage lesson; measured 12.9 s -> see
+      // COVERAGE r17 medians)
       val lab = fx.filter(col("boot") =!= "und")
         .select(col("doc_id"), col("boot"), col("grams"))
+        .localCheckpoint()
       val (model, priors) =
         TextStats.nbMulticlassModel9(lab, "grams", "boot", maxVocab = 300)
       model.select(lit("m").as("kind"), col("cls"), col("w"), col("lp9").as("v9"))
