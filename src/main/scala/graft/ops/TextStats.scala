@@ -175,61 +175,20 @@ object TextStats {
       docs: DataFrame, idCol: String, toksCol: String,
       topNs: Seq[Int] = Seq(2, 3, 4), dupNs: Seq[Int] = Seq(5, 10),
       scale: Int = 6): DataFrame = {
-    def grams(toks: Column, n: Int): Column =
-      when(size(toks) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-    // materialization barrier: the gram arrays become REAL columns, so
-    // the per-row O(g²) occurrence counting below references them as
-    // O(1) attributes — without it Catalyst textually re-inlines the
-    // gram-building subtree into every inner-lambda reference
-    // (element_at(g, s) per candidate start ⇒ O(g³·build) per row; the
-    // same duplication the shingleHashesViaArrays scaladoc documents)
-    val ns = (topNs ++ dupNs).distinct
-    val base0 = docs.select(
-        col(idCol) +: col(toksCol).as("__toks") +:
-          ns.map(n => grams(col(toksCol), n).as(s"__g$n")): _*)
-      .withColumn("__total",
-        aggregate(col("__toks"), lit(0L), (a, t) => a + length(t)))
-      .localCheckpoint()
-    // second barrier: the per-distinct-gram occurrence counts (O(d·g)
-    // to build) become attributes too, so the argmax/filter lambdas
-    // below don't rebuild them per element (O(d²·g) otherwise)
-    val base = base0.select(
-        col("*") +: topNs.map { n =>
-          val g = col(s"__g$n")
-          transform(array_distinct(g),
-            x => struct(size(filter(g, y => y === x)).as("c"), x.as("w")))
-            .as(s"__cnt$n")
-        }: _*)
-      .select(col("*") +: topNs.map(n =>
-        array_max(transform(col(s"__cnt$n"), s => s.getField("c")))
-          .as(s"__maxc$n")): _*)
-      .localCheckpoint()
-    def topFrac(n: Int): Column = {
-      val g = col(s"__g$n")
-      val maxC = col(s"__maxc$n")
-      val topW = array_min(transform(
-        filter(col(s"__cnt$n"), s => s.getField("c") === maxC),
-        s => s.getField("w")))
-      // token chars of the gram = string length minus its n−1 separators
-      val topChars = maxC.cast("long") * (length(topW) - (n - 1))
-      when(size(g) === 0 || col("__total") === 0, lit(0.0))
-        .otherwise(topChars / col("__total").cast("double"))
-    }
-    def dupFrac(n: Int): Column = {
-      val g = col(s"__g$n")
-      val dupStarts = filter(sequence(lit(1), greatest(size(g), lit(1))),
-        s => s <= size(g) &&
-          size(filter(g, x => x === element_at(g, s))) >= 2)
-      val kept = graft.functions.SpanCoverMask.span_kept(col("__toks"), dupStarts, n)
-      val keptChars = aggregate(kept, lit(0L), (a, t) => a + length(t))
-      when(size(col("__toks")) < n || col("__total") === 0, lit(0.0))
-        .otherwise((col("__total") - keptChars) / col("__total").cast("double"))
-    }
-    val cols = topNs.map(n => round(topFrac(n), scale).as(s"top${n}_frac")) ++
-      dupNs.map(n => round(dupFrac(n), scale).as(s"dup${n}_frac"))
-    base.select(col(idCol) +: cols: _*)
+    // ONE fused codegen pass per row ([[graft.functions.GopherRep]]):
+    // gram counts from a per-row hash map — O(Σ_n g·n) — instead of
+    // the r16 higher-order-function cascade (interpreted lambda
+    // dispatch per element, O(d·g) counting + O(g²) duplicate scan
+    // per (row, n), two localCheckpoint barriers just to stop
+    // Catalyst re-inlining the gram subtrees into inner lambdas).
+    // Measured at sf0.1: 5.2 s warm → see OPTIMIZATION_r17.md; output
+    // bit-identical (same DuckDB oracle, same closed-form spec).
+    val stats = graft.functions.GopherRep.gopher_rep(col(toksCol), topNs, dupNs)
+    val cols =
+      (topNs.map(n => s"top${n}_frac") ++ dupNs.map(n => s"dup${n}_frac"))
+        .map(f => round(col("__gr").getField(f), scale).as(f))
+    docs.select(col(idCol), stats.as("__gr"))
+      .select(col(idCol) +: cols: _*)
   }
 
   /** Trained-classifier-style quality score: a logistic model over the
