@@ -56,6 +56,24 @@ object Lab {
             println(f"""{"q":"$name","i":$i,"sec":$s%.3f}""")
           }
         }
+      case "sub" =>
+        // time substrate builds in isolation (r17 optimization round):
+        // Bench's SPARK_GRAFT_ONLY skips the substrate pass entirely,
+        // so this is the only harness that prices a build by name.
+        // DfMemo is cleared between reps — every sample is a real
+        // cold build, not a memo hit.
+        val reps = args(2).toInt
+        args(3).split(",").foreach { name =>
+          val fn = Substrates.all.toMap.apply(name)
+          (1 to reps).foreach { i =>
+            ops.DfMemo.clear()
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            val s = (System.nanoTime() - t0) / 1e9
+            println(f"""{"q":"$name","i":$i,"sec":$s%.3f}""")
+          }
+          ops.DfMemo.clear()
+        }
       case other => sys.error(s"unknown Lab mode $other")
     }
     spark.stop()

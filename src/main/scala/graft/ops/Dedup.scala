@@ -235,15 +235,27 @@ object Dedup {
     * Output: (id1, id2, jaccard).
     */
   def verifyJaccard(cand: DataFrame, e: DataFrame, minJ: Double): DataFrame = {
-    val sizes = e.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    // array-attach verify (r17): the old form joined every candidate
+    // to ALL of id1's element rows (|pair|·|doc| intermediate rows —
+    // 22M for 447k candidates at sf0.1, measured 8-11 s), shuffled
+    // them twice and re-aggregated. Packing each doc's element set
+    // into ONE array row (collect_set of the distinct element frame —
+    // the documented input contract) turns the verify into two
+    // candidate-sized hash joins plus a map-side array_intersect:
+    // per-pair cost is the same O(|x|+|y|) set intersection, but it
+    // runs inside one task instead of across two exchanges. The
+    // inter ≥ 1 guard preserves the old groupBy semantics (a
+    // zero-overlap pair produced no row, even at minJ ≤ 0).
+    val docs = e.groupBy(col("id")).agg(collect_set(col("h")).as("hs"))
     cand.select(col("id1"), col("id2"))
-      .join(e.select(col("id").as("id1"), col("h")), Seq("id1"))
-      .join(e.select(col("id").as("id2"), col("h")), Seq("id2", "h"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "s1"), "id1")
-      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "s2"), "id2")
+      .join(docs.select(col("id").as("id1"), col("hs").as("h1")), Seq("id1"))
+      .join(docs.select(col("id").as("id2"), col("hs").as("h2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("h1"), col("h2"))).cast("long").as("inter"),
+        size(col("h1")).cast("long").as("s1"),
+        size(col("h2")).cast("long").as("s2"))
       .withColumn("jaccard", col("inter") / (col("s1") + col("s2") - col("inter")))
-      .filter(col("jaccard") >= minJ)
+      .filter(col("inter") >= 1 && col("jaccard") >= minJ)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 

@@ -111,9 +111,16 @@ object GraphOps {
         (a, b) => struct(a.as("a"), b.as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
+    // mirror BEFORE the (single) distinct (r17): the old
+    // distinct→self-union→distinct planned the bigram-build+distinct
+    // subtree twice and paid two dedup shuffles; exploding both
+    // directions off the raw bigram stream needs one of each —
+    // identical undirected edge set
     val und = bigrams
-      .unionByName(bigrams.select(col("b").as("a"), col("a").as("b")))
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
     pageRankKeyed(und, "a", "b", iters, damping)
       .select(col("id").as("word"), col("rank"))

@@ -460,15 +460,117 @@ object Similarity {
     // graph is the recall baseline q_knn_approx_recall re-derives after
     // q_knn_graph already built it — one Θ(n²) kernel per run, not two
     DfMemo.cached(emb, s"knnGraph:$idCol:$vecCol:$k:$scale:$blocks") {
-      val pairs = cosinePairsBlocked(emb, idCol, vecCol, minCos = -2.0, blocks)
-        .withColumn("cos", round(col("cos"), scale))
-      val sym = pairs.select(col("id1").as("src"), col("id2").as("dst"), col("cos"))
-        .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst"), col("cos")))
+      // per-id BOUNDED top-k inside each block-pair task (r17, guide
+      // §2.3 "aggregate before you shuffle"): the old form emitted ALL
+      // Θ(n²) scored pairs as external Tuple3 objects, mirrored them,
+      // and sorted 2·C(n,2) rows under the window — n·blocks·k rows
+      // now leave the kernel instead (~90 k vs 4 M at sf0.1). The
+      // global row_number is EXACT on the partial top-ks: a true
+      // global top-k partner of src is, within the one block-pair
+      // task that scores it, also among src's task-local top-k, so it
+      // is always emitted; ordering (rounded cos desc, dst asc, NaN
+      // largest — java.lang.Double.compare) matches the window's.
+      val cand = knnTopKBlocked(emb, idCol, vecCol, k, scale, blocks)
       val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-      sym.withColumn("rank", row_number().over(w).cast("int"))
+      cand.withColumn("rank", row_number().over(w).cast("int"))
         .filter(col("rank") <= k)
         .select(col("src"), col("rank"), col("dst"), col("cos"))
     }
+
+  /** Block-pair kNN candidate kernel: [[cosinePairsBlocked]]'s packed
+    * self-join, but each task keeps only its LOCAL top-`k` partners
+    * per id (both directions of every pair, dot computed once) and
+    * emits (src, dst, cos) with cos already rounded — Spark's
+    * BigDecimal HALF_UP, bit-identical to `round(col, scale)`. The
+    * task-local heaps make the downstream window input n·blocks·k
+    * instead of n², which is what the old full-emit paid in object
+    * serialization and sort time.
+    */
+  private def knnTopKBlocked(
+      emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      scale: Int, blocks: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val unit = withUnitVec(
+      emb.select(col(idCol).cast("long").as("id"),
+        KMeansOps.asDouble(col(vecCol)).as("v")), "v", "u")
+      .select(col("id"), col("u"))
+    val packed = unit
+      .withColumn("b", pmod(xxhash64(col("id")), lit(blocks.toLong)).cast("int"))
+      .groupBy(col("b"))
+      .agg(collect_list(struct(col("id"), col("u"))).as("vs"))
+    val bp = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+      .toDF("bi", "bj")
+    packed.select(col("b").as("bi"), col("vs").as("v1"))
+      .join(broadcast(bp), "bi")
+      .join(packed.select(col("b").as("bj"), col("vs").as("v2")), "bj")
+      .select(col("bi"), col("bj"), col("v1"), col("v2"))
+      .flatMap { row =>
+        def mat(i: Int) = row.getSeq[org.apache.spark.sql.Row](i)
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toArray
+        val same = row.getInt(0) == row.getInt(1)
+        val (m1, m2) = (mat(2), mat(3))
+        // bounded sorted-insert top-k per id: (cos desc, dst asc),
+        // NaN ordered largest like Spark's sort (Double.compare)
+        final class TopK {
+          val cs = new Array[Double](k)
+          val ds = new Array[Long](k)
+          var n = 0
+          def add(c: Double, d: Long): Unit = {
+            var i = n
+            while (i > 0 && {
+              val cmp = java.lang.Double.compare(c, cs(i - 1))
+              cmp > 0 || (cmp == 0 && d < ds(i - 1))
+            }) i -= 1
+            if (i < k) {
+              val last = math.min(n, k - 1)
+              var j = last
+              while (j > i) { cs(j) = cs(j - 1); ds(j) = ds(j - 1); j -= 1 }
+              cs(i) = c; ds(i) = d
+              if (n < k) n += 1
+            }
+          }
+        }
+        val heaps = new java.util.HashMap[Long, TopK]()
+        def upd(id: Long, dst: Long, c: Double): Unit = {
+          var h = heaps.get(id)
+          if (h == null) { h = new TopK; heaps.put(id, h) }
+          h.add(c, dst)
+        }
+        var a = 0
+        while (a < m1.length) {
+          val (ida, ua) = m1(a)
+          var b = 0
+          while (b < m2.length) {
+            val (idb, ub) = m2(b)
+            if (if (same) idb > ida else idb != ida) {
+              var s = 0.0
+              var i = 0
+              while (i < ua.length) { s += ua(i) * ub(i); i += 1 }
+              // Spark Round(double, s): BigDecimal HALF_UP, NaN/Inf
+              // pass through (MathExpressions.RoundBase)
+              val r =
+                if (s.isNaN || s.isInfinite) s
+                else BigDecimal(s)
+                  .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+              upd(ida, idb, r)
+              upd(idb, ida, r)
+            }
+            b += 1
+          }
+          a += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        val it = heaps.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val h = e.getValue
+          var i = 0
+          while (i < h.n) { out += ((e.getKey, h.ds(i), h.cs(i))); i += 1 }
+        }
+        out
+      }.toDF("src", "dst", "cos")
+  }
 
   /** Cell-routed APPROXIMATE kNN self-join — the scale path that
     * removes [[knnGraph]]'s Θ(n²) pair kernel from the graph substrate
@@ -541,27 +643,47 @@ object Similarity {
     // C=1000, d=64 — microseconds, never shipped to executors).
     val cellTag = cells.map { case (c, v) => s"$c=${v.mkString(",")}" }
       .mkString(";")
-    val base = DfMemo.cached(emb,
+    // the memo holds the CANONICAL half (a < b, one row per unordered
+    // edge) and the mirror is an explode over the cached frame (r17):
+    // caching the mirrored set materialized 2× the rows into the
+    // in-memory relation for data the mirror derives in one map-side
+    // generator — half the cache build, half the cache footprint, and
+    // every consumer still reads the identical symmetric edge list
+    val canon = DfMemo.cached(emb,
       s"cellMatches:$idCol:$vecCol::$nprobe:$scale:" + cellTag) {
       cellMatchesCompute(emb, idCol, vecCol, cells, nprobe, scale)
     }
+    val base = canon.select(explode(array(
+        struct(col("a").as("qid"), col("b").as("nbr"), col("cos")),
+        struct(col("b").as("qid"), col("a").as("nbr"), col("cos")))).as("e"))
+      .select(col("e.qid").as("qid"), col("e.nbr").as("nbr"),
+        col("e.cos").as("cos"))
     labelCol match {
       case None => base
       case Some(lc) =>
         // memoized too (nested cached() is structurally safe — see
         // DfMemo.Cell): the joins are cheap, but q_hard_negatives and
         // the substrate pre-build should still share one labeled frame
-        DfMemo.cached(emb,
+        // — also held canonically (half the rows), mirrored on read
+        val labeledCanon = DfMemo.cached(emb,
           s"cellMatchesLabeled:$idCol:$vecCol:$lc:$nprobe:$scale:" + cellTag) {
           val labs = emb.select(col(idCol).as("lid"), col(lc).as("lab"))
-          base
-            .join(labs.select(col("lid").as("qid"), col("lab").as("qlab")),
-              Seq("qid"))
-            .join(labs.select(col("lid").as("nbr"), col("lab").as("nlab")),
-              Seq("nbr"))
-            .select(col("qid"), col("nbr"), col("cos"),
-              col("qlab"), col("nlab"))
+          canon
+            .join(labs.select(col("lid").as("a"), col("lab").as("alab")),
+              Seq("a"))
+            .join(labs.select(col("lid").as("b"), col("lab").as("blab")),
+              Seq("b"))
+            .select(col("a"), col("b"), col("cos"),
+              col("alab"), col("blab"))
         }
+        labeledCanon.select(explode(array(
+            struct(col("a").as("qid"), col("b").as("nbr"), col("cos"),
+              col("alab").as("qlab"), col("blab").as("nlab")),
+            struct(col("b").as("qid"), col("a").as("nbr"), col("cos"),
+              col("blab").as("qlab"), col("alab").as("nlab")))).as("e"))
+          .select(col("e.qid").as("qid"), col("e.nbr").as("nbr"),
+            col("e.cos").as("cos"), col("e.qlab").as("qlab"),
+            col("e.nlab").as("nlab"))
     }
   }
 
@@ -587,17 +709,33 @@ object Similarity {
           p => p.getField("c"))),
       "v", "u")
     val home = routed.select(col("id").as("nbr"),
-      element_at(col("pc"), 1).as("cell"), col("u").as("cu"))
+      element_at(col("pc"), 1).as("cell"), col("u").as("cu"),
+      col("pc").as("npc"))
     val probes = routed.select(col("id").as("qid"),
-      explode(col("pc")).as("cell"), col("u").as("qu"))
-    val scored = probes.join(home, Seq("cell"))
+      explode(col("pc")).as("cell"), col("u").as("qu"),
+      element_at(col("pc"), 1).as("qhome"))
+    // symmetric candidacy WITHOUT the dedup shuffle (r17): the old
+    // form mirrored every scored match (planning the join subtree
+    // TWICE — a DataFrame self-union is two subtree copies) and
+    // deduped with distinct() — a 2.5M-row exchange + hash-aggregate
+    // the probe harness measured at ~4.8 s of the ~7.8 s build at
+    // sf0.1. A pair is double-found ONLY when each side probes the
+    // other's home cell, and that is decidable per joined row from
+    // the two sides' own routing columns: keep (q, c) iff
+    // q < c OR home(q) ∉ probes(c) — the canonical direction owns a
+    // both-ways pair, the lone direction always survives — so each
+    // unordered edge is emitted EXACTLY once by a map-side filter
+    // (nprobe-element array_contains), no exchange, no aggregate.
+    // cos is direction-independent bitwise (same index order,
+    // commutative multiply). The mirror back to both directions is
+    // the caller's post-memo explode.
+    probes.join(home, Seq("cell"))
       .filter(col("qid") =!= col("nbr"))
-      .select(col("qid"), col("nbr"),
+      .filter(col("qid") < col("nbr") ||
+        !array_contains(col("npc"), col("qhome")))
+      .select(least(col("qid"), col("nbr")).as("a"),
+        greatest(col("qid"), col("nbr")).as("b"),
         (round(dot(col("qu"), col("cu")), scale) + lit(0.0)).as("cos"))
-    // symmetric candidacy: mirror every scored match, dedup the edge
-    // key (a pair found in both directions scores identically)
-    scored.unionByName(scored.select(col("nbr").as("qid"),
-      col("qid").as("nbr"), col("cos"))).distinct()
   }
 
   /** Per-cell ROUTING LOAD of the [[knnSelfJoin]]/[[hardNegatives]]
@@ -1729,8 +1867,12 @@ object Similarity {
         emb, idCol, vecCol, minCos - math.pow(10, -scale) / 2 - 1e-9, blocks)
       .withColumn("cos", round(col("cos"), scale))
       .filter(col("cos") >= minCos)
-    val sym = pairs.select(col("id1").as("id"), col("cos"))
-      .unionByName(pairs.select(col("id2").as("id"), col("cos")))
+    // explode, not self-union (r17): the union form plans the blocked
+    // pair kernel twice — one explode row-doubles the same pass
+    val sym = pairs.select(explode(array(
+        struct(col("id1").as("id"), col("cos")),
+        struct(col("id2").as("id"), col("cos")))).as("e"))
+      .select(col("e.id").as("id"), col("e.cos").as("cos"))
     val dens = sym.groupBy(col("id"))
       .agg(count(lit(1)).as("n_nbr"), max(col("cos")).as("max_cos"))
     emb.select(col(idCol).as("id"))
