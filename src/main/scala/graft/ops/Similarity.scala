@@ -649,41 +649,38 @@ object Similarity {
     // in-memory relation for data the mirror derives in one map-side
     // generator — half the cache build, half the cache footprint, and
     // every consumer still reads the identical symmetric edge list
-    val canon = DfMemo.cached(emb,
+    // the memo holds the MIRRORED edge list (the r16 read contract —
+    // consumers window/group it directly, so a post-memo explode
+    // taxed every consumer ~0.3 s/action when tried); the build-side
+    // wins live INSIDE the compute: filter-dedup instead of the
+    // distinct exchange, explode instead of the double-planned
+    // self-union, one keyed repartition for consumer parallelism
+    val base = DfMemo.cached(emb,
       s"cellMatches:$idCol:$vecCol::$nprobe:$scale:" + cellTag) {
-      cellMatchesCompute(emb, idCol, vecCol, cells, nprobe, scale)
+      val canon = cellMatchesCompute(emb, idCol, vecCol, cells, nprobe, scale)
+      canon.select(explode(array(
+          struct(col("a").as("qid"), col("b").as("nbr"), col("cos")),
+          struct(col("b").as("qid"), col("a").as("nbr"), col("cos")))).as("e"))
+        .select(col("e.qid").as("qid"), col("e.nbr").as("nbr"),
+          col("e.cos").as("cos"))
     }
-    val base = canon.select(explode(array(
-        struct(col("a").as("qid"), col("b").as("nbr"), col("cos")),
-        struct(col("b").as("qid"), col("a").as("nbr"), col("cos")))).as("e"))
-      .select(col("e.qid").as("qid"), col("e.nbr").as("nbr"),
-        col("e.cos").as("cos"))
     labelCol match {
       case None => base
       case Some(lc) =>
         // memoized too (nested cached() is structurally safe — see
         // DfMemo.Cell): the joins are cheap, but q_hard_negatives and
         // the substrate pre-build should still share one labeled frame
-        // — also held canonically (half the rows), mirrored on read
-        val labeledCanon = DfMemo.cached(emb,
+        DfMemo.cached(emb,
           s"cellMatchesLabeled:$idCol:$vecCol:$lc:$nprobe:$scale:" + cellTag) {
           val labs = emb.select(col(idCol).as("lid"), col(lc).as("lab"))
-          canon
-            .join(labs.select(col("lid").as("a"), col("lab").as("alab")),
-              Seq("a"))
-            .join(labs.select(col("lid").as("b"), col("lab").as("blab")),
-              Seq("b"))
-            .select(col("a"), col("b"), col("cos"),
-              col("alab"), col("blab"))
+          base
+            .join(labs.select(col("lid").as("qid"), col("lab").as("qlab")),
+              Seq("qid"))
+            .join(labs.select(col("lid").as("nbr"), col("lab").as("nlab")),
+              Seq("nbr"))
+            .select(col("qid"), col("nbr"), col("cos"),
+              col("qlab"), col("nlab"))
         }
-        labeledCanon.select(explode(array(
-            struct(col("a").as("qid"), col("b").as("nbr"), col("cos"),
-              col("alab").as("qlab"), col("blab").as("nlab")),
-            struct(col("b").as("qid"), col("a").as("nbr"), col("cos"),
-              col("blab").as("qlab"), col("alab").as("nlab")))).as("e"))
-          .select(col("e.qid").as("qid"), col("e.nbr").as("nbr"),
-            col("e.cos").as("cos"), col("e.qlab").as("qlab"),
-            col("e.nlab").as("nlab"))
     }
   }
 
@@ -736,6 +733,16 @@ object Similarity {
       .select(least(col("qid"), col("nbr")).as("a"),
         greatest(col("qid"), col("nbr")).as("b"),
         (round(dot(col("qu"), col("cu")), scale) + lit(0.0)).as("cos"))
+      // REPARTITION before the memo persists (r17): with the dedup
+      // exchange gone the kernel is broadcast-join-only, so its output
+      // inherits the parquet scan's partitioning — ONE partition at
+      // sf0.1 — and every consumer's window/groupBy then sorted 3.3M
+      // rows on one core (q_kcore 1.35 -> 5.2 s; the no-exchange "win"
+      // was a serialization loss). One explicit edge-key exchange at
+      // build time restores shuffle-width parallelism to all
+      // consumers; at 100 TB this is the standard keyed layout of a
+      // materialized edge list.
+      .repartition(col("a"), col("b"))
   }
 
   /** Per-cell ROUTING LOAD of the [[knnSelfJoin]]/[[hardNegatives]]
