@@ -1191,19 +1191,24 @@ object Similarity {
     * screens, and embedding-drift monitoring. cov(i,j) =
     * E[xᵢxⱼ] − E[xᵢ]E[xⱼ] over all rows.
     *
-    * Scale — two routes behind a d-threshold (default 128):
+    * Scale — two routes behind a d-threshold (default 8, lowered from
+    * 128 in r17: the explode route's nested `transform` lambdas are
+    * INTERPRETED HOFs, so at the corpus's d=64 every row paid d²+d
+    * per-element interpreter dispatches plus a (d²+d)·n-row explode
+    * before the partial agg — measured 2.2 s warm vs 0.4 s on the
+    * moments route at sf0.1, same 6-dp cells, parity-tested in
+    * SimilaritySpec):
     *
     * SMALL d (d ≤ `largeDThreshold`): each row expands MAP-SIDE to one
     * (d²+d)-element array — its outer products followed by the vector
-    * itself (codegen'd `flatten(transform × transform)`, no self-join)
+    * itself (`flatten(transform × transform)`, no self-join)
     * — and a single posexplode + groupBy(idx) folds the whole corpus
     * into d²+d sum cells; map-side partial aggregation reduces every
     * input partition to ≤ d²+d rows BEFORE the exchange, so shuffle
     * volume is partitions × (d²+d) regardless of corpus size. The
     * d-row mean table then broadcast-joins back twice to center the
-    * raw moments. Per-ROW memory is O(d²) — the reason this form
-    * cannot be the only one: at d=4096 it would materialize 16.8M
-    * doubles per input row.
+    * raw moments. Everything stays whole-plan distributed — the route
+    * for tiny d where a typed-aggregator buffer is overkill.
     *
     * LARGE d (d > `largeDThreshold`): a typed
     * [[graft.functions.CovMoments]] Aggregator accumulates one flat
@@ -1221,7 +1226,7 @@ object Similarity {
     * BOTH routes (a 1-row peek chose the route nondeterministically).
     */
   def embedCovariance(emb: DataFrame, vecCol: String, scale: Int = 6,
-      largeDThreshold: Int = 128): DataFrame = {
+      largeDThreshold: Int = 8): DataFrame = {
     val v = emb.select(KMeansOps.asDouble(col(vecCol)).as("v"))
       .filter(size(col("v")) > 0)
     // uniform-dimension probe (ADVICE r9): a one-row peek routes

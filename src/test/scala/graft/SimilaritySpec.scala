@@ -455,13 +455,14 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("embedCovariance large-d route: parity with explode path at d=64; closed form at d=256") {
-    // parity: force the CovMoments route on the real 64-dim corpus by
-    // dropping the threshold below d; cells must agree with the default
-    // explode route at the oracle precision (both round to 6 dp — one
-    // rounding-boundary ulp is the only admissible difference)
-    val small = Similarity.embedCovariance(emb, "embedding")
+    // parity: the DEFAULT route at the corpus's d=64 is CovMoments
+    // since r17 (threshold 128 → 8); force the explode route back via
+    // a large threshold and compare cell-for-cell at the oracle
+    // precision (both round to 6 dp — one rounding-boundary ulp is the
+    // only admissible difference)
+    val small = Similarity.embedCovariance(emb, "embedding", largeDThreshold = 1000)
       .as[(Int, Int, Double)].collect().map { case (i, j, c) => (i, j) -> c }.toMap
-    val large = Similarity.embedCovariance(emb, "embedding", largeDThreshold = 1)
+    val large = Similarity.embedCovariance(emb, "embedding")
       .as[(Int, Int, Double)].collect().map { case (i, j, c) => (i, j) -> c }.toMap
     assert(large.size == small.size && small.size == 64 * 64)
     small.foreach { case (k, c) =>
