@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Similarity, TextOps}
+import graft.ops.{Similarity, TextOps, Unigram}
 
 /** The run-scoped [[ops.DfMemo]] substrates, enumerated for EXPLICIT
   * pre-materialization and billing (VERDICT r12 #1): under
@@ -69,6 +69,14 @@ object Substrates {
       // stream twin previously re-ran the whole training and measured
       // 14.8 s — the eigenbasis first-consumer-pays pattern again)
       ((s: SparkSession, d: String) => QSimText.langModelCombined(s, d)),
+    "substrate:unigram_model" ->
+      // the trained 2-round Viterbi-EM unigram LM at the gated
+      // (rounds=2, maxMulti=90) key: q_unigram_learn + q_unigram_encode
+      // (r17 optimization round; each previously re-ran the full
+      // training — the bpe_merges first-consumer-pays pattern)
+      ((s: SparkSession, d: String) => Unigram.train(
+        Unigram.wordFreqs(Tables.table(s, d, "documents"), "text"),
+        rounds = 2, maxMulti = 90)),
     "substrate:eigenbasis" ->
       ((s: SparkSession, d: String) => {
         val (dim, _, basis) = Similarity.topPBasis(

@@ -174,18 +174,27 @@ object Unigram {
     * The distinct-word frame and the per-round model are tiny
     * (vocabulary-sized) — localCheckpoint cuts keep each round's plan
     * from re-deriving every previous round (the K-Means loop shape).
+    *
+    * Run-scoped DfMemo (r17 optimization round, the bpeLearn/
+    * lang_model device): q_unigram_learn and q_unigram_encode both
+    * consume the identical trained model, and without the memo each
+    * re-ran the full 2-round EM (~2.3 s each at sf0.1). The memo key
+    * carries every parameter; in-memory fixtures (spec inputs) have no
+    * backing files and bypass the memo, so tests always train fresh.
+    * Billed as `substrate:unigram_model` outside any query's window.
     */
-  def train(words: DataFrame, rounds: Int, maxMulti: Int): DataFrame = {
-    require(rounds >= 1)
-    val w = words.localCheckpoint(eager = false)
-    val voc = vocab(seedCounts(w), maxMulti).localCheckpoint(eager = false)
-    var model = initModel(voc)
-    var out: DataFrame = null
-    for (_ <- 1 to rounds) {
-      out = reestimate(viterbiSegment(w, model), voc)
-      model = out.select(col("piece"), col("lp9"))
-        .localCheckpoint(eager = false)
+  def train(words: DataFrame, rounds: Int, maxMulti: Int): DataFrame =
+    DfMemo.cached(words, s"unigramTrain:$rounds:$maxMulti") {
+      require(rounds >= 1)
+      val w = words.localCheckpoint(eager = false)
+      val voc = vocab(seedCounts(w), maxMulti).localCheckpoint(eager = false)
+      var model = initModel(voc)
+      var out: DataFrame = null
+      for (_ <- 1 to rounds) {
+        out = reestimate(viterbiSegment(w, model), voc)
+        model = out.select(col("piece"), col("lp9"))
+          .localCheckpoint(eager = false)
+      }
+      out
     }
-    out
-  }
 }
