@@ -157,6 +157,37 @@ private[graft] object DfMemo {
         }).df
     }
 
+  /** Run-scoped memo for ON-DISK staging the file-source streaming
+    * twins need (r17 optimization round): each twin stages its input
+    * as a small parquet directory (4 files → 4 AvailableNow
+    * micro-batches) or materializes its model relations before the
+    * stream starts, and without a memo that staging re-ran on EVERY
+    * bench pass — so a "warm" sample measured input copying, not
+    * micro-batch execution. Keys exactly like [[cached]] (session
+    * identity, stamped backing files, canonical plan, tag), so a
+    * mid-JVM overwrite of the source parquet re-stages instead of
+    * serving stale files, and in-memory frames (spec fixtures) bypass
+    * the memo entirely — tests always stage fresh. The staged
+    * directory lives under [[graft.Scratch]] (per-JVM, deleted at
+    * exit): nothing persists across runs.
+    */
+  private val pathCache =
+    new ConcurrentHashMap[(Int, String, String, String), String]()
+
+  def cachedPath(input: DataFrame, tag: String)(write: String => Unit): String =
+    stampedFiles(input) match {
+      case None =>
+        val d = graft.Scratch.dir(tag)
+        write(d); d
+      case Some(fs) =>
+        val key = (System.identityHashCode(input.sparkSession), fs,
+          input.queryExecution.analyzed.canonicalized.toString, tag)
+        pathCache.computeIfAbsent(key, { _ =>
+          val d = graft.Scratch.dir(tag)
+          write(d); d
+        })
+    }
+
   /** Test/maintenance hook: unpersist and drop every memoized frame
     * (e.g. after overwriting a parquet table in place mid-JVM). */
   private[graft] def clear(): Unit = {
@@ -183,6 +214,7 @@ private[graft] object DfMemo {
       }
     }
     cache.clear()
+    pathCache.clear()
     protectedIds.clear()
   }
 

@@ -172,9 +172,9 @@ private[graft] object QCorpus {
       (s, dir) => {
         val state = Scratch.dir("stream-ws-state")
         val cp = Scratch.dir("stream-ws-cp")
-        val srcDir = Scratch.dir("stream-ws-src")
-        Tables.table(s, dir, "documents").repartition(4)
-          .write.mode("overwrite").parquet(srcDir)
+        // staged once per JVM and shared with the other 4-batch twins
+        // (r17): state/checkpoint dirs above stay per-invocation
+        val srcDir = QShared.streamDocSrc4(s, dir)
         val schema = Tables.table(s, dir, "documents").schema
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -599,9 +599,9 @@ private[graft] object QCorpus {
       (s, dir) => {
         val state = Scratch.dir("stream-cm-state")
         val cp = Scratch.dir("stream-cm-cp")
-        val srcDir = Scratch.dir("stream-cm-src")
-        Tables.table(s, dir, "documents").repartition(4)
-          .write.mode("overwrite").parquet(srcDir)
+        // staged once per JVM and shared with the other 4-batch twins
+        // (r17): state/checkpoint dirs above stay per-invocation
+        val srcDir = QShared.streamDocSrc4(s, dir)
         val schema = Tables.table(s, dir, "documents").schema
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)

@@ -50,6 +50,36 @@ class DfMemoSpec extends AnyFunSuite {
     assert(DfMemo.size == 0)
   }
 
+  test("cachedPath: file-backed staging writes once; in-memory never memoizes") {
+    DfMemo.clear()
+    var writes = 0
+    def stage() = DfMemo.cachedPath(emb, "spec-path") { d =>
+      writes += 1
+      emb.select(col("vec_id")).coalesce(1).write.mode("overwrite").parquet(d)
+    }
+    val p1 = stage()
+    val p2 = stage()
+    assert(writes == 1, "second call must reuse the staged directory")
+    assert(p1 == p2)
+    assert(spark.read.parquet(p1).count() == emb.count())
+    // a different tag stages separately
+    val p3 = DfMemo.cachedPath(emb, "spec-path-other") { d =>
+      emb.select(col("vec_id")).limit(1).write.mode("overwrite").parquet(d)
+    }
+    assert(p3 != p1)
+    // in-memory input: no backing files → no identity → fresh dir per call
+    val mem = Seq((1L, 2.0)).toDF("id", "x")
+    var memWrites = 0
+    def memStage() = DfMemo.cachedPath(mem, "spec-path-mem") { _ => memWrites += 1 }
+    assert(memStage() != memStage())
+    assert(memWrites == 2)
+    // clear() drops the path memo: the next call re-stages
+    DfMemo.clear()
+    val p4 = stage()
+    assert(writes == 2 && p4 != p1, "clear() must force a re-stage")
+    DfMemo.clear()
+  }
+
   test("distinct plans over the same files never alias") {
     DfMemo.clear()
     val full = DfMemo.cached(emb, "spec:plan")(emb.select(col("vec_id")))
