@@ -654,13 +654,25 @@ object Dedup {
       .select(col("id"),
         posexplode(graft.functions.BandHashes.band_hashes(col("sig"), bands))
           .as(Seq("band", "bh")))
-    val sized = buckets.withColumn("bsz",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .filter(col("bsz") <= maxBucket)
-    sized.as("a").join(sized.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    // In-bucket suffix-pair explode (r17, the [[jaccardPairsBucketed]]
+    // device): the previous form window-counted bucket sizes and then
+    // SELF-JOINED the derivation on (band, bh) — the signature pipeline
+    // feeding `sigs` is an unmaterialized subtree, no ReusedExchange
+    // fires across the join's two sides (plan-checked), so the
+    // O(shingles·numHashes) signature work was planned and computed
+    // TWICE per run. One groupBy collects each bucket once (the size
+    // gate replaces the window — an id appears at most once per
+    // (band, bh), so group size == the old window count), pairs explode
+    // bucket-locally with the bounded suffix device, and the signatures
+    // are computed exactly once. Same pair set: sort_array + suffix
+    // slice emits each unordered in-bucket pair once with id1 < id2.
+    val n = size(col("ids"))
+    buckets.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(n.between(2, maxBucket))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
+      .select(col("id1"),
+        explode(slice(col("ids"), col("i") + lit(2), n - col("i") - lit(1))).as("id2"))
       .distinct()
   }
 

@@ -1008,11 +1008,18 @@ private[graft] object QDedup2 {
             docs.repartition(col("id"))
           else docs
         val sigs = spread
+          // pre-filter on the CHEAP equivalent of sig IS NOT NULL (r17):
+          // MinHashSigs is null exactly when the shingle array is empty,
+          // i.e. when the utf8 byte length is < k — and a post-projection
+          // isNotNull filter was pushed below the Project, evaluating the
+          // whole O(chars·128) signature expression a second time per row
+          // (the §4.4 duplicate-evaluation shape, with a codegen
+          // expression instead of a UDF). null text drops on both forms.
+          .filter(octet_length(lower(col("text"))) >= 5)
           .select(col("id"),                          // rows-only (engine hashes)
             Dedup.minhashSigsCol(
               graft.functions.CharShingleHashes.char_shingle_hashes(
                 lower(col("text")), 5), numHashes = 128, seed = 42L).as("sig"))
-          .filter(col("sig").isNotNull)
         Dedup.lshCandidates(sigs, bands = 32).orderBy("id1", "id2")
       },
       None),
