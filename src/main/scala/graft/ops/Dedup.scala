@@ -705,8 +705,14 @@ object Dedup {
         concat_ws("_", transform(
           slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
           _.cast("string"))).as("bh")))
+    // localCheckpoint (r17): the self-join's two sides are the SAME
+    // unmaterialized derivation — unpinned, the md5 hashing + 16-min
+    // signature aggregate ran twice (no ReusedExchange fires across a
+    // self-join's sides). One bands×docs row frame, tiny for the
+    // ≤500-doc witnesses this portable path serves.
     val buckets = sigs.select(col("id"), explode(bandCol).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .localCheckpoint()
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))

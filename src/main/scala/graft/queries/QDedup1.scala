@@ -462,8 +462,12 @@ private[graft] object QDedup1 {
       // 100 TB dedup run. Expansion size = token OCCURRENCES of pair
       // members only (semi-join first), never corpus tokens.
       (s, dir) => {
+        // localCheckpoint the pair frame (r17): it feeds the member
+        // semi-join TWICE and the final estimator join — unpinned, the
+        // whole weighted verify chain was planned and run three times
         val pairs = Dedup.weightedJaccardVerify(
           dedupPairs3(s, dir), docsTokens(s, dir), "doc_id", "toks")
+          .localCheckpoint()
         val members = pairs.select(col("id1").as("doc_id"))
           .unionByName(pairs.select(col("id2").as("doc_id"))).distinct()
         val e = docsTokens(s, dir).join(members, Seq("doc_id"))
@@ -474,7 +478,12 @@ private[graft] object QDedup1 {
           .select(col("id"), conv(substring(
             md5(concat(col("tok"), lit("#"), col("i"))), 1, 8), 16, 10)
             .cast("long").as("h"))
+        // one signature row per pair member, joined back for BOTH pair
+        // sides — unpinned, the occurrence expansion + md5 + 16-min
+        // aggregate ran twice (the md5 work is the declared witness
+        // cost, but once, not twice)
         val sigs = Dedup.minhashFromHashes(e, numHashes = 16, seed = 42L)
+          .localCheckpoint()
         pairs
           .join(sigs.select(col("id").as("id1"), col("sig").as("s1")), Seq("id1"))
           .join(sigs.select(col("id").as("id2"), col("sig").as("s2")), Seq("id2"))
