@@ -215,6 +215,13 @@ object Dedup {
       // a too-long one only adds candidates, so err long
       .filter(col("__r") <= col("sz") - ceil(lit(minJ) * col("sz") - lit(1e-9)) + 1)
       .select(("id" +: blockCols :+ "h").map(col): _*)
+      // localCheckpoint (r17): the candidate step self-joins this
+      // derivation, and unpinned the dfreq join + per-doc rank window +
+      // sizes join chain was planned and executed TWICE (no
+      // ReusedExchange across a self-join's sides). The pinned frame is
+      // the PREFIX rows only — the θ-filtered fraction of the element
+      // frame, the same order of magnitude a single side shuffles anyway.
+      .localCheckpoint()
     val joinCond = blockCol.map(b => col(s"a.$b") === col(s"b.$b"))
       .foldLeft(col("a.h") === col("b.h") && col("a.id") < col("b.id"))(_ && _)
     val cand = pref.as("a").join(pref.as("b"), joinCond)
@@ -1328,6 +1335,8 @@ object Dedup {
     val b = sigs.select(col("id"), col("sim_lo"), col("sim_hi"), explode(chunks).as("c"))
       .select(col("id"), col("sim_lo"), col("sim_hi"),
         col("c.chunk").as("chunk"), col("c.ch").as("ch"))
+      // localCheckpoint (r17): same doubled-lineage fix as simhashPairs
+      .localCheckpoint()
     b.as("a").join(b.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
           col("a.id") < col("b.id"))
@@ -1348,6 +1357,10 @@ object Dedup {
         shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)).as("ch"))): _*)
     val b = sigs.select(col("id"), col("simhash"), explode(chunks).as("c"))
       .select(col("id"), col("simhash"), col("c.chunk").as("chunk"), col("c.ch").as("ch"))
+      // localCheckpoint (r17): self-joined below — unpinned, the whole
+      // signature lineage (tokenize + per-bit majority aggregate) was
+      // planned and executed twice. 4 rows per doc, 4 narrow columns.
+      .localCheckpoint()
     b.as("a").join(b.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
           col("a.id") < col("b.id"))

@@ -194,6 +194,10 @@ object Similarity {
       corpus.select(col(idCol).cast("long").as("id"),
         KMeansOps.asDouble(col(vecCol)).as("v")), "v", "u")
       .select(col("id"), col("u"))
+      // localCheckpoint (r17): referenced by the signature build AND by
+      // both sides of the exact-verify join — unpinned, the scan +
+      // normalize lineage ran three times per query
+      .localCheckpoint()
     val dims = unit.select(size(col("u")).as("d")).limit(1).collect()
     if (dims.isEmpty) {
       val spark = corpus.sparkSession
@@ -214,13 +218,19 @@ object Similarity {
       .localCheckpoint()
     val buckets = sigs.select(col("id"),
       posexplode(col("bhs")).as(Seq("band", "bh")))
-    val sized = buckets.withColumn("bsz",
-      count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
-      .filter(col("bsz") <= maxBucket)
-    val cand = sized.as("a").join(sized.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    // in-bucket suffix-pair explode (r17, the Dedup.lshCandidates /
+    // jaccardPairsBucketed device): the old window + self-join planned
+    // the bucket derivation twice and shuffled it twice; one groupBy
+    // collects each bucket once (group size == the old window count —
+    // an id appears at most once per (band, bh)), pairs explode
+    // bucket-locally, each unordered pair exactly once with id1 < id2.
+    val nIds = size(col("ids"))
+    val cand = buckets.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(nIds.between(2, maxBucket))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
+      .select(col("id1"),
+        explode(slice(col("ids"), col("i") + lit(2), nIds - col("i") - lit(1))).as("id2"))
       .distinct()
     cand
       .join(unit.select(col("id").as("id1"), col("u").as("u1")), "id1")
