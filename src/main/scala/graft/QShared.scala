@@ -64,15 +64,47 @@ private[graft] object QShared {
     }
   }
 
+  /** The per-doc distinct word-3-shingle hash ARRAY (id, hs) —
+    * run-scoped [[ops.DfMemo]] memo (r18 optimization round, guide
+    * §2.4: share one materialization across consumers). SEVEN gated
+    * entries re-derived the identical tokenize → shingle → xxhash64 →
+    * array_distinct frame from the documents table per run
+    * (q_ngram3_jaccard, q_ngram3_jaccard_capped, q_dedup_sim_hist,
+    * q_containment_pairs, q_novelty, q_minhash_pairs, q_cross_dedup)
+    * plus the dedupPairs3 substrate below — each previously paying its
+    * own localCheckpoint of the same rows. Billed as
+    * `substrate:shingles3`. Same columns/values as the former
+    * per-query `Dedup.shingleHashesViaArrays(docsTokens, k = 3)`
+    * (identical expressions), so every consumer's output is unchanged.
+    */
+  private[graft] def shingles3Arrays(s: SparkSession, dir: String): DataFrame = {
+    val toks = docsTokens(s, dir)
+    DfMemo.cached(toks, "shingles3:k=3") {
+      toks.select(col("doc_id").as("id"),
+        array_distinct(transform(Dedup.tokenShingles(col("toks"), 3),
+          x => xxhash64(x))).as("hs"))
+    }
+  }
+
+  /** [[shingles3Arrays]] exploded to the element form (id, h) every
+    * pair/posting consumer joins on — the explode is map-side off the
+    * persisted array frame, so each consumer pays one cheap scan of
+    * the memo, never the shingling. */
+  private[graft] def shingles3(s: SparkSession, dir: String): DataFrame =
+    shingles3Arrays(s, dir).select(col("id"), explode(col("hs")).as("h"))
+
   /** Verified 3-shingle Jaccard ≥ 0.5 near-dup PAIRS (id1, id2,
     * jaccard) — the pair substrate under [[dedupClusters3]], memoized
     * separately so q_edit_pairs' levenshtein verify can ride the same
     * kernel instead of re-running pair generation. */
   private[graft] def dedupPairs3(s: SparkSession, dir: String): DataFrame = {
     val toks = docsTokens(s, dir)
+    // resolve the shingle memo BEFORE entering the pairs memo (nested
+    // computeIfAbsent on one map risks CHM recursive-update — the
+    // dedupClusters3 device below)
+    val e = shingles3(s, dir)
     DfMemo.cached(toks, "dedupPairs3:k=3:thr=0.5") {
-      Dedup.jaccardPairsPrefix(
-        Dedup.shingleHashesViaArrays(toks, "doc_id", "toks", k = 3), 0.5)
+      Dedup.jaccardPairsPrefix(e, 0.5)
     }
   }
 

@@ -48,6 +48,14 @@ object Substrates {
     "substrate:bpe_merges" ->
       ((s: SparkSession, d: String) => TextOps.bpeLearn(
         Tables.table(s, d, "documents"), "text", 3)),
+    "substrate:shingles3" ->
+      // the per-doc distinct 3-shingle hash arrays (r18): 7 gated
+      // consumers (q_ngram3_jaccard/_capped, q_dedup_sim_hist,
+      // q_containment_pairs, q_novelty, q_minhash_pairs,
+      // q_cross_dedup) + the dedup_pairs3 build below — ordered BEFORE
+      // dedup_pairs3 so the shingling is billed here, not inside the
+      // pair funnel's line
+      ((s: SparkSession, d: String) => QShared.shingles3(s, d)),
     "substrate:dedup_pairs3" ->
       ((s: SparkSession, d: String) => QShared.dedupPairs3(s, d)),
     "substrate:dedup_clusters3" ->

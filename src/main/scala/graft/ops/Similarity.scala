@@ -148,27 +148,17 @@ object Similarity {
       .agg(collect_list(struct(col("id"), col("u"))).as("vs"))
     val bp = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
       .toDF("bi", "bj")
+    // InternalRow generator kernel (r18, guide §4.1 / VERDICT r17 #8):
+    // the former Dataset.flatMap deserialized every packed block row
+    // to external objects (DeserializeToObject; getSeq[Double] boxed
+    // each vector element once per partner block) and re-serialized
+    // the emitted tuples. Same nested loop, same sequential IEEE dot
+    // (bit-identical pairs) — minus the object boundary.
     packed.select(col("b").as("bi"), col("vs").as("v1"))
       .join(broadcast(bp), "bi")
       .join(packed.select(col("b").as("bj"), col("vs").as("v2")), "bj")
-      .select(col("bi"), col("bj"), col("v1"), col("v2"))
-      .flatMap { row =>
-        def mat(i: Int) = row.getSeq[org.apache.spark.sql.Row](i)
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toArray
-        val same = row.getInt(0) == row.getInt(1)
-        val (m1, m2) = (mat(2), mat(3))
-        m1.iterator.flatMap { case (ida, ua) =>
-          m2.iterator.filter { case (idb, _) => if (same) idb > ida else idb != ida }
-            .flatMap { case (idb, ub) =>
-              var s = 0.0
-              var i = 0
-              while (i < ua.length) { s += ua(i) * ub(i); i += 1 }
-              if (s >= minCos)
-                Iterator.single((math.min(ida, idb), math.max(ida, idb), s))
-              else Iterator.empty
-            }
-        }
-      }.toDF("id1", "id2", "cos")
+      .select(graft.functions.BlockPairKernels.cos_block_pairs(
+        col("v1"), col("v2"), col("bi") === col("bj"), lit(minCos)))
       // each unordered block pair occurs exactly once (i <= j), and
       // same-block pairs are halved by idb > ida — no distinct needed
   }
@@ -511,75 +501,16 @@ object Similarity {
       .agg(collect_list(struct(col("id"), col("u"))).as("vs"))
     val bp = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
       .toDF("bi", "bj")
+    // InternalRow generator kernel (r18, guide §4.1 / VERDICT r17 #8):
+    // identical bounded sorted-insert top-k loop as the former
+    // Dataset.flatMap (same rounding, same ordering, bit-identical
+    // rows) — minus the DeserializeToObject/SerializeFromObject
+    // boundary and the per-element boxing of every vector double.
     packed.select(col("b").as("bi"), col("vs").as("v1"))
       .join(broadcast(bp), "bi")
       .join(packed.select(col("b").as("bj"), col("vs").as("v2")), "bj")
-      .select(col("bi"), col("bj"), col("v1"), col("v2"))
-      .flatMap { row =>
-        def mat(i: Int) = row.getSeq[org.apache.spark.sql.Row](i)
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toArray
-        val same = row.getInt(0) == row.getInt(1)
-        val (m1, m2) = (mat(2), mat(3))
-        // bounded sorted-insert top-k per id: (cos desc, dst asc),
-        // NaN ordered largest like Spark's sort (Double.compare)
-        final class TopK {
-          val cs = new Array[Double](k)
-          val ds = new Array[Long](k)
-          var n = 0
-          def add(c: Double, d: Long): Unit = {
-            var i = n
-            while (i > 0 && {
-              val cmp = java.lang.Double.compare(c, cs(i - 1))
-              cmp > 0 || (cmp == 0 && d < ds(i - 1))
-            }) i -= 1
-            if (i < k) {
-              val last = math.min(n, k - 1)
-              var j = last
-              while (j > i) { cs(j) = cs(j - 1); ds(j) = ds(j - 1); j -= 1 }
-              cs(i) = c; ds(i) = d
-              if (n < k) n += 1
-            }
-          }
-        }
-        val heaps = new java.util.HashMap[Long, TopK]()
-        def upd(id: Long, dst: Long, c: Double): Unit = {
-          var h = heaps.get(id)
-          if (h == null) { h = new TopK; heaps.put(id, h) }
-          h.add(c, dst)
-        }
-        var a = 0
-        while (a < m1.length) {
-          val (ida, ua) = m1(a)
-          var b = 0
-          while (b < m2.length) {
-            val (idb, ub) = m2(b)
-            if (if (same) idb > ida else idb != ida) {
-              var s = 0.0
-              var i = 0
-              while (i < ua.length) { s += ua(i) * ub(i); i += 1 }
-              // Spark Round(double, s): BigDecimal HALF_UP, NaN/Inf
-              // pass through (MathExpressions.RoundBase)
-              val r =
-                if (s.isNaN || s.isInfinite) s
-                else BigDecimal(s)
-                  .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
-              upd(ida, idb, r)
-              upd(idb, ida, r)
-            }
-            b += 1
-          }
-          a += 1
-        }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        val it = heaps.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          val h = e.getValue
-          var i = 0
-          while (i < h.n) { out += ((e.getKey, h.ds(i), h.cs(i))); i += 1 }
-        }
-        out
-      }.toDF("src", "dst", "cos")
+      .select(graft.functions.BlockPairKernels.knn_block_topk(
+        col("v1"), col("v2"), col("bi") === col("bj"), k, scale))
   }
 
   /** Cell-routed APPROXIMATE kNN self-join — the scale path that

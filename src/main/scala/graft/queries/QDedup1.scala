@@ -82,7 +82,7 @@ private[graft] object QDedup1 {
       // q_ngram3_jaccard_capped (bucket-capped) and the q_dedup_* trio
       // (prefix-filtered), all three value-identical to this witness.
       (s, dir) => Dedup.jaccardPairsFromHashes(
-          Dedup.shingleHashesViaArrays(docsTokens(s, dir), "doc_id", "toks", k = 3), 0.5,
+          shingles3(s, dir), 0.5,  // shared memoized shingle substrate (r18)
           materialize = false)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id1", "id2"),
@@ -109,8 +109,9 @@ private[graft] object QDedup1 {
       // corpora no 3-shingle bucket exceeds the cap, so the output is
       // value-identical to the q_ngram3_jaccard witness (same oracle).
       (s, dir) => Dedup.jaccardPairsBucketed(
-          Dedup.shingleHashesViaArrays(docsTokens(s, dir), "doc_id", "toks", k = 3)
-            .localCheckpoint(),  // referenced twice (sizes + buckets)
+          shingles3(s, dir),  // shared memoized shingle substrate (r18);
+          // both references (sizes + buckets) re-explode the persisted
+          // array frame map-side
           0.5, maxBucket = 1000)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id1", "id2"),
@@ -139,11 +140,12 @@ private[graft] object QDedup1 {
       // corpus stream is probed map-side and only matching (cid, eid)
       // rows shuffle into the intersection count.
       (s, dir) => {
-        val all = docsTokens(s, dir)
-        val cE = Dedup.shingleHashesViaArrays(
-          all.filter(col("doc_id") % 10 =!= 0), "doc_id", "toks", k = 3)
-        val eE = Dedup.shingleHashesViaArrays(
-          all.filter(col("doc_id") % 10 === 0), "doc_id", "toks", k = 3)
+        // per-doc shingling is independent of every other doc, so the
+        // corpus/reference split is a filter OVER the shared memoized
+        // shingle substrate (r18) — identical element sets per side
+        val e = shingles3(s, dir)
+        val cE = e.filter(col("id") % 10 =!= 0)
+        val eE = e.filter(col("id") % 10 === 0)
         Dedup.crossJaccardPairs(cE, eE, minJ = 0.5)
           .withColumn("jaccard", round(col("jaccard"), 6))
           .orderBy("cid", "eid")
@@ -1344,8 +1346,7 @@ private[graft] object QDedup1 {
       // maxBucket=1000 drop (keep CTE) — at this θ capped pairs are
       // the query's own subject matter, not filtered noise.
       (s, dir) => Dedup.jaccardPairsBucketed(
-          Dedup.shingleHashesViaArrays(docsTokens(s, dir), "doc_id", "toks", k = 3)
-            .localCheckpoint(),  // referenced twice (sizes + buckets)
+          shingles3(s, dir),  // shared memoized shingle substrate (r18)
           0.05, maxBucket = 1000)
         .select(least(floor(round(col("jaccard"), 6) * 10 + 1e-9), lit(9.0))
           .cast("int").as("bucket"))

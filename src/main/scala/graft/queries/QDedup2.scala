@@ -29,8 +29,7 @@ private[graft] object QDedup2 {
       // boilerplate-hot shingles land in-domain, so an uncapped oracle
       // is a latent at-scale parity split (the q_dedup_sim_hist lesson).
       (s, dir) => Dedup.containmentPairs(
-          Dedup.shingleHashesViaArrays(docsTokens(s, dir), "doc_id", "toks", k = 3)
-            .localCheckpoint(),  // referenced twice (sizes + buckets)
+          shingles3(s, dir),  // shared memoized shingle substrate (r18)
           minC = 0.8)
         .withColumn("containment", round(col("containment"), 6))
         .orderBy("id1", "id2"),
@@ -895,7 +894,7 @@ private[graft] object QDedup2 {
       // signal corpus curation ranks on; one gram-docfreq groupBy +
       // one per-doc avg, both partial-agg friendly
       (s, dir) => {
-        val g = Dedup.shingleHashesViaArrays(docsTokens(s, dir), "doc_id", "toks", k = 3)
+        val g = shingles3(s, dir)  // shared memoized shingle substrate (r18)
         val dfreq = g.groupBy(col("h")).agg(count(lit(1)).as("df"))
         g.join(dfreq, Seq("h"))
           .groupBy(col("id"))
@@ -989,7 +988,7 @@ private[graft] object QDedup2 {
         // per-window slice/concat costs more than the map-side-combined
         // shuffle it avoids.
         val sigs = Dedup.minhashFromHashes(
-          Dedup.shingleHashesViaArrays(docsTokens(s, dir), "doc_id", "toks", k = 3),
+          shingles3(s, dir),  // shared memoized shingle substrate (r18)
           numHashes = 128, seed = 42L)
         Dedup.lshCandidates(sigs, bands = 32).orderBy("id1", "id2")
       },

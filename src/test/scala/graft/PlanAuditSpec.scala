@@ -277,6 +277,11 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the graph substrate contains the blocked pair-gen flatMap kernel:\n${sub.take(2000)}")
     assert(!sub.toLowerCase.contains("collect_list"),
       s"the graph substrate packs blocks via collect_list:\n${sub.take(2000)}")
+    // r18: the blocked kernels are generators now — ban their physical
+    // signature too, so this audit stays non-vacuous after the rewrite
+    for (g <- Seq("knnblocktopk", "cosblockpairs"))
+      assert(!sub.toLowerCase.contains(g),
+        s"the graph substrate contains the $g block-pair generator:\n${sub.take(2000)}")
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("src/main/scala/graft/queries/QTail.scala")),
       java.nio.charset.StandardCharsets.UTF_8)
@@ -296,7 +301,11 @@ class PlanAuditSpec extends AnyFunSuite {
         assert(!block.contains(banned),
           s"$name must not route edges through the $banned kernel")
     }
-    assert(plan("q_knn_graph").contains("SerializeFromObject"),
+    // marker updated r18: the blocked kernel is now the InternalRow
+    // generator `knnblocktopk` (BlockPairKernels) — no more
+    // SerializeFromObject/flatMap, but the Generate node is just as
+    // unmistakable in a plan grep
+    assert(plan("q_knn_graph").toLowerCase.contains("knnblocktopk"),
       "q_knn_graph must REMAIN the exact blocked baseline — if this " +
         "fires, the marker this audit greps for has drifted")
   }
