@@ -68,8 +68,16 @@ private[graft] object QCuration {
           percentile(col("n_chars"), lit(0.95)).as("hi"))
         val kept = deduped.join(broadcast(bounds), "source")
           .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+        // localCheckpoint (r18): bigramLmScore references its input for
+        // the bigram counts, the context counts, the vocabulary AND the
+        // scoring join, plus the source join below — unpinned, the
+        // whole normalize → md5-dedup → winsor-percentile → tokenize
+        // chain was planned and executed per reference (plan showed 40
+        // documents scans and 20 percentile aggregations; r17 §13
+        // device)
         val toks = kept.select(col("doc_id"), col("source"),
           TextOps.tokenizeFiltered(col("norm"), Stop, Nil).as("toks"))
+          .localCheckpoint()
         TextStats.bigramLmScore(toks, "doc_id", "toks")
           .join(toks.select(col("doc_id"), col("source")), "doc_id")
           .withColumn("xent", round(col("xent"), 6))
@@ -137,8 +145,13 @@ private[graft] object QCuration {
           .withColumnRenamed("vec_id", "doc_id")
         val screened = dd.join(scores, Seq("doc_id"), "left")
           .filter(col("score").isNull || col("score") <= 9.21)
+        // localCheckpoint (r18): same doubled-subtree shape as v3 — the
+        // KN scorer + domain join re-planned the URL-canon → dedup →
+        // mahalanobis-screen → tokenize chain per reference (36
+        // documents scans in the before plan)
         val toks = screened.select(col("doc_id"), col("domain"),
           TextOps.tokenizeFiltered(col("text"), Stop, Nil).as("toks"))
+          .localCheckpoint()
         TextStats.knBigramLmScore(toks, "doc_id", "toks")
           .join(toks.select(col("doc_id"), col("domain")), "doc_id")
           .withColumn("xent_kn", round(col("xent_kn"), 6))
