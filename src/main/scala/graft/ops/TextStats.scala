@@ -736,14 +736,52 @@ object TextStats {
   def nbClassifyMulticlass(
       docs: DataFrame, idCol: String, featsCol: String,
       model: DataFrame, priors: DataFrame): DataFrame = {
+    val (wide, cps) = nbModelWide(model, priors)
+    nbClassifyMulticlassWide(docs, idCol, featsCol, wide, cps)
+  }
+
+  /** The long-form (cls, w, lp9) model pivoted to ONE row per gram
+    * with a dense per-class lp9 column, plus the ordered
+    * (class, prior9) list — r18: the classify kernel previously ran
+    * the K-way form (occ ⋈ model → groupBy(id, cls) → crossJoin
+    * priors → left join → groupBy(id)): TWO shuffles and a K-fold row
+    * blow-up per call, ×4 micro-batches in the stream twin. The
+    * pivoted form needs ONE groupBy(id). The priors collect is the
+    * k-row-scalar family (one row per class, by contract) and runs
+    * once per pivot, not per document.
+    */
+  def nbModelWide(
+      model: DataFrame, priors: DataFrame): (DataFrame, Seq[(String, Long)]) = {
+    val cps = priors.select(col("cls"), col("prior9")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val aggs = cps.zipWithIndex.map { case ((c, _), i) =>
+      sum(when(col("cls") === c, col("lp9"))).as(s"lp$i")
+    }
+    (model.groupBy(col("w")).agg(aggs.head, aggs.tail: _*), cps)
+  }
+
+  /** [[nbClassifyMulticlass]] over a pre-pivoted model — callers that
+    * classify repeatedly (the foreachBatch stream twin) pivot once and
+    * pass the materialized wide frame. Bit-identical to the K-way
+    * form: per-class score = prior9 + Σ lp9 over occurrences as exact
+    * longs (absent (w, cls) cells are null → sum skips them, exactly
+    * the rows the long-form inner join never produced), argmax =
+    * min(struct(−t9, cls)) with the same class-name tie-break via
+    * array_min over the same structs.
+    */
+  def nbClassifyMulticlassWide(
+      docs: DataFrame, idCol: String, featsCol: String,
+      wide: DataFrame, cps: Seq[(String, Long)]): DataFrame = {
     val occ = docs.select(col(idCol), explode(col(featsCol)).as("w"))
-    val sc = occ.join(broadcast(model), Seq("w"))
-      .groupBy(col(idCol), col("cls")).agg(sum("lp9").as("s9"))
-    docs.select(col(idCol)).crossJoin(broadcast(priors))
-      .join(sc, Seq(idCol, "cls"), "left").na.fill(0L, Seq("s9"))
-      .select(col(idCol), col("cls"), (col("prior9") + col("s9")).as("t9"))
-      .groupBy(col(idCol))
-      .agg(min(struct((-col("t9")).as("nt9"), col("cls"))).as("b"))
+    val aggs = cps.indices.map(i => sum(col(s"lp$i")).as(s"s$i"))
+    val sc = occ.join(broadcast(wide), Seq("w"))
+      .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val cand = array(cps.zipWithIndex.map { case ((c, p), i) =>
+      struct((-(lit(p) + coalesce(col(s"s$i"), lit(0L)))).as("nt9"),
+        lit(c).as("cls"))
+    }: _*)
+    docs.select(col(idCol)).join(sc, Seq(idCol), "left")
+      .select(col(idCol), array_min(cand).as("b"))
       .select(col(idCol), col("b.cls").as("lang_pred"),
         round((-col("b.nt9")) / lit(1e9), 6).as("logit"))
   }

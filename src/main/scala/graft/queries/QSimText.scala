@@ -884,6 +884,13 @@ private[graft] object QSimText {
         }
         val modelR = s.read.parquet(s"$relDir/m")
         val priorR = s.read.parquet(s"$relDir/p")
+        // pivot the model ONCE before the stream starts (r18): the
+        // per-batch kernel previously re-read + re-joined the long-form
+        // model and paid a (id, cls) shuffle + prior crossJoin + second
+        // shuffle per micro-batch; the pinned wide form needs one
+        // broadcast build and ONE groupBy(id) per batch
+        val (wideM0, cps) = TextStats.nbModelWide(modelR, priorR)
+        val wideM = wideM0.localCheckpoint()
         val out = Scratch.dir("stream-lang-out")
         val cp = Scratch.dir("stream-lang-cp")
         // staged once per JVM and shared with the other 4-batch twins
@@ -898,8 +905,8 @@ private[graft] object QSimText {
             // consume b, and unpersisted each action re-derives the
             // fixture projection from the batch file (review r17)
             val bb = b.persist()
-            try graft.streaming.StreamOps
-              .langClassifyBatch(bb, "doc_id", "grams", modelR, priorR)
+            try TextStats
+              .nbClassifyMulticlassWide(bb, "doc_id", "grams", wideM, cps)
               .join(bb.select(col("doc_id"), col("boot")), Seq("doc_id"))
               .write.mode("overwrite").parquet(s"$out/batch_$bid")
             finally { bb.unpersist(): Unit }
