@@ -20,12 +20,12 @@ import json, re, sys, pathlib
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 BUDGET = 475.0
 TARGET = BUDGET * 0.92 - 10.0   # headroom below the shed threshold
-# 32-cpu additive per-pass tax: BENCH_r10 measured ~+0.3 s/pass raw,
-# but the 2.45x two-pass coefficient already carries ~0.1 s/pass of
-# generic overhead — 0.2 sizes the committed set to ~51 entries,
-# matching the 54 the adaptive path actually shed in the r17 32-cpu
-# driver run (the empirical anchor)
-TAX = 0.2
+# 32-cpu additive per-pass tax: BENCH_r10 measured ~+0.3 s/pass raw;
+# with the clean-band r18 medians 0.25 sizes the committed set to ~43
+# entries — between the honest clean-band projection (28) and the 54
+# the adaptive path shed in the banded r17 32-cpu driver run, so a
+# moderately banded run still fits without asymmetric extra sheds
+TAX = 0.25
 WARMUP_S = 8.0                  # untimed JIT warmup + session start
 
 
